@@ -1,0 +1,37 @@
+"""Oracle-differential test for every declared contract query
+(SURVEY §2.6) at sf0.001 — the local mirror of the driver's
+CORRECTNESS gate at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SMOKE_SF
+from tests.oracle import assert_parity
+from tia_data_pipeline_spark import plans
+
+CHECKABLE = sorted(n for n, q in plans.REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY = sorted(n for n, q in plans.REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", CHECKABLE)
+def test_oracle_parity(spark, duck, name):
+    q = plans.REGISTRY[name]
+    assert_parity(q.build(spark, SMOKE_SF), duck.sql(q.oracle), name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    q = plans.REGISTRY[name]
+    df = q.build(spark, SMOKE_SF)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(e.oracle_sql()) <= set(e.queries())

@@ -1,0 +1,67 @@
+"""Named-table catalog over the parquet corpus.
+
+The reference declares its two tables once at init
+(``docker/postgres/init_db_tables.sh:5-59``) and every pipeline run
+addresses them by name; here the catalog maps table names to parquet
+scans. Scans are plain ``spark.read.parquet`` so Catalyst keeps full
+pushdown freedom (column pruning + predicate pushdown reach the
+parquet reader; verify with ``df.explain()`` → ``PushedFilters`` /
+``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver corpus (TESTDATA.md). `posts`/`comments` analogues per
+# FIXTURES.md: orders≙posts, lineitem≙comments.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the scan yields int64
+    nanoseconds, converted here to µs TimestampType (floor), matching
+    the oracle's ``ts::TIMESTAMP`` truncation of TIMESTAMP_NS.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All corpus tables, keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` can address
+    them by the same names the DuckDB oracle uses."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,298 @@
+"""Text normalization & analysis functions.
+
+Re-expresses the reference's row-at-a-time transform loop
+(``posts_pipeline.py:29-44`` / ``comments_pipeline.py:52-78``) as
+schema-driven Catalyst expressions, plus the text-analysis extension
+tier (tokens, language ID, quality scoring, fingerprinting).
+
+Pinned whitespace semantics
+---------------------------
+The reference's ``word_count`` is CPython ``len(content.split())``
+(``posts_pipeline.py:41``): split on runs of whitespace, ignore
+leading/trailing, 0 for empty/all-space. CPython splits on *unicode*
+whitespace while Java regex ``\\s`` and RE2 ``\\s`` are ASCII-only and
+disagree with each other on ``\\x0B``; we pin the portable superset
+``[ \\t\\n\\r\\f\\x0B]`` (ASCII whitespace incl. vertical tab), which both
+Java regex and RE2 interpret identically. Unit tests assert CPython
+parity on ASCII inputs and document the unicode divergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+def portable_round(col: Column, n: int) -> Column:
+    """Cross-engine-deterministic rounding: ``floor(x·10ⁿ + 0.5)/10ⁿ``.
+
+    ``round()`` on doubles is NOT portable — Spark rounds the exact
+    binary expansion via BigDecimal HALF_UP (57.835 → 57.83, since the
+    stored double is 57.83499…), while DuckDB yields 57.84. The floor
+    form is a fixed sequence of IEEE ops, so identical inputs give
+    identical outputs on any engine.
+    """
+    scale = 10**n
+    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)) / F.lit(float(scale))
+
+
+def portable_round_sql(expr: str, n: int) -> str:
+    scale = float(10**n)
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def money_sum(col: Column, count_expr: Column | None = None, decimals: int = 4) -> Column:
+    """Exact distributed sum of a money-like double: per-row scale to
+    integer units (deterministic — inputs are ≤ `decimals`-dp values,
+    so ·10ⁿ lands within 1e-9 of an integer, never near .5), sum as
+    BIGINT (exact, order-independent), then one double division.
+    Immune to summation-order ulp drift AND to round() dialects."""
+    scale = 10**decimals
+    units = F.round(col * F.lit(scale)).cast("bigint")
+    total = F.sum(units).cast("double") / F.lit(float(scale))
+    if count_expr is not None:
+        total = F.sum(units).cast("double") / count_expr / F.lit(float(scale))
+    return total
+
+
+def money_sum_sql(expr: str, count_expr: str | None = None, decimals: int = 4) -> str:
+    scale = 10**decimals
+    base = f"sum(round(({expr}) * {scale})::BIGINT)::DOUBLE"
+    if count_expr is not None:
+        return f"({base} / {count_expr} / {float(scale)})"
+    return f"({base} / {float(scale)})"
+
+
+# One whitespace class shared by engine (Java regex) and oracle (RE2).
+WS_CLASS = r"[ \t\n\r\f\x0B]"
+_TRIM_RE = f"^{WS_CLASS}+|{WS_CLASS}+$"
+_SPLIT_RE = f"{WS_CLASS}+"
+
+
+def strip_ws(col: Column) -> Column:
+    """Strip leading/trailing ASCII whitespace (regex trim; ``F.trim``
+    only strips 0x20 so it cannot reproduce ``str.split()``)."""
+    return F.regexp_replace(col, _TRIM_RE, "")
+
+
+def strip_ws_sql(expr: str) -> str:
+    """DuckDB fragment equivalent to :func:`strip_ws` (RE2 needs the
+    explicit ``'g'`` flag — DuckDB replaces first match by default)."""
+    return f"regexp_replace({expr}, '^{WS_CLASS}+|{WS_CLASS}+$', '', 'g')"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of a string per the pinned semantics.
+
+    Empty / all-whitespace / NULL input → empty array / NULL, matching
+    CPython ``''.split() == []`` (Spark ``split('', pat)`` would yield
+    ``['']`` — the guard removes that divergence).
+    """
+    stripped = strip_ws(col)
+    return F.when(col.isNull(), F.lit(None).cast(T.ArrayType(T.StringType()))).otherwise(
+        F.when(stripped == "", F.array().cast(T.ArrayType(T.StringType()))).otherwise(
+            F.split(stripped, _SPLIT_RE)
+        )
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    """DuckDB fragment equivalent to :func:`tokens`."""
+    stripped = strip_ws_sql(expr)
+    return (
+        f"CASE WHEN {expr} IS NULL THEN NULL "
+        f"WHEN {stripped} = '' THEN [] "
+        f"ELSE regexp_split_to_array({stripped}, '{WS_CLASS}+') END"
+    )
+
+
+def word_count(col: Column) -> Column:
+    """``len(content.split())`` — reference ``posts_pipeline.py:41``,
+    ``comments_pipeline.py:74``. NULL→NULL, ''→0. BIGINT for
+    cross-engine schema stability (DuckDB ``len()`` is BIGINT)."""
+    return F.coalesce(F.size(tokens(col)), F.lit(None)).cast("bigint")
+
+
+def word_count_sql(expr: str) -> str:
+    """DuckDB fragment equivalent to :func:`word_count`."""
+    return f"len({tokens_sql(expr)})"
+
+
+def normalize_iso_timestamp(col: Column) -> Column:
+    """ISO-8601 ``T`` → space normalization — reference
+    ``posts_pipeline.py:38-39``: only 19-char ``YYYY-MM-DDTHH:MM:SS``
+    strings are rewritten; fractional/offset forms pass through
+    untouched (length ≠ 19)."""
+    is_bare_iso = col.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$")
+    return F.when(is_bare_iso, F.regexp_replace(col, "T", " ")).otherwise(col)
+
+
+def parse_iso_timestamp(col: Column) -> Column:
+    """The typed form the new engine prefers: parse bare-ISO or
+    space-separated second-precision strings into TimestampType."""
+    return F.coalesce(
+        F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.to_timestamp(col, "yyyy-MM-dd HH:mm:ss"),
+    )
+
+
+def format_timestamp_sql_pair(expr: str) -> tuple[str, str]:
+    """(spark_format, duckdb_format) second-precision render of a
+    timestamp — the string form the reference stores."""
+    return ("yyyy-MM-dd HH:mm:ss", f"strftime({expr}, '%Y-%m-%d %H:%M:%S')")
+
+
+def json_serialize_nested(df_schema: T.StructType, colname: str) -> Column:
+    """``json.dumps`` of nested values — reference
+    ``posts_pipeline.py:36-37``. Schema-driven: nested (struct/array/map)
+    columns become compact JSON strings, scalars pass through — the
+    typed analogue of the reference's runtime ``type()`` dispatch."""
+    field = df_schema[colname]
+    if isinstance(field.dataType, (T.StructType, T.ArrayType, T.MapType)):
+        return F.to_json(F.col(colname))
+    return F.col(colname)
+
+
+# --------------------------------------------------------------------------
+# Extension tier: text analysis (SURVEY §2.4 ext-text-analysis)
+# --------------------------------------------------------------------------
+
+# BPE-ish word/number/punctuation tokenizer: letter runs, digit runs,
+# single punctuation marks — a deterministic stand-in for subword counts.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish tokens (letter runs / digit runs / punct marks)."""
+    # regexp_count is Spark 3.5+; portable to DuckDB via the same pattern.
+    return F.coalesce(F.regexp_count(col, F.lit(BPE_RE)), F.lit(None)).cast("bigint")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{BPE_RE}'))"
+
+
+# Script ranges for the n-gram-free language-ID heuristic. The corpus's
+# `documents.lang` is ground truth; the heuristic predicts from script
+# character ratios, falling back to stopword hits for Latin-script langs.
+_SCRIPT_RANGES: dict[str, str] = {
+    "th": r"\x{0E00}-\x{0E7F}",  # Thai
+    "zh": r"\x{4E00}-\x{9FFF}",  # CJK unified
+    "ja": r"\x{3040}-\x{30FF}",  # Hiragana+Katakana
+    "ko": r"\x{AC00}-\x{D7AF}",  # Hangul
+    "ru": r"\x{0400}-\x{04FF}",  # Cyrillic
+}
+
+_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "id": ("yang", "dan", "di", "itu", "dengan"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def _script_count(col: Column, rng: str) -> Column:
+    return F.length(F.regexp_replace(col, f"[^{rng}]", ""))
+
+
+def _script_count_sql(expr: str, rng: str) -> str:
+    return f"length(regexp_replace({expr}, '[^{rng}]', '', 'g'))"
+
+
+def _stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    pat = "(^| )(" + "|".join(words) + ")( |$)"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def _stopword_hits_sql(expr: str, words: tuple[str, ...]) -> str:
+    pat = "(^| )(" + "|".join(words) + ")( |$)"
+    return f"len(regexp_extract_all(lower({expr}), '{pat}'))"
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: dominant non-Latin script wins if >10% of
+    chars; otherwise the Latin-script language with most stopword hits;
+    'und' when nothing matches."""
+    length = F.greatest(F.length(col), F.lit(1))
+    expr = F.lit("und")
+    # Build from lowest priority upward: stopwords first, scripts override.
+    best_hits = F.lit(0)
+    for code, words in reversed(list(_STOPWORDS.items())):
+        hits = _stopword_hits(col, words)
+        expr = F.when(hits > best_hits, F.lit(code)).otherwise(expr)
+        best_hits = F.greatest(hits, best_hits)
+    for code, rng in reversed(list(_SCRIPT_RANGES.items())):
+        ratio = _script_count(col, rng) / length
+        expr = F.when(ratio > 0.10, F.lit(code)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(expr: str) -> str:
+    """DuckDB fragment mirroring :func:`lang_id` exactly (same priority
+    order, same thresholds)."""
+    length = f"greatest(length({expr}), 1)"
+    out = "'und'"
+    best = "0"
+    for code, words in reversed(list(_STOPWORDS.items())):
+        hits = _stopword_hits_sql(expr, words)
+        out = f"CASE WHEN {hits} > {best} THEN '{code}' ELSE {out} END"
+        best = f"greatest({hits}, {best})"
+    for code, rng in reversed(list(_SCRIPT_RANGES.items())):
+        ratio = f"({_script_count_sql(expr, rng)}::DOUBLE / {length})"
+        out = f"CASE WHEN {ratio} > 0.10 THEN '{code}' ELSE {out} END"
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """Document quality heuristic in [0,1]: rewards mid-length docs,
+    penalizes punctuation-heavy and low-diversity text. All-arithmetic,
+    mirrored 1:1 by :func:`quality_score_sql`; rounded to 4 dp so both
+    engines hash identically."""
+    n_chars = F.length(col).cast("double")
+    n_words = word_count(col).cast("double")
+    n_punct = F.length(F.regexp_replace(col, r"[^\.,;:!\?]", "")).cast("double")
+    len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.least(n_punct / F.greatest(n_chars, F.lit(1.0)) * 4.0, F.lit(1.0))
+    avg_word_len = n_chars / F.greatest(n_words, F.lit(1.0))
+    shape_score = F.when((avg_word_len >= 3.0) & (avg_word_len <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return portable_round(len_score * (1.0 - punct_penalty * 0.5) * shape_score, 4)
+
+
+def quality_score_sql(expr: str) -> str:
+    n_chars = f"length({expr})::DOUBLE"
+    n_words = f"({word_count_sql(expr)})::DOUBLE"
+    n_punct = f"length(regexp_replace({expr}, '[^\\.,;:!\\?]', '', 'g'))::DOUBLE"
+    len_score = f"least({n_words} / 100.0, 1.0)"
+    punct_penalty = f"least({n_punct} / greatest({n_chars}, 1.0) * 4.0, 1.0)"
+    avg_word_len = f"({n_chars} / greatest({n_words}, 1.0))"
+    shape = f"(CASE WHEN {avg_word_len} >= 3.0 AND {avg_word_len} <= 12.0 THEN 1.0 ELSE 0.5 END)"
+    return portable_round_sql(f"{len_score} * (1.0 - {punct_penalty} * 0.5) * {shape}", 4)
+
+
+# Rolling polynomial fingerprint (ext: document fingerprinting).
+# hash = fold(31*acc + codepoint) mod (2^31-1), over the raw chars.
+_FP_MOD = 2_147_483_647
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic rolling-hash fingerprint of a document, computed
+    with integer arithmetic portable across Spark and DuckDB (31x
+    polynomial mod 2^31-1 over codepoints). Stays JVM-side via
+    higher-order functions — no Python UDF."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % _FP_MOD,
+    ).cast("bigint")
+
+
+def doc_fingerprint_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(regexp_split_to_array({expr}, ''), ch -> ascii(ch)::BIGINT)), "
+        f"(acc, c) -> (acc * 31 + c) % {_FP_MOD})"
+    )

@@ -1,0 +1,97 @@
+"""Embedding similarity search (SURVEY §2.4 ext-sim-topk).
+
+Brute-force cosine top-k as the exact baseline, and a sign-random-
+projection LSH variant as the scale path. Both stay JVM-side (higher-
+order array functions); the probe side is a one-row broadcast — never a
+full cross-join of the corpus against itself.
+
+Scale posture (100 TB of embeddings): brute force against a single
+probe is a narrow map + TakeOrderedAndProject (per-partition top-k,
+then k·partitions rows to the driver). For probe *batches*, LSH
+bucketing turns the cross product into a bucket-equi-join; recall is
+tuned by the number of projection bits (fewer bits → bigger buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tia_data_pipeline_spark.functions.text import portable_round
+from tia_data_pipeline_spark.functions.vectors import cosine_similarity, dot
+
+# Deterministic projection matrix shared with the DuckDB oracle
+# (plans/llm.py embeds the same literals in the generated SQL).
+LSH_SEED = 42
+LSH_BITS = 8
+EMBED_DIM = 64
+
+
+def projection_matrix(bits: int = LSH_BITS, dim: int = EMBED_DIM, seed: int = LSH_SEED) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    # Round literals so the SQL text and the Spark literals are the
+    # exact same doubles on both engines.
+    return [[round(float(v), 6) for v in row] for row in rng.randn(bits, dim)]
+
+
+def _sign_bits(vec: Column, proj: list[list[float]]) -> Column:
+    """LSH bucket id: integer of sign bits of <vec, p_i>."""
+    bucket = F.lit(0).cast("bigint")
+    for i, row in enumerate(proj):
+        p = F.array(*[F.lit(v) for v in row])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def brute_force_top_k(
+    corpus: DataFrame,
+    probe: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of `corpus` against a one-row `probe` frame.
+
+    The probe is broadcast; scoring is a narrow projection; the global
+    top-k compiles to TakeOrderedAndProject (no total sort). Ordering is
+    on the *rounded* score with the id as tiebreak so the k-boundary is
+    deterministic across engines.
+    """
+    p = F.broadcast(probe.select(F.col(vec_col).alias("_probe_vec")))
+    scored = corpus.crossJoin(p).select(
+        F.col(id_col),
+        portable_round(cosine_similarity(F.col(vec_col), F.col("_probe_vec")), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def lsh_top_k(
+    corpus: DataFrame,
+    probe: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    proj: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates share the probe's sign-projection
+    bucket, then exact cosine within the bucket. Deterministic (fixed
+    projection literals), so the oracle reproduces it exactly."""
+    proj = proj if proj is not None else projection_matrix()
+    bucketed = corpus.withColumn("_bucket", _sign_bits(F.col(vec_col), proj))
+    probe_b = F.broadcast(
+        probe.select(
+            F.col(vec_col).alias("_probe_vec"),
+            _sign_bits(F.col(vec_col), proj).alias("_probe_bucket"),
+        )
+    )
+    cand = bucketed.join(probe_b, F.col("_bucket") == F.col("_probe_bucket"))
+    scored = cand.select(
+        F.col(id_col),
+        portable_round(cosine_similarity(F.col(vec_col), F.col("_probe_vec")), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

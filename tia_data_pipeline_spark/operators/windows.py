@@ -1,0 +1,97 @@
+"""Event-time window operators (batch forms).
+
+Generalizes the reference's daily incremental window (`inc-window`:
+``comments_pipeline.py:27-33,107`` — yesterday's tumbling day, computed
+as a range predicate) into proper tumbling / sliding / session windows
+over an event-time column. Streaming forms live in
+``tia_data_pipeline_spark.streaming``; these batch forms are the
+correctness surface the oracle verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tia_data_pipeline_spark.functions.text import money_sum
+
+
+def daily_window(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """1-day tumbling window: count + sum(value) per day.
+
+    ``F.window`` aligns to epoch boundaries, so for a 1-day width the
+    window start ≡ date_trunc('day') in UTC — the oracle uses the
+    latter. Two-phase hash aggregate; at scale the input is
+    partition-pruned by the same day column. The money sum goes through
+    exact integer cents (order-independent, oracle-stable).
+    """
+    return (
+        events.groupBy(F.window(F.col(ts_col), "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value"), decimals=2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("day"), "n_events", "sum_value")
+    )
+
+
+def sliding_window(
+    events: DataFrame, ts_col: str = "ts", width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Sliding window (width 1h, slide 15m): each event lands in
+    width/slide windows. Spark's native `window()` does the fan-out
+    JVM-side; the oracle reproduces it by exploding k∈[0,4)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), width, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value"), count_expr=F.count("*"), decimals=2).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization: a session breaks after `gap_minutes` of
+    key-inactivity. lag → new-session flag → cumulative-sum session
+    index → per-session aggregate. One shuffle on the key (both window
+    functions and the final groupBy share the hash partitioning on
+    user_id; Catalyst reuses the exchange).
+
+    Gap arithmetic is in integer microseconds (``unix_micros`` ≡ DuckDB
+    ``epoch_us``) so the oracle compares the exact same values; the
+    tiebreak column pins lag() order for equal timestamps.
+    """
+    w_order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    with_flag = events.withColumn(
+        "_new_session",
+        F.when(
+            F.lag(ts_col).over(w_order).isNull()
+            | (us - F.unix_micros(F.lag(ts_col).over(w_order)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    with_id = with_flag.withColumn(
+        "session_id",
+        F.sum("_new_session").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_id.groupBy(key_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(key_col, "session_id", "session_start", "session_end", "n_events")
+    )

@@ -1,0 +1,51 @@
+"""Registry for the declared-query contract.
+
+Each operator from SURVEY.md §2 registers here a named builder
+``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible, the
+equivalent DuckDB oracle SQL. The driver (and our own parity tests)
+runs both sides on identical parquet and compares row count + schema +
+order-insensitive value hash — so every computed column is aliased
+identically on both sides, aggregates over doubles are rounded, and
+``events.ts`` (ns in parquet) is cast to µs in the oracle to match
+Spark's TimestampType.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class ContractQuery:
+    name: str
+    build: QueryFn
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    covers: str  # operator ids from SURVEY §2
+
+
+REGISTRY: dict[str, ContractQuery] = {}
+
+
+def contract_query(name: str, *, oracle: str | None, covers: str) -> Callable[[QueryFn], QueryFn]:
+    """Decorator registering a declared query."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate contract query {name!r}")
+        REGISTRY[name] = ContractQuery(name=name, build=fn, oracle=oracle, covers=covers)
+        return fn
+
+    return wrap
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.build for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,218 @@
+"""Extension tier — LLM-data-pipeline operators (SURVEY §2.4 / §2.6
+step 4): dedup (exact / MinHash / SimHash / n-gram Jaccard), embedding
+similarity search (exact + LSH), and text analysis (tokens, language
+ID, quality scoring, fingerprinting, multimodal metadata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tia_data_pipeline_spark.catalog import load_table
+from tia_data_pipeline_spark.functions import text as TX
+from tia_data_pipeline_spark.functions.vectors import cosine_sql
+from tia_data_pipeline_spark.operators import dedup as DD
+from tia_data_pipeline_spark.operators import similarity as SIM
+from tia_data_pipeline_spark.plans.contract import contract_query
+
+_DOC_TOKENS_SQL = TX.tokens_sql("text")
+
+
+@contract_query(
+    "q_exact_dedup",
+    oracle=(
+        "SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id "
+        "FROM documents GROUP BY sha256(text)"
+    ),
+    covers="ext-exact-dedup (seeds: dedup-batch, posts_pipeline.py:57)",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One survivor per sha256(content) — shuffles digests, not text."""
+    return DD.exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id").select(
+        "content_hash", "doc_id"
+    )
+
+
+@contract_query(
+    "q_text_tokens",
+    oracle=(
+        f"SELECT doc_id, len({_DOC_TOKENS_SQL}) AS n_tokens, "
+        f"len(list_distinct({_DOC_TOKENS_SQL})) AS n_distinct_tokens FROM documents"
+    ),
+    covers="ext-text-analysis (generalizes word-count)",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+@contract_query(
+    "q_token_bpe",
+    oracle=(
+        f"SELECT doc_id, {TX.bpe_token_count_sql('text')} AS n_bpe_tokens FROM documents"
+    ),
+    covers="ext-text-analysis (BPE-ish regex token counting)",
+)
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@contract_query(
+    "q_lang_id",
+    oracle=f"SELECT doc_id, {TX.lang_id_sql('text')} AS lang_pred FROM documents",
+    covers="ext-text-analysis (language-ID heuristic)",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@contract_query(
+    "q_quality_score",
+    oracle=f"SELECT doc_id, {TX.quality_score_sql('text')} AS quality FROM documents",
+    covers="ext-text-analysis (quality scoring)",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@contract_query(
+    "q_doc_fingerprint",
+    oracle=f"SELECT doc_id, {TX.doc_fingerprint_sql('text')} AS fingerprint FROM documents",
+    covers="ext-text-analysis (rolling-hash document fingerprint)",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@contract_query(
+    "q_multimodal_meta",
+    oracle=(
+        "SELECT doc_id, strlen(text)::BIGINT AS n_bytes, "
+        "substr(sha256(text), 1, 16) AS sha_prefix FROM documents"
+    ),
+    covers="ext-multimodal (opaque payload + typed metadata)",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque payload column (here the UTF-8
+    bytes of `text` stand in for image/audio bytes; the decode path is
+    the stubbed pandas-UDF pipeline in operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("sha_prefix"),
+    )
+
+
+@contract_query(
+    "q_sim_topk",
+    oracle=(
+        "WITH probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0) "
+        f"SELECT vec_id, round({cosine_sql('embedding', 'probe_vec')}, 6) AS score "
+        "FROM embeddings, probe WHERE vec_id <> 0 "
+        "ORDER BY score DESC, vec_id ASC LIMIT 10"
+    ),
+    covers="ext-sim-topk (exact brute-force baseline)",
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0 — broadcast probe,
+    TakeOrderedAndProject global top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return SIM.brute_force_top_k(emb.filter(F.col("vec_id") != 0), probe, k=10)
+
+
+def _bucket_sql(vec_expr: str, proj: list[list[float]]) -> str:
+    terms = []
+    for i, row in enumerate(proj):
+        lits = ", ".join(repr(v) for v in row)
+        terms.append(
+            f"(CASE WHEN list_dot_product(({vec_expr})::DOUBLE[], [{lits}]::DOUBLE[]) > 0 "
+            f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_PROJ = SIM.projection_matrix()
+
+@contract_query(
+    "q_ann_lsh",
+    oracle=(
+        "WITH probe AS (SELECT embedding AS probe_vec, "
+        f"{_bucket_sql('embedding', _PROJ)} AS probe_bucket "
+        "FROM embeddings WHERE vec_id = 0), "
+        "cand AS (SELECT vec_id, embedding, probe_vec FROM embeddings, probe "
+        f"WHERE vec_id <> 0 AND {_bucket_sql('embedding', _PROJ)} = probe_bucket) "
+        f"SELECT vec_id, round({cosine_sql('embedding', 'probe_vec')}, 6) AS score "
+        "FROM cand ORDER BY score DESC, vec_id ASC LIMIT 10"
+    ),
+    covers="ext-sim-topk (LSH-bucketed ANN scale path)",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection ANN: candidates share the probe's 8-bit
+    bucket; exact cosine within. Fixed projection literals make the
+    approximation deterministic, so the oracle matches exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return SIM.lsh_top_k(emb.filter(F.col("vec_id") != 0), probe, k=10, proj=_PROJ)
+
+
+@contract_query(
+    "q_ngram_jaccard",
+    oracle=(
+        "WITH shing AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ') "
+        "  FOR i IN range(1, greatest(len(tk) - 2, 0) + 1)])) AS sh "
+        "  FROM (SELECT doc_id, {t} AS tk FROM documents)), "
+        "rare AS (SELECT doc_id, sh FROM shing WHERE sh IN ("
+        "  SELECT sh FROM shing GROUP BY sh HAVING count(*) <= 100)), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id), "
+        "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared "
+        "  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+        "  GROUP BY a.doc_id, b.doc_id) "
+        "SELECT id_a, id_b, round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard "
+        "FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.4"
+    ).format(t=_DOC_TOKENS_SQL),
+    covers="ext-fuzzy-dedup (exact n-gram Jaccard, inverted index)",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.4 via inverted-index join
+    with a document-frequency cap (hot-shingle guard)."""
+    return DD.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.4, max_df=100
+    )
+
+
+@contract_query(
+    "q_simhash",
+    oracle=DD.simhash_oracle_sql("documents", f"list_distinct({_DOC_TOKENS_SQL})", "doc_id"),
+    covers="ext-fuzzy-dedup (SimHash fingerprint)",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document, md5-bit construction shared with
+    the oracle bit-for-bit."""
+    return DD.simhash(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@contract_query(
+    "q_fuzzy_dedup",
+    oracle=None,  # MinHash estimate is not SQL-expressible → rows-only check
+    covers="ext-fuzzy-dedup (MinHash+LSH banding)",
+)
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=32, 8 bands)-LSH near-dup pairs at est-Jaccard ≥ 0.5.
+    Verified structurally (tests plant known near-dups); the driver
+    records a rows-only check."""
+    return DD.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    )

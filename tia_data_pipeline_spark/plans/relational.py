@@ -1,0 +1,235 @@
+"""Relational tier (SURVEY §2.6, step 2).
+
+Joins / aggregates / dedup — the semantics the reference delegates to
+Postgres (PK conflict-skip, range queries) or denormalizes into its
+schema (enrichment joins, grouped counts). All built-in Spark operators;
+AQE picks broadcast vs sort-merge at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tia_data_pipeline_spark.catalog import load_table
+from tia_data_pipeline_spark.functions.text import money_sum, money_sum_sql
+from tia_data_pipeline_spark.operators.incremental import incremental_append
+from tia_data_pipeline_spark.plans.contract import contract_query
+
+
+@contract_query(
+    "q_revenue_by_segment",
+    oracle=(
+        "SELECT c.c_mktsegment, count(*) AS n_items, "
+        "{rev} AS revenue "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY c.c_mktsegment"
+    ).format(rev=money_sum_sql("l.l_extendedprice * (1 - l.l_discount)", decimals=4)),
+    covers="flagship: scan→filter-range→join-enrich→agg-count (SURVEY §2.6)",
+)
+def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's whole relational surface in one plan —
+    pruned scan, pushed-down date filter, two joins, grouped aggregate.
+    Filter is applied to orders *before* the join so the pushed
+    predicate shrinks the build side; AQE broadcasts customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), decimals=4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@contract_query(
+    "q_dedup_batch",
+    oracle=(
+        "SELECT DISTINCT * FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)"
+    ),
+    covers="dedup-batch (posts_pipeline.py:57, ON CONFLICT DO NOTHING)",
+)
+def q_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-batch dedup: the hourly 'latest 30' refetch overlap —
+    re-inserts of identical records are no-ops, i.e. set semantics on
+    whole rows. (The corpus's lineitem is NOT key-unique on
+    (l_orderkey, l_linenumber), so key-scoped dedup would have a
+    nondeterministic survivor; whole-row semantics is both the honest
+    reference behavior — refetches are bit-identical — and oracle-
+    stable. Key-scoped dedup lives in operators/incremental.py.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unionAll(li).dropDuplicates()
+
+
+@contract_query(
+    "q_antijoin_incr",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderkey NOT IN ("
+        "  SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')"
+    ),
+    covers="antijoin-incr (posts_pipeline.py:57 across batches)",
+)
+def q_antijoin_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental load: only rows whose PK is absent from the target
+    survive — the engine form of `ON CONFLICT DO NOTHING`."""
+    orders = load_table(spark, sf_dir, "orders")
+    incoming = orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    existing = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    return incremental_append(incoming, existing, keys=["o_orderkey"])
+
+
+@contract_query(
+    "q_semi_join",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice "
+        "FROM lineitem WHERE l_orderkey IN ("
+        "  SELECT o_orderkey FROM orders "
+        "  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01')"
+    ),
+    covers="semijoin-drive (comments_pipeline.py:33-38)",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Children fetched only for parents in the window (the comments
+    fan-out driven by yesterday's post ids)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    window_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        .select("o_orderkey")
+    )
+    return li.join(
+        window_orders, li.l_orderkey == window_orders.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+@contract_query(
+    "q_join_enrich",
+    oracle=(
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, "
+        "o.o_orderdate, o.o_orderstatus, c.c_name, c.c_mktsegment "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey"
+    ),
+    covers="join-enrich + fk-model (init_db_tables.sh:44-47)",
+)
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-attribute enrichment: each child row carries denormalized
+    parent attrs (comments carrying post_title/post_link). Catalyst/AQE
+    broadcast the customer side when it fits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "o_orderdate",
+            "o_orderstatus",
+            "c_name",
+            "c_mktsegment",
+        )
+    )
+
+
+@contract_query(
+    "q_agg_count",
+    oracle="SELECT l_orderkey, count(*) AS item_count FROM lineitem GROUP BY l_orderkey",
+    covers="agg-count (init_db_tables.sh:21, comments_count)",
+)
+def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count — two-phase hash aggregate (map-side partials)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("item_count"))
+    )
+
+
+@contract_query(
+    "q_topk_latest",
+    oracle=(
+        "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+        "ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 30"
+    ),
+    covers="topk-latest (posts_pipeline.py:26, latest-30 page)",
+)
+def q_topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'30 latest posts' — TakeOrderedAndProject, no global sort.
+    o_orderkey tiebreak makes the k-boundary deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .limit(30)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@contract_query(
+    "q_exists_guard",
+    oracle=(
+        "SELECT l_orderkey, count(*) AS item_count FROM lineitem "
+        "GROUP BY l_orderkey HAVING count(*) >= 5"
+    ),
+    covers="exists-guard (comments_pipeline.py:41,97)",
+)
+def q_exists_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-empty (HAVING) guard: groups below the floor are dropped,
+    the engine form of 'skip empty comment lists'."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("item_count"))
+        .filter(F.col("item_count") >= 5)
+    )
+
+
+@contract_query(
+    "q_self_join",
+    oracle=(
+        "WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP) AS day "
+        "FROM events) "
+        "SELECT a.user_id, a.day AS day1, b.day AS day2 "
+        "FROM days a JOIN days b ON a.user_id = b.user_id "
+        "AND b.day = a.day + INTERVAL 1 DAY"
+    ),
+    covers="self-join-tree (init_db_tables.sh:52,57 parent/children)",
+)
+def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-referencing join (structural stand-in for the comment
+    parent→child thread): per-user consecutive-active-day pairs."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    a = days.alias("a")
+    b = days.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.day") == F.col("a.day") + F.expr("INTERVAL 1 DAY")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.day").alias("day1"),
+        F.col("b.day").alias("day2"),
+    )
