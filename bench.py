@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs every declared contract query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32),
+AQE on. Per query: 1 warm-up, then up to 3 timed runs (median),
+bounded by a per-query time budget so one slow query can't starve the
+run. Execution is a full-pipeline materialization through the `noop`
+sink — measures compute + shuffle, not driver-side collect.
+
+Prints ONE JSON line:
+  {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tia_data_pipeline_spark import plans
+from tia_data_pipeline_spark.session import get_spark
+
+PER_QUERY_BUDGET_SEC = 60.0
+TIMED_RUNS = 3
+
+
+def run_once(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="bench")
+    # absorb JVM/codegen start-up before any measurement
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results: dict[str, float] = {}
+    for name, q in sorted(plans.REGISTRY.items()):
+        df = q.build(spark, sf_dir)
+        try:
+            budget_t0 = time.time()
+            run_once(df)  # warm-up (also JIT + parquet footer cache)
+            times = []
+            while len(times) < TIMED_RUNS and (
+                not times or time.time() - budget_t0 < PER_QUERY_BUDGET_SEC
+            ):
+                times.append(run_once(df))
+            results[name] = round(statistics.median(times), 3)
+        except Exception as exc:  # noqa: BLE001 — record, don't abort the bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            results[name] = -1.0
+
+    total = round(sum(t for t in results.values() if t > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

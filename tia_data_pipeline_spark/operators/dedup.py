@@ -63,25 +63,34 @@ def _hash_family(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM-side:
-    split → sliding-window via sequence/transform → distinct).
+    split → zip n shifted slices → concat → distinct).
 
-    Guarded for short docs: Spark ``sequence(1, 0)`` would *descend*
-    ([1,0]), so < n tokens returns an empty array explicitly.
+    Construction note: the obvious ``transform(sequence(1, m),
+    i -> concat(element_at(toks, i), …))`` is ~15× slower — higher-
+    order functions don't codegen, and any non-lambda subexpression in
+    the lambda body (here the whole tokenize chain) is RE-EVALUATED per
+    element. ``arrays_zip`` of n shifted slices evaluates the token
+    array O(n) times per row instead of O(tokens·n), and the lambda
+    touches only its own variable. Short docs (< n tokens) return [].
     """
     toks = tokens(col)
     n_sh = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, n_sh) for j in range(n)])
     return F.when(n_sh < 1, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_sh),
-                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-            )
+            F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
         )
     )
 
 
 def minhash_signature(col: Column, k: int = 32, seed: int = 42, shingle_n: int = 3) -> Column:
-    """k-component MinHash signature (array<bigint>) of a text column."""
+    """k-component MinHash signature (array<bigint>) of a text column.
+
+    Column-expression form for ad-hoc use; the *operator* path uses
+    :func:`minhash_signature_frame` — this inline form duplicates the
+    shingle pipeline k times in the plan (no CSE through higher-order
+    functions), which is k× the work.
+    """
     xs = F.transform(
         word_shingles(col, shingle_n), lambda s: F.pmod(F.xxhash64(s), F.lit(_X_MOD))
     )
@@ -90,6 +99,27 @@ def minhash_signature(col: Column, k: int = 32, seed: int = 42, shingle_n: int =
         for a, b in _hash_family(k, seed)
     ]
     return F.array(*comps)
+
+
+def minhash_signature_frame(
+    df: DataFrame, text_col: str, id_col: str, k: int = 32, seed: int = 42, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig) frame: shingle once, explode, then ONE grouped
+    aggregate with k cheap `min((a·x+b) mod P)` aggregations — the
+    shingle pipeline runs once per document instead of k times, and the
+    whole thing stays in whole-stage codegen with map-side partial
+    mins. Docs with zero shingles drop out (explode of empty array)."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    ).select("_id", F.pmod(F.xxhash64("_sh"), F.lit(_X_MOD)).alias("_x"))
+    aggs = [
+        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_hash_family(k, seed))
+    ]
+    return ex.groupBy("_id").agg(*aggs).select(
+        "_id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("_sig")
+    )
 
 
 def minhash_near_duplicates(
@@ -114,9 +144,7 @@ def minhash_near_duplicates(
     """
     assert k % bands == 0, "k must divide into equal bands"
     r = k // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"), minhash_signature(F.col(text_col), k, seed).alias("_sig")
-    ).filter(F.element_at("_sig", 1).isNotNull())  # drop docs with zero shingles
+    sig = minhash_signature_frame(df, text_col, id_col, k, seed)
 
     banded = sig.select(
         "_id",
@@ -134,20 +162,34 @@ def minhash_near_duplicates(
         ).alias("bb"),
     ).select("_id", "_sig", "bb.band", "bb.bucket")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
+    # Candidate pairs WITHOUT a self-join (a self-join would execute the
+    # whole signature lineage twice): group bucket members and expand
+    # pairs in-expression. Hot buckets (degenerate near-identical
+    # content) are capped — at scale an uncapped bucket is a quadratic
+    # bomb; the cap is the same trade LSH banding already makes.
+    max_bucket = 1000
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("_id", "_sig")).alias("mem"))
+        .filter((F.size("mem") >= 2) & (F.size("mem") <= max_bucket))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("mem"),
+            lambda x, i: F.transform(
+                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
+                lambda y: F.when(x["_id"] < y["_id"], F.struct(x.alias("a"), y.alias("b")))
+                .otherwise(F.struct(y.alias("a"), x.alias("b"))),
+            ),
         )
+    )
+    cand = (
+        members.select(F.explode(pair_arr).alias("p"))
         .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._sig").alias("sig_a"),
-            F.col("r._sig").alias("sig_b"),
+            F.col("p.a._id").alias("id_a"),
+            F.col("p.b._id").alias("id_b"),
+            F.col("p.a._sig").alias("sig_a"),
+            F.col("p.b._sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -175,30 +217,48 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.4,
-    max_df: int = 100,
+    max_df: int = 20,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs via inverted index.
 
-    explode shingles → drop shingles appearing in > max_df docs (the
-    standard hot-key guard: a stop-shingle would otherwise induce a
-    quadratic self-join) → count shared shingles per pair →
-    |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. Returns (id_a, id_b, jaccard).
+    Jaccard is defined over the *capped* shingle universe: shingles in
+    more than ``max_df`` documents are stop-shingles and excluded from
+    both the overlap AND the set sizes (same universe on both, or the
+    ratio could exceed 1). The cap is load-bearing at scale — a shingle
+    shared by d documents contributes d·(d-1)/2 candidate pairs, so
+    frequent shingles are a quadratic bomb; near-dup clusters have
+    *rare* shingles (df ≈ cluster size), which the cap keeps.
+
+    Plan shape (one pass, no self-join): explode shingles → hash to
+    64-bit ids (8-byte shuffle keys instead of strings; collision odds
+    ~|shingles|²/2⁶⁵ — negligible) → group ids per shingle → expand
+    pairs in-expression → count shared per pair → join per-doc sizes.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    sh_ids = df.select(
+        F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    ).select("_id", F.xxhash64("s").alias("sh"))
+    grouped = (
+        sh_ids.groupBy("sh").agg(F.collect_list("_id").alias("mem")).filter(F.size("mem") <= max_df)
     )
-    rare = sh.join(
-        sh.groupBy("sh").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_df),
-        "sh",
-    ).select("_id", "sh")
-    # Jaccard is defined over the capped shingle sets (sizes and overlap
-    # must use the same universe or the ratio can exceed 1).
-    doc_sizes = rare.groupBy("_id").agg(F.count("*").alias("n_sh"))
-    a = rare.alias("a")
-    b = rare.alias("b")
+    # Per-doc set size over the capped universe (df=1 shingles count).
+    doc_sizes = (
+        grouped.select(F.explode("mem").alias("_id")).groupBy("_id").agg(F.count("*").alias("n_sh"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("mem"),
+            lambda x, i: F.transform(
+                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
     shared = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        grouped.filter(F.size("mem") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("shared"))
     )
     ja = (

@@ -174,7 +174,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  FOR i IN range(1, greatest(len(tk) - 2, 0) + 1)])) AS sh "
         "  FROM (SELECT doc_id, {t} AS tk FROM documents)), "
         "rare AS (SELECT doc_id, sh FROM shing WHERE sh IN ("
-        "  SELECT sh FROM shing GROUP BY sh HAVING count(*) <= 100)), "
+        "  SELECT sh FROM shing GROUP BY sh HAVING count(*) <= 20)), "
         "sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id), "
         "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared "
         "  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id "
@@ -189,7 +189,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs ≥ 0.4 via inverted-index join
     with a document-frequency cap (hot-shingle guard)."""
     return DD.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.4, max_df=100
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.4, max_df=20
     )
 
 
