@@ -1,0 +1,44 @@
+"""Idempotency property of the incremental load — the reference's
+`ON CONFLICT DO NOTHING` invariant (posts_pipeline.py:57): applying a
+batch twice ≡ once."""
+
+from __future__ import annotations
+
+from tia_data_pipeline_spark.operators.incremental import (
+    dedup_batch,
+    incremental_append,
+    merge_upsert_plan,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, v string")
+
+
+def test_incremental_append_filters_existing(spark):
+    existing = _frame(spark, [(1, "a"), (2, "b")])
+    incoming = _frame(spark, [(2, "b2"), (3, "c"), (3, "c-dup")])
+    got = incremental_append(incoming, existing, ["id"]).collect()
+    assert sorted(r["id"] for r in got) == [3]
+
+
+def test_twice_equals_once(spark):
+    existing = _frame(spark, [(1, "a")])
+    batch = _frame(spark, [(1, "a"), (2, "b"), (3, "c")])
+    first = incremental_append(batch, existing, ["id"])
+    after_first = existing.unionByName(first)
+    second = incremental_append(batch, after_first, ["id"])
+    assert second.count() == 0
+    assert after_first.count() == 3
+
+
+def test_dedup_batch_keeps_one_per_key(spark):
+    batch = _frame(spark, [(1, "x"), (1, "x"), (2, "y")])
+    assert dedup_batch(batch, ["id"]).count() == 2
+
+
+def test_merge_upsert_latest_wins(spark):
+    existing = _frame(spark, [(1, "old"), (2, "keep")])
+    incoming = _frame(spark, [(1, "new")])
+    got = {r["id"]: r["v"] for r in merge_upsert_plan(incoming, existing, ["id"]).collect()}
+    assert got == {1: "new", 2: "keep"}

@@ -1,0 +1,47 @@
+"""Multimodal plumbing: binary payload columns, Arrow-batched decode
+(stub codec), expression-level frame sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tia_data_pipeline_spark.operators.multimodal import (
+    attach_payload,
+    decode_payloads,
+    fake_decode,
+    sample_frames,
+)
+
+
+def _payloads(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world " * 50), (2, "tiny"), (3, "")], "doc_id bigint, text string"
+    )
+    return attach_payload(df, "text", "doc_id")
+
+
+def test_attach_payload_is_binary(spark):
+    df = _payloads(spark)
+    assert dict(df.dtypes)["payload"] == "binary"
+    n = {r["id"]: r["n"] for r in df.select("id", F.octet_length("payload").alias("n")).collect()}
+    assert n[1] == 600 and n[2] == 4 and n[3] == 0
+
+
+def test_decode_payloads_stub(spark):
+    out = {r["id"]: r.asDict() for r in decode_payloads(_payloads(spark)).collect()}
+    assert out[1]["n_bytes"] == 600
+    assert out[1]["format"] == f"fake/{ord('h'):02x}"
+    assert out[3]["format"] == "empty"
+    # deterministic: matches the local stub exactly
+    expect = fake_decode(b"tiny")
+    assert out[2]["checksum"] == expect["checksum"]
+    assert out[2]["width"] == expect["width"]
+
+
+def test_sample_frames_expression_level(spark):
+    df = sample_frames(_payloads(spark), every_n_bytes=100, max_frames=4)
+    got = {r["id"]: r["frames"] for r in df.collect()}
+    assert len(got[1]) == 4  # 600 bytes → capped at 4 frames
+    assert all(len(bytes(f)) == 100 for f in got[1][:4])
+    assert len(got[2]) == 1  # tiny payload → 1 frame
+    assert bytes(got[2][0]) == b"tiny"

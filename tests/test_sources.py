@@ -1,0 +1,63 @@
+"""Sources: REST fan-out with injected fetchers, JSON staging round-
+trip with corrupt-record capture, ingest façade composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tia_data_pipeline_spark.sources.files import read_json_records, write_json_records
+from tia_data_pipeline_spark.sources.rest import keyed_fanout_source, paginated_rest_source
+
+POST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("title", T.StringType()),
+    ]
+)
+
+
+def test_paginated_rest_source(spark):
+    def fetcher(page: int):
+        if page > 3:
+            return []
+        return [{"id": page * 10 + i, "title": f"p{page}-{i}"} for i in range(2)]
+
+    df = paginated_rest_source(spark, fetcher, n_pages=5, schema=POST_SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 6  # pages 4,5 empty
+    assert {r["id"] for r in rows} == {10, 11, 20, 21, 30, 31}
+
+
+def test_keyed_fanout_source_skips_empty(spark):
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "post_id bigint")
+
+    def fetcher(post_id):
+        if post_id == 2:
+            return []  # the empty-comments guard (comments_pipeline.py:41)
+        return [{"id": post_id * 100, "title": f"c-of-{post_id}"}]
+
+    df = keyed_fanout_source(keys, "post_id", fetcher, POST_SCHEMA)
+    rows = df.collect()
+    assert {r["post_id"] for r in rows} == {1, 3}
+    assert {r["id"] for r in rows} == {100, 300}
+
+
+def test_json_staging_roundtrip_and_corrupt_record(spark, tmp_path):
+    good = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, title string")
+    path = str(tmp_path / "stage")
+    write_json_records(good, path)
+    back = read_json_records(spark, path, POST_SCHEMA).cache()
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+    assert sorted(r["id"] for r in back.select("id").collect()) == [1, 2]
+
+    # malformed line lands in _corrupt_record instead of failing
+    # (.cache(): Spark disallows querying only the corrupt-record column
+    # straight off a raw file scan)
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    (bad_dir / "x.json").write_text('{"id": 1, "title": "ok"}\n{not json at all\n')
+    parsed = read_json_records(spark, str(bad_dir), POST_SCHEMA).cache()
+    assert parsed.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert parsed.filter(F.col("id") == 1).count() == 1

@@ -129,10 +129,12 @@ def normalize_iso_timestamp(col: Column) -> Column:
 
 def parse_iso_timestamp(col: Column) -> Column:
     """The typed form the new engine prefers: parse bare-ISO or
-    space-separated second-precision strings into TimestampType."""
+    space-separated second-precision strings into TimestampType.
+    ``try_to_timestamp``: Spark 4 runs ANSI mode, where a non-matching
+    format in plain ``to_timestamp`` raises instead of yielding NULL."""
     return F.coalesce(
-        F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss"),
-        F.to_timestamp(col, "yyyy-MM-dd HH:mm:ss"),
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd HH:mm:ss")),
     )
 
 

@@ -1,0 +1,100 @@
+"""Multimodal column operators (SURVEY §2.4 ext-multimodal).
+
+Images/audio/video ride as opaque ``binary`` columns with typed
+metadata structs; decode / feature-extract / resize / frame-sample run
+as Arrow-batched pandas transforms over ``mapInPandas``. The actual
+codec step is STUBBED (no image/audio libraries in this container):
+``decode_fn`` defaults to a deterministic fake that derives metadata
+from the bytes themselves, and a real deployment injects e.g. a
+Pillow/ffmpeg-backed callable with the same signature. The Spark-side
+plumbing — schema, batch iteration, partition sizing — is real and
+tested (tests/test_multimodal.py).
+
+Scale posture: payload columns are only materialized in the stages
+that touch them (column pruning keeps metadata-only queries off the
+bytes); batches stream through Arrow so peak memory is
+``maxRecordsPerBatch × avg payload``, not the partition size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (payload bytes) -> dict of extracted features
+DecodeFn = Callable[[bytes], dict]
+
+DECODED_SCHEMA = (
+    "id bigint, n_bytes bigint, format string, width int, height int, checksum bigint"
+)
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image decoder: 'format' from the
+    magic byte, dimensions + checksum derived from the payload bytes.
+    Replace with a real codec in deployment (same signature)."""
+    if not payload:
+        return {"format": "empty", "width": 0, "height": 0, "checksum": 0}
+    magic = payload[0]
+    checksum = 0
+    for b in payload[:1024]:
+        checksum = (checksum * 31 + b) % 2_147_483_647
+    return {
+        "format": f"fake/{magic:02x}",
+        "width": 1 + checksum % 1920,
+        "height": 1 + (checksum // 7) % 1080,
+        "checksum": checksum,
+    }
+
+
+def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Build an (id, payload binary) frame — in the test corpus the
+    UTF-8 bytes of a text column stand in for media bytes."""
+    return df.select(
+        F.col(id_col).alias("id"), F.encode(F.col(text_col), "UTF-8").alias("payload")
+    )
+
+
+def decode_payloads(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    decode_fn: DecodeFn = fake_decode,
+) -> DataFrame:
+    """Decode opaque payloads into a typed metadata frame via
+    Arrow-batched ``mapInPandas`` (the pandas-UDF slow path, used only
+    where expressions genuinely cannot — SURVEY §2.4 ext-udf-surface)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_fn(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "id", pdf[id_col].to_numpy())
+            out.insert(1, "n_bytes", [len(bytes(p)) for p in pdf[payload_col]])
+            yield out
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    every_n_bytes: int = 256,
+    max_frames: int = 16,
+) -> DataFrame:
+    """'Frame sampling' over an opaque payload: slice every Nth chunk
+    (stand-in for video frame extraction), emitted as an array of
+    binary chunks — pure Spark expressions, no Python."""
+    n = F.least(
+        F.lit(max_frames), F.greatest(F.floor(F.octet_length(payload_col) / every_n_bytes), F.lit(1))
+    )
+    idx = F.sequence(F.lit(0), n - 1)
+    return df.withColumn(
+        "frames",
+        F.transform(idx, lambda i: F.substring(F.col(payload_col), (i * every_n_bytes + 1).cast("int"), every_n_bytes)),
+    )
