@@ -1,0 +1,292 @@
+"""Analytics tier — extension operators beyond the reference's own
+surface (SURVEY §2.3 'not present in the reference' list, promoted to
+first-class: window frames, rollup, pivot, set ops, as-of / range
+joins, latest-per-key dedup) plus embedding column statistics.
+
+Everything is oracle-checked; money/score aggregates go through the
+exact integer-unit path (``money_sum``) and window frames use
+microsecond arithmetic so both engines hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tia_data_pipeline_spark.catalog import load_table
+from tia_data_pipeline_spark.plans.contract import contract_query
+
+_CENTS = "round(value * 100)::BIGINT"
+
+
+@contract_query(
+    "q_window_frames",
+    oracle=(
+        "WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, "
+        f"{_CENTS} AS cents FROM events) "
+        "SELECT event_id, user_id, "
+        "(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS UNBOUNDED PRECEDING))::BIGINT::DOUBLE / 100.0 AS running_value, "
+        "(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT::DOUBLE "
+        "  / (count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / 100.0 AS moving_avg "
+        "FROM e"
+    ),
+    covers="window functions with frames (extension; generalizes agg-count)",
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total and 3-row moving average over the event
+    stream — frame aggregates in exact integer cents. One shuffle on
+    user_id serves both frames (same window partitioning)."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame3 = w.rowsBetween(-2, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents).over(running).cast("double") / 100.0).alias("running_value"),
+        (F.sum(cents).over(frame3).cast("double") / F.count("*").over(frame3) / 100.0).alias(
+            "moving_avg"
+        ),
+    )
+
+
+@contract_query(
+    "q_topk_per_group",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice "
+        "FROM (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice, "
+        "  row_number() OVER (PARTITION BY l_returnflag, l_linestatus "
+        "  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) "
+        "WHERE rn <= 3"
+    ),
+    covers="top-k per group (windowed topk-latest generalization)",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priced items per (returnflag, linestatus) — row_number
+    with full tiebreak; Spark runs this as a partial top-k per
+    partition before the shuffle (WindowGroupLimit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@contract_query(
+    "q_rollup",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
+        "(sum(round(l_quantity * 100)::BIGINT))::DOUBLE / 100.0 AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    covers="grouping sets / rollup (extension)",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (flag, status), (flag), and grand total
+    in one pass — Spark expands grouping sets map-side, so the input
+    is scanned once, not once per level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qcents = F.round(F.col("l_quantity") * 100).cast("bigint")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        (F.sum(qcents).cast("double") / 100.0).alias("sum_qty"),
+    )
+
+
+@contract_query(
+    "q_pivot_status",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, "
+        "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, "
+        "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    covers="pivot / conditional aggregation (extension)",
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts by priority pivoted across status values (explicit
+    value list keeps the plan one-pass; pivot-count null → 0 to match
+    the FILTER form)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}") for s in ("F", "O", "P")],
+    )
+
+
+@contract_query(
+    "q_set_ops",
+    oracle=(
+        "SELECT o_custkey FROM ("
+        "  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' "
+        "    AND o_orderdate < TIMESTAMP '1996-01-01' "
+        "  INTERSECT "
+        "  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "    AND o_orderdate < TIMESTAMP '1997-01-01') "
+        "EXCEPT "
+        "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "  AND o_orderdate < TIMESTAMP '1997-07-01'"
+    ),
+    covers="set operations: intersect / except (extension)",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in both 1995 and 1996 but not in 1997H1 —
+    INTERSECT/EXCEPT compile to aggregate + semi/anti joins."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_keys(lo: str, hi: str) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+        ).select("o_custkey")
+
+    return (
+        year_keys("1995-01-01", "1996-01-01")
+        .intersect(year_keys("1996-01-01", "1997-01-01"))
+        .exceptAll(year_keys("1997-01-01", "1997-07-01"))
+        .distinct()
+    )
+
+
+@contract_query(
+    "q_asof_join",
+    oracle=(
+        "WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, "
+        "  CASE WHEN event_type = 'login' THEN ts::TIMESTAMP END AS login_ts FROM events), "
+        "tagged AS (SELECT event_id, user_id, ts, event_type, "
+        "  last_value(login_ts IGNORE NULLS) OVER (PARTITION BY user_id "
+        "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS last_login_ts FROM e) "
+        "SELECT event_id, user_id, ts, last_login_ts FROM tagged "
+        "WHERE event_type = 'purchase'"
+    ),
+    covers="as-of join (extension; union-tag + last_value form)",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join without a range join: for every purchase, the user's
+    most recent login at-or-before it. Union-tag form — one window
+    pass over the merged stream instead of a per-row backward scan, so
+    cost is O(events log events) per key, not O(purchases × logins)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(F.col("event_type") == "login", F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_login_ts"),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "last_login_ts"
+    )
+
+
+@contract_query(
+    "q_range_join",
+    oracle=(
+        "WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type FROM events) "
+        "SELECT a.event_id, count(b.event_id) AS n_nearby "
+        "FROM e a JOIN e b ON a.user_id = b.user_id "
+        "  AND b.ts >= a.ts - INTERVAL 15 MINUTE AND b.ts <= a.ts + INTERVAL 15 MINUTE "
+        "  AND b.event_id <> a.event_id "
+        "WHERE a.event_type = 'error' GROUP BY a.event_id"
+    ),
+    covers="range / interval join (extension)",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: how many same-user events within ±15 minutes.
+    The equi key (user_id) carries the shuffle; the range predicate is
+    a post-join filter — the standard shape Spark/AQE handles without
+    a cross product."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_id"), F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    )
+    b = events.select(
+        F.col("event_id").alias("b_id"), F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 15 MINUTES"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 15 MINUTES"))
+            & (F.col("b_id") != F.col("a_id")),
+        )
+        .groupBy(F.col("a_id").alias("event_id"))
+        .agg(F.count("*").alias("n_nearby"))
+    )
+
+
+@contract_query(
+    "q_dedup_latest",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM ("
+        "  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, "
+        "  row_number() OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) WHERE rn = 1"
+    ),
+    covers="latest-version-per-key dedup (merge-upsert read side)",
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer — the read-side of merge semantics
+    ('newest record wins'), deterministic via full tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@contract_query(
+    "q_embed_stats",
+    oracle=(
+        "WITH n AS (SELECT label, round(sqrt(list_reduce(list_prepend(0.0, "
+        "  list_transform(embedding::DOUBLE[], x -> x * x)), (acc, x) -> acc + x)) "
+        "  * 1000000)::BIGINT AS norm_u FROM embeddings) "
+        "SELECT label, count(*) AS n_vecs, "
+        "sum(norm_u)::DOUBLE / count(*) / 1000000.0 AS avg_norm "
+        "FROM n GROUP BY label"
+    ),
+    covers="ext-multimodal / embedding column statistics",
+)
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector count and mean L2 norm. The norm is folded
+    left-to-right in double on both engines, scaled to integer
+    micro-units before the mean so the aggregate is order-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    norm_u = F.round(norm * 1_000_000).cast("bigint")
+    return (
+        emb.select("label", norm_u.alias("norm_u"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.sum("norm_u").cast("double") / F.count("*") / 1_000_000.0).alias("avg_norm"),
+        )
+    )
