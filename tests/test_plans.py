@@ -1,0 +1,88 @@
+"""Physical-plan invariants — the scale guarantees, pinned.
+
+Correctness says the answer is right at sf0.01; these say the *plan*
+is the one that survives 100 TB: pruned scans, pushed predicates,
+broadcast dimension joins, partial top-k, one shuffle where one
+suffices. A regression here is a performance bug even while results
+stay green.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from tests.conftest import SMOKE_SF
+from tia_data_pipeline_spark import plans
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plans.REGISTRY[name].build(spark, SMOKE_SF).explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_project_prunes_columns(spark):
+    p = plan_of(spark, "q_scan_project")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_extendedprice:double>" in p
+
+
+def test_filter_range_pushes_predicates(spark):
+    p = plan_of(spark, "q_filter_range")
+    assert "GreaterThanOrEqual(o_orderdate" in p and "LessThan(o_orderdate" in p
+
+
+def test_word_count_reads_only_needed_columns(spark):
+    p = plan_of(spark, "q_word_count")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_join_enrich_broadcasts_dims(spark):
+    # tree renders each join once as "BroadcastHashJoin Inner BuildRight"
+    assert plan_of(spark, "q_join_enrich").count("BroadcastHashJoin Inner") == 2
+
+
+def test_revenue_pushes_filter_below_join(spark):
+    p = plan_of(spark, "q_revenue_by_segment")
+    # the date range must reach the orders parquet scan, not sit above the join
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in p
+
+
+def test_topk_avoids_total_sort(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "q_topk_latest")
+
+
+def test_topk_per_group_partial_limit(spark):
+    # WindowGroupLimit both before and after the shuffle: per-partition
+    # top-k first, so the exchange carries k rows per group, not all.
+    assert plan_of(spark, "q_topk_per_group").count("WindowGroupLimit (") == 2
+
+
+def test_semi_and_anti_join_shapes(spark):
+    assert "LeftSemi" in plan_of(spark, "q_semi_join")
+    assert "LeftAnti" in plan_of(spark, "q_antijoin_incr")
+
+
+def test_sim_topk_broadcasts_probe(spark):
+    p = plan_of(spark, "q_sim_topk")
+    assert "BroadcastNestedLoopJoin" in p  # one-row probe broadcast
+    assert "TakeOrderedAndProject" in p  # global top-k without sort
+
+
+def test_session_window_single_shuffle(spark):
+    # lag-flag window, cumsum window, and the session aggregate must all
+    # reuse ONE hash partitioning on user_id.
+    p = plan_of(spark, "q_session_window")
+    shuffles = [l for l in p.splitlines() if l.strip().startswith("(") and "Exchange" in l]
+    assert len(shuffles) == 1, f"expected 1 exchange, plan has {len(shuffles)}"
+
+
+def test_no_python_udfs_in_contract_plans(spark):
+    # Every declared query must stay JVM-side (pandas/Python UDFs would
+    # show as BatchEvalPython / ArrowEvalPython / FlatMapsInPandas).
+    for name in plans.REGISTRY:
+        p = plan_of(spark, name)
+        assert "EvalPython" not in p and "InPandas" not in p, f"{name} leaves the JVM"
