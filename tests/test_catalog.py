@@ -1,0 +1,28 @@
+"""Catalog DDL + staging lifecycle (SURVEY ops snk-ddl, snk-cleanup)."""
+
+from __future__ import annotations
+
+import os
+
+from tia_data_pipeline_spark.catalog import ensure_table, load_table, remove_staging
+from tests.conftest import SMOKE_SF
+
+
+def test_ensure_table_idempotent(spark, tmp_path):
+    path = str(tmp_path / "regions")
+    load_table(spark, SMOKE_SF, "region").write.parquet(path)
+    t1 = ensure_table(spark, "region_tbl", path)
+    t2 = ensure_table(spark, "region_tbl", path)  # IF NOT EXISTS: no-op
+    assert t1.count() == t2.count() == 5
+    assert spark.catalog.tableExists("region_tbl")
+    spark.sql("DROP TABLE region_tbl")
+
+
+def test_remove_staging(spark, tmp_path):
+    path = str(tmp_path / "stage")
+    load_table(spark, SMOKE_SF, "region").write.json(path)
+    assert os.path.exists(path)
+    assert remove_staging(spark, path) is True
+    assert not os.path.exists(path)
+    # deleting a missing path is a clean False, not an error
+    assert remove_staging(spark, path) is False

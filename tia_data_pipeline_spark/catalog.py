@@ -65,3 +65,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     them by the same names the DuckDB oracle uses."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def ensure_table(spark: SparkSession, name: str, path: str, schema=None):
+    """`snk-ddl` (reference ``init_db_tables.sh:5-59``): declared-first,
+    idempotent table creation — ``CREATE TABLE IF NOT EXISTS`` over a
+    parquet location. Re-running is a no-op, like the reference's
+    ``IF NOT EXISTS`` heredoc executed on every container init."""
+    if not spark.catalog.tableExists(name):
+        spark.catalog.createTable(name, path=path, source="parquet", schema=schema)
+    return spark.table(name)
+
+
+def remove_staging(spark: SparkSession, path: str) -> bool:
+    """`snk-cleanup` (reference ``posts_pipeline.py:101-106`` rm -rf of
+    staging JSON): recursive delete through the Hadoop FS API so it
+    works on any filesystem the cluster writes (local, HDFS, object
+    stores), not just the driver's local disk."""
+    sc = spark.sparkContext
+    hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.delete(hadoop_path, True))

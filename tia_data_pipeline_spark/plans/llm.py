@@ -205,6 +205,76 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_tfidf",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest({t}) AS token FROM documents), "
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token), "
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+        "n AS (SELECT count(*) AS n_docs FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.token, "
+        "  {r} AS tfidf "
+        "  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n), "
+        "ranked AS (SELECT doc_id, token, tfidf, row_number() OVER ("
+        "  PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn FROM scored) "
+        "SELECT doc_id, token, tfidf FROM ranked WHERE rn <= 3"
+    ).format(
+        t=_DOC_TOKENS_SQL,
+        r=TX.portable_round_sql("tf * ln(n_docs::DOUBLE / df)", 6),
+    ),
+    covers="ext-text-analysis (TF-IDF top terms per document)",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. tf over raw (non-distinct)
+    tokens, df from the per-doc term frame, idf = ln(N/df); the corpus
+    size joins in as a broadcast scalar, never a driver-side count."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            TX.portable_round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@contract_query(
+    "q_count_distinct",
+    oracle=(
+        "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events "
+        "FROM events GROUP BY event_type"
+    ),
+    covers="distinct aggregation (extension; expand + two-phase agg)",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (the approx_count_distinct
+    sketch variant is the scale path but has no cross-engine oracle)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@contract_query(
     "q_fuzzy_dedup",
     oracle=None,  # MinHash estimate is not SQL-expressible → rows-only check
     covers="ext-fuzzy-dedup (MinHash+LSH banding)",
