@@ -1,0 +1,76 @@
+"""Bucketing removes the join shuffle; salting preserves join/agg
+results while spreading hot keys."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF
+from tia_data_pipeline_spark.catalog import load_table
+from tia_data_pipeline_spark.operators.scale import (
+    salted_group_count,
+    salted_join,
+    write_bucketed,
+)
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, no_broadcast):
+    # managed tables land in ./spark-warehouse (gitignored; warehouse
+    # dir is a static conf); DROP TABLE removes the files.
+    li = load_table(spark, SMOKE_SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SMOKE_SF, "orders").select("o_orderkey", "o_orderdate")
+    try:
+        write_bucketed(li, "li_b", ["l_orderkey"], num_buckets=8, sort_keys=["l_orderkey"])
+        write_bucketed(orders, "ord_b", ["o_orderkey"], num_buckets=8, sort_keys=["o_orderkey"])
+        joined = spark.table("li_b").join(
+            spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = _explain(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # same join on raw (unbucketed) scans DOES shuffle — the contrast
+        raw = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert "Exchange" in _explain(raw)
+        assert joined.count() == raw.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_salted_join_matches_plain_join(spark, no_broadcast):
+    li = load_table(spark, SMOKE_SF, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    orders = load_table(spark, SMOKE_SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    plain = li.join(orders, "l_orderkey").count()
+    salted = salted_join(li, orders, ["l_orderkey"], n_salt=8).count()
+    assert salted == plain
+
+
+def test_salted_group_count_matches(spark):
+    li = load_table(spark, SMOKE_SF, "lineitem")
+    got = {
+        r["l_returnflag"]: r["count"]
+        for r in salted_group_count(li, ["l_returnflag"], n_salt=8).collect()
+    }
+    expect = {r["l_returnflag"]: r["count"] for r in li.groupBy("l_returnflag").count().collect()}
+    assert got == expect

@@ -1,0 +1,80 @@
+"""Scale-path physical-layout operators: bucketing and salting.
+
+AQE handles moderate skew and runtime broadcast decisions; these are
+the two levers it cannot pull by itself:
+
+- **Bucketing** pre-shuffles data *at write time*: two tables bucketed
+  on the same keys with the same bucket count join with NO exchange at
+  read time — the recurring-join workload (facts ⋈ facts on orderkey,
+  the reference's posts⋈comments) pays the shuffle once per load
+  instead of once per query.
+- **Salting** spreads a pathologically hot key across `n` artificial
+  sub-keys when the other side is too big to broadcast and a single
+  task would otherwise receive the whole hot partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    keys: Sequence[str],
+    *,
+    num_buckets: int = 32,
+    sort_keys: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist hash-bucketed (and optionally sorted) by the join keys.
+    Sorting within buckets additionally removes the sort from future
+    sort-merge joins — scans come back bucketed AND ordered."""
+    writer = df.write.bucketBy(num_buckets, *keys)
+    if sort_keys:
+        writer = writer.sortBy(*sort_keys)
+    writer.format("parquet").mode(mode).saveAsTable(table_name)
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    *,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the large side gets a uniform salt in
+    [0, n_salt); the small side is replicated once per salt value; the
+    join key becomes (keys…, salt). A key owning 50% of the rows now
+    lands on n_salt tasks instead of one. Cost: small side is read
+    n_salt× (it must still be far smaller than the large side — if it
+    broadcasts, just broadcast instead)."""
+    keys = list(keys)
+    salted_large = large.withColumn(
+        SALT_COL, (F.monotonically_increasing_id() % n_salt).cast("int")
+    )
+    salted_small = small.crossJoin(
+        F.broadcast(
+            small.sparkSession.range(n_salt).select(F.col("id").cast("int").alias(SALT_COL))
+        )
+    )
+    out = salted_large.join(salted_small, on=keys + [SALT_COL], how=how)
+    return out.drop(SALT_COL)
+
+
+def salted_group_count(df: DataFrame, keys: Sequence[str], *, n_salt: int = 16) -> DataFrame:
+    """Two-phase grouped count with explicit salting: partial count per
+    (keys, salt), then final sum per keys. (Plain groupBy already does
+    map-side partials; the explicit form exists for aggregates where a
+    single final-reduce key would still be hot, e.g. top-heavy
+    distributions with many distinct-ish partial states.)"""
+    keys = list(keys)
+    salted = df.withColumn(SALT_COL, (F.monotonically_increasing_id() % n_salt).cast("int"))
+    partial = salted.groupBy(*keys, SALT_COL).agg(F.count("*").alias("_partial"))
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias("count"))
