@@ -1,0 +1,88 @@
+"""Batched fuzz tests for the parity-critical primitives: the pinned
+word-count semantics vs CPython, and portable_round / money_sum vs
+DuckDB, on hundreds of randomized inputs in a single Spark job."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import duckdb
+from pyspark.sql import functions as F
+
+from tia_data_pipeline_spark.functions.text import (
+    money_sum,
+    money_sum_sql,
+    portable_round,
+    portable_round_sql,
+    word_count,
+    word_count_sql,
+)
+
+_CHARS = string.ascii_letters + string.digits + " \t\n\r\f\x0b" + ".,!?-"
+
+
+def _rand_strings(n: int, seed: int = 1234) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        ln = rng.randrange(0, 60)
+        out.append("".join(rng.choice(_CHARS) for _ in range(ln)))
+    return out
+
+
+def test_word_count_fuzz_vs_cpython_and_duckdb(spark):
+    cases = _rand_strings(500)
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, s string")
+    got = {r["i"]: r["wc"] for r in df.select("i", word_count(F.col("s")).alias("wc")).collect()}
+    # vs CPython (ASCII inputs → exact parity claim)
+    for i, s in enumerate(cases):
+        assert got[i] == len(s.split()), f"{s!r}"
+    # vs the DuckDB oracle fragment
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    duck = dict(con.sql(f"SELECT i, {word_count_sql('s')} FROM t").fetchall())
+    assert got == duck
+
+
+def test_portable_round_fuzz_vs_duckdb(spark):
+    rng = random.Random(99)
+    vals = [rng.uniform(-1e6, 1e6) for _ in range(500)] + [57.835, 11.255, 2.675, 0.125, -2.675]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v double")
+    got = {
+        r["i"]: (r["r2"], r["r6"])
+        for r in df.select(
+            "i",
+            portable_round(F.col("v"), 2).alias("r2"),
+            portable_round(F.col("v"), 6).alias("r6"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vals)))
+    duck = {
+        i: (r2, r6)
+        for i, r2, r6 in con.sql(
+            f"SELECT i, {portable_round_sql('v', 2)}, {portable_round_sql('v', 6)} FROM t"
+        ).fetchall()
+    }
+    assert got == duck
+
+
+def test_money_sum_fuzz_vs_duckdb(spark):
+    rng = random.Random(7)
+    # 2-dp money values across groups, summed in different orders
+    rows = [(i % 7, round(rng.uniform(-1000, 1000), 2)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(money_sum(F.col("v"), decimals=2).alias("s")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = dict(
+        con.sql(f"SELECT g, {money_sum_sql('v', decimals=2)} FROM t GROUP BY g").fetchall()
+    )
+    assert got == duck

@@ -153,6 +153,26 @@ def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_children_rollup",
+    oracle=(
+        "SELECT l_orderkey, to_json(list(l_linenumber ORDER BY l_linenumber)) AS children "
+        "FROM lineitem GROUP BY l_orderkey"
+    ),
+    covers="self-join-tree children roll-up (init_db_tables.sh:57) + json-ser",
+)
+def q_children_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The comments.children JSON column as a computed roll-up: child
+    ids collected per parent, sorted for determinism, serialized at the
+    sink boundary (collect_list order is nondeterministic — sort_array
+    pins it on both engines)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.to_json(F.sort_array(F.collect_list("l_linenumber"))).alias("children"))
+    )
+
+
+@contract_query(
     "q_agg_count",
     oracle="SELECT l_orderkey, count(*) AS item_count FROM lineitem GROUP BY l_orderkey",
     covers="agg-count (init_db_tables.sh:21, comments_count)",
