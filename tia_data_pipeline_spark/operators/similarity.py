@@ -69,6 +69,54 @@ def brute_force_top_k(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    proj: list[list[float]] | None = None,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a
+    sign-projection bucket, exact cosine within, keep pairs ≥ threshold.
+    Returns (id_a, id_b, score), id_a < id_b.
+
+    Same scale shape as MinHash banding: bucket membership lists are
+    grouped once and pairs expand in-expression — the corpus is never
+    self-joined, and a degenerate bucket (mass-duplicated embeddings)
+    is capped rather than quadratically exploded. Recall is tuned by
+    the projection bit count (fewer bits → bigger buckets → higher
+    recall, more compute)."""
+    proj = proj if proj is not None else projection_matrix()
+    bucketed = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        _sign_bits(F.col(vec_col), proj).alias("_bucket"),
+    )
+    members = (
+        bucketed.groupBy("_bucket")
+        .agg(F.collect_list(F.struct("_id", "_vec")).alias("mem"))
+        .filter((F.size("mem") >= 2) & (F.size("mem") <= max_bucket))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("mem"),
+            lambda x, i: F.transform(
+                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
+                lambda y: F.when(x["_id"] < y["_id"], F.struct(x.alias("a"), y.alias("b")))
+                .otherwise(F.struct(y.alias("a"), x.alias("b"))),
+            ),
+        )
+    )
+    pairs = members.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.a._id").alias("id_a"),
+        F.col("p.b._id").alias("id_b"),
+        portable_round(cosine_similarity(F.col("p.a._vec"), F.col("p.b._vec")), 6).alias("score"),
+    )
+    return pairs.filter(F.col("score") >= threshold).dropDuplicates(["id_a", "id_b"])
+
+
 def lsh_top_k(
     corpus: DataFrame,
     probe: DataFrame,

@@ -118,7 +118,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sim_topk",
     oracle=(
         "WITH probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0) "
-        f"SELECT vec_id, round({cosine_sql('embedding', 'probe_vec')}, 6) AS score "
+        f"SELECT vec_id, {TX.portable_round_sql(cosine_sql('embedding', 'probe_vec'), 6)} AS score "
         "FROM embeddings, probe WHERE vec_id <> 0 "
         "ORDER BY score DESC, vec_id ASC LIMIT 10"
     ),
@@ -153,7 +153,7 @@ _PROJ = SIM.projection_matrix()
         "FROM embeddings WHERE vec_id = 0), "
         "cand AS (SELECT vec_id, embedding, probe_vec FROM embeddings, probe "
         f"WHERE vec_id <> 0 AND {_bucket_sql('embedding', _PROJ)} = probe_bucket) "
-        f"SELECT vec_id, round({cosine_sql('embedding', 'probe_vec')}, 6) AS score "
+        f"SELECT vec_id, {TX.portable_round_sql(cosine_sql('embedding', 'probe_vec'), 6)} AS score "
         "FROM cand ORDER BY score DESC, vec_id ASC LIMIT 10"
     ),
     covers="ext-sim-topk (LSH-bucketed ANN scale path)",
@@ -165,6 +165,35 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0)
     return SIM.lsh_top_k(emb.filter(F.col("vec_id") != 0), probe, k=10, proj=_PROJ)
+
+
+_PROJ4 = SIM.projection_matrix(bits=4)
+_EMBED_DEDUP_TAU = 0.35  # the synthetic corpus is isotropic-random
+# (max pairwise cosine ≈ 0.51, no planted clusters), so a production
+# τ≈0.95 would be vacuously empty; τ=0.35 with a 4-bit bucket keeps the
+# check non-trivial while the operator semantics stay identical.
+
+
+@contract_query(
+    "q_embed_dedup",
+    oracle=(
+        "WITH b AS (SELECT vec_id, embedding, "
+        f"{_bucket_sql('embedding', _PROJ4)} AS bucket FROM embeddings), "
+        "pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, "
+        f"  {TX.portable_round_sql(cosine_sql('a.embedding', 'b2.embedding'), 6)} AS score "
+        "  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) "
+        f"SELECT id_a, id_b, score FROM pairs WHERE score >= {_EMBED_DEDUP_TAU}"
+    ),
+    covers="ext-exact-dedup family: embedding-cosine near-dup (LSH-bucketed)",
+)
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: same sign-projection bucket, cosine ≥ τ.
+    Deterministic (fixed projections) so the oracle reproduces the
+    bucketing exactly; the Spark side expands pairs in-expression
+    instead of self-joining the corpus."""
+    return SIM.embedding_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"), threshold=_EMBED_DEDUP_TAU, proj=_PROJ4
+    )
 
 
 @contract_query(
