@@ -15,9 +15,38 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tia_data_pipeline_spark.catalog import load_table
+from tia_data_pipeline_spark.functions.text import portable_round, portable_round_sql
 from tia_data_pipeline_spark.plans.contract import contract_query
 
 _CENTS = "round(value * 100)::BIGINT"
+_QS = (0.25, 0.5, 0.9)
+
+
+@contract_query(
+    "q_quantiles",
+    oracle=(
+        "SELECT event_type, "
+        + ", ".join(
+            f"{portable_round_sql(f'quantile_cont(value, {q})', 6)} AS p{int(q * 100)}"
+            for q in _QS
+        )
+        + " FROM events GROUP BY event_type"
+    ),
+    covers="exact interpolated quantiles per group (extension)",
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` (same interpolation
+    definition). At 100 TB the scale path is ``approx_percentile``
+    (t-digest sketch, mergeable map-side); the exact form is the
+    oracle-checkable baseline."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        *[
+            portable_round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{int(q * 100)}")
+            for q in _QS
+        ]
+    )
 
 
 @contract_query(
