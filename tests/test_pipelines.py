@@ -1,0 +1,96 @@
+"""End-to-end pipeline semantics mirrored from the reference DAGs:
+hourly overlap is idempotent; the daily run fans out only over the
+window's posts and manifests only posts with comments."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from tia_data_pipeline_spark.pipelines import comments_pipeline, posts_pipeline
+
+POST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("date_gmt", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("categories", T.ArrayType(T.StringType())),
+    ]
+)
+COMMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("date_gmt", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def test_posts_pipeline_hourly_idempotent(spark):
+    # defined in-function: cloudpickle serializes it by value so the
+    # executors don't need to import the test module
+    def _page_fetcher(page: int):
+        # the API returns the same "latest 30" window on overlapping runs
+        if page > 1:
+            return []
+        return [
+            {
+                "id": i,
+                "date_gmt": f"2022-01-01T0{i % 10}:00:00",
+                "content": f"post body {i}",
+                "categories": ["tech", "asia"],
+            }
+            for i in range(100, 130)
+        ]
+
+    empty = spark.createDataFrame([], "id bigint, date_gmt string, content string, categories string, word_count bigint")
+    first = posts_pipeline(spark, _page_fetcher, POST_SCHEMA, empty, ts_string_cols=["date_gmt"])
+    rows = first.collect()
+    assert len(rows) == 30
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[100]["date_gmt"] == "2022-01-01 00:00:00"  # ts-norm applied
+    assert by_id[100]["word_count"] == 3
+    assert by_id[100]["categories"] == '["tech","asia"]'  # json-ser applied
+
+    # the next hourly run re-fetches the same page → nothing to insert
+    loaded = empty.unionByName(first)
+    second = posts_pipeline(spark, _page_fetcher, POST_SCHEMA, loaded, ts_string_cols=["date_gmt"])
+    assert second.count() == 0
+
+
+def test_comments_pipeline_window_fanout_and_manifest(spark):
+    posts = spark.createDataFrame(
+        [
+            (1, "2022-01-01 05:00:00"),
+            (2, "2022-01-01 23:00:00"),
+            (3, "2022-01-02 00:30:00"),  # outside window
+        ],
+        "id bigint, date_gmt string",
+    )
+
+    def fetcher(post_id):
+        if post_id == 2:
+            return []  # no comments → excluded from manifest
+        return [
+            {"id": post_id * 10 + k, "date_gmt": "2022-01-01T06:00:00", "content": f"re {k}"}
+            for k in range(2)
+        ]
+
+    existing = spark.createDataFrame(
+        [(10, "2022-01-01 06:00:00", "re 0", 2, 1)],
+        "id bigint, date_gmt string, content string, word_count bigint, post_id bigint",
+    ).select("id", "date_gmt", "content", "word_count", "post_id")
+
+    to_insert, manifest = comments_pipeline(
+        spark,
+        posts,
+        fetcher,
+        COMMENT_SCHEMA,
+        existing,
+        window_start="2022-01-01",
+        window_end="2022-01-02",
+    )
+    inserted = to_insert.collect()
+    # post 1 contributes 11 (10 exists already); post 3 outside window
+    assert sorted(r["id"] for r in inserted) == [11]
+    assert all(r["date_gmt"] == "2022-01-01 06:00:00" for r in inserted)
+    assert sorted(r["post_id"] for r in manifest.collect()) == [1]

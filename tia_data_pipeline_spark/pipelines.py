@@ -1,0 +1,97 @@
+"""The reference's two DAGs as engine pipelines.
+
+A user of ``dendihandian/tia-data-pipeline`` runs two jobs
+(SURVEY §3.1-3.2); these are their engine equivalents, composed from
+the same operators the declared-query contract verifies. Airflow's
+task graph (sense → extract → transform → load → cleanup) collapses
+into one lazy Spark plan per pipeline; the scheduler's only remaining
+job is to call these with a window.
+
+posts_pipeline  (hourly — reference ``posts_pipeline.py:63,109``):
+    sense API/sink → fetch latest page → normalize → idempotent append.
+comments_pipeline (daily — reference ``comments_pipeline.py:107,154``):
+    query parent window from the sink → keyed fan-out fetch →
+    normalize (+ parent enrichment) → idempotent append (+ manifest).
+
+The wall-clock wart in the reference (window computed from
+``datetime.now()`` at task runtime, breaking backfills —
+``comments_pipeline.py:27-30``) is fixed by taking the window bounds
+as explicit parameters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tia_data_pipeline_spark.ingest import normalize_records
+from tia_data_pipeline_spark.operators.incremental import incremental_append
+from tia_data_pipeline_spark.sources.rest import (
+    KeyFetcher,
+    PageFetcher,
+    keyed_fanout_source,
+    paginated_rest_source,
+)
+
+
+def sink_probe(spark: SparkSession) -> bool:
+    """`SqlSensor`/`const-probe` (reference ``posts_pipeline.py:76-81``):
+    SELECT 1 against the engine before writing."""
+    return spark.sql("SELECT 1 AS is_accessible").collect()[0][0] == 1
+
+
+def posts_pipeline(
+    spark: SparkSession,
+    fetcher: PageFetcher,
+    schema: T.StructType,
+    existing_posts: DataFrame,
+    *,
+    n_pages: int = 1,
+    key: str = "id",
+    ts_string_cols: Sequence[str] = ("date_gmt", "modified_gmt"),
+) -> DataFrame:
+    """Hourly posts ingest: fetch the latest page(s), normalize
+    (nested→JSON, ts-norm, word_count), drop re-fetch overlap against
+    the existing table. Returns the rows an idempotent append would
+    insert — run it twice, the second result is empty."""
+    if not sink_probe(spark):  # pragma: no cover - probe always true locally
+        raise RuntimeError("sink probe failed")
+    raw = paginated_rest_source(spark, fetcher, n_pages, schema)
+    normalized = normalize_records(raw, text_col="content", ts_string_cols=ts_string_cols)
+    return incremental_append(normalized, existing_posts, keys=[key])
+
+
+def comments_pipeline(
+    spark: SparkSession,
+    posts_table: DataFrame,
+    fetcher: KeyFetcher,
+    schema: T.StructType,
+    existing_comments: DataFrame,
+    *,
+    window_start: str,
+    window_end: str,
+    date_col: str = "date_gmt",
+    post_key: str = "id",
+    comment_key: str = "id",
+) -> tuple[DataFrame, DataFrame]:
+    """Daily comments ingest for posts in [window_start, window_end).
+
+    Returns (rows_to_insert, manifest) — the manifest being the post
+    ids that produced ≥1 comment (`snk-manifest`,
+    ``comments_pipeline.py:45-49``). The driving key set stays
+    distributed end to end; empty fetches vanish via the fan-out
+    source's skip-empty guard.
+    """
+    window_posts = posts_table.filter(
+        (F.col(date_col) >= F.lit(window_start)) & (F.col(date_col) < F.lit(window_end))
+    ).select(F.col(post_key).alias("post_id"))
+    fetched = keyed_fanout_source(window_posts, "post_id", fetcher, schema)
+    normalized = normalize_records(
+        fetched, text_col="content", ts_string_cols=("date_gmt", "editable_until")
+    )
+    to_insert = incremental_append(normalized, existing_comments, keys=[comment_key])
+    manifest = fetched.select("post_id").distinct()
+    return to_insert, manifest
