@@ -153,6 +153,39 @@ def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_thread_closure",
+    oracle=(
+        "WITH RECURSIVE nodes AS ("
+        "  SELECT DISTINCT l_orderkey * 100 + l_linenumber AS id, "
+        "  CASE WHEN l_linenumber = 1 THEN NULL "
+        "       ELSE l_orderkey * 100 + l_linenumber - 1 END AS parent FROM lineitem), "
+        "thread AS ("
+        "  SELECT id, id AS root_id, 0 AS depth FROM nodes WHERE parent IS NULL "
+        "  UNION ALL "
+        "  SELECT n.id, t.root_id, t.depth + 1 FROM nodes n JOIN thread t ON n.parent = t.id) "
+        "SELECT id, root_id, depth FROM thread"
+    ),
+    covers="self-join-tree full closure (init_db_tables.sh:52 parent chains)",
+)
+def q_thread_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full thread traversal: lineitem linenumbers form a reply chain
+    per order (line n's parent is line n-1); compute (node, root,
+    depth) transitive closure via the iterative operator — the oracle
+    states the same thing as a recursive CTE."""
+    from tia_data_pipeline_spark.operators.graph import thread_closure
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nodes = li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("id"),
+        F.when(F.col("l_linenumber") == 1, F.lit(None).cast("bigint"))
+        .otherwise(F.col("l_orderkey") * 100 + F.col("l_linenumber") - 1)
+        .alias("parent"),
+    )
+    closure = thread_closure(nodes, "id", "parent")
+    return closure.select("id", "root_id", F.col("depth").cast("int").alias("depth"))
+
+
+@contract_query(
     "q_children_rollup",
     oracle=(
         "SELECT l_orderkey, to_json(list(l_linenumber ORDER BY l_linenumber)) AS children "
