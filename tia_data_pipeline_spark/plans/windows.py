@@ -52,6 +52,69 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_gap_fill",
+    oracle=(
+        "WITH hours AS (SELECT unnest(generate_series("
+        "  TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-02 23:00:00', "
+        "  INTERVAL 1 HOUR)) AS hour_ts), "
+        "actual AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS hour_ts, count(*) AS n "
+        "  FROM events WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-02' "
+        "  AND ts::TIMESTAMP < TIMESTAMP '2024-01-03' GROUP BY 1) "
+        "SELECT h.hour_ts, coalesce(a.n, 0)::BIGINT AS n_events "
+        "FROM hours h LEFT JOIN actual a ON h.hour_ts = a.hour_ts"
+    ),
+    covers="time-series resample with gap filling (hypertable-rollup flavor)",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counts for one day with empty hours zero-filled: the
+    dense time spine is generated in-plan (sequence + explode) and
+    left-joins the sparse aggregate — no driver-side calendar loop."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-02 00:00:00").cast("timestamp"),
+                F.lit("2024-01-02 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_ts")
+    )
+    actual = (
+        events.filter(
+            (F.col("ts") >= F.lit("2024-01-02")) & (F.col("ts") < F.lit("2024-01-03"))
+        )
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(actual, "hour_ts", "left").select(
+        "hour_ts", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events")
+    )
+
+
+@contract_query(
+    "q_histogram",
+    oracle=(
+        "SELECT (floor(value / 25) * 25)::BIGINT AS bucket_lo, count(*) AS n "
+        "FROM events GROUP BY 1"
+    ),
+    covers="value histogram (fixed-width bucketing)",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values — bucket arithmetic is a
+    narrow expression, the aggregate two-phase; the distributed form of
+    a dashboard histogram at any scale."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy((F.floor(F.col("value") / 25) * 25).cast("bigint").alias("bucket_lo"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@contract_query(
     "q_session_window",
     oracle=(
         "WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events), "
