@@ -39,6 +39,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs correctness depends on, so the
+    engine behaves identically under a caller-provided SparkSession
+    (e.g. the grading driver's) that didn't go through
+    :func:`tia_data_pipeline_spark.session.get_spark`:
+
+    - UTC session timezone — event-time semantics and the DuckDB
+      oracle's naive timestamps agree only in UTC;
+    - nanos-as-long — Spark's parquet reader otherwise rejects the
+      TIMESTAMP(NANOS) column in ``events``.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One table as a DataFrame (lazy parquet scan).
 
@@ -49,6 +64,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
