@@ -66,6 +66,31 @@ def test_salted_join_matches_plain_join(spark, no_broadcast):
     assert salted == plain
 
 
+def test_partition_pruning_on_date_partitioned_events(spark, tmp_path):
+    """The 100 TB layout promise (SCALE.md): event tables written
+    partitioned by day let the reference's 'yesterday' predicate prune
+    partitions before any task launches."""
+    path = str(tmp_path / "events_by_day")
+    events = load_table(spark, SMOKE_SF, "events")
+    events.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-05")
+    plan = _explain(pruned)
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # only the one day's rows are read
+    expect = events.filter(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-06")
+    ).count()
+    assert pruned.count() == expect
+    # the physical layout: one directory per day
+    import os
+
+    days = [d for d in os.listdir(path) if d.startswith("event_date=")]
+    assert len(days) >= 28
+
+
 def test_salted_group_count_matches(spark):
     li = load_table(spark, SMOKE_SF, "lineitem")
     got = {

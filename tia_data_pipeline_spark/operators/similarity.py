@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tia_data_pipeline_spark.functions.text import portable_round
-from tia_data_pipeline_spark.functions.vectors import cosine_similarity, dot
+from tia_data_pipeline_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 # Deterministic projection matrix shared with the DuckDB oracle
 # (plans/llm.py embeds the same literals in the generated SQL).
@@ -89,14 +89,18 @@ def embedding_near_duplicates(
     the projection bit count (fewer bits → bigger buckets → higher
     recall, more compute)."""
     proj = proj if proj is not None else projection_matrix()
+    # Norms are precomputed per vector BEFORE pair expansion: cosine on
+    # a pair then needs only the dot product, not 2 more O(dim) folds —
+    # each vector's norm is computed once instead of once per pair.
     bucketed = corpus.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        l2_norm(F.col(vec_col)).alias("_norm"),
         _sign_bits(F.col(vec_col), proj).alias("_bucket"),
     )
     members = (
         bucketed.groupBy("_bucket")
-        .agg(F.collect_list(F.struct("_id", "_vec")).alias("mem"))
+        .agg(F.collect_list(F.struct("_id", "_vec", "_norm")).alias("mem"))
         .filter((F.size("mem") >= 2) & (F.size("mem") <= max_bucket))
     )
     pair_arr = F.flatten(
@@ -109,10 +113,12 @@ def embedding_near_duplicates(
             ),
         )
     )
+    denom = F.col("p.a._norm") * F.col("p.b._norm")
+    score = F.when(denom > 0, dot(F.col("p.a._vec"), F.col("p.b._vec")) / denom)
     pairs = members.select(F.explode(pair_arr).alias("p")).select(
         F.col("p.a._id").alias("id_a"),
         F.col("p.b._id").alias("id_b"),
-        portable_round(cosine_similarity(F.col("p.a._vec"), F.col("p.b._vec")), 6).alias("score"),
+        portable_round(score, 6).alias("score"),
     )
     return pairs.filter(F.col("score") >= threshold).dropDuplicates(["id_a", "id_b"])
 
