@@ -91,6 +91,45 @@ def test_partition_pruning_on_date_partitioned_events(spark, tmp_path):
     assert len(days) >= 28
 
 
+def test_aqe_splits_skewed_join(spark, no_broadcast):
+    """AQE's OptimizeSkewedJoin splits the hot partition at runtime —
+    the first line of defense before manual salting (SCALE.md)."""
+    # thresholds scaled down to local data sizes (production defaults are
+    # 256MB); coalescing off so the split is visible at this scale
+    confs = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # one pathologically hot key (90% of rows) + a uniform tail;
+        # incompressible pad so shuffle byte stats reflect row counts
+        pad = F.sha2(F.col("id").cast("string"), 512)
+        hot = spark.range(200_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("payload"), pad.alias("pad")
+        )
+        tail = spark.range(20_000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("payload"), pad.alias("pad")
+        )
+        big = hot.unionAll(tail)
+        dim = spark.range(100).select(F.col("id").alias("k"), F.lit("d").alias("attr"))
+        # inspect the SAME DataFrame that executes: count() would build
+        # its own QueryExecution and the unexecuted join plan never gets
+        # AQE-finalized
+        counted = big.join(dim, "k").agg(F.count("*").alias("n"))
+        assert counted.collect()[0]["n"] == 220_000  # correctness under skew
+        final_plan = counted._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, "AQE did not mark the skewed join"
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_salted_group_count_matches(spark):
     li = load_table(spark, SMOKE_SF, "lineitem")
     got = {

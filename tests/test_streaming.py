@@ -48,3 +48,41 @@ def test_stream_session_windows_runs(spark, events_dir, tmp_path):
     # session invariant: start <= end, n_events >= 1
     bad = out.filter((F.col("session_start") > F.col("session_end")) | (F.col("n_events") < 1))
     assert bad.count() == 0
+
+
+def test_stream_sessions_equal_batch_sessionize(spark, events_dir, tmp_path):
+    """Native streaming session_window ≡ the batch lag/cumsum
+    sessionize on the same 30-min gap: same (user, start, count)."""
+    from tia_data_pipeline_spark.operators.windows import sessionize
+
+    stream = stream_session_windows(events_stream(spark, events_dir))
+    run_available_now(stream, checkpoint=str(tmp_path / "ck3"), table_name="sess_eq")
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("sess_eq").collect()
+    }
+    expect = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize(load_table(spark, SMOKE_SF, "events"), gap_minutes=30).collect()
+    }
+    assert got == expect
+
+
+def test_checkpoint_restart_is_exactly_once(spark, events_dir, tmp_path):
+    """Re-running the drained stream with the same checkpoint must add
+    nothing — the reference's ON CONFLICT idempotency, supplied by the
+    engine's checkpointing instead of the database."""
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck4")
+    src = events_stream(spark, events_dir).select("event_id", "ts", "value")
+    for _ in range(2):
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    total = spark.read.parquet(out_dir).count()
+    assert total == load_table(spark, SMOKE_SF, "events").count()
