@@ -131,11 +131,19 @@ def lsh_top_k(
     id_col: str = "vec_id",
     k: int = 10,
     proj: list[list[float]] | None = None,
+    hamming_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the probe's sign-projection
     bucket, then exact cosine within the bucket. Deterministic (fixed
-    projection literals), so the oracle reproduces it exactly."""
+    projection literals), so the oracle reproduces it exactly.
+
+    ``hamming_probe=1`` enables multi-probe: buckets within Hamming
+    distance 1 of the probe's bucket are also searched (each flipped
+    bit is one near-miss projection) — the standard recall/latency
+    trade, ~(bits+1)× candidates for far better recall.
+    """
     proj = proj if proj is not None else projection_matrix()
+    n_bits = len(proj)
     bucketed = corpus.withColumn("_bucket", _sign_bits(F.col(vec_col), proj))
     probe_b = F.broadcast(
         probe.select(
@@ -143,7 +151,73 @@ def lsh_top_k(
             _sign_bits(F.col(vec_col), proj).alias("_probe_bucket"),
         )
     )
-    cand = bucketed.join(probe_b, F.col("_bucket") == F.col("_probe_bucket"))
+    if hamming_probe == 0:
+        cond = F.col("_bucket") == F.col("_probe_bucket")
+    else:
+        probed = [F.col("_probe_bucket")] + [
+            F.expr(f"_probe_bucket ^ {1 << i}") for i in range(n_bits)
+        ]
+        cond = F.col("_bucket").isin(*probed)
+    cand = bucketed.join(probe_b, cond)
+    scored = cand.select(
+        F.col(id_col),
+        portable_round(cosine_similarity(F.col(vec_col), F.col("_probe_vec")), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_top_k(
+    corpus: DataFrame,
+    probe: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse k-means quantizer partitions
+    the corpus into ``n_lists`` cells; a probe searches only its
+    ``n_probe`` nearest cells with exact cosine.
+
+    The quantizer trains once (spark.ml KMeans, fixed seed) and the
+    assignment becomes a plain integer column — at 100 TB the cell id
+    is a *write-time partition column*, so a query touches n_probe/n_lists
+    of the data before any exact scoring. Training cost is amortized
+    across all queries; no oracle (k-means isn't cross-engine
+    reproducible), so this is a rows-only / structurally-tested path.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = corpus.withColumn("_mlvec", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_mlvec", predictionCol="_cell")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec)
+
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def _dist2(vec: Column, center: list[float]) -> Column:
+        c = F.array(*[F.lit(v) for v in center])
+        return F.aggregate(
+            F.zip_with(vec.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # probe's n_probe nearest cells, computed as one expression
+    dists = F.array(*[_dist2(F.col(vec_col), c) for c in centers])
+    order = F.array_sort(
+        F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+    )
+    probe_cells = F.slice(F.transform(order, lambda s: s["cell"]), 1, n_probe)
+    probe_b = F.broadcast(
+        probe.select(
+            F.col(vec_col).alias("_probe_vec"), probe_cells.alias("_probe_cells")
+        )
+    )
+    cand = assigned.join(probe_b, F.array_contains(F.col("_probe_cells"), F.col("_cell")))
     scored = cand.select(
         F.col(id_col),
         portable_round(cosine_similarity(F.col(vec_col), F.col("_probe_vec")), 6).alias("score"),

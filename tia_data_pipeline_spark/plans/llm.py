@@ -167,6 +167,32 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_top_k(emb.filter(F.col("vec_id") != 0), probe, k=10, proj=_PROJ)
 
 
+@contract_query(
+    "q_ann_multiprobe",
+    oracle=(
+        "WITH probe AS (SELECT embedding AS probe_vec, "
+        f"{_bucket_sql('embedding', _PROJ)} AS probe_bucket "
+        "FROM embeddings WHERE vec_id = 0), "
+        "cand AS (SELECT vec_id, embedding, probe_vec FROM embeddings, probe "
+        f"WHERE vec_id <> 0 AND {_bucket_sql('embedding', _PROJ)} IN "
+        "(probe_bucket, " + ", ".join(f"xor(probe_bucket, {1 << i})" for i in range(len(_PROJ)))
+        + ")) "
+        f"SELECT vec_id, {TX.portable_round_sql(cosine_sql('embedding', 'probe_vec'), 6)} AS score "
+        "FROM cand ORDER BY score DESC, vec_id ASC LIMIT 10"
+    ),
+    covers="ext-sim-topk (multi-probe LSH: Hamming-1 bucket expansion)",
+)
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: the probe's bucket plus every Hamming-1
+    neighbor (one flipped projection bit each) — ~9× candidates of
+    single-probe, recall close to exact on this corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return SIM.lsh_top_k(
+        emb.filter(F.col("vec_id") != 0), probe, k=10, proj=_PROJ, hamming_probe=1
+    )
+
+
 _PROJ4 = SIM.projection_matrix(bits=4)
 _EMBED_DEDUP_TAU = 0.35  # the synthetic corpus is isotropic-random
 # (max pairwise cosine ≈ 0.51, no planted clusters), so a production
