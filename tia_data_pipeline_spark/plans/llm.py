@@ -13,6 +13,7 @@ from tia_data_pipeline_spark.catalog import load_table
 from tia_data_pipeline_spark.functions import text as TX
 from tia_data_pipeline_spark.functions.vectors import cosine_sql
 from tia_data_pipeline_spark.operators import dedup as DD
+from tia_data_pipeline_spark.operators import sampling as SMP
 from tia_data_pipeline_spark.operators import similarity as SIM
 from tia_data_pipeline_spark.plans.contract import contract_query
 
@@ -326,6 +327,24 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.count("*").alias("n_events"),
         )
+    )
+
+
+@contract_query(
+    "q_hash_sample",
+    oracle=SMP.stratified_hash_sample_sql(
+        "documents", "doc_id", "lang", {"en": 4, "zh": 2, "es": 2, "de": 2, "fr": 2}
+    ),
+    covers="deterministic stratified hash sampling (training-data curation)",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-language downsampling by id-hash bucket —
+    stable under repartitioning/reruns/engine swaps, unlike rand()."""
+    return SMP.stratified_hash_sample(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 4, "zh": 2, "es": 2, "de": 2, "fr": 2},
     )
 
 
