@@ -80,6 +80,20 @@ def test_session_window_single_shuffle(spark):
     assert len(shuffles) == 1, f"expected 1 exchange, plan has {len(shuffles)}"
 
 
+def test_join_degrades_to_sortmerge_without_broadcast(spark):
+    """When dims outgrow the broadcast threshold the same declared plan
+    falls back to shuffle joins — graceful degradation, not failure
+    (SCALE.md 'local-vs-cluster deltas')."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, "q_join_enrich")
+        assert "BroadcastHashJoin" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_no_python_udfs_in_contract_plans(spark):
     # Every declared query must stay JVM-side (pandas/Python UDFs would
     # show as BatchEvalPython / ArrowEvalPython / FlatMapsInPandas).

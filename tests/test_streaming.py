@@ -68,6 +68,31 @@ def test_stream_sessions_equal_batch_sessionize(spark, events_dir, tmp_path):
     assert got == expect
 
 
+def test_stream_sliding_window_equals_batch(spark, events_dir, tmp_path):
+    from tia_data_pipeline_spark.operators.windows import sliding_window
+    from tia_data_pipeline_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+    from pyspark.sql import functions as F2
+
+    src = events_stream(spark, events_dir)
+    stream = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F2.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F2.count("*").alias("n_events"))
+        .select(F2.col("w.start").alias("window_start"), "n_events")
+    )
+    run_available_now(stream, checkpoint=str(tmp_path / "ck5"), table_name="slide_stream")
+    got = {
+        (r["window_start"], r["n_events"]) for r in spark.table("slide_stream").collect()
+    }
+    expect = {
+        (r["window_start"], r["n_events"])
+        for r in sliding_window(load_table(spark, SMOKE_SF, "events"))
+        .select("window_start", "n_events")
+        .collect()
+    }
+    assert got == expect
+
+
 def test_checkpoint_restart_is_exactly_once(spark, events_dir, tmp_path):
     """Re-running the drained stream with the same checkpoint must add
     nothing — the reference's ON CONFLICT idempotency, supplied by the
