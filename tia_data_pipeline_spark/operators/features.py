@@ -1,0 +1,113 @@
+"""Feature-engineering operators (training-data preparation).
+
+Per-group statistical normalization (z-score) in two forms:
+
+- :func:`zscore` — pure Catalyst window expressions. Moments are
+  accumulated as exact integer cent sums (``Σc``, ``Σc²``) so the
+  variance formula is a fixed IEEE op sequence over identical integers
+  on any engine — the DuckDB oracle matches bit-for-bit.
+- :func:`zscore_pandas` — the same semantics as an Arrow-batched
+  grouped-map ``applyInPandas``; exists to exercise the pandas-UDF
+  surface (SURVEY ext-udf-surface) and as the template for group-wise
+  logic that genuinely can't be expressed in SQL. Tests assert it
+  agrees with the expression form; the expression form is what the
+  contract declares (Python stays off the query path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tia_data_pipeline_spark.functions.text import portable_round, portable_round_sql
+
+
+def zscore(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_cols: tuple[str, ...] = ("event_id",),
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-key z-score of a 2-dp money column, deterministic across
+    engines: integer moments, explicit sample-variance formula, one
+    division order. Groups with zero variance (or n=1) yield NULL."""
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    w = Window.partitionBy(key_col)
+    n = F.count("*").over(w)
+    s1 = F.sum(cents).over(w).cast("double")
+    s2 = F.sum(cents * cents).over(w).cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = (cents.cast("double") - mean) / F.sqrt(var)
+    z = F.when((n > 1) & (var > 0), portable_round(z, decimals))
+    return df.select(*id_cols, key_col, F.col(value_col), z.alias("zscore"))
+
+
+def zscore_oracle_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    id_cols: tuple[str, ...] = ("event_id",),
+    decimals: int = 4,
+) -> str:
+    """DuckDB oracle mirroring :func:`zscore` op-for-op."""
+    ids = ", ".join(id_cols)
+    z = (
+        f"((cents::DOUBLE - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)))"
+    )
+    return (
+        f"WITH c AS (SELECT {ids}, {key_col}, {value_col}, "
+        f"  round({value_col} * 100)::BIGINT AS cents FROM {table}), "
+        f"m AS (SELECT *, count(*) OVER w AS n, "
+        f"  (sum(cents) OVER w)::DOUBLE AS s1, "
+        f"  (sum(cents * cents) OVER w)::DOUBLE AS s2 "
+        f"  FROM c WINDOW w AS (PARTITION BY {key_col})) "
+        f"SELECT {ids}, {key_col}, {value_col}, "
+        f"CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0 "
+        f"THEN {portable_round_sql(z, decimals)} END AS zscore FROM m"
+    )
+
+
+def zscore_pandas(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_cols: tuple[str, ...] = ("event_id",),
+    decimals: int = 4,
+) -> DataFrame:
+    """Grouped-map form of :func:`zscore` (Arrow batches, one pandas
+    frame per key group). ~10-100× slower than the expression form for
+    this computable-in-SQL case — kept as the pattern for logic that
+    isn't."""
+    scale = float(10**decimals)
+    out_schema = ", ".join(
+        [f"{c} bigint" for c in id_cols] + [f"{key_col} bigint", f"{value_col} double", "zscore double"]
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf[value_col] * 100).round().astype("int64")
+        n = len(cents)
+        if n > 1:
+            s1, s2 = float(cents.sum()), float((cents * cents).sum())
+            var = (s2 - s1 * s1 / n) / (n - 1)
+        else:
+            var = 0.0
+        if n > 1 and var > 0:
+            import numpy as np
+
+            z = (cents.astype("float64") - s1 / n) / var**0.5
+            z = np.floor(z * scale + 0.5) / scale
+        else:
+            z = pd.Series([float("nan")] * n, index=pdf.index)
+        out = pdf[list(id_cols) + [key_col, value_col]].copy()
+        out["zscore"] = z
+        return out
+
+    return df.select(*id_cols, key_col, value_col).groupBy(key_col).applyInPandas(
+        per_group, schema=out_schema
+    )

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from tia_data_pipeline_spark.catalog import load_table
 from tia_data_pipeline_spark.functions.text import portable_round, portable_round_sql
+from tia_data_pipeline_spark.operators.features import zscore, zscore_oracle_sql
 from tia_data_pipeline_spark.plans.contract import contract_query
 
 _CENTS = "round(value * 100)::BIGINT"
@@ -47,6 +48,19 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in _QS
         ]
     )
+
+
+@contract_query(
+    "q_zscore",
+    oracle=zscore_oracle_sql("events", "user_id", "value"),
+    covers="feature scaling: per-key z-score normalization (extension)",
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score of event values — the feature-scaling step of
+    a training pipeline, deterministic via exact integer moments (see
+    operators/features.py; the applyInPandas twin is test-equivalent
+    but stays off the declared path)."""
+    return zscore(load_table(spark, sf_dir, "events"), "user_id", "value")
 
 
 @contract_query(
