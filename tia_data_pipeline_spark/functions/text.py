@@ -298,3 +298,26 @@ def doc_fingerprint_sql(expr: str) -> str:
         f"list_transform(regexp_split_to_array({expr}, ''), ch -> ascii(ch)::BIGINT)), "
         f"(acc, c) -> (acc * 31 + c) % {_FP_MOD})"
     )
+
+# Kept-characters class for canonicalize: ASCII alnum + space + the
+# Latin-1/Latin-Extended letter block. \x{...} escapes: the form BOTH
+# Java regex and RE2 parse (RE2 silently mis-parses \uXXXX).
+_CANON_KEEP = r"[^a-z0-9 \x{00c0}-\x{024f}]"
+
+
+def canonicalize(col: Column) -> Column:
+    """Text canonicalization for dedup: lowercase, strip punctuation,
+    collapse whitespace runs, trim — the standard pre-hash normalize so
+    near-identical boilerplate collapses to one exact-dup bucket."""
+    lowered = F.lower(col)
+    no_punct = F.regexp_replace(lowered, _CANON_KEEP, " ")
+    collapsed = F.regexp_replace(no_punct, " +", " ")
+    return F.regexp_replace(collapsed, "^ +| +$", "")
+
+
+def canonicalize_sql(expr: str) -> str:
+    """DuckDB fragment equivalent to :func:`canonicalize`."""
+    lowered = f"lower({expr})"
+    no_punct = f"regexp_replace({lowered}, '{_CANON_KEEP}', ' ', 'g')"
+    collapsed = f"regexp_replace({no_punct}, ' +', ' ', 'g')"
+    return f"regexp_replace({collapsed}, '^ +| +$', '', 'g')"

@@ -331,6 +331,27 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_canonicalize",
+    oracle=(
+        "SELECT doc_id, md5({c}) AS canon_hash, "
+        "strlen({c})::BIGINT AS canon_len FROM documents"
+    ).format(c=TX.canonicalize_sql("text")),
+    covers="ext-text-analysis (canonicalization: the pre-dedup normalize)",
+)
+def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical form of each document (lowercase, punct→space,
+    collapsed whitespace) reduced to hash+length — the key exact-dedup
+    runs on after normalization."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = TX.canonicalize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(canon, "UTF-8")).alias("canon_hash"),
+        F.octet_length(canon).cast("bigint").alias("canon_len"),
+    )
+
+
+@contract_query(
     "q_hash_sample",
     oracle=SMP.stratified_hash_sample_sql(
         "documents", "doc_id", "lang", {"en": 4, "zh": 2, "es": 2, "de": 2, "fr": 2}
