@@ -146,6 +146,24 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_cube",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n_items "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+    covers="grouping sets / cube (extension)",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k grouping combinations in one scan (cube ⊃ rollup:
+    adds the (status-only) marginals)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
+@contract_query(
     "q_pivot_status",
     oracle=(
         "SELECT o_orderpriority, "

@@ -331,6 +331,29 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_word_freq",
+    oracle=(
+        "SELECT token, count(*) AS freq FROM ("
+        f"  SELECT unnest({_DOC_TOKENS_SQL}) AS token FROM documents) "
+        "GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20"
+    ),
+    covers="ext-text-analysis (corpus term frequencies via explode)",
+)
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens: explode -> two-phase count -> top-k with
+    tiebreak. The explode is a narrow generate; only (token, partial
+    count) pairs shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@contract_query(
     "q_canonicalize",
     oracle=(
         "SELECT doc_id, md5({c}) AS canon_hash, "
