@@ -9,6 +9,7 @@ from tia_data_pipeline_spark.operators.multimodal import (
     attach_payload,
     decode_payloads,
     fake_decode,
+    resize_images,
     sample_frames,
 )
 
@@ -36,6 +37,16 @@ def test_decode_payloads_stub(spark):
     expect = fake_decode(b"tiny")
     assert out[2]["checksum"] == expect["checksum"]
     assert out[2]["width"] == expect["width"]
+
+
+def test_resize_images_stub(spark):
+    out = {r["id"]: r.asDict() for r in resize_images(_payloads(spark), target_w=64, target_h=64).collect()}
+    assert out[1]["width"] == 64 and out[1]["height"] == 64
+    assert out[1]["n_bytes"] == (64 * 64) // 512  # area-proportional stub
+    assert out[3]["n_bytes"] == 0  # empty payload stays empty
+    # deterministic: same input → same bytes
+    again = {r["id"]: bytes(r["resized"]) for r in resize_images(_payloads(spark), target_w=64, target_h=64).collect()}
+    assert again[1] == bytes(out[1]["resized"])
 
 
 def test_sample_frames_expression_level(spark):

@@ -80,6 +80,51 @@ def decode_payloads(
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    target_w: int = 224,
+    target_h: int = 224,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize opaque image payloads to (target_w, target_h) via
+    Arrow-batched ``mapInPandas``.
+
+    The codec is STUBBED (no image libraries in this container): the
+    default fake 'resize' deterministically re-samples the byte stream
+    to a size proportional to the target area, preserving the real
+    pipeline shape — binary in, binary out, metadata struct alongside.
+    Inject a Pillow-backed callable with the same signature in
+    deployment."""
+
+    def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        if not payload:
+            return b""
+        target_len = max(1, (w * h) // 512)
+        reps = (target_len + len(payload) - 1) // len(payload)
+        return (payload * reps)[:target_len]
+
+    fn = resize_fn or fake_resize
+    out_schema = f"{id_col} bigint, resized binary, width int, height int, n_bytes bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [fn(bytes(p), target_w, target_h) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "resized": resized,
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     *,
