@@ -38,6 +38,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Local mode = driver-only: its heap is the cluster memory.
+        # Spark's 1g default GC-thrashes on text-heavy operators; size
+        # to the host (only effective before the JVM starts).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # Event-time parity: the oracle (DuckDB) and the reference (Airflow
         # UTC) both treat timestamps as UTC wall clock.
         .config("spark.sql.session.timeZone", "UTC")
