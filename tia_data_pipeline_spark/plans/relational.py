@@ -153,6 +153,48 @@ def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_star_join",
+    oracle=(
+        "SELECT r.r_name, n.n_name, p.p_type, count(*) AS n_items, "
+        "{rev} AS revenue "
+        "FROM lineitem l "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE p.p_size <= 20 "
+        "GROUP BY r.r_name, n.n_name, p.p_type "
+        "HAVING count(*) >= 5"
+    ).format(rev=money_sum_sql("l.l_extendedprice * (1 - l.l_discount)", decimals=4)),
+    covers="full star-schema join chain (fk-model over all dimensions)",
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation/part-type across the whole star
+    (lineitem ⋈ supplier ⋈ nation ⋈ region ⋈ part): every dimension
+    broadcasts, the fact table never shuffles until the final grouped
+    aggregate; the part filter prunes before its join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("r_name", "n_name", "p_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), decimals=4).alias(
+                "revenue"
+            ),
+        )
+        .filter(F.col("n_items") >= 5)
+    )
+
+
+@contract_query(
     "q_thread_closure",
     oracle=(
         "WITH RECURSIVE nodes AS ("
