@@ -70,6 +70,40 @@ def test_portable_round_fuzz_vs_duckdb(spark):
     assert got == duck
 
 
+def test_canonicalize_and_fingerprint_fuzz_vs_duckdb(spark):
+    from tia_data_pipeline_spark.functions.text import (
+        canonicalize,
+        canonicalize_sql,
+        doc_fingerprint,
+        doc_fingerprint_sql,
+    )
+
+    rng = random.Random(321)
+    alphabet = string.ascii_letters + string.digits + " .,!?-éàüñ—№中文"
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80))) for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, s string")
+    got = {
+        r["i"]: (r["c"], r["f"])
+        for r in df.select(
+            "i",
+            canonicalize(F.col("s")).alias("c"),
+            doc_fingerprint(F.col("s")).alias("f"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    duck = {
+        i: (c, f)
+        for i, c, f in con.sql(
+            f"SELECT i, {canonicalize_sql('s')}, {doc_fingerprint_sql('s')} FROM t"
+        ).fetchall()
+    }
+    assert got == duck
+
+
 def test_money_sum_fuzz_vs_duckdb(spark):
     rng = random.Random(7)
     # 2-dp money values across groups, summed in different orders

@@ -8,8 +8,16 @@ Column builder so the engine and the oracle share one pinned semantic.
 
 from tia_data_pipeline_spark.functions.text import (
     WS_CLASS,
+    bpe_token_count,
+    canonicalize,
+    doc_fingerprint,
     json_serialize_nested,
+    lang_id,
+    money_sum,
     normalize_iso_timestamp,
+    parse_iso_timestamp,
+    portable_round,
+    quality_score,
     strip_ws,
     tokens,
     word_count,
@@ -21,8 +29,16 @@ __all__ = [
     "word_count",
     "tokens",
     "strip_ws",
+    "canonicalize",
     "normalize_iso_timestamp",
+    "parse_iso_timestamp",
     "json_serialize_nested",
+    "bpe_token_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "portable_round",
+    "money_sum",
     "cosine_similarity",
     "dot",
     "l2_norm",

@@ -6,15 +6,37 @@ sort-merge, partial aggregation, AQE skew handling — stays Catalyst's
 call); Python only orchestrates plan construction.
 """
 
-from tia_data_pipeline_spark.operators.incremental import dedup_batch, incremental_append
 from tia_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     minhash_near_duplicates,
+    minhash_signature_frame,
     ngram_jaccard_pairs,
     simhash,
+    word_shingles,
+)
+from tia_data_pipeline_spark.operators.features import zscore, zscore_pandas
+from tia_data_pipeline_spark.operators.graph import thread_closure
+from tia_data_pipeline_spark.operators.incremental import (
+    dedup_batch,
+    incremental_append,
+    merge_upsert_plan,
+)
+from tia_data_pipeline_spark.operators.multimodal import (
+    attach_payload,
+    decode_payloads,
+    resize_images,
+    sample_frames,
+)
+from tia_data_pipeline_spark.operators.sampling import hash_sample, stratified_hash_sample
+from tia_data_pipeline_spark.operators.scale import (
+    salted_group_count,
+    salted_join,
+    write_bucketed,
 )
 from tia_data_pipeline_spark.operators.similarity import (
     brute_force_top_k,
+    embedding_near_duplicates,
+    ivf_top_k,
     lsh_top_k,
 )
 from tia_data_pipeline_spark.operators.windows import (
@@ -24,13 +46,30 @@ from tia_data_pipeline_spark.operators.windows import (
 )
 
 __all__ = [
-    "incremental_append",
-    "dedup_batch",
     "exact_dedup",
     "minhash_near_duplicates",
+    "minhash_signature_frame",
     "ngram_jaccard_pairs",
     "simhash",
+    "word_shingles",
+    "zscore",
+    "zscore_pandas",
+    "thread_closure",
+    "incremental_append",
+    "dedup_batch",
+    "merge_upsert_plan",
+    "attach_payload",
+    "decode_payloads",
+    "resize_images",
+    "sample_frames",
+    "hash_sample",
+    "stratified_hash_sample",
+    "salted_join",
+    "salted_group_count",
+    "write_bucketed",
     "brute_force_top_k",
+    "embedding_near_duplicates",
+    "ivf_top_k",
     "lsh_top_k",
     "daily_window",
     "sessionize",
