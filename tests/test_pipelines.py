@@ -57,6 +57,55 @@ def test_posts_pipeline_hourly_idempotent(spark):
     assert second.count() == 0
 
 
+def test_posts_pipeline_streaming_end_to_end(spark, tmp_path):
+    """The hourly pipeline as a continuous job: polls stream in,
+    normalization applies in-flight, parquet sink accumulates
+    exactly-once."""
+    import time
+
+    from tia_data_pipeline_spark.pipelines import posts_pipeline_streaming
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("date_gmt", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    stream = posts_pipeline_streaming(
+        spark,
+        schema,
+        fetcher_path="tests.fixtures_stream:stream_posts_feed",
+        trigger_interval="1 second",
+    )
+    out = str(tmp_path / "posts")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 6:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.read.parquet(out).collect()
+    assert len(got) >= 6
+    by_id = {r["id"]: r for r in got}
+    first = by_id[0]
+    assert first["date_gmt"] == "2022-01-01 00:00:00"  # ts-norm in-flight
+    assert first["word_count"] == 4  # derived in-flight ("streamed post body 0")
+
+
 def test_comments_pipeline_window_fanout_and_manifest(spark):
     posts = spark.createDataFrame(
         [

@@ -64,6 +64,36 @@ def posts_pipeline(
     return incremental_append(normalized, existing_posts, keys=[key])
 
 
+def posts_pipeline_streaming(
+    spark: SparkSession,
+    schema: T.StructType,
+    *,
+    fetcher_path: str | None = None,
+    ts_string_cols: Sequence[str] = ("date_gmt",),
+    trigger_interval: str = "1 hour",
+):
+    """The whole hourly pipeline as ONE continuous job: the `rest_poll`
+    streaming source replaces the Airflow schedule (trigger interval ≙
+    @hourly), the normalization runs as stateless streaming
+    projections, and checkpointed offsets replace the PK conflict-skip
+    for run-level idempotency. Returns an unstarted streaming
+    DataFrame; attach a sink + checkpoint with ``writeStream``.
+
+    Schema-on-read is PERMISSIVE like the reference's staging reads:
+    record keys absent from the declared schema are dropped, declared
+    fields absent from a record surface as NULL — so the fetcher and
+    schema must agree on field names.
+    """
+    from tia_data_pipeline_spark.sources.rest_stream import RestPollStreamDataSource
+
+    spark.dataSource.register(RestPollStreamDataSource)
+    reader = spark.readStream.format("rest_poll").schema(schema)
+    if fetcher_path:
+        reader = reader.option("fetcher", fetcher_path)
+    raw = reader.load()
+    return normalize_records(raw, text_col="content", ts_string_cols=ts_string_cols)
+
+
 def comments_pipeline(
     spark: SparkSession,
     posts_table: DataFrame,
