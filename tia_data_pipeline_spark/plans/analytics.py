@@ -295,6 +295,58 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_profile",
+    oracle=(
+        "SELECT count(*) AS n_rows, "
+        "count(*) FILTER (WHERE o_totalprice IS NULL) AS n_null_price, "
+        "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, "
+        "(sum(round(o_totalprice * 100)::BIGINT)::DOUBLE / count(o_totalprice) / 100.0) "
+        "  AS mean_price, "
+        "count(DISTINCT o_orderstatus) AS n_statuses, "
+        "min(o_orderdate) AS first_order, max(o_orderdate) AS last_order "
+        "FROM orders"
+    ),
+    covers="data-quality profiling (counts/nulls/min/max/mean per column)",
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile — the data-quality gate of an ingest
+    pipeline (all aggregates share a single scan; mean in exact
+    cents). At 100 TB this runs as one map-reduce over the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("n_null_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (F.sum(cents).cast("double") / F.count("o_totalprice") / 100.0).alias("mean_price"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@contract_query(
+    "q_ntile",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice, "
+        "ntile(4) OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey) AS price_quartile "
+        "FROM orders"
+    ),
+    covers="ntile quantile bucketing (feature binning)",
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price quartile per priority class — the feature-binning window;
+    full tiebreak (price, key) pins bucket boundaries."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("price_quartile")
+    )
+
+
+@contract_query(
     "q_dedup_latest",
     oracle=(
         "SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM ("
