@@ -16,8 +16,6 @@ Per-group statistical normalization (z-score) in two forms:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

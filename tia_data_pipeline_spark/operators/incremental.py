@@ -21,7 +21,6 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def dedup_batch(batch: DataFrame, keys: Sequence[str]) -> DataFrame:

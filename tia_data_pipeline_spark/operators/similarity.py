@@ -189,7 +189,7 @@ def ivf_top_k(
     reproducible), so this is a rows-only / structurally-tested path.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     with_vec = corpus.withColumn("_mlvec", array_to_vector(F.col(vec_col).cast("array<double>")))
     km = KMeans(k=n_lists, seed=seed, featuresCol="_mlvec", predictionCol="_cell")
