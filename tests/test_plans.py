@@ -100,3 +100,31 @@ def test_no_python_udfs_in_contract_plans(spark):
     for name in plans.REGISTRY:
         p = plan_of(spark, name)
         assert "EvalPython" not in p and "InPandas" not in p, f"{name} leaves the JVM"
+
+
+# Tail queries past the driver's 50-row CORRECTNESS cap must each be a
+# redundant variant of an operator already driver-verified by a named
+# earlier slot (see plans/__init__.py CONTRACT_ORDER).
+TAIL_COVERED_BY = {
+    "q_topk_per_group": "q_topk_latest",
+    "q_cube": "q_rollup",
+    "q_token_bpe": "q_text_tokens",
+    "q_doc_fingerprint": "q_text_tokens",
+    "q_word_freq": "q_text_tokens",
+    "q_canonicalize": "q_text_tokens",
+    "q_ann_multiprobe": "q_ann_lsh",
+}
+
+
+def test_contract_order_matches_registry():
+    assert list(plans.REGISTRY) == plans.CONTRACT_ORDER
+
+
+def test_driver_cap_tail_is_redundant_coverage():
+    head = plans.CONTRACT_ORDER[: plans.DRIVER_ROW_CAP]
+    tail = plans.CONTRACT_ORDER[plans.DRIVER_ROW_CAP :]
+    assert set(tail) == set(TAIL_COVERED_BY), (
+        "tail changed: update TAIL_COVERED_BY with the earlier slot covering each"
+    )
+    for q, covered_by in TAIL_COVERED_BY.items():
+        assert covered_by in head, f"{q} claims coverage by {covered_by}, not in first 50"
