@@ -61,3 +61,16 @@ def test_json_staging_roundtrip_and_corrupt_record(spark, tmp_path):
     parsed = read_json_records(spark, str(bad_dir), POST_SCHEMA).cache()
     assert parsed.filter(F.col("_corrupt_record").isNotNull()).count() == 1
     assert parsed.filter(F.col("id") == 1).count() == 1
+
+
+def test_read_json_records_does_not_mutate_caller_schema(spark, tmp_path):
+    """Regression: the corrupt-record column must be added to a copy —
+    StructType.add mutates in place, silently growing a schema object
+    the caller reuses."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    path = str(tmp_path / "one.json")
+    write_json_records(spark.range(3).withColumnRenamed("id", "id"), path)
+    read_json_records(spark, path, schema).collect()
+    assert schema.names == ["id"]

@@ -59,8 +59,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` the scan yields int64
-    nanoseconds, converted here to µs TimestampType (floor), matching
-    the oracle's ``ts::TIMESTAMP`` truncation of TIMESTAMP_NS.
+    nanoseconds, converted here to µs TimestampType by truncation
+    toward zero (``div``) — exactly what DuckDB's ``ts::TIMESTAMP``
+    cast of TIMESTAMP_NS does, including for pre-1970 negatives
+    (measured: -1500 ns → -1 µs, not floor's -2; pinned by
+    ``tests/test_catalog.py::test_ns_to_us_matches_duckdb_for_negative_ns``).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

@@ -235,9 +235,9 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared "
         "  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id "
         "  GROUP BY a.doc_id, b.doc_id) "
-        "SELECT id_a, id_b, round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard "
+        f"SELECT id_a, id_b, {TX.portable_round_sql('shared / (sa.n_sh + sb.n_sh - shared)', 6)} AS jaccard "
         "FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
-        "WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.4"
+        f"WHERE {TX.portable_round_sql('shared / (sa.n_sh + sb.n_sh - shared)', 6)} >= 0.4"
     ).format(t=_DOC_TOKENS_SQL),
     covers="ext-fuzzy-dedup (exact n-gram Jaccard, inverted index)",
 )

@@ -26,7 +26,13 @@ def read_json_records(
     reference's single-array-file staging format. PERMISSIVE mode with
     a corrupt-record column — malformed payloads land in
     ``_corrupt_record`` instead of failing the job."""
-    full = schema.add("_corrupt_record", T.StringType()) if "_corrupt_record" not in schema.names else schema
+    # Copy, don't schema.add(): StructType.add mutates the caller's
+    # schema object in place.
+    full = (
+        T.StructType(list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())])
+        if "_corrupt_record" not in schema.names
+        else schema
+    )
     return spark.read.json(
         path,
         schema=full,

@@ -36,20 +36,21 @@ def jdbc_read(
     """Pushdown query read. With the partition_column bounds set the
     scan parallelizes into range-partitioned queries (the scale path;
     a single unpartitioned JDBC read is a one-task bottleneck)."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-    )
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
+    reader = spark.read.format("jdbc").option("url", url)
     if partition_column is not None:
+        # Spark rejects `query` together with `partitionColumn`; the
+        # partitioned form must wrap the SQL as a derived table.
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) AS __src")
+            .option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions or 8))
         )
+    else:
+        reader = reader.option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 
