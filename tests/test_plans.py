@@ -128,3 +128,18 @@ def test_driver_cap_tail_is_redundant_coverage():
     )
     for q, covered_by in TAIL_COVERED_BY.items():
         assert covered_by in head, f"{q} claims coverage by {covered_by}, not in first 50"
+
+
+def test_dedup_batch_is_one_pass_hash_aggregate(spark):
+    """Whole-row dedup must stay the one-pass HashAggregate plan:
+    partial aggregation collapses co-located duplicates before the
+    exchange, and no SortAggregate sneaks in (a digest-grouped variant
+    with first() survivors was measured 1.5x slower — see the
+    q_dedup_batch docstring)."""
+    import re
+
+    p = plan_of(spark, "q_dedup_batch")
+    # detail section renders each node once as "(N) <name>"
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2  # partial + final
+    assert "SortAggregate" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1

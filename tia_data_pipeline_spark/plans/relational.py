@@ -68,6 +68,21 @@ def q_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     nondeterministic survivor; whole-row semantics is both the honest
     reference behavior — refetches are bit-identical — and oracle-
     stable. Key-scoped dedup lives in operators/incremental.py.)"""
+    # Plan choice, measured (sf0.1, noop sink, min of 4 after warmup):
+    # whole-row dropDuplicates() 1.28 s vs 128-bit-digest groupBy +
+    # per-column first() survivors 1.93 s (and 0.15 vs 0.20 s on the
+    # fat-row documents table). The digest form loses because the row
+    # must cross the exchange either way — as the grouping key here, or
+    # as first()-aggregation buffers there — so digest-grouping saves
+    # no shuffle bytes when the output is full rows, while paying two
+    # extra whole-row hash passes plus SortAggregate's per-partition
+    # sort (first(string) buffers are not HashAggregate-compatible).
+    # dropDuplicates() is the optimal one-pass plan: partial
+    # HashAggregate collapses co-located duplicates before the network
+    # and the exchange carries each locally-distinct row exactly once.
+    # "Shuffle digests, never documents" (operators/dedup.py:9) applies
+    # when ids suffice as output — that path is `exact_dedup`, which
+    # groups documents by sha-256 digest and never shuffles text.
     li = load_table(spark, sf_dir, "lineitem")
     return li.unionAll(li).dropDuplicates()
 
