@@ -106,6 +106,7 @@ def test_no_python_udfs_in_contract_plans(spark):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
+    "q_scan_project": "q_proj_alias",
     "q_topk_per_group": "q_topk_latest",
     "q_cube": "q_rollup",
     "q_token_bpe": "q_text_tokens",

@@ -32,6 +32,7 @@ CONTRACT_ORDER = [
     # -- flagship + the reference's relational surface
     "q_revenue_by_segment",
     "q_dedup_batch",
+    "q_merge_upsert",
     "q_antijoin_incr",
     "q_semi_join",
     "q_join_enrich",
@@ -72,12 +73,12 @@ CONTRACT_ORDER = [
     "q_asof_join",
     "q_range_join",
     "q_profile",
-    "q_scan_project",
     "q_ntile",
     "q_dedup_latest",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; all were
     #      driver-green in round 1 (CORRECTNESS_r01.json).
+    "q_scan_project",  # scan+projection: q_proj_alias covers
     "q_topk_per_group",  # WindowGroupLimit: q_topk_latest covers
     "q_cube",  # grouping sets: q_rollup covers
     "q_token_bpe",  # ext-text-analysis: q_text_tokens covers

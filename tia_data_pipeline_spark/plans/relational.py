@@ -88,6 +88,51 @@ def q_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_merge_upsert",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1996-02-15'"
+    ),
+    covers="snk-jdbc-upsert transactional MERGE (posts_pipeline.py:57, ON CONFLICT DO NOTHING)",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional exactly-once sink, driven end-to-end: two
+    overlapping order batches merged into an embedded Derby table via
+    `MERGE … WHEN NOT MATCHED THEN INSERT`, then read back over JDBC.
+    The overlap (Jan 15 – Feb 1) is merged twice but inserted once, so
+    the final table equals the plain union window — which is exactly
+    the oracle. Covers jdbc_ensure_table (PK DDL), the distributed
+    staging write, the atomic MERGE, and the JDBC read-back."""
+    import tempfile
+
+    from tia_data_pipeline_spark.sources.jdbc import (
+        jdbc_ensure_table,
+        jdbc_merge_upsert,
+        jdbc_read,
+    )
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='graft_merge_')}/db;create=true"
+    orders = load_table(spark, sf_dir, "orders")
+
+    def batch(lo: str, hi: str) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+        ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+    first = batch("1996-01-01", "1996-02-01")
+    jdbc_ensure_table(spark, url, "merge_target", first.schema, ["o_orderkey"])
+    jdbc_merge_upsert(first, url, "merge_target", ["o_orderkey"])
+    jdbc_merge_upsert(batch("1996-01-15", "1996-02-15"), url, "merge_target", ["o_orderkey"])
+    return jdbc_read(
+        spark,
+        url,
+        'SELECT o_orderkey AS "o_orderkey", o_custkey AS "o_custkey", '
+        'o_totalprice AS "o_totalprice" FROM merge_target',
+    )
+
+
+@contract_query(
     "q_antijoin_incr",
     oracle=(
         "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate "
