@@ -138,3 +138,26 @@ def test_salted_group_count_matches(spark):
     }
     expect = {r["l_returnflag"]: r["count"] for r in li.groupBy("l_returnflag").count().collect()}
     assert got == expect
+
+
+def test_salt_deterministic_across_partitioning(spark):
+    """The salt is a content hash, not a partition-layout artifact: the
+    same row gets the same salt no matter how the input is partitioned
+    (a task retry or upstream repartition must not re-deal salts)."""
+    from tia_data_pipeline_spark.operators.scale import SALT_COL, _row_salt
+
+    li = load_table(spark, SMOKE_SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    layouts = [li.coalesce(1), li.repartition(13), li.repartition(4, "l_quantity")]
+    # (l_orderkey, l_linenumber) is not unique in this corpus, so key
+    # the comparison on the full row content (sorted multiset).
+    salted = [
+        sorted(
+            (r["l_orderkey"], r["l_linenumber"], r["l_quantity"], r[SALT_COL])
+            for r in df.withColumn(SALT_COL, _row_salt(df, 8)).collect()
+        )
+        for df in layouts
+    ]
+    assert salted[0] == salted[1] == salted[2]
+    assert len({s[-1] for s in salted[0]}) > 1  # and it actually spreads

@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 SALT_COL = "_salt"
 
 
+def _row_salt(df: DataFrame, n_salt: int):
+    """Deterministic salt in [0, n_salt): xxhash64 of the full row
+    content. Unlike ``monotonically_increasing_id() % n`` (whose value
+    depends on partition layout, so a task retry or upstream
+    repartition re-deals the salt and can double-count rows mid-retry),
+    a content hash assigns every row the same salt on every execution —
+    retried stages and re-planned inputs stay consistent. Caveat: rows
+    that are bit-for-bit identical share a salt, so the spread bound is
+    the distinct-row count per hot key, not the row count; for
+    aggregate inputs with a duplicate-heavy hot key, pre-count
+    duplicates first (a cheap exact groupBy on the full row)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)).cast("int")
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -56,9 +70,7 @@ def salted_join(
     n_salt× (it must still be far smaller than the large side — if it
     broadcasts, just broadcast instead)."""
     keys = list(keys)
-    salted_large = large.withColumn(
-        SALT_COL, (F.monotonically_increasing_id() % n_salt).cast("int")
-    )
+    salted_large = large.withColumn(SALT_COL, _row_salt(large, n_salt))
     salted_small = small.crossJoin(
         F.broadcast(
             small.sparkSession.range(n_salt).select(F.col("id").cast("int").alias(SALT_COL))
@@ -75,6 +87,6 @@ def salted_group_count(df: DataFrame, keys: Sequence[str], *, n_salt: int = 16) 
     single final-reduce key would still be hot, e.g. top-heavy
     distributions with many distinct-ish partial states.)"""
     keys = list(keys)
-    salted = df.withColumn(SALT_COL, (F.monotonically_increasing_id() % n_salt).cast("int"))
+    salted = df.withColumn(SALT_COL, _row_salt(df, n_salt))
     partial = salted.groupBy(*keys, SALT_COL).agg(F.count("*").alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").alias("count"))
