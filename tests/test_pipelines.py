@@ -143,3 +143,41 @@ def test_comments_pipeline_window_fanout_and_manifest(spark):
     assert sorted(r["id"] for r in inserted) == [11]
     assert all(r["date_gmt"] == "2022-01-01 06:00:00" for r in inserted)
     assert sorted(r["post_id"] for r in manifest.collect()) == [1]
+
+
+def test_source_probe_failure_skips_fetch(spark):
+    """HttpSensor semantics (reference ``posts_pipeline.py:66-73``):
+    a down source is a pre-flight SKIP — empty insert batch, same
+    schema, and the distributed fetch never launches."""
+    from tia_data_pipeline_spark.pipelines import source_probe
+
+    calls = {"fetch": 0}
+
+    def _fetcher(page: int):
+        calls["fetch"] += 1
+        return [{"id": 1, "date_gmt": "2022-01-01T00:00:00", "content": "x", "categories": []}]
+
+    def _dead_probe():
+        raise ConnectionError("endpoint down")
+
+    empty = spark.createDataFrame(
+        [], "id bigint, date_gmt string, content string, categories string, word_count bigint"
+    )
+    out = posts_pipeline(
+        spark, _fetcher, POST_SCHEMA, empty, ts_string_cols=["date_gmt"], probe=_dead_probe
+    )
+    assert out.columns == empty.columns  # schema preserved through the skip
+    assert out.count() == 0
+    assert calls["fetch"] == 0  # fetch never launched
+
+    # sensor retry: flaky probe that comes up on the 3rd poke
+    flaky = {"n": 0}
+
+    def _flaky_probe():
+        flaky["n"] += 1
+        if flaky["n"] < 3:
+            raise ConnectionError("warming up")
+
+    assert source_probe(_flaky_probe, retries=3, backoff_s=0.0)
+    assert flaky["n"] == 3
+    assert not source_probe(_dead_probe, retries=2, backoff_s=0.0)

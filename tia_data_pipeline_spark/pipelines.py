@@ -21,7 +21,8 @@ as explicit parameters.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import time
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +44,31 @@ def sink_probe(spark: SparkSession) -> bool:
     return spark.sql("SELECT 1 AS is_accessible").collect()[0][0] == 1
 
 
+def source_probe(
+    probe: Callable[[], object],
+    *,
+    retries: int = 3,
+    backoff_s: float = 0.5,
+) -> bool:
+    """`HttpSensor` analogue (reference ``posts_pipeline.py:66-73``):
+    poke the source before launching the distributed fetch. ``probe``
+    is any zero-arg callable that raises on unavailability (production:
+    a HEAD/GET against the endpoint; tests inject a fake). Pokes up to
+    ``retries`` times with linear backoff — the sensor's poke interval
+    — and returns False instead of raising, so the pipeline can turn
+    an unavailable source into a pre-flight *skip* rather than a task
+    error mid-job. Control-plane only: runs once on the driver, never
+    inside a Spark task."""
+    for attempt in range(retries):
+        try:
+            probe()
+            return True
+        except Exception:  # noqa: BLE001 — any failure means "not up yet"
+            if attempt < retries - 1:
+                time.sleep(backoff_s * (attempt + 1))
+    return False
+
+
 def posts_pipeline(
     spark: SparkSession,
     fetcher: PageFetcher,
@@ -52,14 +78,26 @@ def posts_pipeline(
     n_pages: int = 1,
     key: str = "id",
     ts_string_cols: Sequence[str] = ("date_gmt", "modified_gmt"),
+    probe: Callable[[], object] | None = None,
 ) -> DataFrame:
     """Hourly posts ingest: fetch the latest page(s), normalize
     (nested→JSON, ts-norm, word_count), drop re-fetch overlap against
     the existing table. Returns the rows an idempotent append would
-    insert — run it twice, the second result is empty."""
-    if not sink_probe(spark):  # pragma: no cover - probe always true locally
-        raise RuntimeError("sink probe failed")
-    raw = paginated_rest_source(spark, fetcher, n_pages, schema)
+    insert — run it twice, the second result is empty.
+
+    Pre-flight order mirrors the reference DAG: source sensor, then
+    sink sensor, then the fetch. An unavailable *source* is a skip —
+    the returned insert batch is empty (same schema) and the
+    distributed fetch never launches; an unavailable *sink* is an
+    error, because a skip would silently drop fetched data. ``probe``
+    defaults to fetching page 1 on the driver, exactly the reference's
+    HttpSensor GET."""
+    if not source_probe(probe or (lambda: fetcher(1))):
+        raw = spark.createDataFrame([], schema)  # pre-flight skip
+    else:
+        if not sink_probe(spark):  # pragma: no cover - always true locally
+            raise RuntimeError("sink probe failed")
+        raw = paginated_rest_source(spark, fetcher, n_pages, schema)
     normalized = normalize_records(raw, text_col="content", ts_string_cols=ts_string_cols)
     return incremental_append(normalized, existing_posts, keys=[key])
 
