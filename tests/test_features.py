@@ -37,3 +37,27 @@ def test_zscore_basic_properties(spark):
     assert z[2] == 0.0  # mean element
     assert z[1] == -z[3]  # symmetric
     assert z[4] is None  # singleton group
+
+
+def test_approx_distinct_error_bound(spark):
+    """q_approx_distinct (the HLL++ scale path of q_count_distinct) has
+    no cross-engine oracle; this pins its contract instead: per-group
+    relative error vs the exact count stays within 5×rsd, and the exact
+    n_events column is untouched by the sketch."""
+    from tia_data_pipeline_spark.plans.llm import q_approx_distinct, q_count_distinct
+
+    approx = {
+        r["event_type"]: (r["n_users_approx"], r["n_events"])
+        for r in q_approx_distinct(spark, SMOKE_SF).collect()
+    }
+    exact = {
+        r["event_type"]: (r["n_users"], r["n_events"])
+        for r in q_count_distinct(spark, SMOKE_SF).collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, (n_approx, n_events) in approx.items():
+        n_exact, n_events_exact = exact[etype]
+        assert n_events == n_events_exact
+        assert abs(n_approx - n_exact) <= max(1, 0.05 * n_exact), (
+            f"{etype}: approx {n_approx} vs exact {n_exact}"
+        )

@@ -114,6 +114,7 @@ TAIL_COVERED_BY = {
     "q_word_freq": "q_text_tokens",
     "q_canonicalize": "q_text_tokens",
     "q_ann_multiprobe": "q_ann_lsh",
+    "q_approx_distinct": "q_count_distinct",
 }
 
 

@@ -86,6 +86,8 @@ CONTRACT_ORDER = [
     "q_word_freq",  # ext-text-analysis
     "q_canonicalize",  # ext-text-analysis
     "q_ann_multiprobe",  # ext-sim-topk: q_ann_lsh covers
+    "q_approx_distinct",  # sketch variant of q_count_distinct; error
+    # bound pinned by tests/test_features.py (no cross-engine oracle)
 ]
 
 

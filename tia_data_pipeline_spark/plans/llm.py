@@ -331,6 +331,30 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines — error bound is
+    # pinned instead by tests/test_features.py::test_approx_distinct_error_bound
+    covers="distinct aggregation, sketch scale path (approx_count_distinct)",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q_count_distinct: HyperLogLog++ sketches
+    merge associatively, so the shuffle carries one fixed-size sketch
+    per (partition, group) instead of every distinct user_id —
+    countDistinct's expand-and-reshuffle cost disappears. rsd=0.01
+    bounds relative error ≈1%; no cross-engine oracle exists because
+    DuckDB's approx_count_distinct uses a different sketch."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@contract_query(
     "q_word_freq",
     oracle=(
         "SELECT token, count(*) AS freq FROM ("
