@@ -94,18 +94,30 @@ def test_join_degrades_to_sortmerge_without_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+# The one deliberate pandas-UDF surface (SURVEY §2.4 ext-udf-surface):
+# multimodal codecs genuinely cannot be expressions. Must be
+# Arrow-batched mapInPandas — row-at-a-time BatchEvalPython is always a
+# bug.
+PANDAS_UDF_SURFACE = {"q_resize_meta"}
+
+
 def test_no_python_udfs_in_contract_plans(spark):
-    # Every declared query must stay JVM-side (pandas/Python UDFs would
-    # show as BatchEvalPython / ArrowEvalPython / FlatMapsInPandas).
+    # Every other declared query must stay JVM-side (pandas/Python UDFs
+    # would show as BatchEvalPython / ArrowEvalPython / MapInPandas).
     for name in plans.REGISTRY:
         p = plan_of(spark, name)
-        assert "EvalPython" not in p and "InPandas" not in p, f"{name} leaves the JVM"
+        if name in PANDAS_UDF_SURFACE:
+            assert "MapInPandas" in p, f"{name} should cross via Arrow mapInPandas"
+            assert "BatchEvalPython" not in p, f"{name} fell back to row-at-a-time"
+        else:
+            assert "EvalPython" not in p and "InPandas" not in p, f"{name} leaves the JVM"
 
 
 # Tail queries past the driver's 50-row CORRECTNESS cap must each be a
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
+    "q_dedup_latest": "q_topk_latest",
     "q_scan_project": "q_proj_alias",
     "q_topk_per_group": "q_topk_latest",
     "q_cube": "q_rollup",

@@ -107,11 +107,15 @@ def resize_images(
         return (payload * reps)[:target_len]
 
     fn = resize_fn or fake_resize
-    out_schema = f"{id_col} bigint, resized binary, width int, height int, n_bytes bigint"
+    out_schema = (
+        f"{id_col} bigint, resized binary, width int, height int, "
+        "n_bytes bigint, orig_bytes bigint"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [fn(bytes(p), target_w, target_h) for p in pdf[payload_col]]
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            resized = [fn(p, target_w, target_h) for p in payloads]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -119,6 +123,7 @@ def resize_images(
                     "width": target_w,
                     "height": target_h,
                     "n_bytes": [len(r) for r in resized],
+                    "orig_bytes": [len(p) for p in payloads],
                 }
             )
 

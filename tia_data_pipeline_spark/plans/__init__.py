@@ -54,6 +54,7 @@ CONTRACT_ORDER = [
     "q_quality_score",
     "q_tfidf",
     "q_multimodal_meta",
+    "q_resize_meta",
     "q_embed_stats",
     "q_sim_topk",
     "q_ann_lsh",
@@ -74,10 +75,10 @@ CONTRACT_ORDER = [
     "q_range_join",
     "q_profile",
     "q_ntile",
-    "q_dedup_latest",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; all were
     #      driver-green in round 1 (CORRECTNESS_r01.json).
+    "q_dedup_latest",  # row_number latest-per-key: q_topk_latest covers
     "q_scan_project",  # scan+projection: q_proj_alias covers
     "q_topk_per_group",  # WindowGroupLimit: q_topk_latest covers
     "q_cube",  # grouping sets: q_rollup covers

@@ -116,6 +116,42 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_resize_meta",
+    oracle=(
+        "SELECT doc_id, strlen(text)::BIGINT AS orig_bytes, "
+        "(CASE WHEN strlen(text) = 0 THEN 0 ELSE (224*224)//512 END)::BIGINT "
+        "AS resized_bytes, 224::INTEGER AS width, 224::INTEGER AS height "
+        "FROM documents"
+    ),
+    covers="ext-multimodal resize via Arrow mapInPandas (the pandas-UDF boundary itself)",
+)
+def q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the real Arrow ``mapInPandas`` boundary end-to-end (unlike
+    q_multimodal_meta, which verifies metadata semantics at expression
+    level): payloads cross into pandas, the stub codec resizes them, and
+    per-row metadata (orig_bytes measured inside the UDF, n_bytes of the
+    resized output) crosses back. The oracle reproduces the documented
+    fake-resize size law — target area / 512 bytes, empty stays empty —
+    so the driver hash-checks actual per-row values that round-tripped
+    through Arrow."""
+    from tia_data_pipeline_spark.operators.multimodal import attach_payload, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(
+        attach_payload(docs, text_col="text", id_col="doc_id"),
+        target_w=224,
+        target_h=224,
+    )
+    return resized.select(
+        F.col("id").alias("doc_id"),
+        "orig_bytes",
+        F.col("n_bytes").alias("resized_bytes"),
+        "width",
+        "height",
+    )
+
+
+@contract_query(
     "q_sim_topk",
     oracle=(
         "WITH probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0) "
