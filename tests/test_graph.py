@@ -1,0 +1,49 @@
+"""thread_closure: frontier expansion semantics + the reliable
+checkpoint path for deep hierarchies."""
+
+from __future__ import annotations
+
+import os
+
+from tia_data_pipeline_spark.operators.graph import thread_closure
+
+
+def _chain_forest(spark, depth: int):
+    # two roots; root 0 carries a chain of `depth` descendants
+    rows = [(0, None), (1000, None)] + [(i, i - 1) for i in range(1, depth + 1)]
+    return spark.createDataFrame(rows, "cid bigint, parent bigint")
+
+
+def test_thread_closure_chain_depths(spark):
+    out = {
+        r["cid"]: (r["root_id"], r["depth"])
+        for r in thread_closure(_chain_forest(spark, 8), "cid", "parent").collect()
+    }
+    assert out[0] == (0, 0) and out[1000] == (1000, 0)
+    for i in range(1, 9):
+        assert out[i] == (0, i)
+
+
+def test_thread_closure_reliable_checkpoint(spark, tmp_path):
+    """With checkpoint_dir set, every Nth level lands in reliable
+    storage (bounding recompute after executor loss) and the result is
+    identical to the default local-checkpoint run."""
+    ckpt = str(tmp_path / "ckpt")
+    deep = _chain_forest(spark, 12)
+    got = thread_closure(
+        deep, "cid", "parent", checkpoint_dir=ckpt, checkpoint_every=3
+    )
+    want = thread_closure(deep, "cid", "parent")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # reliable checkpoint files actually written (depth 12 → levels 3,6,9,12)
+    written = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert written, "no reliable checkpoint data written"
+
+
+def test_thread_closure_cycle_under_depth_cap(spark):
+    """A cycle never resolves to a root — its nodes drop out instead of
+    looping forever (recursive-CTE-under-cap semantics)."""
+    rows = [(0, None), (1, 0), (10, 11), (11, 10)]
+    df = spark.createDataFrame(rows, "cid bigint, parent bigint")
+    out = {r["cid"] for r in thread_closure(df, "cid", "parent", max_depth=6).collect()}
+    assert out == {0, 1}

@@ -29,6 +29,8 @@ def thread_closure(
     parent_col: str,
     *,
     max_depth: int = 50,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(id, root_id, depth) for every node of a parent/child forest.
 
@@ -36,7 +38,24 @@ def thread_closure(
     iteration joins the remaining children onto the current frontier.
     ``max_depth`` guards against cycles (a cycle's nodes simply never
     resolve, matching SQL recursive-CTE semantics under a depth cap).
+
+    Driver/fault posture: exactly ONE action per level — the frontier
+    count doubles as both the termination test and the trigger that
+    materializes that level's (non-eager) checkpoint, so there is no
+    separate ``isEmpty`` round-trip. Checkpointing keeps the per-level
+    lineage flat (plan size would otherwise grow geometrically with
+    depth). By default levels pin to executor-local storage
+    (``localCheckpoint`` — fast, but lost on executor death, and there
+    is no lineage left to recompute from); for deep hierarchies on a
+    real cluster pass ``checkpoint_dir`` (HDFS/S3) and every
+    ``checkpoint_every``-th level is written to reliable storage
+    instead, bounding recomputation after a failure to at most that
+    many levels. Comment threads are tens of levels deep at most, so
+    the default suits the reference workload.
     """
+    spark = df.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     nodes = df.select(F.col(id_col).alias("_id"), F.col(parent_col).alias("_parent")).distinct()
     roots = nodes.filter(F.col("_parent").isNull()).select(
         F.col("_id"), F.col("_id").alias("root_id"), F.lit(0).alias("depth")
@@ -45,7 +64,7 @@ def thread_closure(
 
     levels = [roots]
     frontier = roots
-    for _ in range(max_depth):
+    for level in range(1, max_depth + 1):
         # rename frontier cols: children and frontier share lineage on
         # the first iteration (both from `nodes`) and Spark rejects the
         # ambiguous self-join otherwise
@@ -57,10 +76,9 @@ def thread_closure(
             F.col("_froot").alias("root_id"),
             (F.col("_fdepth") + 1).alias("depth"),
         )
-        # localCheckpoint keeps the per-level lineage flat so plan size
-        # doesn't grow geometrically with depth.
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        reliable = checkpoint_dir is not None and level % checkpoint_every == 0
+        nxt = nxt.checkpoint(eager=False) if reliable else nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:  # materializes the checkpoint + terminates
             break
         levels.append(nxt)
         frontier = nxt
