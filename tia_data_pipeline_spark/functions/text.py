@@ -195,21 +195,32 @@ _STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def _script_count(col: Column, rng: str) -> Column:
-    return F.length(F.regexp_replace(col, f"[^{rng}]", ""))
+    # regexp_count over a single-char class: one linear DFA pass, no
+    # output string built (the regexp_replace form allocates a copy of
+    # the document per script tested — 5× the garbage for the same count).
+    return F.regexp_count(col, F.lit(f"[{rng}]"))
 
 
 def _script_count_sql(expr: str, rng: str) -> str:
-    return f"length(regexp_replace({expr}, '[^{rng}]', '', 'g'))"
+    return f"len(regexp_extract_all({expr}, '[{rng}]'))"
 
 
-def _stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
-    pat = "(^| )(" + "|".join(words) + ")( |$)"
-    return F.regexp_count(F.lower(col), F.lit(pat))
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Stopword occurrences counted on a pre-split token array — one
+    split of the document feeds all languages, vs one full regex scan
+    of the text per language. Membership per token is a 5-way literal
+    compare, no backtracking."""
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
 
 
-def _stopword_hits_sql(expr: str, words: tuple[str, ...]) -> str:
-    pat = "(^| )(" + "|".join(words) + ")( |$)"
-    return f"len(regexp_extract_all(lower({expr}), '{pat}'))"
+def _stopword_hits_sql(toks_expr: str, words: tuple[str, ...]) -> str:
+    lits = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks_expr}, t -> t IN ({lits})))"
+
+
+# Both engines split on the literal single space — consecutive spaces
+# yield empty tokens, which match no stopword, so the counts agree.
+_LANG_TOKS = "string_split(lower({e}), ' ')"
 
 
 def lang_id(col: Column) -> Column:
@@ -217,11 +228,12 @@ def lang_id(col: Column) -> Column:
     chars; otherwise the Latin-script language with most stopword hits;
     'und' when nothing matches."""
     length = F.greatest(F.length(col), F.lit(1))
+    toks = F.split(F.lower(col), " ")
     expr = F.lit("und")
     # Build from lowest priority upward: stopwords first, scripts override.
     best_hits = F.lit(0)
     for code, words in reversed(list(_STOPWORDS.items())):
-        hits = _stopword_hits(col, words)
+        hits = _stopword_hits(toks, words)
         expr = F.when(hits > best_hits, F.lit(code)).otherwise(expr)
         best_hits = F.greatest(hits, best_hits)
     for code, rng in reversed(list(_SCRIPT_RANGES.items())):
@@ -232,12 +244,13 @@ def lang_id(col: Column) -> Column:
 
 def lang_id_sql(expr: str) -> str:
     """DuckDB fragment mirroring :func:`lang_id` exactly (same priority
-    order, same thresholds)."""
+    order, same thresholds, same space-split token universe)."""
     length = f"greatest(length({expr}), 1)"
+    toks = _LANG_TOKS.format(e=expr)
     out = "'und'"
     best = "0"
     for code, words in reversed(list(_STOPWORDS.items())):
-        hits = _stopword_hits_sql(expr, words)
+        hits = _stopword_hits_sql(toks, words)
         out = f"CASE WHEN {hits} > {best} THEN '{code}' ELSE {out} END"
         best = f"greatest({hits}, {best})"
     for code, rng in reversed(list(_SCRIPT_RANGES.items())):

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tia_data_pipeline_spark.functions.text import portable_round, tokens
+from tia_data_pipeline_spark.operators.scale import fan_out
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -109,7 +110,8 @@ def minhash_signature_frame(
     shingle pipeline runs once per document instead of k times, and the
     whole thing stays in whole-stage codegen with map-side partial
     mins. Docs with zero shingles drop out (explode of empty array)."""
-    ex = df.select(
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    ex = src.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     ).select("_id", F.pmod(F.xxhash64("_sh"), F.lit(_X_MOD)).alias("_x"))
@@ -234,7 +236,8 @@ def ngram_jaccard_pairs(
     ~|shingles|²/2⁶⁵ — negligible) → group ids per shingle → expand
     pairs in-expression → count shared per pair → join per-doc sizes.
     """
-    sh_ids = df.select(
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    sh_ids = src.select(
         F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
     ).select("_id", F.xxhash64("s").alias("sh"))
     grouped = (
@@ -296,7 +299,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     token hash is md5-derived so the DuckDB oracle can reproduce it
     bit-for-bit (``plans/llm.py::q_simhash``).
     """
-    toked = df.select(
+    toked = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )

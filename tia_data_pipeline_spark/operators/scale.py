@@ -23,6 +23,26 @@ from pyspark.sql import functions as F
 SALT_COL = "_salt"
 
 
+def fan_out(df: DataFrame, *, target: int | None = None) -> DataFrame:
+    """Repartition a low-parallelism relation before CPU-heavy per-row
+    compute (regex scoring, shingling, per-token hashing).
+
+    At cluster scale parquet scans arrive pre-split
+    (``spark.sql.files.maxPartitionBytes``) and this is a no-op; on a
+    small corpus a single-file scan yields ONE input split, so an
+    expensive projection serializes onto one core while the rest of the
+    cluster idles. Round-robin repartition costs a shuffle of the
+    narrowed input — call it *after* column pruning, *before* the
+    expensive projection — and buys a full-width compute stage. AQE
+    never coalesces an explicit ``repartition(n)``, so the width sticks.
+    """
+    spark = df.sparkSession
+    n = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _row_salt(df: DataFrame, n_salt: int):
     """Deterministic salt in [0, n_salt): xxhash64 of the full row
     content. Unlike ``monotonically_increasing_id() % n`` (whose value

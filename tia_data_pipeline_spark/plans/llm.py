@@ -15,9 +15,19 @@ from tia_data_pipeline_spark.functions.vectors import cosine_sql
 from tia_data_pipeline_spark.operators import dedup as DD
 from tia_data_pipeline_spark.operators import sampling as SMP
 from tia_data_pipeline_spark.operators import similarity as SIM
+from tia_data_pipeline_spark.operators.scale import fan_out
 from tia_data_pipeline_spark.plans.contract import contract_query
 
 _DOC_TOKENS_SQL = TX.tokens_sql("text")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, text) scan, fanned out across cores: the corpus
+    ships as one small parquet file (one input split), so without the
+    explicit repartition every regex/tokenize-heavy projection below
+    would run as a single task. Narrowed before the shuffle so only the
+    two live columns move."""
+    return fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 @contract_query(
@@ -44,7 +54,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers="ext-text-analysis (generalizes word-count)",
 )
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = TX.tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -61,7 +71,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers="ext-text-analysis (BPE-ish regex token counting)",
 )
 def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
@@ -71,7 +81,7 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers="ext-text-analysis (language-ID heuristic)",
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -81,7 +91,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers="ext-text-analysis (quality scoring)",
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
@@ -91,7 +101,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers="ext-text-analysis (rolling-hash document fingerprint)",
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -320,7 +330,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, df from the per-doc term frame, idf = ln(N/df); the corpus
     size joins in as a broadcast scalar, never a driver-side count."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tok = _docs(spark, sf_dir).select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -403,7 +413,7 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus tokens: explode -> two-phase count -> top-k with
     tiebreak. The explode is a narrow generate; only (token, partial
     count) pairs shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -425,7 +435,7 @@ def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical form of each document (lowercase, punct→space,
     collapsed whitespace) reduced to hash+length — the key exact-dedup
     runs on after normalization."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     canon = TX.canonicalize(F.col("text"))
     return docs.select(
         "doc_id",
