@@ -49,8 +49,10 @@ def main() -> None:
 
     results: dict[str, float] = {}
     for name, q in sorted(plans.REGISTRY.items()):
-        df = q.build(spark, sf_dir)
         try:
+            # build() inside the try: an analysis-time failure in one
+            # query must record -1.0, not abort the whole bench run.
+            df = q.build(spark, sf_dir)
             budget_t0 = time.time()
             run_once(df)  # warm-up (also JIT + parquet footer cache)
             times = []

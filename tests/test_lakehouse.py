@@ -1,0 +1,85 @@
+"""Lakehouse MERGE sink (file-side `ON CONFLICT DO NOTHING` / upsert).
+
+Runs through whichever engine the session has: the Delta ACID MERGE
+when the runtime is installed, else the documented parquet
+read-union-overwrite fallback. The semantics asserted here are
+identical either way — that is the module's contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tia_data_pipeline_spark.sources.lakehouse import (
+    have_delta,
+    merge_upsert_table,
+    table_exists,
+)
+
+
+def _rows(spark, path):
+    return {
+        (r["id"], r["v"]) for r in spark.read.parquet(path).select("id", "v").collect()
+    }
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "id bigint, v string")
+
+
+def test_merge_creates_then_inserts_only_new_keys(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    assert not table_exists(spark, path)
+    merge_upsert_table(spark, _df(spark, [(1, "a"), (2, "b")]), path, ["id"])
+    assert table_exists(spark, path)
+    # Overlap on id=2: existing wins (ON CONFLICT DO NOTHING).
+    merge_upsert_table(spark, _df(spark, [(2, "CHANGED"), (3, "c")]), path, ["id"])
+    assert _rows(spark, path) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_twice_equals_once(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    batch = _df(spark, [(1, "a"), (2, "b")])
+    merge_upsert_table(spark, batch, path, ["id"])
+    merge_upsert_table(spark, batch, path, ["id"])
+    merge_upsert_table(spark, batch, path, ["id"])
+    assert _rows(spark, path) == {(1, "a"), (2, "b")}
+
+
+def test_merge_upsert_mode_incoming_wins(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    merge_upsert_table(spark, _df(spark, [(1, "a"), (2, "b")]), path, ["id"])
+    merge_upsert_table(
+        spark, _df(spark, [(2, "B2"), (3, "c")]), path, ["id"], update_on_match=True
+    )
+    assert _rows(spark, path) == {(1, "a"), (2, "B2"), (3, "c")}
+
+
+def test_merge_dedups_within_batch(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    dup = _df(spark, [(1, "x"), (1, "y"), (2, "b")])
+    merge_upsert_table(spark, dup, path, ["id"])
+    got = _rows(spark, path)
+    assert {i for i, _ in got} == {1, 2} and len(got) == 2
+
+
+def test_composite_keys_and_null_key(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "k1", "a"), (None, "k2", "b")], "id bigint, k string, v string"
+    )
+    merge_upsert_table(spark, df, path, ["id", "k"])
+    # NULL key must match itself — both engines use null-safe equality
+    # (`<=>` in the Delta merge condition, eqNullSafe in the fallback's
+    # anti-join), so re-merging a NULL-keyed batch stays idempotent.
+    merge_upsert_table(spark, df, path, ["id", "k"])
+    out = spark.read.parquet(path)
+    assert out.count() == 2
+    assert out.filter(F.col("k") == "k1").count() == 1
+    assert out.filter(F.col("id").isNull()).count() == 1
+
+
+def test_sandbox_engine_is_fallback_unless_delta_present(spark):
+    # Documents which path this environment exercises; either value is
+    # legal, but the function must answer without raising.
+    assert have_delta(spark) in (True, False)

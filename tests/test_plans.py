@@ -101,16 +101,18 @@ def test_join_degrades_to_sortmerge_without_broadcast(spark):
 PANDAS_UDF_SURFACE = {"q_resize_meta"}
 
 
-def test_no_python_udfs_in_contract_plans(spark):
+@pytest.mark.parametrize("name", list(plans.REGISTRY))
+def test_no_python_udfs_in_contract_plans(spark, name):
     # Every other declared query must stay JVM-side (pandas/Python UDFs
     # would show as BatchEvalPython / ArrowEvalPython / MapInPandas).
-    for name in plans.REGISTRY:
-        p = plan_of(spark, name)
-        if name in PANDAS_UDF_SURFACE:
-            assert "MapInPandas" in p, f"{name} should cross via Arrow mapInPandas"
-            assert "BatchEvalPython" not in p, f"{name} fell back to row-at-a-time"
-        else:
-            assert "EvalPython" not in p and "InPandas" not in p, f"{name} leaves the JVM"
+    # Parametrized per query so one broken build costs one red dot, not
+    # the whole invariant.
+    p = plan_of(spark, name)
+    if name in PANDAS_UDF_SURFACE:
+        assert "MapInPandas" in p, f"{name} should cross via Arrow mapInPandas"
+        assert "BatchEvalPython" not in p, f"{name} fell back to row-at-a-time"
+    else:
+        assert "EvalPython" not in p and "InPandas" not in p, f"{name} leaves the JVM"
 
 
 # Tail queries past the driver's 50-row CORRECTNESS cap must each be a
@@ -126,7 +128,7 @@ TAIL_COVERED_BY = {
     "q_word_freq": "q_text_tokens",
     "q_canonicalize": "q_text_tokens",
     "q_ann_multiprobe": "q_ann_lsh",
-    "q_approx_distinct": "q_count_distinct",
+    "q_ntile": "q_window_frames",
 }
 
 

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import functions as F
-
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver corpus (TESTDATA.md). `posts`/`comments` analogues per
@@ -47,31 +45,23 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 
     - UTC session timezone — event-time semantics and the DuckDB
       oracle's naive timestamps agree only in UTC;
-    - nanos-as-long — Spark's parquet reader otherwise rejects the
-      TIMESTAMP(NANOS) column in ``events``.
+    - no NTZ inference — ``events.ts`` is parquet
+      TIMESTAMP(isAdjustedToUTC=false, MICROS), which Spark 4 would
+      otherwise scan as TIMESTAMP_NTZ; with a UTC session timezone the
+      TIMESTAMP reading is value-identical to the oracle's naive
+      timestamps, and every event-time operator (``unix_micros``,
+      ``window``, watermarks) requires the instant type.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One table as a DataFrame (lazy parquet scan).
-
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the scan yields int64
-    nanoseconds, converted here to µs TimestampType by truncation
-    toward zero (``div``) — exactly what DuckDB's ``ts::TIMESTAMP``
-    cast of TIMESTAMP_NS does, including for pre-1970 negatives
-    (measured: -1500 ns → -1 µs, not floor's -2; pinned by
-    ``tests/test_catalog.py::test_ns_to_us_matches_duckdb_for_negative_ns``).
-    """
+    """One table as a DataFrame (lazy parquet scan)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return spark.read.parquet(table_path(sf_dir, name))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

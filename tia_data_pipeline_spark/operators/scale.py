@@ -35,10 +35,18 @@ def fan_out(df: DataFrame, *, target: int | None = None) -> DataFrame:
     narrowed input — call it *after* column pruning, *before* the
     expensive projection — and buys a full-width compute stage. AQE
     never coalesces an explicit ``repartition(n)``, so the width sticks.
+
+    The skip check reads ``df.inputFiles()`` — driver-side leaf-scan
+    metadata, no RDD translation (a ``df.rdd`` probe would force a
+    physical-plan conversion on every contract build). At cluster scale
+    a file-backed relation has thousands of leaf files (≥ parallelism)
+    → no-op; a small corpus (one file) or an in-memory relation
+    (``inputFiles() == []``) gets the repartition, which is exactly the
+    low-parallelism case the operator exists for.
     """
     spark = df.sparkSession
     n = target or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    if len(df.inputFiles()) >= n:
         return df
     return df.repartition(n)
 

@@ -68,15 +68,23 @@ def sessionize(
     Gap arithmetic is in integer microseconds (``unix_micros`` ≡ DuckDB
     ``epoch_us``) so the oracle compares the exact same values; the
     tiebreak column pins lag() order for equal timestamps.
+
+    Type-proof: ``unix_micros`` accepts only TIMESTAMP, so the column
+    is cast to it first — under a UTC session timezone the cast from
+    TIMESTAMP_NTZ is value-identical, making the operator safe even if
+    a caller's scan inferred NTZ (the catalog pins the conf, but a
+    bare-session drift should degrade to the same values, not an
+    AnalysisException).
     """
     w_order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     gap_us = gap_minutes * 60 * 1_000_000
-    us = F.unix_micros(F.col(ts_col))
+    ts_instant = F.col(ts_col).cast("timestamp")
+    us = F.unix_micros(ts_instant)
     with_flag = events.withColumn(
         "_new_session",
         F.when(
             F.lag(ts_col).over(w_order).isNull()
-            | (us - F.unix_micros(F.lag(ts_col).over(w_order)) > gap_us),
+            | (us - F.unix_micros(F.lag(ts_instant).over(w_order)) > gap_us),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )

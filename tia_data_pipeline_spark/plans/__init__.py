@@ -74,10 +74,16 @@ CONTRACT_ORDER = [
     "q_asof_join",
     "q_range_join",
     "q_profile",
-    "q_ntile",
+    # q_approx_distinct promoted into the cap in round 3: it was the
+    # only never-driver-seen query (new in round 2, landed below the
+    # cap). Its rows-only driver run still validates schema + build
+    # under the driver's session; q_ntile dropped to the tail in
+    # exchange (ranking-window variant — window machinery already
+    # driver-verified via q_window_frames / q_topk_latest).
+    "q_approx_distinct",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; all were
-    #      driver-green in round 1 (CORRECTNESS_r01.json).
+    #      driver-green in an earlier round.
     "q_dedup_latest",  # row_number latest-per-key: q_topk_latest covers
     "q_scan_project",  # scan+projection: q_proj_alias covers
     "q_topk_per_group",  # WindowGroupLimit: q_topk_latest covers
@@ -87,8 +93,7 @@ CONTRACT_ORDER = [
     "q_word_freq",  # ext-text-analysis
     "q_canonicalize",  # ext-text-analysis
     "q_ann_multiprobe",  # ext-sim-topk: q_ann_lsh covers
-    "q_approx_distinct",  # sketch variant of q_count_distinct; error
-    # bound pinned by tests/test_features.py (no cross-engine oracle)
+    "q_ntile",  # ranking window: q_window_frames / q_topk_latest cover
 ]
 
 

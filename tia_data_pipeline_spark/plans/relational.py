@@ -104,6 +104,8 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final table equals the plain union window — which is exactly
     the oracle. Covers jdbc_ensure_table (PK DDL), the distributed
     staging write, the atomic MERGE, and the JDBC read-back."""
+    import atexit
+    import shutil
     import tempfile
 
     from tia_data_pipeline_spark.sources.jdbc import (
@@ -112,7 +114,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         jdbc_read,
     )
 
-    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='graft_merge_')}/db;create=true"
+    # Each build gets a fresh embedded DB (bench warm-up + timed runs =
+    # several); the atexit hook keeps them from accumulating on disk.
+    tmp = tempfile.mkdtemp(prefix="graft_merge_")
+    atexit.register(shutil.rmtree, tmp, True)
+    url = f"jdbc:derby:{tmp}/db;create=true"
     orders = load_table(spark, sf_dir, "orders")
 
     def batch(lo: str, hi: str) -> DataFrame:

@@ -54,14 +54,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas-UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Timestamps in the corpus are ns-precision parquet; read as µs
-        # (Spark TimestampType) without failing.
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
-        # rejects; read as int64 ns and let the catalog convert to µs
-        # TimestampType (floor ÷1000 ≡ DuckDB's ::TIMESTAMP truncation).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is parquet TIMESTAMP(isAdjustedToUTC=false, MICROS);
+        # read it as TimestampType (an instant, UTC session tz) rather
+        # than TIMESTAMP_NTZ so event-time functions and watermarks
+        # apply. Also pinned per-session in catalog._ensure_session_confs
+        # for caller-provided sessions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     for k, v in (extra_conf or {}).items():

@@ -14,6 +14,7 @@ from tia_data_pipeline_spark.sources.rest import (
 )
 from tia_data_pipeline_spark.sources.files import read_json_records, write_json_records
 from tia_data_pipeline_spark.sources.jdbc import jdbc_read, jdbc_upsert_append
+from tia_data_pipeline_spark.sources.lakehouse import merge_upsert_table
 
 __all__ = [
     "paginated_rest_source",
@@ -22,4 +23,5 @@ __all__ = [
     "write_json_records",
     "jdbc_read",
     "jdbc_upsert_append",
+    "merge_upsert_table",
 ]
