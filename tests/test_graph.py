@@ -47,3 +47,29 @@ def test_thread_closure_cycle_under_depth_cap(spark):
     df = spark.createDataFrame(rows, "cid bigint, parent bigint")
     out = {r["cid"] for r in thread_closure(df, "cid", "parent", max_depth=6).collect()}
     assert out == {0, 1}
+
+
+def test_connected_components_chain_and_islands(spark):
+    from tia_data_pipeline_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4-5 (forces multi-round min propagation), pair 10-11,
+    # and a self-contained triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_components_transitive_survivors(spark):
+    from tia_data_pipeline_spark.operators.graph import dedup_components
+
+    # A~B, B~C but never A~C: transitivity must still collapse to one
+    # survivor; doc 99 is in no pair and survives untouched.
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    docs = spark.createDataFrame([(1,), (2,), (3,), (99,)], "doc_id bigint")
+    rows = {r["doc_id"]: (r["component"], r["is_kept"]) for r in dedup_components(pairs, docs).collect()}
+    assert rows == {1: (1, True), 2: (1, False), 3: (1, False), 99: (99, True)}

@@ -129,6 +129,11 @@ TAIL_COVERED_BY = {
     "q_canonicalize": "q_text_tokens",
     "q_ann_multiprobe": "q_ann_lsh",
     "q_ntile": "q_window_frames",
+    "q_sim_topk": "q_knn_join",
+    "q_fuzzy_dedup": "q_dedup_components",
+    "q_gopher_quality": "q_quality_score",
+    "q_pii_redact": "q_text_tokens",
+    "q_cohort_retention": "q_daily_window",
 }
 
 
@@ -159,3 +164,13 @@ def test_dedup_batch_is_one_pass_hash_aggregate(spark):
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2  # partial + final
     assert "SortAggregate" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_knn_join_broadcast_probes_partial_topk(spark):
+    """Batch k-NN: probes must broadcast (corpus never shuffles for the
+    join) and the per-probe top-k must run map-side (WindowGroupLimit
+    both below AND above the single exchange)."""
+    p = plan_of(spark, "q_knn_join")
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("WindowGroupLimit") >= 2
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]" in p

@@ -334,3 +334,152 @@ def canonicalize_sql(expr: str) -> str:
     no_punct = f"regexp_replace({lowered}, '{_CANON_KEEP}', ' ', 'g')"
     collapsed = f"regexp_replace({no_punct}, ' +', ' ', 'g')"
     return f"regexp_replace({collapsed}, '^ +| +$', '', 'g')"
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition/shape quality rules (Rae et al. 2021, public)
+# --------------------------------------------------------------------------
+# Thresholds follow the published Gopher filter; ratios are rounded to
+# 4 dp BEFORE the threshold compare so both engines make the identical
+# keep/drop decision at the boundary.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+
+# \x{...} escapes: the one unicode form BOTH Java regex and RE2 parse.
+_BULLET_RE = r"^[ \t]*[-*\x{2022}]"  # line starts with -, *, or •
+_ELLIPSIS_RE = r"(\.\.\.|\x{2026})[ \t]*$"  # line ends with ... or …
+_SYMBOL_RE = r"#|\.\.\.|\x{2026}"  # hash or ellipsis occurrences
+
+
+def gopher_rules(col: Column) -> tuple[dict[str, Column], Column]:
+    """Gopher-style document shape metrics + keep flag, all as narrow
+    codegen expressions (one token split, one line split, three linear
+    regex passes — no Python, no shuffle).
+
+    Returns ``(metrics, keep)``: metrics are ``n_words``,
+    ``mean_word_len``, ``symbol_ratio``, ``bullet_frac``,
+    ``ellipsis_frac``; ``keep`` is the conjunction of the published
+    thresholds evaluated on the rounded metrics.
+    """
+    toks = tokens(col)
+    n_words = F.coalesce(F.size(toks), F.lit(None)).cast("bigint")
+    words_div = F.greatest(n_words.cast("double"), F.lit(1.0))
+    # chars-in-words = doc length minus whitespace, over the same
+    # pinned whitespace class the tokenizer uses.
+    chars_in_words = F.length(F.regexp_replace(col, WS_CLASS, "")).cast("double")
+    mean_word_len = portable_round(chars_in_words / words_div, 4)
+    symbol_ratio = portable_round(
+        F.regexp_count(col, F.lit(_SYMBOL_RE)).cast("double") / words_div, 4
+    )
+    lines = F.split(col, "\n", -1)
+    n_lines = F.greatest(F.size(lines).cast("double"), F.lit(1.0))
+    bullet_frac = portable_round(
+        F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE))).cast("double") / n_lines, 4
+    )
+    ellipsis_frac = portable_round(
+        F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RE))).cast("double") / n_lines, 4
+    )
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio < GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac < GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac < GOPHER_MAX_ELLIPSIS_FRAC)
+    )
+    metrics = {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+    }
+    return metrics, keep
+
+
+def gopher_rules_sql(expr: str) -> tuple[dict[str, str], str]:
+    """DuckDB fragments mirroring :func:`gopher_rules` exactly."""
+    n_words = f"len({tokens_sql(expr)})"
+    words_div = f"greatest(({n_words})::DOUBLE, 1.0)"
+    chars_in_words = f"length(regexp_replace({expr}, '{WS_CLASS}', '', 'g'))::DOUBLE"
+    mean_word_len = portable_round_sql(f"{chars_in_words} / {words_div}", 4)
+    symbol_ratio = portable_round_sql(
+        f"len(regexp_extract_all({expr}, '{_SYMBOL_RE}'))::DOUBLE / {words_div}", 4
+    )
+    lines = f"string_split({expr}, chr(10))"
+    n_lines = f"greatest(len({lines})::DOUBLE, 1.0)"
+    bullet_frac = portable_round_sql(
+        f"len(list_filter({lines}, l -> regexp_matches(l, '{_BULLET_RE}')))::DOUBLE / {n_lines}",
+        4,
+    )
+    ellipsis_frac = portable_round_sql(
+        f"len(list_filter({lines}, l -> regexp_matches(l, '{_ELLIPSIS_RE}')))::DOUBLE / {n_lines}",
+        4,
+    )
+    keep = (
+        f"(({n_words}) >= {GOPHER_MIN_WORDS} AND ({n_words}) <= {GOPHER_MAX_WORDS} "
+        f"AND {mean_word_len} >= {GOPHER_MIN_MEAN_WORD_LEN} "
+        f"AND {mean_word_len} <= {GOPHER_MAX_MEAN_WORD_LEN} "
+        f"AND {symbol_ratio} < {GOPHER_MAX_SYMBOL_RATIO} "
+        f"AND {bullet_frac} < {GOPHER_MAX_BULLET_FRAC} "
+        f"AND {ellipsis_frac} < {GOPHER_MAX_ELLIPSIS_FRAC})"
+    )
+    metrics = {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+    }
+    return metrics, keep
+
+
+# --------------------------------------------------------------------------
+# PII redaction (emails / IPv4 / phone-like runs)
+# --------------------------------------------------------------------------
+# Patterns restricted to constructs Java regex and RE2 interpret
+# identically: ASCII classes, bounded repetition, \b word boundaries —
+# no backreferences, no lookaround (RE2 has neither).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]?\d{0,4}"
+
+
+def redact_pii(col: Column) -> tuple[Column, dict[str, Column]]:
+    """Redact emails, IPv4 addresses and international-format phone
+    numbers, replacing each with a typed token. Returns
+    ``(redacted_text, counts)``; counts are per-pattern matches on the
+    ORIGINAL text (replacement order — email, ip, phone — is pinned so
+    both engines rewrite identical bytes).
+
+    Linear RE2/Java regex passes over the document; at scale this is a
+    narrow projection — no shuffle, no Python.
+    """
+    counts = {
+        "n_emails": F.regexp_count(col, F.lit(PII_EMAIL_RE)).cast("bigint"),
+        "n_ips": F.regexp_count(col, F.lit(PII_IPV4_RE)).cast("bigint"),
+        "n_phones": F.regexp_count(col, F.lit(PII_PHONE_RE)).cast("bigint"),
+    }
+    redacted = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "<PHONE>")
+    return redacted, counts
+
+
+def redact_pii_sql(expr: str) -> tuple[str, dict[str, str]]:
+    """DuckDB fragments mirroring :func:`redact_pii`."""
+    counts = {
+        "n_emails": f"len(regexp_extract_all({expr}, '{PII_EMAIL_RE}'))",
+        "n_ips": f"len(regexp_extract_all({expr}, '{PII_IPV4_RE}'))",
+        "n_phones": f"len(regexp_extract_all({expr}, '{PII_PHONE_RE}'))",
+    }
+    redacted = f"regexp_replace({expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
+    redacted = f"regexp_replace({redacted}, '{PII_IPV4_RE}', '<IP>', 'g')"
+    redacted = f"regexp_replace({redacted}, '{PII_PHONE_RE}', '<PHONE>', 'g')"
+    return redacted, counts

@@ -84,3 +84,87 @@ def thread_closure(
         frontier = nxt
     out = reduce(lambda a, b: a.unionByName(b), levels)
     return out.select(F.col("_id").alias(id_col), "root_id", "depth")
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) labeling of an undirected edge list — the
+    min-label-propagation form of union-find, run as distributed joins.
+
+    The LLM-pipeline use: near-duplicate PAIRS (MinHash/SimHash/embedding
+    buckets emit pairs) must become CLUSTERS before "keep one doc per
+    cluster" — pairwise dedup alone drops too little (A~B, B~C but A≁C
+    still forms one cluster via transitivity).
+
+    Algorithm: every node starts labeled with itself; each round, every
+    node adopts the minimum label in its closed neighborhood; stop when
+    no label changed. The min label travels one hop per round, so
+    rounds are bounded by the longest chain in a component (near-dup
+    clusters are shallow; ``max_iter`` guards the pathological chain).
+    Each round is one join + one groupBy over the edge list — the
+    standard Hash-to-Min shape, linear in |E| per round. The edge
+    relation stays fixed across rounds; per round exactly ONE
+    materialization (the joined old/new label frame is checkpointed,
+    and both the convergence test and the next labels read from it),
+    with lineage cut via localCheckpoint like :func:`thread_closure`.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+    )
+    # closed neighborhood: each node is its own neighbor
+    nodes = sym.select("u").distinct()
+    sym = sym.union(nodes.select(F.col("u"), F.col("u").alias("v")))
+    labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    for _ in range(max_iter):
+        # propagate: node's new label = min(label of every neighbor)
+        prop = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("component").alias("new_component"))
+        )
+        joined = (
+            labels.join(prop, labels["node"] == prop["u"])
+            .select("node", "component", "new_component")
+            .localCheckpoint(eager=False)
+        )
+        n_changed = joined.filter(F.col("new_component") < F.col("component")).limit(1).count()
+        labels = joined.select(
+            "node", F.least("component", "new_component").alias("component")
+        )
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_components(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Cluster-aware near-dup dedup: collapse near-duplicate PAIRS into
+    connected components and keep the minimum-id document per
+    component; docs that appear in no pair survive untouched. Returns
+    ``(doc_id, component, is_kept)`` for every document.
+    """
+    comp = connected_components(pairs, src_col=pair_a, dst_col=pair_b)
+    out = (
+        docs.select(F.col(id_col))
+        .join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+    return out.withColumn(
+        "is_kept", (F.col(id_col) == F.col("component")).alias("is_kept")
+    )

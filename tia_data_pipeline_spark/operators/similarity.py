@@ -223,3 +223,48 @@ def ivf_top_k(
         portable_round(cosine_similarity(F.col(vec_col), F.col("_probe_vec")), 6).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    k: int = 10,
+) -> DataFrame:
+    """Batch k-NN join: for EVERY probe row, the exact top-k cosine
+    neighbors in the corpus — the retrieval shape an LLM pipeline
+    actually runs (N query embeddings at once), vs the single-probe
+    :func:`brute_force_top_k`.
+
+    Scale shape: the probe side is broadcast (queries are the small
+    relation), so the corpus is scanned ONCE for all probes with no
+    shuffle of corpus rows; scoring is a narrow projection, and the
+    per-probe top-k is a rank-limited window — Spark plans it as
+    WindowGroupLimit, i.e. each task keeps only k rows per probe before
+    the single shuffle on probe_id. Driver-visible output is
+    |probes|·k rows, never the cross product. Ordering ties break on
+    the corpus id so the k-boundary is deterministic cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    p = F.broadcast(
+        probes.select(
+            F.col(probe_id_col).alias("_probe_id"), F.col(vec_col).alias("_probe_vec")
+        )
+    )
+    scored = corpus.crossJoin(p).select(
+        F.col("_probe_id").alias(probe_id_col),
+        F.col(id_col),
+        portable_round(cosine_similarity(F.col(vec_col), F.col("_probe_vec")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(probe_id_col, id_col, "score", F.col("_rn").cast("bigint").alias("rank"))
+    )

@@ -103,3 +103,32 @@ def sessionize(
         )
         .select(key_col, "session_id", "session_start", "session_end", "n_events")
     )
+
+
+def cohort_retention(
+    events: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort_day, day_offset) the count of distinct users active that
+    many days after joining — the engagement curve every product/
+    training-data freshness dashboard needs.
+
+    One shuffle on the key computes each user's cohort day as a window
+    min (no self-join back onto events); the (cohort, offset) rollup is
+    a standard two-phase distinct-count. At extreme user cardinality
+    swap ``countDistinct`` for ``approx_count_distinct`` — the exact
+    form is the oracle-checkable baseline.
+    """
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col)
+    with_cohort = events.select(F.col(key_col), day.alias("_day")).withColumn(
+        "cohort_day", F.min("_day").over(w)
+    )
+    return (
+        with_cohort.groupBy(
+            "cohort_day",
+            F.datediff(F.col("_day"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct(key_col).cast("bigint").alias("n_users"))
+        .select("cohort_day", "day_offset", "n_users")
+    )

@@ -56,12 +56,20 @@ CONTRACT_ORDER = [
     "q_multimodal_meta",
     "q_resize_meta",
     "q_embed_stats",
-    "q_sim_topk",
+    # q_knn_join supersedes q_sim_topk in-cap (round 3): batch k-NN is
+    # the strict generalization (N probes vs 1), same hash-checked
+    # cosine math; single-probe stays tail-verified.
+    "q_knn_join",
     "q_ann_lsh",
     "q_embed_dedup",
     "q_ngram_jaccard",
     "q_simhash",
-    "q_fuzzy_dedup",
+    # q_dedup_components supersedes q_fuzzy_dedup in-cap (round 3): it
+    # is fully hash-checked (recursive-CTE oracle) where fuzzy_dedup
+    # was rows-only, and it exercises the cluster-closure step the
+    # pairwise queries stop short of; MinHash stays tail+structure-
+    # tested (planted near-dups).
+    "q_dedup_components",
     "q_count_distinct",
     "q_hash_sample",
     # -- analytics extensions
@@ -94,6 +102,11 @@ CONTRACT_ORDER = [
     "q_canonicalize",  # ext-text-analysis
     "q_ann_multiprobe",  # ext-sim-topk: q_ann_lsh covers
     "q_ntile",  # ranking window: q_window_frames / q_topk_latest cover
+    "q_sim_topk",  # single-probe special case: q_knn_join covers
+    "q_fuzzy_dedup",  # MinHash pairs: q_dedup_components/q_ngram_jaccard cover
+    "q_gopher_quality",  # ext-text-analysis: q_quality_score covers
+    "q_pii_redact",  # ext-text-analysis: q_text_tokens covers
+    "q_cohort_retention",  # event-time rollup: q_daily_window covers
 ]
 
 

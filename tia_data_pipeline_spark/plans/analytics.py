@@ -403,3 +403,25 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("norm_u").cast("double") / F.count("*") / 1_000_000.0).alias("avg_norm"),
         )
     )
+
+
+@contract_query(
+    "q_cohort_retention",
+    oracle=(
+        "WITH d AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day FROM events), "
+        "c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id) "
+        "SELECT c.cohort_day, date_diff('day', c.cohort_day, d.day)::BIGINT AS day_offset, "
+        "count(DISTINCT d.user_id)::BIGINT AS n_users "
+        "FROM d JOIN c ON d.user_id = c.user_id GROUP BY c.cohort_day, day_offset"
+    ),
+    covers="cohort analysis: first-activity grouping + retention offsets (extension)",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention curve over events: users bucketed by first-seen
+    day, distinct actives per (cohort_day, day_offset). Cohort day is a
+    window min over the single user_id shuffle (no self-join); the
+    rollup is a two-phase distinct count. The oracle derives the same
+    cohort via groupBy+join — different shape, identical relation."""
+    from tia_data_pipeline_spark.operators.windows import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))

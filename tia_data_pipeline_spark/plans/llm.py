@@ -20,6 +20,24 @@ from tia_data_pipeline_spark.plans.contract import contract_query
 
 _DOC_TOKENS_SQL = TX.tokens_sql("text")
 
+# Exact word-3-gram Jaccard pairs (threshold 0.4, document-frequency
+# cap 20) — shared by q_ngram_jaccard (pairs as the result) and
+# q_dedup_components (pairs as the edge list of the cluster graph).
+_NGRAM_PAIRS_SQL = (
+    "WITH shing AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ') "
+    "  FOR i IN range(1, greatest(len(tk) - 2, 0) + 1)])) AS sh "
+    "  FROM (SELECT doc_id, {t} AS tk FROM documents)), "
+    "rare AS (SELECT doc_id, sh FROM shing WHERE sh IN ("
+    "  SELECT sh FROM shing GROUP BY sh HAVING count(*) <= 20)), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id), "
+    "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared "
+    "  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+    "  GROUP BY a.doc_id, b.doc_id) "
+    f"SELECT id_a, id_b, {TX.portable_round_sql('shared / (sa.n_sh + sb.n_sh - shared)', 6)} AS jaccard "
+    "FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    f"WHERE {TX.portable_round_sql('shared / (sa.n_sh + sb.n_sh - shared)', 6)} >= 0.4"
+).format(t=_DOC_TOKENS_SQL)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (doc_id, text) scan, fanned out across cores: the corpus
@@ -271,20 +289,7 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @contract_query(
     "q_ngram_jaccard",
-    oracle=(
-        "WITH shing AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ') "
-        "  FOR i IN range(1, greatest(len(tk) - 2, 0) + 1)])) AS sh "
-        "  FROM (SELECT doc_id, {t} AS tk FROM documents)), "
-        "rare AS (SELECT doc_id, sh FROM shing WHERE sh IN ("
-        "  SELECT sh FROM shing GROUP BY sh HAVING count(*) <= 20)), "
-        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id), "
-        "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared "
-        "  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id "
-        "  GROUP BY a.doc_id, b.doc_id) "
-        f"SELECT id_a, id_b, {TX.portable_round_sql('shared / (sa.n_sh + sb.n_sh - shared)', 6)} AS jaccard "
-        "FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
-        f"WHERE {TX.portable_round_sql('shared / (sa.n_sh + sb.n_sh - shared)', 6)} >= 0.4"
-    ).format(t=_DOC_TOKENS_SQL),
+    oracle=_NGRAM_PAIRS_SQL,
     covers="ext-fuzzy-dedup (exact n-gram Jaccard, inverted index)",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,3 +479,120 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_near_duplicates(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
     )
+
+
+@contract_query(
+    "q_knn_join",
+    oracle=(
+        "WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec "
+        "  FROM embeddings WHERE vec_id < 5), "
+        "scored AS (SELECT p.probe_id, c.vec_id, "
+        f"  {TX.portable_round_sql(cosine_sql('c.embedding', 'p.probe_vec'), 6)} AS score "
+        "  FROM embeddings c CROSS JOIN probes p) "
+        "SELECT probe_id, vec_id, score, rank FROM ("
+        "  SELECT probe_id, vec_id, score, row_number() OVER ("
+        "    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank FROM scored) "
+        "WHERE rank <= 10"
+    ),
+    covers="ext-sim-topk (batch k-NN join: N probes at once)",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join — top-10 cosine neighbors for each of 5 probe
+    embeddings in ONE pass over the corpus: probes broadcast, scoring a
+    narrow projection, per-probe top-k as a rank-limited window
+    (WindowGroupLimit: each task keeps ≤ k rows per probe before the
+    only shuffle). The retrieval shape of a real RAG/dedup pipeline,
+    vs q_sim_topk's single probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return SIM.knn_join(emb, probes, k=10)
+
+
+@contract_query(
+    "q_gopher_quality",
+    oracle=(
+        lambda m=TX.gopher_rules_sql("text"): (
+            f"SELECT doc_id, {m[0]['n_words']} AS n_words, "
+            f"{m[0]['mean_word_len']} AS mean_word_len, "
+            f"{m[0]['symbol_ratio']} AS symbol_ratio, "
+            f"{m[0]['bullet_frac']} AS bullet_frac, "
+            f"{m[0]['ellipsis_frac']} AS ellipsis_frac, "
+            f"{m[1]} AS keep FROM documents"
+        )
+    )(),
+    covers="ext-text-analysis (Gopher-style shape/repetition filter)",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter: shape metrics + keep flag per doc,
+    all narrow codegen expressions (one tokenize, one line split, three
+    linear regex passes). The standard pre-training corpus gate,
+    complementing q_quality_score's scalar score."""
+    metrics, keep = TX.gopher_rules(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        metrics["n_words"].alias("n_words"),
+        metrics["mean_word_len"].alias("mean_word_len"),
+        metrics["symbol_ratio"].alias("symbol_ratio"),
+        metrics["bullet_frac"].alias("bullet_frac"),
+        metrics["ellipsis_frac"].alias("ellipsis_frac"),
+        keep.alias("keep"),
+    )
+
+
+@contract_query(
+    "q_pii_redact",
+    oracle=(
+        lambda r=TX.redact_pii_sql("text"): (
+            f"SELECT doc_id, {r[0]} AS redacted, "
+            f"{r[1]['n_emails']} AS n_emails, {r[1]['n_ips']} AS n_ips, "
+            f"{r[1]['n_phones']} AS n_phones FROM documents"
+        )
+    )(),
+    covers="ext-text-analysis (PII redaction: email/IPv4/phone)",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: emails / IPv4s / international phone runs
+    replaced by typed tokens, with per-pattern match counts (counted on
+    the original text; replacement order pinned email→ip→phone on both
+    engines). Linear regex passes, no shuffle."""
+    redacted, counts = TX.redact_pii(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        redacted.alias("redacted"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+    )
+
+
+@contract_query(
+    "q_dedup_components",
+    oracle=(
+        "WITH RECURSIVE pairs AS (" + _NGRAM_PAIRS_SQL + "), "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        "  UNION SELECT id_b AS u, id_a AS v FROM pairs), "
+        "reach(node, r) AS ("
+        "  SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "  UNION SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u), "
+        "comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node) "
+        "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, "
+        "  (d.doc_id = coalesce(c.component, d.doc_id)) AS is_kept "
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"
+    ),
+    covers="ext-fuzzy-dedup (pair graph → connected components → one survivor per cluster)",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dedup: the exact n-gram Jaccard pairs (same
+    parameters as q_ngram_jaccard) become an undirected graph;
+    min-label propagation collapses each connected component; the
+    minimum doc_id per component survives. Transitivity is the point —
+    A~B and B~C dedup to ONE survivor even when A≁C. The oracle
+    reproduces the closure with a recursive CTE over the identical
+    pair SQL — a fully hash-checked iterative-algorithm query."""
+    from tia_data_pipeline_spark.operators.graph import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.4, max_df=20)
+    return dedup_components(pairs, docs, id_col="doc_id")
