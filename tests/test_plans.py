@@ -134,6 +134,7 @@ TAIL_COVERED_BY = {
     "q_gopher_quality": "q_quality_score",
     "q_pii_redact": "q_text_tokens",
     "q_cohort_retention": "q_daily_window",
+    "q_funnel": "q_session_window",
 }
 
 
@@ -174,3 +175,16 @@ def test_knn_join_broadcast_probes_partial_topk(spark):
     assert "BroadcastNestedLoopJoin" in p
     assert p.count("WindowGroupLimit") >= 2
     assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]" in p
+
+
+def test_funnel_windows_share_one_shuffle(spark):
+    """The 3 conditional stage-windows must all reuse ONE hash
+    partitioning on user_id (one Sort, three Window nodes); only the
+    distinct adds a second exchange. A join-chain funnel would show 3+
+    exchanges."""
+    import re
+
+    p = plan_of(spark, "q_funnel")
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 3
+    assert len(re.findall(r"\(\d+\) Sort\b", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2

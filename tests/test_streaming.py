@@ -111,3 +111,26 @@ def test_checkpoint_restart_is_exactly_once(spark, events_dir, tmp_path):
         q.awaitTermination()
     total = spark.read.parquet(out_dir).count()
     assert total == load_table(spark, SMOKE_SF, "events").count()
+
+
+def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
+    """dropDuplicatesWithinWatermark must remove key repeats even when
+    copies land in different micro-batches, matching batch
+    dropDuplicates on the doubled input."""
+    from tia_data_pipeline_spark.streaming.windows import stream_dedup_events
+
+    # double every file: same events dir read twice into one stream dir
+    doubled = str(tmp_path / "doubled")
+    base = load_table(spark, SMOKE_SF, "events")
+    base.repartition(3).write.parquet(doubled)
+    base.repartition(5).write.mode("append").parquet(doubled)
+
+    stream = stream_dedup_events(
+        events_stream(spark, doubled, max_files_per_trigger=2), watermark="365 days"
+    )
+    run_available_now(
+        stream, checkpoint=str(tmp_path / "ck4"), table_name="dedup_stream", output_mode="append"
+    )
+    out = spark.table("dedup_stream")
+    assert out.count() == base.count()
+    assert out.select("event_id").distinct().count() == base.count()

@@ -107,6 +107,7 @@ CONTRACT_ORDER = [
     "q_gopher_quality",  # ext-text-analysis: q_quality_score covers
     "q_pii_redact",  # ext-text-analysis: q_text_tokens covers
     "q_cohort_retention",  # event-time rollup: q_daily_window covers
+    "q_funnel",  # event-sequence analysis: q_session_window covers
 ]
 
 

@@ -425,3 +425,49 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tia_data_pipeline_spark.operators.windows import cohort_retention
 
     return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@contract_query(
+    "q_funnel",
+    oracle=(
+        "WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events), "
+        "s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END) "
+        "  OVER (PARTITION BY user_id) AS t1 FROM e), "
+        "s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END) "
+        "  OVER (PARTITION BY user_id) AS t2 FROM s1), "
+        "s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END) "
+        "  OVER (PARTITION BY user_id) AS t3 FROM s2), "
+        "u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s3) "
+        "SELECT 'view' AS stage, count(t1)::BIGINT AS n_users FROM u "
+        "UNION ALL SELECT 'view>click', count(t2)::BIGINT FROM u "
+        "UNION ALL SELECT 'view>click>purchase', count(t3)::BIGINT FROM u"
+    ),
+    covers="ordered-funnel analysis: strictly-sequenced conversion stages (extension)",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage ordered funnel (view → click → purchase, strictly
+    increasing event times): stage k's timestamp is the earliest
+    qualifying event AFTER stage k-1, computed as three conditional
+    window-mins over the SAME user_id partitioning — one shuffle, no
+    self-joins (the naive form is k-1 joins back onto events). The
+    distinct (user, t1, t2, t3) frame then folds to one row per stage
+    via stack()."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = events.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    u = staged.select("user_id", "t1", "t2", "t3").distinct()
+    counts = u.agg(
+        F.count("t1").alias("c1"), F.count("t2").alias("c2"), F.count("t3").alias("c3")
+    )
+    return counts.selectExpr(
+        "stack(3, 'view', c1, 'view>click', c2, 'view>click>purchase', c3) AS (stage, n_users)"
+    )

@@ -73,12 +73,19 @@ def stream_session_windows(
     )
 
 
-def run_available_now(stream_df: DataFrame, *, checkpoint: str, table_name: str) -> None:
+def run_available_now(
+    stream_df: DataFrame, *, checkpoint: str, table_name: str, output_mode: str = "complete"
+) -> None:
     """Drain everything currently available and stop — the scheduled-
     batch execution mode (`Trigger.AvailableNow`): same code path as
-    continuous, but runs to completion like the reference's daily job."""
+    continuous, but runs to completion like the reference's daily job.
+
+    ``output_mode``: "complete" for aggregations (the memory sink holds
+    the final aggregate table); "append" for row streams (dedup,
+    enrichment) where complete mode is invalid.
+    """
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(table_name)
         .option("checkpointLocation", checkpoint)
@@ -86,3 +93,22 @@ def run_available_now(stream_df: DataFrame, *, checkpoint: str, table_name: str)
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup_events(
+    events: DataFrame, *, key_cols: tuple[str, ...] = ("event_id",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once ingest guard: drop duplicate events by key
+    within the watermark horizon (``dropDuplicatesWithinWatermark``) —
+    the streaming form of `dedup-batch` / the reference's
+    ``ON CONFLICT DO NOTHING``. State per key is evicted once the
+    watermark passes, so memory is bounded by the lateness window
+    (a plain ``dropDuplicates`` on a stream would keep ALL keys
+    forever — unbounded state at 100 TB/day ingest).
+
+    Duplicates whose repeats arrive within the watermark of the first
+    sighting are removed even when the copies land in different
+    micro-batches; a repeat later than the horizon is by definition
+    outside the delivery-retry window this guard models.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(key_cols))
