@@ -42,3 +42,31 @@ def test_merge_upsert_latest_wins(spark):
     incoming = _frame(spark, [(1, "new")])
     got = {r["id"]: r["v"] for r in merge_upsert_plan(incoming, existing, ["id"]).collect()}
     assert got == {1: "new", 2: "keep"}
+
+
+def test_scd2_merge_semantics(spark):
+    from datetime import datetime
+
+    from tia_data_pipeline_spark.operators.incremental import scd2_merge
+
+    t0 = datetime(2020, 1, 1)
+    eff = datetime(2020, 6, 1)
+    cur = spark.createDataFrame(
+        [(1, "a", t0), (2, "b", t0), (3, "c", t0)],
+        "k bigint, v string, valid_from timestamp",
+    )
+    upd = spark.createDataFrame(
+        [(2, "b", eff), (3, "C2", eff), (4, "d", eff)],
+        "k bigint, v string, eff timestamp",
+    )
+    rows = {
+        (r["k"], r["v"]): (r["valid_from"], r["valid_to"])
+        for r in scd2_merge(cur, upd, keys=["k"], attrs=["v"], eff_col="eff").collect()
+    }
+    assert rows == {
+        (1, "a"): (t0, None),  # no update → untouched
+        (2, "b"): (t0, None),  # identical attrs → no churn
+        (3, "c"): (t0, eff),  # changed → old version closed...
+        (3, "C2"): (eff, None),  # ...new version opened
+        (4, "d"): (eff, None),  # brand-new key
+    }

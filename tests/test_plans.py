@@ -135,6 +135,7 @@ TAIL_COVERED_BY = {
     "q_pii_redact": "q_text_tokens",
     "q_cohort_retention": "q_daily_window",
     "q_funnel": "q_session_window",
+    "q_scd2": "q_merge_upsert",
 }
 
 

@@ -108,6 +108,7 @@ CONTRACT_ORDER = [
     "q_pii_redact",  # ext-text-analysis: q_text_tokens covers
     "q_cohort_retention",  # event-time rollup: q_daily_window covers
     "q_funnel",  # event-sequence analysis: q_session_window covers
+    "q_scd2",  # keep-history merge variant: q_merge_upsert covers
 ]
 
 

@@ -394,3 +394,61 @@ def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.day").alias("day1"),
         F.col("b.day").alias("day2"),
     )
+
+
+@contract_query(
+    "q_scd2",
+    oracle=(
+        "WITH cur AS (SELECT o_orderkey, o_custkey, o_totalprice, "
+        "    o_orderdate::TIMESTAMP AS valid_from FROM orders "
+        "  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'), "
+        "upd AS (SELECT o_orderkey, o_custkey, "
+        "    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END "
+        "      AS o_totalprice, TIMESTAMP '1996-03-01' AS eff FROM orders "
+        "  WHERE o_orderdate >= TIMESTAMP '1996-01-15' AND o_orderdate < TIMESTAMP '1996-02-15'), "
+        "j AS (SELECT cur.o_orderkey AS ck, upd.o_orderkey AS uk, "
+        "    cur.o_custkey AS cc, upd.o_custkey AS uc, "
+        "    cur.o_totalprice AS ct, upd.o_totalprice AS ut, "
+        "    cur.valid_from AS cf, upd.eff AS ue, "
+        "    (cur.o_orderkey IS NOT NULL) AS pc, (upd.o_orderkey IS NOT NULL) AS pu, "
+        "    (cur.o_custkey IS DISTINCT FROM upd.o_custkey "
+        "     OR cur.o_totalprice IS DISTINCT FROM upd.o_totalprice) AS ch "
+        "  FROM cur FULL OUTER JOIN upd ON cur.o_orderkey = upd.o_orderkey) "
+        "SELECT ck AS o_orderkey, cc AS o_custkey, ct AS o_totalprice, cf AS valid_from, "
+        "  NULL::TIMESTAMP AS valid_to FROM j WHERE pc AND (NOT pu OR NOT ch) "
+        "UNION ALL SELECT ck, cc, ct, cf, ue FROM j WHERE pc AND pu AND ch "
+        "UNION ALL SELECT uk, uc, ut, ue, NULL::TIMESTAMP FROM j WHERE pu AND (NOT pc OR ch)"
+    ),
+    covers="SCD2 keep-history merge (history-preserving form of snk-jdbc-upsert, posts_pipeline.py:57)",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 over two overlapping order
+    snapshots: even keys in the second batch arrive with a changed
+    price (old version closes at the effective date, new version
+    opens), odd overlap keys are byte-identical (no churn), late-window
+    keys insert fresh. One full-outer join on the key = one shuffle;
+    the three legs are projections of that joined frame."""
+    from tia_data_pipeline_spark.operators.incremental import scd2_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def window(lo: str, hi: str) -> DataFrame:
+        return orders.filter((F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi)))
+
+    cur = window("1996-01-01", "1996-02-01").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("valid_from"),
+    )
+    upd = window("1996-01-15", "1996-02-15").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") + 100.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.lit("1996-03-01").cast("timestamp").alias("eff"),
+    )
+    return scd2_merge(
+        cur, upd, keys=["o_orderkey"], attrs=["o_custkey", "o_totalprice"], eff_col="eff"
+    )
