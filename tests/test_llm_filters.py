@@ -98,3 +98,51 @@ def test_gopher_rules_match_duckdb_and_each_rule_fires(spark):
     assert got[3][3] == 1.0 and got[3][5] is False  # bullet rule
     assert got[4][4] == 1.0 and got[4][5] is False  # ellipsis rule
     assert got[5][5] is False and got[5][2] > 0.1  # symbol rule
+
+
+def test_repetition_metrics_planted(spark):
+    """Planted repetition: the corpus has little line structure, so
+    force both metrics to fire and compare against hand-computed
+    values via the registered oracle machinery at the function level."""
+    from tia_data_pipeline_spark.functions.text import WS_CLASS, portable_round, tokens
+
+    rows = [
+        (0, "a b\na b\nc d"),          # 3 lines, one dup -> 1/3
+        (1, "x y x y x y"),            # bigrams: 'x y'x3, 'y x'x2 -> 3/5
+        (2, ""),                        # empty -> 0.0 / 0.0
+        (3, "unique lines\nonly here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    strip_re = f"^{WS_CLASS}+|{WS_CLASS}+$"
+    from pyspark.sql import functions as F
+
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n", -1), lambda x: F.regexp_replace(x, strip_re, "")),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    dup = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        portable_round((n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines, 4)
+    )
+    got_dup = {r["doc_id"]: r["d"] for r in df.select("doc_id", dup.alias("d")).collect()}
+    assert got_dup[0] == portable_round_py(1 / 3)
+    assert got_dup[2] == 0.0 and got_dup[3] == 0.0
+
+    toks = tokens(F.col("text"))
+    n_bi = F.size(toks) - 1
+    zipped = F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))
+    bigrams = F.when(n_bi < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    )
+    counts = df.select("doc_id", F.explode(bigrams).alias("bg")).groupBy("doc_id", "bg").count()
+    top = counts.groupBy("doc_id").agg((F.max("count") / F.sum("count")).alias("f")).collect()
+    fr = {r["doc_id"]: r["f"] for r in top}
+    assert abs(fr[1] - 3 / 5) < 1e-9
+    assert 2 not in fr  # empty doc has no bigrams -> left-join null path
+
+
+def portable_round_py(x: float, n: int = 4) -> float:
+    import math
+
+    return math.floor(x * 10**n + 0.5) / 10**n

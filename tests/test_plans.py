@@ -136,6 +136,7 @@ TAIL_COVERED_BY = {
     "q_cohort_retention": "q_daily_window",
     "q_funnel": "q_session_window",
     "q_scd2": "q_merge_upsert",
+    "q_repetition": "q_quality_score",
 }
 
 

@@ -109,6 +109,7 @@ CONTRACT_ORDER = [
     "q_cohort_retention",  # event-time rollup: q_daily_window covers
     "q_funnel",  # event-sequence analysis: q_session_window covers
     "q_scd2",  # keep-history merge variant: q_merge_upsert covers
+    "q_repetition",  # ext-text-analysis: q_quality_score covers
 ]
 
 

@@ -596,3 +596,82 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.4, max_df=20)
     return dedup_components(pairs, docs, id_col="doc_id")
+
+
+# Non-empty lines of a document, whitespace-stripped — shared by the
+# Spark and DuckDB sides of q_repetition via the pinned WS class.
+_LINES_SQL = (
+    "list_filter(list_transform(string_split(text, chr(10)), "
+    f"x -> regexp_replace(x, '^{TX.WS_CLASS}+|{TX.WS_CLASS}+$', '', 'g')), x -> x <> '')"
+)
+_DUP_LINE_SQL = (
+    f"CASE WHEN len({_LINES_SQL}) = 0 THEN 0.0 ELSE "
+    + TX.portable_round_sql(
+        f"(len({_LINES_SQL}) - len(list_distinct({_LINES_SQL})))::DOUBLE / len({_LINES_SQL})", 4
+    )
+    + " END"
+)
+
+
+@contract_query(
+    "q_repetition",
+    oracle=(
+        "WITH base AS (SELECT doc_id, text, {t} AS tk FROM documents), "
+        "bigr AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ') "
+        "  FOR i IN range(1, greatest(len(tk) - 1, 0) + 1)]) AS bg FROM base), "
+        "cnt AS (SELECT doc_id, bg, count(*) AS c FROM bigr GROUP BY doc_id, bg), "
+        "top AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM cnt GROUP BY doc_id), "
+        "lin AS (SELECT doc_id, {dl} AS dup_line_frac FROM base) "
+        "SELECT l.doc_id, l.dup_line_frac, "
+        "  coalesce({tb}, 0.0) AS top_bigram_frac "
+        "FROM lin l LEFT JOIN top ON l.doc_id = top.doc_id"
+    ).format(
+        t=_DOC_TOKENS_SQL,
+        dl=_DUP_LINE_SQL,
+        tb=TX.portable_round_sql("topc::DOUBLE / tot", 4),
+    ),
+    covers="ext-text-analysis (Gopher repetition rules: duplicate lines, dominant bigram)",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics per document — the Gopher filter dimension
+    q_gopher_quality's shape rules don't cover: (a) fraction of
+    duplicate non-empty lines (pure expression: split, strip, distinct)
+    and (b) the dominant word-bigram's share of all bigrams (mode via
+    explode + two grouped aggs, both partitioned by doc_id — the same
+    shuffle shape as TF-IDF, linear in corpus size; no per-row
+    quadratic HOF scan). Boilerplate/template spam scores high on both."""
+    docs = _docs(spark, sf_dir)
+    strip_re = f"^{TX.WS_CLASS}+|{TX.WS_CLASS}+$"
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n", -1), lambda x: F.regexp_replace(x, strip_re, "")),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        TX.portable_round(
+            (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines, 4
+        )
+    )
+    line_metrics = docs.select("doc_id", dup_line_frac.alias("dup_line_frac"))
+
+    toks = TX.tokens(F.col("text"))
+    n_bi = F.size(toks) - 1
+    zipped = F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))
+    bigrams = F.when(n_bi < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    )
+    counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+    )
+    top = counts.groupBy("doc_id").agg(
+        F.max("count").alias("topc"), F.sum("count").alias("tot")
+    )
+    return line_metrics.join(top, "doc_id", "left").select(
+        "doc_id",
+        "dup_line_frac",
+        F.coalesce(
+            TX.portable_round(F.col("topc").cast("double") / F.col("tot"), 4), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+    )
