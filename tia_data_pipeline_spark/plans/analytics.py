@@ -464,7 +464,13 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
     ).over(w)
     staged = staged.withColumn("t3", t3)
-    u = staged.select("user_id", "t1", "t2", "t3").distinct()
+    # t1/t2/t3 are constant within a user's partition, so collapsing to
+    # one row per user is a groupBy on user_id — which REUSES the
+    # windows' hash partitioning (zero extra exchange), where a
+    # 4-column distinct would repartition on all four columns.
+    u = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
     counts = u.agg(
         F.count("t1").alias("c1"), F.count("t2").alias("c2"), F.count("t3").alias("c3")
     )
