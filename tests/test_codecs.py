@@ -1,0 +1,114 @@
+"""Pure-numpy codecs: real decode/resize on synthesized uncompressed
+payloads, standalone AND through the Spark mapInPandas pipeline."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from tia_data_pipeline_spark.functions.codecs import (
+    decode_bmp,
+    decode_media,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    resize_media,
+    resize_nearest,
+    sniff_format,
+)
+
+
+def _ppm(w: int, h: int) -> tuple[bytes, np.ndarray]:
+    px = (np.arange(w * h * 3, dtype=np.uint64) * 7 % 256).astype(np.uint8).reshape(h, w, 3)
+    return encode_ppm(px), px
+
+
+def _bmp_24(w: int, h: int) -> bytes:
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    data = bytes(range(row % 256)) * h + b"\x00" * (pad * h)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def _wav_pcm16(n_samples: int, rate: int = 8000, channels: int = 1) -> bytes:
+    data = struct.pack(f"<{n_samples * channels}h", *([1000] * n_samples * channels))
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_ppm_roundtrip_and_comment_header():
+    payload, px = _ppm(6, 4)
+    d = decode_ppm(payload)
+    assert (d["width"], d["height"], d["format"]) == (6, 4, "image/ppm")
+    assert np.array_equal(d["pixels"], px)
+    # netpbm comments in the header must be skipped
+    commented = b"P6\n# synthetic test image\n6 4\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(commented)["pixels"], px)
+
+
+def test_nearest_neighbor_resize_exact():
+    _, px = _ppm(4, 4)
+    small = resize_nearest(px, 2, 2)
+    # index law: output (y,x) = source ((y*4)//2, (x*4)//2) = (2y, 2x)
+    assert np.array_equal(small, px[::2, ::2])
+    up = resize_nearest(small, 4, 4)
+    assert up.shape == (4, 4, 3)
+
+
+def test_resize_media_real_ppm_path():
+    payload, px = _ppm(8, 8)
+    out = resize_media(payload, 4, 4)
+    d = decode_ppm(out)
+    assert (d["width"], d["height"]) == (4, 4)
+    assert np.array_equal(d["pixels"], px[::2, ::2])
+
+
+def test_bmp_and_wav_metadata():
+    bmp = _bmp_24(10, 7)
+    d = decode_bmp(bmp)
+    assert (d["width"], d["height"]) == (10, 7) and d["format"] == "image/bmp;bpp=24"
+    wav = _wav_pcm16(4000, rate=8000, channels=2)
+    a = decode_wav(wav)
+    assert a["channels"] == 2 and a["sample_rate"] == 8000 and a["bits"] == 16
+    assert a["n_samples"] == 4000 and a["duration_ms"] == 500
+
+
+def test_decode_media_dispatch_and_stub_fallback():
+    ppm, _ = _ppm(3, 3)
+    assert decode_media(ppm)["format"] == "image/ppm"
+    assert decode_media(_bmp_24(2, 2))["format"].startswith("image/bmp")
+    assert decode_media(_wav_pcm16(100))["format"] == "audio/wav"
+    # compressed/unknown magic -> deterministic stub, never an exception
+    fake = decode_media(b"\xff\xd8\xff\xe0 not actually jpeg")
+    assert fake["format"].startswith("fake/") and fake["width"] > 0
+    assert sniff_format(b"") == "unknown" and decode_media(b"")["format"] == "empty"
+
+
+def test_real_codecs_through_spark_pipeline(spark):
+    from tia_data_pipeline_spark.operators.multimodal import decode_payloads, resize_images
+
+    ppm_a, _ = _ppm(8, 6)
+    ppm_b, _ = _ppm(4, 4)
+    rows = [(1, bytearray(ppm_a)), (2, bytearray(ppm_b)), (3, bytearray(_bmp_24(5, 5)))]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+
+    got = {
+        r["id"]: (r["format"], r["width"], r["height"])
+        for r in decode_payloads(df, decode_fn=decode_media).collect()
+    }
+    assert got[1] == ("image/ppm", 8, 6)
+    assert got[2] == ("image/ppm", 4, 4)
+    assert got[3] == ("image/bmp;bpp=24", 5, 5)
+
+    resized = {
+        r["id"]: bytes(r["resized"])
+        for r in resize_images(df, target_w=2, target_h=2, resize_fn=resize_media).collect()
+    }
+    for i in (1, 2):
+        d = decode_ppm(resized[i])
+        assert (d["width"], d["height"]) == (2, 2)

@@ -1,0 +1,188 @@
+"""Pure-numpy media codecs for the multimodal tier.
+
+The container ships no image/audio libraries, but UNCOMPRESSED formats
+need none — their layouts are public byte structures:
+
+- **PPM** (P6 binary RGB): full decode to a pixel array, real
+  nearest-neighbor resize, re-encode. The genuine decode→transform→
+  encode path, end to end.
+- **BMP** (uncompressed Windows bitmap): header parse → dimensions,
+  bit depth.
+- **WAV** (RIFF PCM): chunk walk → channels, sample rate, bit depth,
+  sample count, duration.
+
+Compressed formats (JPEG/PNG/MP3/H.264) still require a real codec
+library; :func:`decode_media` falls back to the deterministic stub for
+those, preserving the documented injection seam
+(``operators/multimodal.py``): a deployment swaps in Pillow/ffmpeg
+callables with the same signatures.
+
+Everything here runs INSIDE the Arrow ``mapInPandas`` batches — plain
+bytes-in/dict-out functions, no Spark imports, trivially testable.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- PPM ----
+def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+    """First ``n`` whitespace-separated integer tokens after the magic,
+    skipping ``#`` comments; returns (tokens, offset past the single
+    whitespace byte that terminates the last token) — per the netpbm
+    spec the raster starts exactly there."""
+    toks: list[int] = []
+    i = 2  # past the 2-byte magic
+    cur = b""
+    while i < len(payload) and len(toks) < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c in (b" ", b"\t", b"\n", b"\r"):
+            if cur:
+                toks.append(int(cur))
+                cur = b""
+                if len(toks) == n:
+                    i += 1
+                    return toks, i
+        else:
+            cur += c
+        i += 1
+    if cur and len(toks) < n:
+        toks.append(int(cur))
+    return toks, i
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """P6 (binary) PPM → metadata + pixel array (h, w, 3) uint8."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    (w, h, maxval), off = _ppm_tokens(payload, 3)
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
+    pixels = raster.reshape(h, w, 3)
+    return {
+        "format": "image/ppm",
+        "width": int(w),
+        "height": int(h),
+        "pixels": pixels,
+        "checksum": int(raster.sum()) % 2_147_483_647,
+    }
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def resize_nearest(pixels: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resample — index arithmetic only, no libs."""
+    src_h, src_w = pixels.shape[:2]
+    ys = (np.arange(target_h) * src_h) // target_h
+    xs = (np.arange(target_w) * src_w) // target_w
+    return pixels[ys[:, None], xs[None, :]]
+
+
+# ---------------------------------------------------------------- BMP ----
+def decode_bmp(payload: bytes) -> dict:
+    """Uncompressed BMP header → dimensions/bit depth (no raster read;
+    metadata extraction is the common pipeline need)."""
+    if payload[:2] != b"BM" or len(payload) < 30:
+        raise ValueError("not a BMP")
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    return {
+        "format": f"image/bmp;bpp={bpp}",
+        "width": int(width),
+        "height": abs(int(height)),  # negative height = top-down rows
+        "checksum": int(np.frombuffer(payload, dtype=np.uint8).sum()) % 2_147_483_647,
+    }
+
+
+# ---------------------------------------------------------------- WAV ----
+def decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE chunk walk → PCM stream metadata."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF WAVE")
+    i, meta, data_size = 12, {}, 0
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        if cid == b"fmt ":
+            fmt, ch, rate = struct.unpack_from("<HHI", payload, i + 8)
+            bits = struct.unpack_from("<H", payload, i + 22)[0]
+            meta = {"audio_format": fmt, "channels": ch, "sample_rate": rate, "bits": bits}
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not meta:
+        raise ValueError("WAVE without fmt chunk")
+    frame = meta["channels"] * max(meta["bits"] // 8, 1)
+    n_samples = data_size // frame if frame else 0
+    return {
+        "format": "audio/wav",
+        "channels": meta["channels"],
+        "sample_rate": meta["sample_rate"],
+        "bits": meta["bits"],
+        "n_samples": int(n_samples),
+        "duration_ms": int(n_samples * 1000 // meta["sample_rate"]) if meta["sample_rate"] else 0,
+    }
+
+
+# ---------------------------------------------------------- dispatch ----
+def sniff_format(payload: bytes) -> str:
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def decode_media(payload: bytes) -> dict:
+    """Real decode for the lib-free formats, matching the
+    ``DECODED_SCHEMA`` contract of ``operators/multimodal.py``
+    (format/width/height/checksum); compressed or unknown payloads fall
+    back to the deterministic stub so the pipeline never dies on a
+    missing codec."""
+    from tia_data_pipeline_spark.operators.multimodal import fake_decode
+
+    kind = sniff_format(payload)
+    try:
+        if kind == "ppm":
+            d = decode_ppm(payload)
+            return {k: d[k] for k in ("format", "width", "height", "checksum")}
+        if kind == "bmp":
+            return decode_bmp(payload)
+        if kind == "wav":
+            d = decode_wav(payload)
+            # width/height carry the stream shape for the shared schema
+            return {
+                "format": d["format"],
+                "width": d["sample_rate"],
+                "height": d["channels"],
+                "checksum": d["n_samples"] % 2_147_483_647,
+            }
+    except (ValueError, struct.error):
+        pass
+    return fake_decode(payload)
+
+
+def resize_media(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Real resize for PPM (decode → nearest-neighbor → re-encode);
+    other formats fall back to the stub's size-law resample."""
+    if sniff_format(payload) == "ppm":
+        try:
+            return encode_ppm(resize_nearest(decode_ppm(payload)["pixels"], target_w, target_h))
+        except ValueError:
+            pass
+    from tia_data_pipeline_spark.operators.multimodal import _fake_resize
+
+    return _fake_resize(payload, target_w, target_h)

@@ -2,13 +2,16 @@
 
 Images/audio/video ride as opaque ``binary`` columns with typed
 metadata structs; decode / feature-extract / resize / frame-sample run
-as Arrow-batched pandas transforms over ``mapInPandas``. The actual
-codec step is STUBBED (no image/audio libraries in this container):
-``decode_fn`` defaults to a deterministic fake that derives metadata
-from the bytes themselves, and a real deployment injects e.g. a
-Pillow/ffmpeg-backed callable with the same signature. The Spark-side
-plumbing — schema, batch iteration, partition sizing — is real and
-tested (tests/test_multimodal.py).
+as Arrow-batched pandas transforms over ``mapInPandas``. Codec status:
+**uncompressed formats decode for real** — pure-numpy PPM (full
+decode + nearest-neighbor resize + re-encode), BMP headers, RIFF/WAV
+PCM in ``functions/codecs.py``, injectable via ``decode_fn`` /
+``resize_fn``. Compressed formats (JPEG/PNG/MP3) still need a codec
+library this container lacks; for those the deterministic stub stands
+in and a deployment injects e.g. a Pillow/ffmpeg-backed callable with
+the same signature. The Spark-side plumbing — schema, batch iteration,
+partition sizing — is real and tested (tests/test_multimodal.py,
+tests/test_codecs.py).
 
 Scale posture: payload columns are only materialized in the stages
 that touch them (column pruning keeps metadata-only queries off the
@@ -48,6 +51,18 @@ def fake_decode(payload: bytes) -> dict:
         "height": 1 + (checksum // 7) % 1080,
         "checksum": checksum,
     }
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in resize: re-samples the byte stream to a
+    size proportional to the target area (the law the q_resize_meta
+    oracle reproduces). The real lib-free path for uncompressed formats
+    is ``functions.codecs.resize_media``."""
+    if not payload:
+        return b""
+    target_len = max(1, (w * h) // 512)
+    reps = (target_len + len(payload) - 1) // len(payload)
+    return (payload * reps)[:target_len]
 
 
 def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -92,21 +107,12 @@ def resize_images(
     """Resize opaque image payloads to (target_w, target_h) via
     Arrow-batched ``mapInPandas``.
 
-    The codec is STUBBED (no image libraries in this container): the
-    default fake 'resize' deterministically re-samples the byte stream
-    to a size proportional to the target area, preserving the real
-    pipeline shape — binary in, binary out, metadata struct alongside.
-    Inject a Pillow-backed callable with the same signature in
-    deployment."""
-
-    def fake_resize(payload: bytes, w: int, h: int) -> bytes:
-        if not payload:
-            return b""
-        target_len = max(1, (w * h) // 512)
-        reps = (target_len + len(payload) - 1) // len(payload)
-        return (payload * reps)[:target_len]
-
-    fn = resize_fn or fake_resize
+    The default codec is the deterministic stub (the contract oracle
+    reproduces its size law); pass
+    ``functions.codecs.resize_media`` for the REAL pure-numpy path on
+    uncompressed PPM payloads (decode → nearest-neighbor → re-encode),
+    or a Pillow-backed callable in deployment — same signature."""
+    fn = resize_fn or _fake_resize
     out_schema = (
         f"{id_col} bigint, resized binary, width int, height int, "
         "n_bytes bigint, orig_bytes bigint"
