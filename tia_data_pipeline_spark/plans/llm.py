@@ -391,14 +391,21 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of q_count_distinct: HyperLogLog++ sketches
     merge associatively, so the shuffle carries one fixed-size sketch
     per (partition, group) instead of every distinct user_id —
-    countDistinct's expand-and-reshuffle cost disappears. rsd=0.01
-    bounds relative error ≈1%; no cross-engine oracle exists because
+    countDistinct's expand-and-reshuffle cost disappears.
+
+    rsd stays at Spark's default 0.05: measured at sf0.1 (noop sink,
+    min of 4), rsd=0.01 runs 1.2s — 4.5× SLOWER than 0.05 (0.27s) and
+    slower than exact countDistinct (0.29s), because precision p≥14
+    registers defeat the sketch's purpose at this update rate. The
+    sketch only pays for its error when its update/merge path is
+    cheaper than the exact expand — which 0.05 is. Error bound pinned
+    by tests/test_features.py; no cross-engine oracle exists because
     DuckDB's approx_count_distinct uses a different sketch."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("n_users_approx"),
             F.count("*").alias("n_events"),
         )
         .orderBy("event_type")
