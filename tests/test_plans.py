@@ -137,6 +137,7 @@ TAIL_COVERED_BY = {
     "q_funnel": "q_session_window",
     "q_scd2": "q_merge_upsert",
     "q_repetition": "q_quality_score",
+    "q_collocations": "q_tfidf",
 }
 
 

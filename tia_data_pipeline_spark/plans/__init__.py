@@ -110,6 +110,7 @@ CONTRACT_ORDER = [
     "q_funnel",  # event-sequence analysis: q_session_window covers
     "q_scd2",  # keep-history merge variant: q_merge_upsert covers
     "q_repetition",  # ext-text-analysis: q_quality_score covers
+    "q_collocations",  # ext-text-analysis: q_tfidf covers (corpus stats)
 ]
 
 

@@ -682,3 +682,82 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX.portable_round(F.col("topc").cast("double") / F.col("tot"), 4), F.lit(0.0)
         ).alias("top_bigram_frac"),
     )
+
+
+@contract_query(
+    "q_collocations",
+    oracle=(
+        "WITH base AS (SELECT doc_id, {t} AS tk FROM documents), "
+        "uni AS (SELECT unnest(tk) AS w FROM base), "
+        "ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w), "
+        "tot AS (SELECT sum(c)::DOUBLE AS n_uni FROM ucnt), "
+        "bi AS (SELECT unnest([array_to_string(tk[i:i+1], ' ') "
+        "  FOR i IN range(1, greatest(len(tk) - 1, 0) + 1)]) AS bg FROM base), "
+        "bcnt AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg), "
+        "btot AS (SELECT sum(cb)::DOUBLE AS n_bi FROM bcnt), "
+        "scored AS (SELECT bg, cb, "
+        "  {pmi} AS pmi "
+        "  FROM bcnt "
+        "  JOIN ucnt u1 ON u1.w = string_split(bcnt.bg, ' ')[1] "
+        "  JOIN ucnt u2 ON u2.w = string_split(bcnt.bg, ' ')[2] "
+        "  CROSS JOIN btot CROSS JOIN tot "
+        "  WHERE cb >= 5 AND len(string_split(bg, ' ')) = 2) "
+        "SELECT bg AS bigram, cb::BIGINT AS n, pmi FROM scored "
+        "ORDER BY pmi DESC, bg ASC LIMIT 20"
+    ).format(
+        t=_DOC_TOKENS_SQL,
+        pmi=TX.portable_round_sql(
+            "ln((cb / n_bi) / ((u1.c / n_uni) * (u2.c / n_uni)))", 6
+        ),
+    ),
+    covers="ext-text-analysis (corpus collocations: PMI-ranked word pairs)",
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: top-20 word bigrams by pointwise
+    mutual information (min count 5). PMI = ln(p(xy)/(p(x)p(y))) over
+    unigram/bigram token universes. Corpus totals join in as broadcast
+    scalars (never driver-side counts); the unigram table joins twice
+    (left word, right word) — both sides shuffle on the word, the
+    standard co-occurrence shape. Bigrams containing internal spaces
+    from multi-space runs are excluded on both engines by the
+    2-token-split guard."""
+    docs = _docs(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    n_bi = F.size(toks) - 1
+    zipped = F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))
+    bigrams = F.when(n_bi < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    )
+    uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(F.count("*").alias("c"))
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    bcnt = (
+        docs.select(F.explode(bigrams).alias("bg")).groupBy("bg").agg(F.count("*").alias("cb"))
+    )
+    n_bi_tot = bcnt.agg(F.sum("cb").cast("double").alias("n_bi"))
+    parts = F.split(F.col("bg"), " ", -1)
+    cand = (
+        bcnt.filter(F.col("cb") >= 5)
+        .withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .filter(F.size(F.split(F.col("bg"), " ", -1)) == 2)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        cand.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_bi_tot))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("cb").cast("bigint").alias("n"),
+            TX.portable_round(
+                F.log(
+                    (F.col("cb") / F.col("n_bi"))
+                    / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(20)
