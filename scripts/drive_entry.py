@@ -1,0 +1,60 @@
+"""Drive the driver contract exactly as the grading driver does:
+fresh process, bare-ish session, sf0.01, DuckDB oracle differential."""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from tests.oracle import assert_parity  # noqa: E402
+from tia_data_pipeline_spark.catalog import TABLES, table_path  # noqa: E402
+from tia_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    spark = get_spark(app_name="drive_entry", master="local[8]", shuffle_partitions=8)
+
+    rows = entry_mod.entry(spark).collect()
+    print(f"entry(): {len(rows)} rows")
+    assert len(rows) >= 1
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(SF_DIR, name)}')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    print(f"queries: {len(qs)}, oracles: {len(oracles)}")
+    failures = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            if name in oracles:
+                assert_parity(df, con.sql(oracles[name]), name)
+                status = "OK"
+            else:
+                n = df.count()
+                status = f"OK(rows-only n={n})"
+        except Exception as exc:  # noqa: BLE001
+            status = f"FAIL: {exc}"
+            failures.append(name)
+            traceback.print_exc()
+        print(f"  {name}: {status} [{time.time() - t0:.1f}s]")
+
+    print("RESULT:", "ALL-OK" if not failures else f"FAILURES: {failures}")
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
