@@ -135,3 +135,41 @@ def test_jdbc_merge_upsert_concurrent_writers(spark, derby_url):
     keys = [r["k"] for r in rows]
     assert len(keys) == len(set(keys))  # no duplicates
     assert len(keys) == _orders_slice(spark, "1996-01-01", "1996-02-15").count()
+
+
+def test_stream_upsert_jdbc_exactly_once(spark, derby_url, tmp_path):
+    """Streaming -> JDBC through foreachBatch MERGE: draining the same
+    source twice (second run with a FRESH checkpoint = full replay of
+    every micro-batch) must leave identical table contents — the
+    at-least-once x idempotent-merge = exactly-once composition."""
+    from tia_data_pipeline_spark.streaming.sinks import stream_upsert_jdbc
+    from tia_data_pipeline_spark.streaming.windows import events_stream
+
+    src = str(tmp_path / "events_src")
+    events = load_table(spark, SMOKE_SF, "events").select("event_id", "user_id", "value")
+    base = load_table(spark, SMOKE_SF, "events")
+    base.repartition(5).write.parquet(src)
+
+    def drain(ckpt: str) -> None:
+        stream = events_stream(spark, src, max_files_per_trigger=2).select(
+            "event_id", "user_id", "value"
+        )
+        q = stream_upsert_jdbc(
+            stream,
+            url=derby_url,
+            table="events_sink",
+            keys=["event_id"],
+            checkpoint=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    drain("ck_a")
+    n1 = jdbc_read(
+        spark, derby_url, 'SELECT event_id AS "event_id" FROM events_sink'
+    ).count()
+    # full replay: fresh checkpoint reprocesses every micro-batch
+    drain("ck_b")
+    n2 = jdbc_read(
+        spark, derby_url, 'SELECT event_id AS "event_id" FROM events_sink'
+    ).count()
+    assert n1 == n2 == events.count()

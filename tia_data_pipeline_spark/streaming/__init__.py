@@ -1,9 +1,17 @@
 """Structured Streaming forms of the incremental pipelines."""
 
+from tia_data_pipeline_spark.streaming.sinks import stream_upsert_jdbc
 from tia_data_pipeline_spark.streaming.windows import (
     stream_daily_counts,
+    stream_dedup_events,
     stream_session_windows,
     run_available_now,
 )
 
-__all__ = ["stream_daily_counts", "stream_session_windows", "run_available_now"]
+__all__ = [
+    "stream_daily_counts",
+    "stream_dedup_events",
+    "stream_session_windows",
+    "run_available_now",
+    "stream_upsert_jdbc",
+]
