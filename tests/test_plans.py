@@ -138,6 +138,7 @@ TAIL_COVERED_BY = {
     "q_scd2": "q_merge_upsert",
     "q_repetition": "q_quality_score",
     "q_collocations": "q_tfidf",
+    "q_feature_hash": "q_tfidf",
 }
 
 

@@ -111,6 +111,7 @@ CONTRACT_ORDER = [
     "q_scd2",  # keep-history merge variant: q_merge_upsert covers
     "q_repetition",  # ext-text-analysis: q_quality_score covers
     "q_collocations",  # ext-text-analysis: q_tfidf covers (corpus stats)
+    "q_feature_hash",  # text→vector featurizer: q_tfidf / q_simhash cover
 ]
 
 

@@ -761,3 +761,53 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(20)
+
+
+_FH_DIM = 16  # md5 first hex digit → 16 buckets, portable bit-for-bit
+
+
+@contract_query(
+    "q_feature_hash",
+    oracle=(
+        "SELECT doc_id, to_json([len(list_filter({t}, "
+        "  tok -> (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) = i)) "
+        f"  FOR i IN range(0, {_FH_DIM})])::VARCHAR AS features_json "
+        "FROM documents"
+    ).format(t=_DOC_TOKENS_SQL),
+    covers="ext-text-analysis → ext-sim-topk bridge (feature hashing: text → vector)",
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick featurizer: each token hashes to one of 16
+    buckets (first md5 hex digit — the same engine-portable
+    construction as hash_sample/SimHash), per-doc bucket counts form a
+    fixed-width vector ready for the similarity tier (knn_join /
+    LSH / IVF all take array columns); the contract output serializes
+    the vector to JSON so the driver's sort+hash compare stays
+    row-hashable (same convention as q_json_ser).
+
+    Shape: explode → ONE grouped aggregate with 16 conditional sums
+    (shuffle carries (doc_id, bucket) pairs); the vector assembles as
+    an array expression in the final projection. Dimension scales by
+    composing md5 hex digits (16^k buckets), the aggregate stays one
+    pass."""
+    from tia_data_pipeline_spark.operators.sampling import hash_bucket
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode_outer(TX.tokens(F.col("text"))).alias("tok")
+    )
+    bucketed = tok.select("doc_id", F.expr(
+        "CASE WHEN tok IS NULL THEN -1 ELSE "
+        "instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 END"
+    ).alias("b"))
+    return (
+        bucketed.groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.sum(F.when(F.col("b") == i, F.lit(1)).otherwise(F.lit(0))).alias(f"f{i}")
+                    for i in range(_FH_DIM)
+                ]
+            ).alias("features")
+        )
+        .select("doc_id", F.to_json(F.col("features")).alias("features_json"))
+    )
