@@ -55,6 +55,27 @@ def main() -> None:
         "user_id", "session_id"
     ).show(5)
 
+    print("== batch k-NN join: top-3 neighbors for 3 probes ==")
+    from tia_data_pipeline_spark.operators.similarity import knn_join
+
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    knn_join(emb, probes, k=3).orderBy("probe_id", "rank").show(9)
+
+    print("== near-dup clusters -> one survivor per component ==")
+    from tia_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from tia_data_pipeline_spark.operators.graph import dedup_components
+
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4)
+    dedup_components(pairs, docs).filter(~F.col("is_kept")).orderBy("doc_id").show(5)
+
+    print("== Gopher quality gate (kept / dropped counts) ==")
+    from tia_data_pipeline_spark.functions.text import gopher_rules
+
+    _, keep = gopher_rules(F.col("text"))
+    docs.select(keep.alias("keep")).groupBy("keep").count().show()
+
 
 if __name__ == "__main__":
     main()
