@@ -181,3 +181,41 @@ def test_source_probe_failure_skips_fetch(spark):
     assert source_probe(_flaky_probe, retries=3, backoff_s=0.0)
     assert flaky["n"] == 3
     assert not source_probe(_dead_probe, retries=2, backoff_s=0.0)
+
+
+def test_rollup_daily_incremental_converges_to_batch(spark, tmp_path):
+    """Sequential (and overlapping, late-arriving) batches must end at
+    exactly the batch answer: each affected day recomputes from ALL its
+    events, so order and batch boundaries cannot matter."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SMOKE_SF
+    from tia_data_pipeline_spark.catalog import load_table
+    from tia_data_pipeline_spark.operators.windows import daily_window
+    from tia_data_pipeline_spark.pipelines import rollup_daily_incremental
+
+    events = load_table(spark, SMOKE_SF, "events")
+    path = str(tmp_path / "daily_rollup")
+
+    # three overlapping slices, applied out of order: days 3-4, 1-3, 2
+    def sl(lo, hi):
+        d = F.dayofmonth(F.col("ts"))
+        return events.filter((d >= lo) & (d <= hi))
+
+    for batch in (sl(3, 4), sl(1, 3), sl(2, 2)):
+        rollup_daily_incremental(spark, events, batch, path)
+
+    got = {
+        r["day"]: (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(path).collect()
+    }
+    expect = {
+        r["day"]: (r["n_events"], r["sum_value"])
+        for r in daily_window(events).collect()
+    }
+    # the incremental table covers exactly the touched days, each equal
+    # to the batch rollup for that day
+    touched = {d for d in expect if d.day in (1, 2, 3, 4)}
+    assert set(got) == touched
+    for d in touched:
+        assert got[d] == expect[d]

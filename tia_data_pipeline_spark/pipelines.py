@@ -163,3 +163,42 @@ def comments_pipeline(
     to_insert = incremental_append(normalized, existing_comments, keys=[comment_key])
     manifest = fetched.select("post_id").distinct()
     return to_insert, manifest
+
+
+def rollup_daily_incremental(
+    spark: SparkSession,
+    events: DataFrame,
+    new_batch: DataFrame,
+    rollup_path: str,
+    *,
+    ts_col: str = "ts",
+) -> None:
+    """Incrementally maintain the daily rollup table — the reference's
+    daily semantic (`inc-window`: recompute yesterday's window, upsert
+    by day; ``comments_pipeline.py:27-33,107``) generalized to ANY set
+    of affected days and a lakehouse target.
+
+    Correctness rule: a day's rollup row is always recomputed from ALL
+    of that day's events (never combined from partial aggregates), so
+    late-arriving batches converge to the batch answer — applying
+    batches in any order ends at ``daily_window(all events)``. The
+    affected-day set comes from the new batch; at scale the
+    events-side join is a partition prune (events partitioned by day),
+    so each run touches only the dirty days, and the upsert is the
+    table-format MERGE (`sources/lakehouse.py`).
+
+    Property-tested: sequential batches ≡ one batch
+    (tests/test_pipelines.py).
+    """
+    from pyspark.sql import functions as F
+
+    from tia_data_pipeline_spark.operators.windows import daily_window
+    from tia_data_pipeline_spark.sources.lakehouse import merge_upsert_table
+
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    affected_days = new_batch.select(day.alias("_day")).distinct()
+    dirty = events.join(
+        F.broadcast(affected_days), day.eqNullSafe(F.col("_day")), "left_semi"
+    )
+    rollup = daily_window(dirty, ts_col=ts_col)
+    merge_upsert_table(spark, rollup, rollup_path, keys=["day"], update_on_match=True)
