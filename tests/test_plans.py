@@ -139,6 +139,7 @@ TAIL_COVERED_BY = {
     "q_repetition": "q_quality_score",
     "q_collocations": "q_tfidf",
     "q_feature_hash": "q_tfidf",
+    "q_data_quality": "q_profile",
 }
 
 

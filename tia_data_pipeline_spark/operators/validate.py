@@ -1,0 +1,88 @@
+"""Declarative data-quality expectations (dbt-test / Deequ shape).
+
+The reference trusts Postgres constraints (PK uniqueness, NOT NULL in
+the DDL — ``init_db_tables.sh``) to police data quality at insert
+time. A lakehouse has no enforcing database, so the engine form is a
+VALIDATION PASS: declare expectations, get back one row per rule with
+its violation count — the gate a pipeline checks before publishing a
+batch.
+
+Every rule compiles to a conditional aggregate over ONE scan of the
+table (a single grouped-less aggregate with N counters — not N
+queries); the FK rule adds one anti-join per referenced dimension.
+At 100 TB that is exactly the shape you want: one pass, map-side
+partial aggregation, dimension keys broadcast.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    # predicate TRUE = row VIOLATES the rule
+    violation: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null_{col}", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    c = F.col(col)
+    return Rule(f"range_{col}", c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))))
+
+
+def non_negative(col: str) -> Rule:
+    c = F.col(col)
+    return Rule(f"non_negative_{col}", c.isNotNull() & (c < 0))
+
+
+def accepted_values(col: str, values: list) -> Rule:
+    c = F.col(col)
+    return Rule(f"accepted_{col}", c.isNotNull() & ~c.isin(*values))
+
+
+def matches(col: str, pattern: str) -> Rule:
+    c = F.col(col)
+    return Rule(f"matches_{col}", c.isNotNull() & ~c.rlike(pattern))
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """One row per rule: (rule, n_violations, n_rows). Single scan,
+    single aggregate — every rule is a conditional counter."""
+    aggs = [
+        F.sum(F.when(r.violation, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias(r.name)
+        for r in rules
+    ]
+    counted = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    stack_args = ", ".join(f"'{r.name}', {r.name}" for r in rules)
+    return counted.selectExpr(
+        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)", "_n AS n_rows"
+    ).select("rule", "n_violations", "n_rows")
+
+
+def unique_key_violations(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows-per-duplicated-key report: (key cols..., n_copies) for keys
+    appearing more than once — the PK-uniqueness expectation. Shuffles
+    only the key columns."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def fk_violations(child: DataFrame, fk: str, parent: DataFrame, pk: str) -> DataFrame:
+    """Child rows whose FK has no parent — referential-integrity check
+    as an anti-join on pruned key columns (parent side broadcasts when
+    small)."""
+    return (
+        child.filter(F.col(fk).isNotNull())
+        .join(parent.select(F.col(pk).alias(fk)).distinct(), on=fk, how="left_anti")
+    )

@@ -112,6 +112,7 @@ CONTRACT_ORDER = [
     "q_repetition",  # ext-text-analysis: q_quality_score covers
     "q_collocations",  # ext-text-analysis: q_tfidf covers (corpus stats)
     "q_feature_hash",  # text→vector featurizer: q_tfidf / q_simhash cover
+    "q_data_quality",  # expectations report: q_profile / q_exists_guard cover
 ]
 
 

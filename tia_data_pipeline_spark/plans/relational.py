@@ -452,3 +452,73 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(
         cur, upd, keys=["o_orderkey"], attrs=["o_custkey", "o_totalprice"], eff_col="eff"
     )
+
+
+@contract_query(
+    "q_data_quality",
+    oracle=(
+        "WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM orders) "
+        "SELECT 'not_null_o_orderkey' AS rule, (SELECT count(*) FROM orders "
+        "  WHERE o_orderkey IS NULL)::BIGINT AS n_violations, n_rows FROM n "
+        "UNION ALL SELECT 'non_negative_o_totalprice', (SELECT count(*) FROM orders "
+        "  WHERE o_totalprice IS NOT NULL AND o_totalprice < 0)::BIGINT, n_rows FROM n "
+        "UNION ALL SELECT 'accepted_o_orderstatus', (SELECT count(*) FROM orders "
+        "  WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F'))::BIGINT, "
+        "  n_rows FROM n "
+        "UNION ALL SELECT 'matches_o_orderpriority', (SELECT count(*) FROM orders "
+        "  WHERE o_orderpriority IS NOT NULL "
+        "  AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))::BIGINT, n_rows FROM n "
+        "UNION ALL SELECT 'fk_o_custkey', (SELECT count(*) FROM orders "
+        "  WHERE o_custkey IS NOT NULL AND o_custkey NOT IN "
+        "  (SELECT c_custkey FROM customer))::BIGINT, n_rows FROM n "
+        "UNION ALL SELECT 'unique_o_orderkey', (SELECT coalesce(sum(c - 1), 0) FROM "
+        "  (SELECT count(*) AS c FROM orders GROUP BY o_orderkey "
+        "   HAVING count(*) > 1))::BIGINT, n_rows FROM n"
+    ),
+    covers="data-quality expectations report (engine form of init_db_tables.sh constraints)",
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations report over orders: the constraints the reference
+    delegates to Postgres DDL (PK, NOT NULL), plus range / accepted-
+    values / format / referential-integrity rules, each a row with its
+    violation count. Scalar rules compile to ONE conditional aggregate
+    over one scan; uniqueness is a key-only groupBy; the FK check is a
+    key-pruned anti-join (customer keys broadcast). The 'P' statuses
+    and the deliberately-tight accepted set make the report non-vacuous
+    — a quality gate that reports, not one that always says yes."""
+    from tia_data_pipeline_spark.operators.validate import (
+        accepted_values,
+        fk_violations,
+        matches,
+        non_negative,
+        not_null,
+        unique_key_violations,
+        validate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    n_rows = F.broadcast(orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))
+
+    scalar = validate(
+        orders,
+        [
+            not_null("o_orderkey"),
+            non_negative("o_totalprice"),
+            accepted_values("o_orderstatus", ["O", "F"]),
+            matches("o_orderpriority", r"^[1-5]-"),
+        ],
+    )
+    fk = (
+        fk_violations(orders, "o_custkey", customer, "c_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(F.lit("fk_o_custkey").alias("rule"), "n_violations")
+        .crossJoin(n_rows)
+    )
+    uniq = (
+        unique_key_violations(orders, ["o_orderkey"])
+        .agg(F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).cast("bigint").alias("n_violations"))
+        .select(F.lit("unique_o_orderkey").alias("rule"), "n_violations")
+        .crossJoin(n_rows)
+    )
+    return scalar.unionByName(fk).unionByName(uniq)
