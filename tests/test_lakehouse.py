@@ -83,3 +83,33 @@ def test_sandbox_engine_is_fallback_unless_delta_present(spark):
     # Documents which path this environment exercises; either value is
     # legal, but the function must answer without raising.
     assert have_delta(spark) in (True, False)
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    from tia_data_pipeline_spark.sources.lakehouse import compact_table
+
+    path = str(tmp_path / "frag")
+    # simulate many tiny incremental writes -> fragmented table
+    for i in range(6):
+        _df(spark, [(i * 10 + j, f"v{i}_{j}") for j in range(5)]).repartition(4).write.mode(
+            "append"
+        ).parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    rows_before = _rows(spark, path)
+    n = compact_table(spark, path, target_file_bytes=1 << 30)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert n == 1 and after == 1 and after < before
+    assert _rows(spark, path) == rows_before
+
+
+def test_compact_table_sorted_layout(spark, tmp_path):
+    from tia_data_pipeline_spark.sources.lakehouse import compact_table
+
+    path = str(tmp_path / "sorted")
+    _df(spark, [(i, f"v{i}") for i in range(40)]).repartition(8).write.parquet(path)
+    compact_table(spark, path, target_file_bytes=1 << 30, sort_by=["id"])
+    got = [r["id"] for r in spark.read.parquet(path).collect()]
+    # single sorted file -> parquet preserves row order within the file
+    assert got == sorted(got)

@@ -148,3 +148,41 @@ def merge_upsert_table(
         _merge_parquet_fallback(
             spark, updates.dropDuplicates(list(keys)), path, keys, update_on_match
         )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: Sequence[str] | None = None,
+) -> int:
+    """Compact a parquet table's small files — the #1 operational debt
+    of incremental sinks (every micro-batch/merge leaves files sized by
+    batch, not by optimal scan granularity; at 100 TB a scan's task
+    count explodes and the NameNode/listing cost dominates).
+
+    Rewrites the table into ``ceil(total_bytes / target_file_bytes)``
+    files (optionally sorted, which also restores row-group locality
+    for range predicates), staging + rename like the merge fallback.
+    With Delta present, prefer its native OPTIMIZE; this is the
+    format-agnostic form. Returns the new file count.
+    """
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    summary = fs.getContentSummary(hpath)
+    total = int(summary.getLength())
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    if sort_by:
+        df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_by]).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        df = df.coalesce(n_files)
+    staging = f"{path}__compact_{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(staging)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(hpath, True)
+    if not fs.rename(spath, hpath):
+        raise IOError(f"rename {staging} -> {path} failed; table left at {staging}")
+    return n_files
