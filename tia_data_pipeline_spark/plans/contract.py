@@ -6,8 +6,9 @@ equivalent DuckDB oracle SQL. The driver (and our own parity tests)
 runs both sides on identical parquet and compares row count + schema +
 order-insensitive value hash — so every computed column is aliased
 identically on both sides, aggregates over doubles are rounded, and
-``events.ts`` (ns in parquet) is cast to µs in the oracle to match
-Spark's TimestampType.
+``events.ts`` (µs NTZ in parquet; the catalog pins the scan to
+TimestampType) is cast ``::TIMESTAMP`` in the oracle so both engines
+compare the same µs instants.
 """
 
 from __future__ import annotations
