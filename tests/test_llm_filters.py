@@ -146,3 +146,45 @@ def portable_round_py(x: float, n: int = 4) -> float:
     import math
 
     return math.floor(x * 10**n + 0.5) / 10**n
+
+
+def test_chunking_overlap_semantics(spark):
+    """A 100-token doc with window 40 / overlap 10: chunk starts at 0,
+    30, 60, 90 — consecutive chunks share exactly 10 tokens; the final
+    chunk holds the tail."""
+    from tia_data_pipeline_spark.plans.llm import _CHUNK, _OVERLAP, _STEP
+
+    assert (_CHUNK, _OVERLAP, _STEP) == (40, 10, 30)
+    from tia_data_pipeline_spark import plans
+
+    # route through the contract query on a temp documents view is
+    # heavier than needed; drive the same expressions on planted rows
+    from pyspark.sql import functions as F
+
+    from tia_data_pipeline_spark.functions.text import tokens
+
+    words = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame([(1, " ".join(words)), (2, "a b"), (3, "")],
+                               "doc_id bigint, text string")
+    with_tk = df.select("doc_id", tokens(F.col("text")).alias("tk"))
+    n = F.size(F.col("tk"))
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        F.greatest(F.lit(1), F.expr(f"(size(tk) - {_OVERLAP} + {_STEP} - 1) div {_STEP}"))
+    )
+    got = {r["doc_id"]: r["nc"] for r in with_tk.select("doc_id", n_chunks.alias("nc")).collect()}
+    assert got == {1: 3, 2: 1, 3: 0}
+
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i * _STEP + 1, _CHUNK)),
+    )
+    rows = (
+        with_tk.filter(n_chunks > 0)
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .filter(F.col("doc_id") == 1)
+        .collect()
+    )
+    texts = [r["chunk"].split(" ") for r in rows]
+    assert [len(t) for t in texts] == [40, 40, 40]
+    assert texts[0] == words[0:40] and texts[1] == words[30:70] and texts[2] == words[60:100]
+    assert texts[0][-10:] == texts[1][:10]  # exactly the overlap

@@ -140,6 +140,7 @@ TAIL_COVERED_BY = {
     "q_collocations": "q_tfidf",
     "q_feature_hash": "q_tfidf",
     "q_data_quality": "q_profile",
+    "q_chunking": "q_text_tokens",
 }
 
 

@@ -113,6 +113,7 @@ CONTRACT_ORDER = [
     "q_collocations",  # ext-text-analysis: q_tfidf covers (corpus stats)
     "q_feature_hash",  # text→vector featurizer: q_tfidf / q_simhash cover
     "q_data_quality",  # expectations report: q_profile / q_exists_guard cover
+    "q_chunking",  # ext-text-analysis: q_text_tokens covers
 ]
 
 

@@ -811,3 +811,53 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.to_json(F.col("features")).alias("features_json"))
     )
+
+
+_CHUNK, _OVERLAP = 40, 10
+_STEP = _CHUNK - _OVERLAP
+
+_CHUNK_ORACLE = (
+    "WITH base AS (SELECT doc_id, " + _DOC_TOKENS_SQL + " AS tk FROM documents), "
+    "sized AS (SELECT doc_id, tk, CASE WHEN len(tk) = 0 THEN 0 ELSE "
+    "  greatest(1, (len(tk) - " + str(_OVERLAP) + " + " + str(_STEP) + " - 1) // "
+    + str(_STEP) + ") END AS n_chunks FROM base) "
+    "SELECT doc_id, u.chunk_id, u.chunk FROM ("
+    "  SELECT doc_id, unnest([{'chunk_id': i::BIGINT, "
+    "    'chunk': array_to_string(tk[(i * " + str(_STEP) + " + 1):(i * " + str(_STEP)
+    + " + " + str(_CHUNK) + ")], ' ')} "
+    "    FOR i IN range(0, n_chunks::INT)]) AS u FROM sized)"
+)
+
+
+@contract_query(
+    "q_chunking",
+    oracle=_CHUNK_ORACLE,
+    covers="ext-text-analysis (context-window chunking: token windows with overlap)",
+)
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (window 40, overlap 10) — the packing step
+    every pretraining/RAG ingest runs before embedding or tokenizing to
+    a context limit. The token array materializes as a COLUMN first
+    (one tokenize per doc), then the chunk lambda only slices that
+    bound reference — inlining the tokenize chain into the HOF would
+    re-run it once per chunk (the word_shingles lesson). Chunk count
+    derives arithmetically; empty docs produce zero chunks."""
+    docs = _docs(spark, sf_dir)
+    with_tk = docs.select("doc_id", TX.tokens(F.col("text")).alias("tk"))
+    n = F.size(F.col("tk"))
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        F.greatest(F.lit(1), F.expr(f"(size(tk) - {_OVERLAP} + {_STEP} - 1) div {_STEP}"))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(F.col("tk"), i * _STEP + 1, _CHUNK)).alias("chunk"),
+        ),
+    )
+    return (
+        with_tk.withColumn("n_chunks", n_chunks)
+        .filter(F.col("n_chunks") > 0)
+        .select("doc_id", F.explode(chunks).alias("u"))
+        .select("doc_id", F.col("u.chunk_id").alias("chunk_id"), F.col("u.chunk").alias("chunk"))
+    )
