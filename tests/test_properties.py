@@ -119,3 +119,37 @@ def test_connected_components_random_graph_matches_networkless_unionfind(spark):
     for n in parent:
         want[n] = find(n)
     assert got == want
+
+
+def test_chunk_featurize_search_composition(spark):
+    """The RAG-ingest pipeline composed from engine operators: chunk
+    documents into token windows, featurize each chunk (hashing trick),
+    then k-NN join a probe chunk against the chunk corpus. Proves the
+    tiers pipe together: plans stay JVM-side end-to-end and the probe's
+    own chunk ranks first (cosine 1.0 with itself)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SMOKE_SF
+    from tia_data_pipeline_spark import plans
+    from tia_data_pipeline_spark.operators.similarity import knn_join
+
+    chunks = plans.REGISTRY["q_chunking"].build(spark, SMOKE_SF)
+    bucket = "instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1"
+    feats = (
+        chunks.select(
+            F.concat_ws("#", F.col("doc_id"), F.col("chunk_id")).alias("cid"),
+            F.explode(F.split(F.col("chunk"), " ")).alias("tok"),
+        )
+        .select("cid", F.expr(bucket).alias("b"))
+        .groupBy("cid")
+        .agg(
+            F.array(
+                *[F.sum(F.when(F.col("b") == i, 1).otherwise(0)).cast("double") for i in range(16)]
+            ).alias("embedding")
+        )
+    )
+    probe = feats.limit(1).select(F.col("cid").alias("probe_id"), "embedding")
+    top = knn_join(feats, probe, id_col="cid", k=3).collect()
+    assert len(top) == 3
+    best = next(r for r in top if r["rank"] == 1)
+    assert best["cid"] == best["probe_id"] and best["score"] == 1.0
