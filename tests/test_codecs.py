@@ -112,3 +112,24 @@ def test_real_codecs_through_spark_pipeline(spark):
     for i in (1, 2):
         d = decode_ppm(resized[i])
         assert (d["width"], d["height"]) == (2, 2)
+
+
+def test_corrupt_payloads_never_crash_decode_media():
+    """Truncated/garbage payloads with valid magic bytes must fall back
+    to the stub, not raise — a poison row cannot kill a 100 TB decode
+    stage."""
+    ppm_full, _ = _ppm(4, 4)
+    cases = [
+        ppm_full[:20],                      # truncated raster
+        b"P6\n9999999 9999999\n255\n\x00",  # dims far beyond payload
+        b"P6",                              # header only
+        b"BM\x01",                          # BMP too short
+        b"RIFF\x04\x00\x00\x00WAVE",        # WAVE without fmt chunk
+        b"RIFF\xff\xff\xff\xffWAVEjunk",    # lying chunk sizes
+    ]
+    for payload in cases:
+        out = decode_media(payload)
+        assert isinstance(out, dict) and "format" in out  # stub fields
+    # resize likewise degrades to the stub size law
+    resized = resize_media(ppm_full[:20], 8, 8)
+    assert isinstance(resized, bytes)
