@@ -225,6 +225,74 @@ def ivf_top_k(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def knn_join_bucketed(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    k: int = 10,
+    proj: list[list[float]] | None = None,
+    hamming_probe: int = 1,
+) -> DataFrame:
+    """Batch k-NN for probe sets too large to broadcast: LSH
+    bucket-equi-join instead of a broadcast scan.
+
+    :func:`knn_join` requires the probe relation to fit a broadcast;
+    when the probe *batch* is itself large (re-embedding a corpus,
+    joining two embedding tables), the scale shape flips: bucket BOTH
+    sides with the same sign projection and equi-join on the bucket id.
+    Each probe expands to its own bucket plus every Hamming-1 neighbor
+    (``hamming_probe=1``, the multi-probe recall trade) — (bits+1) rows
+    per probe, all distinct bucket ids, so a (probe, corpus) pair can
+    match through at most one bucket and needs no dedup.
+
+    The join is declared SHUFFLE_HASH: this operator exists precisely
+    because neither side fits a broadcast, so the plan must be a hash
+    shuffle on the bucket id — no broadcast, no cross product. The
+    per-probe top-k is a rank-limited window (map-side WindowGroupLimit
+    before the probe_id exchange). Deterministic (fixed projection
+    literals), so a SQL oracle reproduces it exactly.
+    """
+    from pyspark.sql.window import Window
+
+    proj = proj if proj is not None else projection_matrix()
+    n_bits = len(proj)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_corpus_vec"),
+        _sign_bits(F.col(vec_col), proj).alias("_bucket"),
+    )
+    pb = probes.select(
+        F.col(probe_id_col).alias("_probe_id"),
+        F.col(vec_col).alias("_probe_vec"),
+        _sign_bits(F.col(vec_col), proj).alias("_pbucket"),
+    )
+    if hamming_probe == 0:
+        probed = F.array(F.col("_pbucket"))
+    else:
+        probed = F.array(
+            F.col("_pbucket"),
+            *[F.expr(f"_pbucket ^ {1 << i}") for i in range(n_bits)],
+        )
+    p = pb.select("_probe_id", "_probe_vec", F.explode(probed).alias("_bucket"))
+    cand = c.join(p.hint("SHUFFLE_HASH"), "_bucket")
+    scored = cand.select(
+        F.col("_probe_id").alias(probe_id_col),
+        F.col(id_col),
+        portable_round(
+            cosine_similarity(F.col("_corpus_vec"), F.col("_probe_vec")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(probe_id_col, id_col, "score", F.col("_rn").cast("bigint").alias("rank"))
+    )
+
+
 def knn_join(
     corpus: DataFrame,
     probes: DataFrame,

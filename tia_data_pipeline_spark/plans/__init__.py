@@ -13,20 +13,33 @@ from tia_data_pipeline_spark.plans.contract import REGISTRY, oracle_sql, queries
 # therefore part of the contract: the first 50 slots must cover every
 # SURVEY §2 operator at least once, with queries that have not yet had a
 # driver-green row placed first. The tail holds redundant variants of
-# operators already driver-verified by an earlier slot (each tail query
-# was itself driver-green in round 1 and stays locally parity-tested at
-# sf0.001/sf0.01). Pinned by tests/test_plans.py.
+# operators already driver-verified by an earlier slot; every tail
+# entry MUST have at least one driver-green CORRECTNESS row from a past
+# round (recorded in DRIVER_GREEN_HISTORY below, enforced by
+# tests/test_plans.py::test_tail_entries_have_driver_history) and stays
+# locally parity-tested at sf0.001/sf0.01.
 DRIVER_ROW_CAP = 50
 
 CONTRACT_ORDER = [
-    # -- never driver-verified before round 2: the window tier carries
-    #    inc-window / ext-stream-windows, the reference's core
-    #    incremental semantic (comments_pipeline.py:27-33,107).
+    # -- round-4 rotation: the ten round-3 queries that landed in the
+    #    tail with zero driver rows go first (never-driver-verified-
+    #    first policy); ten 2x/3x-driver-green rows demoted in exchange.
+    "q_gopher_quality",
+    "q_pii_redact",
+    "q_cohort_retention",
+    "q_funnel",
+    "q_scd2",
+    "q_repetition",
+    "q_collocations",
+    "q_feature_hash",
+    "q_data_quality",
+    "q_chunking",
+    # -- round-4 additions (never driver-seen)
+    "q_knn_bucketed",
+    # -- window tier: inc-window / ext-stream-windows, the reference's
+    #    core incremental semantic (comments_pipeline.py:27-33,107).
     "q_daily_window",
-    "q_sliding_window",
     "q_session_window",
-    "q_gap_fill",
-    "q_histogram",
     "q_self_join",
     "q_exists_guard",
     # -- flagship + the reference's relational surface
@@ -36,17 +49,12 @@ CONTRACT_ORDER = [
     "q_antijoin_incr",
     "q_semi_join",
     "q_join_enrich",
-    "q_star_join",
     "q_thread_closure",
-    "q_children_rollup",
     "q_agg_count",
     "q_topk_latest",
-    "q_proj_alias",
     "q_filter_range",
-    "q_const_probe",
     "q_word_count",
     "q_ts_normalize",
-    "q_json_ser",
     # -- LLM-pipeline tier: one slot per distinct technique
     "q_exact_dedup",
     "q_text_tokens",
@@ -74,26 +82,17 @@ CONTRACT_ORDER = [
     "q_hash_sample",
     # -- analytics extensions
     "q_quantiles",
-    "q_zscore",
     "q_window_frames",
     "q_rollup",
-    "q_pivot_status",
-    "q_set_ops",
     "q_asof_join",
     "q_range_join",
     "q_profile",
-    # q_approx_distinct promoted into the cap in round 3: it was the
-    # only never-driver-seen query (new in round 2, landed below the
-    # cap). Its rows-only driver run still validates schema + build
-    # under the driver's session; q_ntile dropped to the tail in
-    # exchange (ranking-window variant — window machinery already
-    # driver-verified via q_window_frames / q_topk_latest).
     "q_approx_distinct",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
-    #      whose operator already has a driver row above; all were
-    #      driver-green in an earlier round.
+    #      whose operator already has a driver row above; every entry
+    #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
     "q_dedup_latest",  # row_number latest-per-key: q_topk_latest covers
-    "q_scan_project",  # scan+projection: q_proj_alias covers
+    "q_scan_project",  # scan+projection: every in-cap query projects/aliases
     "q_topk_per_group",  # WindowGroupLimit: q_topk_latest covers
     "q_cube",  # grouping sets: q_rollup covers
     "q_token_bpe",  # ext-text-analysis: q_text_tokens covers
@@ -104,17 +103,89 @@ CONTRACT_ORDER = [
     "q_ntile",  # ranking window: q_window_frames / q_topk_latest cover
     "q_sim_topk",  # single-probe special case: q_knn_join covers
     "q_fuzzy_dedup",  # MinHash pairs: q_dedup_components/q_ngram_jaccard cover
-    "q_gopher_quality",  # ext-text-analysis: q_quality_score covers
-    "q_pii_redact",  # ext-text-analysis: q_text_tokens covers
-    "q_cohort_retention",  # event-time rollup: q_daily_window covers
-    "q_funnel",  # event-sequence analysis: q_session_window covers
-    "q_scd2",  # keep-history merge variant: q_merge_upsert covers
-    "q_repetition",  # ext-text-analysis: q_quality_score covers
-    "q_collocations",  # ext-text-analysis: q_tfidf covers (corpus stats)
-    "q_feature_hash",  # text→vector featurizer: q_tfidf / q_simhash cover
-    "q_data_quality",  # expectations report: q_profile / q_exists_guard cover
-    "q_chunking",  # ext-text-analysis: q_text_tokens covers
+    # -- demoted in round 4 (each 2x/3x driver-green) to make room for
+    #    the ten never-verified round-3 queries above.
+    "q_proj_alias",  # proj-alias: 3x green; q_scan_project-equivalent in-cap queries cover
+    "q_const_probe",  # const-probe: 3x green; q_profile covers scalar probes
+    "q_json_ser",  # json-ser: 3x green; q_feature_hash exercises to_json in-cap
+    "q_histogram",  # binned agg: 2x green; q_rollup/q_quantiles cover
+    "q_gap_fill",  # calendar fill: 2x green; q_daily_window covers
+    "q_sliding_window",  # hop windows: 2x green; q_daily_window/q_session_window cover
+    "q_star_join",  # multi-dim join: 3x green; q_revenue_by_segment covers
+    "q_children_rollup",  # parent-child rollup: 3x green; q_agg_count covers
+    "q_set_ops",  # union/intersect/except: 3x green; q_dedup_batch covers union
+    "q_pivot_status",  # pivot: 3x green; q_rollup covers grouped agg
+    "q_zscore",  # window-frame stats: 3x green; q_window_frames covers
 ]
+
+# Which rounds gave each query a green CORRECTNESS row (hash_match, or
+# rows-only-by-design for sketch queries). Source: CORRECTNESS_r01..r03
+# at the repo root. Updated each round; the tail-policy test checks
+# every below-cap entry appears here.
+DRIVER_GREEN_HISTORY = {
+    "q_agg_count": [1, 2, 3],
+    "q_ann_lsh": [1, 2, 3],
+    "q_ann_multiprobe": [1],
+    "q_antijoin_incr": [1, 2, 3],
+    "q_approx_distinct": [3],
+    "q_asof_join": [1, 2, 3],
+    "q_canonicalize": [1],
+    "q_children_rollup": [1, 2, 3],
+    "q_const_probe": [1, 2, 3],
+    "q_count_distinct": [1, 2, 3],
+    "q_cube": [1],
+    "q_daily_window": [2, 3],
+    "q_dedup_batch": [1, 2, 3],
+    "q_dedup_components": [3],
+    "q_dedup_latest": [1],
+    "q_doc_fingerprint": [1],
+    "q_embed_dedup": [1, 2, 3],
+    "q_embed_stats": [1, 2, 3],
+    "q_exact_dedup": [1, 2, 3],
+    "q_exists_guard": [2, 3],
+    "q_filter_range": [1, 2, 3],
+    "q_fuzzy_dedup": [1, 2],
+    "q_gap_fill": [2, 3],
+    "q_hash_sample": [1, 2, 3],
+    "q_histogram": [2, 3],
+    "q_join_enrich": [1, 2, 3],
+    "q_json_ser": [1, 2, 3],
+    "q_knn_join": [3],
+    "q_lang_id": [1, 2, 3],
+    "q_merge_upsert": [2, 3],
+    "q_multimodal_meta": [1, 2, 3],
+    "q_ngram_jaccard": [1, 2, 3],
+    "q_ntile": [1, 2],
+    "q_pivot_status": [1, 2, 3],
+    "q_profile": [1, 2, 3],
+    "q_proj_alias": [1, 2, 3],
+    "q_quality_score": [1, 2, 3],
+    "q_quantiles": [1, 2, 3],
+    "q_range_join": [1, 2, 3],
+    "q_resize_meta": [2, 3],
+    "q_revenue_by_segment": [1, 2, 3],
+    "q_rollup": [1, 2, 3],
+    "q_scan_project": [1],
+    "q_self_join": [2, 3],
+    "q_semi_join": [1, 2, 3],
+    "q_session_window": [3],
+    "q_set_ops": [1, 2, 3],
+    "q_sim_topk": [1, 2],
+    "q_simhash": [1, 2, 3],
+    "q_sliding_window": [2, 3],
+    "q_star_join": [1, 2, 3],
+    "q_text_tokens": [1, 2, 3],
+    "q_tfidf": [1, 2, 3],
+    "q_thread_closure": [1, 2, 3],
+    "q_token_bpe": [1],
+    "q_topk_latest": [1, 2, 3],
+    "q_topk_per_group": [1],
+    "q_ts_normalize": [1, 2, 3],
+    "q_window_frames": [1, 2, 3],
+    "q_word_count": [1, 2, 3],
+    "q_word_freq": [1],
+    "q_zscore": [1, 2, 3],
+}
 
 
 def _apply_contract_order() -> None:

@@ -518,6 +518,41 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_knn_bucketed",
+    oracle=(
+        "WITH b AS (SELECT vec_id, embedding, "
+        f"{_bucket_sql('embedding', _PROJ)} AS bucket FROM embeddings), "
+        "probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec, bucket AS pbucket "
+        "  FROM b WHERE vec_id < 8), "
+        "cand AS (SELECT p.probe_id, c.vec_id, "
+        f"  {TX.portable_round_sql(cosine_sql('c.embedding', 'p.probe_vec'), 6)} AS score "
+        "  FROM b c JOIN probes p ON c.vec_id >= 8 AND c.bucket IN (p.pbucket, "
+        + ", ".join(f"xor(p.pbucket, {1 << i})" for i in range(len(_PROJ)))
+        + ")) "
+        "SELECT probe_id, vec_id, score, rank FROM ("
+        "  SELECT probe_id, vec_id, score, row_number() OVER ("
+        "    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank FROM cand) "
+        "WHERE rank <= 5"
+    ),
+    covers="ext-sim-topk (bucket-equi-join k-NN: probe batches too big to broadcast)",
+)
+def q_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-equi-join k-NN — the large-probe-batch complement of
+    q_knn_join: when probes don't fit a broadcast, both sides bucket on
+    the shared sign projection and the candidate join is a hash SHUFFLE
+    on the bucket id (no broadcast, no cross product; pinned in
+    tests/test_plans.py). Multi-probe Hamming-1 expansion on the probe
+    side for recall; top-5 per probe via map-side-limited window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return SIM.knn_join_bucketed(
+        emb.filter(F.col("vec_id") >= 8), probes, k=5, proj=_PROJ, hamming_probe=1
+    )
+
+
+@contract_query(
     "q_gopher_quality",
     oracle=(
         lambda m=TX.gopher_rules_sql("text"): (
