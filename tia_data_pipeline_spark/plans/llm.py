@@ -39,13 +39,25 @@ _NGRAM_PAIRS_SQL = (
 ).format(t=_DOC_TOKENS_SQL)
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (doc_id, text) scan, fanned out across cores: the corpus
-    ships as one small parquet file (one input split), so without the
-    explicit repartition every regex/tokenize-heavy projection below
-    would run as a single task. Narrowed before the shuffle so only the
-    two live columns move."""
-    return fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+def _docs(spark: SparkSession, sf_dir: str, *, fan: bool = True) -> DataFrame:
+    """The (doc_id, text) scan, optionally fanned out across cores.
+
+    ``fan=True`` (default) for CPU-bound per-row *projections* (lang-ID,
+    quality/gopher/repetition scoring, fingerprinting): the corpus ships
+    as one small parquet file (one input split), so without the explicit
+    repartition the whole regex pass serializes onto a single task.
+    Narrowed before the shuffle so only the two live columns move.
+
+    ``fan=False`` for queries whose first real work is an explode
+    feeding a grouped aggregate (word_freq, tfidf, collocations,
+    feature_hash): the aggregate's own exchange already parallelizes
+    the reduce side, the serial prefix is a single linear tokenize, and
+    the extra repartition shuffle of the text column is pure cost —
+    measured ~2x slower at sf0.1 (r01→r03 bench drift, VERDICT r03
+    'Next round' #6). At cluster scale the corpus arrives pre-split and
+    fan_out no-ops either way."""
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return fan_out(df) if fan else df
 
 
 @contract_query(
@@ -335,7 +347,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, df from the per-doc term frame, idf = ln(N/df); the corpus
     size joins in as a broadcast scalar, never a driver-side count."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = _docs(spark, sf_dir).select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tok = _docs(spark, sf_dir, fan=False).select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -425,7 +437,7 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus tokens: explode -> two-phase count -> top-k with
     tiebreak. The explode is a narrow generate; only (token, partial
     count) pairs shuffle."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, fan=False)
     return (
         docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -756,7 +768,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard co-occurrence shape. Bigrams containing internal spaces
     from multi-space runs are excluded on both engines by the
     2-token-split guard."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, fan=False)
     toks = TX.tokens(F.col("text"))
     n_bi = F.size(toks) - 1
     zipped = F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))
@@ -827,7 +839,7 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass."""
     from tia_data_pipeline_spark.operators.sampling import hash_bucket
 
-    tok = _docs(spark, sf_dir).select(
+    tok = _docs(spark, sf_dir, fan=False).select(
         "doc_id", F.explode_outer(TX.tokens(F.col("text"))).alias("tok")
     )
     bucketed = tok.select("doc_id", F.expr(
