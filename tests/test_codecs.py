@@ -133,3 +133,19 @@ def test_corrupt_payloads_never_crash_decode_media():
     # resize likewise degrades to the stub size law
     resized = resize_media(ppm_full[:20], 8, 8)
     assert isinstance(resized, bytes)
+
+
+def test_ppm_comment_abutting_digit():
+    """'#' must terminate a pending token like whitespace: a comment
+    directly abutting a header digit ("6 4# cmt") must not concatenate
+    digits across the comment, and a comment abutting the FINAL header
+    token must place the raster offset right after the comment newline."""
+    _, px = _ppm(6, 4)
+    mid = b"P6\n6 4# comment right after height\n255\n" + px.tobytes()
+    d = decode_ppm(mid)
+    assert (d["width"], d["height"]) == (6, 4)
+    assert np.array_equal(d["pixels"], px)
+    tail = b"P6\n6 4\n255# comment right after maxval\n" + px.tobytes()
+    d2 = decode_ppm(tail)
+    assert (d2["width"], d2["height"]) == (6, 4)
+    assert np.array_equal(d2["pixels"], px)

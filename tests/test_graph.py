@@ -73,3 +73,21 @@ def test_dedup_components_transitive_survivors(spark):
     docs = spark.createDataFrame([(1,), (2,), (3,), (99,)], "doc_id bigint")
     rows = {r["doc_id"]: (r["component"], r["is_kept"]) for r in dedup_components(pairs, docs).collect()}
     assert rows == {1: (1, True), 2: (1, False), 3: (1, False), 99: (99, True)}
+
+
+def test_connected_components_raises_when_budget_exhausted(spark):
+    """A label still propagating when max_iter runs out must RAISE, not
+    return silently under-merged components (ADVICE r03)."""
+    import pytest
+
+    from tia_data_pipeline_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4-5: the min label needs 4 rounds; budget of 1 cannot finish
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+    # and a sufficient budget still converges to one component
+    got = {r["node"]: r["component"] for r in connected_components(edges, max_iter=6).collect()}
+    assert set(got.values()) == {1}

@@ -113,3 +113,21 @@ def test_compact_table_sorted_layout(spark, tmp_path):
     got = [r["id"] for r in spark.read.parquet(path).collect()]
     # single sorted file -> parquet preserves row order within the file
     assert got == sorted(got)
+
+
+def test_swap_failure_never_leaves_live_path_empty(spark, tmp_path):
+    """The compact/merge swap must rename the live table ASIDE first
+    (ADVICE r03): if the staging->live rename fails, the previous table
+    is restored, never deleted with data only in staging."""
+    import pytest
+
+    from tia_data_pipeline_spark.sources.lakehouse import _hadoop_fs, _swap_table
+
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    missing_staging = str(tmp_path / "does_not_exist")
+    with pytest.raises(IOError):
+        _swap_table(fs, jvm, missing_staging, path)
+    # live table survived the failed swap
+    assert spark.read.parquet(path).count() == 10

@@ -187,3 +187,45 @@ def test_day_partitioned_write_prunes_partitions(spark, tmp_path):
     # the unpartitioned predicate exactly
     expect = events.filter(F.to_date("ts") == "2024-01-03").count()
     assert scan.count() == expect > 0
+
+
+def test_fan_out_skips_large_splittable_files(spark, tmp_path):
+    """fan_out's skip must be BYTE-based, not file-count-based (ADVICE
+    r03): one large splittable parquet file already scans wide, so no
+    repartition; one small file still gets the widening."""
+    from tia_data_pipeline_spark.operators.scale import fan_out
+
+    big = str(tmp_path / "big.parquet")
+    # ~32 splits at the lowered split size -> treated as already-wide
+    spark.range(200_000).selectExpr("id", "repeat('x', 64) AS pad").coalesce(
+        1
+    ).write.parquet(big)
+    small = str(tmp_path / "small.parquet")
+    spark.range(100).coalesce(1).write.parquet(small)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try:
+        wide = fan_out(spark.read.parquet(big))
+        assert "RoundRobinPartitioning" not in _explain(wide), "large file needs no fan-out"
+        narrow = fan_out(spark.read.parquet(small))
+        assert "RoundRobinPartitioning" in _explain(narrow)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_fan_out_widens_in_memory_relation(spark):
+    from tia_data_pipeline_spark.operators.scale import fan_out
+
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    assert "RoundRobinPartitioning" in _explain(fan_out(df))
+
+
+def test_parse_bytes_spark_size_strings():
+    from tia_data_pipeline_spark.operators.scale import _parse_bytes
+
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("64MB") == 64 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("4096") == 4096

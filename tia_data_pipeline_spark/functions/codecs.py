@@ -40,8 +40,19 @@ def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
     while i < len(payload) and len(toks) < n:
         c = payload[i : i + 1]
         if c == b"#":
+            # '#' terminates a pending token like whitespace does — a
+            # comment can directly abut a digit ("6 4# cmt\n255"); not
+            # flushing here would concatenate digits across the comment.
+            if cur:
+                toks.append(int(cur))
+                cur = b""
             while i < len(payload) and payload[i : i + 1] != b"\n":
                 i += 1
+            if len(toks) == n:
+                # comment's newline is the whitespace terminating the
+                # final token; the raster starts right after it
+                i += 1
+                return toks, i
         elif c in (b" ", b"\t", b"\n", b"\r"):
             if cur:
                 toks.append(int(cur))

@@ -112,6 +112,13 @@ def connected_components(
     materialization (the joined old/new label frame is checkpointed,
     and both the convergence test and the next labels read from it),
     with lineage cut via localCheckpoint like :func:`thread_closure`.
+
+    Exhausting ``max_iter`` before quiescence RAISES instead of
+    returning silently-wrong labels (a component with a chain longer
+    than ``max_iter`` hops would otherwise split into several partial
+    components and downstream dedup would under-collapse). Raise the
+    budget — rounds cost O(|E|) each — or pre-shrink diameter with a
+    large-star/small-star contraction pass if a corpus ever hits this.
     """
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -139,8 +146,12 @@ def connected_components(
             "node", F.least("component", "new_component").alias("component")
         )
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} rounds; "
+        "labels would be silently wrong (a chain longer than the budget is still "
+        "propagating) — raise max_iter"
+    )
 
 
 def dedup_components(

@@ -23,6 +23,47 @@ from pyspark.sql import functions as F
 SALT_COL = "_salt"
 
 
+# Beyond this many leaf files the scan is treated as already-parallel
+# without stat-ing each file (per-file driver metadata calls stop being
+# free, and a 1024-file relation that still scans narrow needs
+# compaction, not a fan-out shuffle).
+_FAN_OUT_STAT_CAP = 1024
+
+
+def _estimated_scan_splits(df: DataFrame, files: list[str]) -> int | None:
+    """Approximate how many read partitions the file scan yields:
+    ``ceil(total_bytes / maxPartitionBytes)``. Splittable-parquet large
+    files divide at the split size and tiny files bin-pack toward it,
+    so total/split-size tracks the reader's behavior from both sides
+    (open-cost padding ignored — it only *raises* the real count).
+    Sizes come from the files' own FileSystem via driver metadata
+    calls; returns None when any lookup fails (caller falls back to the
+    file-count heuristic)."""
+    spark = df.sparkSession
+    try:
+        max_bytes = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        return max(1, -(-total // max_bytes))  # ceil
+    except Exception:  # noqa: BLE001 — inaccessible scheme/conf: heuristic fallback
+        return None
+
+
+_BYTE_SUFFIXES = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-string → bytes ("134217728b", "128m", "1g", "64MB")."""
+    s = v.strip().lower().removesuffix("b")
+    if s and s[-1] in _BYTE_SUFFIXES:
+        return int(s[:-1]) * _BYTE_SUFFIXES[s[-1]]
+    return int(s)
+
+
 def fan_out(df: DataFrame, *, target: int | None = None) -> DataFrame:
     """Repartition a low-parallelism relation before CPU-heavy per-row
     compute (regex scoring, shingling, per-token hashing).
@@ -36,18 +77,28 @@ def fan_out(df: DataFrame, *, target: int | None = None) -> DataFrame:
     expensive projection — and buys a full-width compute stage. AQE
     never coalesces an explicit ``repartition(n)``, so the width sticks.
 
-    The skip check reads ``df.inputFiles()`` — driver-side leaf-scan
-    metadata, no RDD translation (a ``df.rdd`` probe would force a
-    physical-plan conversion on every contract build). At cluster scale
-    a file-backed relation has thousands of leaf files (≥ parallelism)
-    → no-op; a small corpus (one file) or an in-memory relation
-    (``inputFiles() == []``) gets the repartition, which is exactly the
-    low-parallelism case the operator exists for.
+    The skip decision estimates the scan's actual split count from
+    leaf-file BYTES, not file count alone (``df.inputFiles()`` +
+    per-file sizes — driver metadata only, no ``df.rdd`` probe which
+    would force a physical-plan conversion on every contract build):
+
+    - a few LARGE splittable files already scan at ≥ parallelism
+      (bytes/split-size ≥ n) → no-op, no redundant shuffle;
+    - many TINY files bin-pack into few read partitions (bytes small
+      even though file count ≥ n) → still widened;
+    - an in-memory relation (no input files) or any relation whose
+      sizes can't be read falls back to the file-count heuristic.
     """
     spark = df.sparkSession
     n = target or spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) >= n:
+    files = df.inputFiles()
+    if len(files) >= _FAN_OUT_STAT_CAP:
         return df
+    if files:
+        est = _estimated_scan_splits(df, files)
+        wide = est >= n if est is not None else len(files) >= n
+        if wide:
+            return df
     return df.repartition(n)
 
 

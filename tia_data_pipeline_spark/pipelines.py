@@ -71,8 +71,8 @@ def source_probe(
 
 def posts_pipeline(
     spark: SparkSession,
-    fetcher: PageFetcher,
-    schema: T.StructType,
+    fetcher: PageFetcher | None,
+    schema: T.StructType | None,
     existing_posts: DataFrame,
     *,
     n_pages: int = 1,
@@ -85,6 +85,11 @@ def posts_pipeline(
     the existing table. Returns the rows an idempotent append would
     insert — run it twice, the second result is empty.
 
+    ``fetcher=None`` / ``schema=None`` use the reference's own contract
+    (``sources/contracts.py``): the stdlib GET against the public posts
+    endpoint and the 33-column DDL schema — a migrating user passes
+    only the Spark session and the existing table.
+
     Pre-flight order mirrors the reference DAG: source sensor, then
     sink sensor, then the fetch. An unavailable *source* is a skip —
     the returned insert batch is empty (same schema) and the
@@ -92,6 +97,11 @@ def posts_pipeline(
     error, because a skip would silently drop fetched data. ``probe``
     defaults to fetching page 1 on the driver, exactly the reference's
     HttpSensor GET."""
+    if fetcher is None or schema is None:
+        from tia_data_pipeline_spark.sources import contracts
+
+        fetcher = fetcher if fetcher is not None else contracts.default_page_fetcher()
+        schema = schema if schema is not None else contracts.POSTS_SCHEMA
     if not source_probe(probe or (lambda: fetcher(1))):
         raw = spark.createDataFrame([], schema)  # pre-flight skip
     else:
@@ -135,8 +145,8 @@ def posts_pipeline_streaming(
 def comments_pipeline(
     spark: SparkSession,
     posts_table: DataFrame,
-    fetcher: KeyFetcher,
-    schema: T.StructType,
+    fetcher: KeyFetcher | None,
+    schema: T.StructType | None,
     existing_comments: DataFrame,
     *,
     window_start: str,
@@ -152,13 +162,30 @@ def comments_pipeline(
     ``comments_pipeline.py:45-49``). The driving key set stays
     distributed end to end; empty fetches vanish via the fan-out
     source's skip-empty guard.
+
+    ``fetcher=None`` / ``schema=None`` use the reference's contract
+    (``sources/contracts.py``): the stdlib per-post comments GET and
+    the 17-column DDL schema.
     """
+    if fetcher is None or schema is None:
+        from tia_data_pipeline_spark.sources import contracts
+
+        fetcher = fetcher if fetcher is not None else contracts.default_key_fetcher()
+        schema = schema if schema is not None else contracts.COMMENTS_SCHEMA
     window_posts = posts_table.filter(
         (F.col(date_col) >= F.lit(window_start)) & (F.col(date_col) < F.lit(window_end))
     ).select(F.col(post_key).alias("post_id"))
     fetched = keyed_fanout_source(window_posts, "post_id", fetcher, schema)
+    # the fan-out's driving-key helper column is not part of the sink
+    # contract (the record's own `post` field carries it — the
+    # reference's load inserts exactly the DDL columns); keep it only
+    # if the declared schema names it.
+    if "post_id" not in schema.fieldNames():
+        rows = fetched.drop("post_id")
+    else:  # pragma: no cover - schema that declares the key keeps it
+        rows = fetched
     normalized = normalize_records(
-        fetched, text_col="content", ts_string_cols=("date_gmt", "editable_until")
+        rows, text_col="content", ts_string_cols=("date_gmt", "editable_until")
     )
     to_insert = incremental_append(normalized, existing_comments, keys=[comment_key])
     manifest = fetched.select("post_id").distinct()

@@ -837,8 +837,6 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     an array expression in the final projection. Dimension scales by
     composing md5 hex digits (16^k buckets), the aggregate stays one
     pass."""
-    from tia_data_pipeline_spark.operators.sampling import hash_bucket
-
     tok = _docs(spark, sf_dir, fan=False).select(
         "doc_id", F.explode_outer(TX.tokens(F.col("text"))).alias("tok")
     )

@@ -80,11 +80,12 @@ _SQL_TYPES: dict[type, str] = {
     T.StringType: "VARCHAR(4000)",
 }
 
-# SQLStates safe to retry during a concurrent merge: lock timeout,
-# deadlock, and the duplicate-key race (two WHEN NOT MATCHED scans both
-# missing a row the other is about to commit — the primary key turns
-# that into 23505 and the retry's merge then skips it).
-_RETRYABLE_SQLSTATES = ("40XL1", "40001", "23505")
+# SQLStates safe to retry during a concurrent merge: lock timeout
+# (Derby 40XL1, Postgres 55P03), deadlock (40001, Postgres 40P01), and
+# the duplicate-key race (two WHEN NOT MATCHED scans both missing a row
+# the other is about to commit — the primary key turns that into 23505
+# and the retry's merge then skips it).
+_RETRYABLE_SQLSTATES = ("40XL1", "40001", "40P01", "55P03", "23505")
 
 
 def _sql_type(dt: T.DataType) -> str:
@@ -128,6 +129,51 @@ def jdbc_ensure_table(
         conn.close()
 
 
+def jdbc_dialect(url: str) -> str:
+    """Dialect tag from the JDBC URL subprotocol (``jdbc:postgresql:…``
+    → ``postgresql``). Only the subprotocol is inspected — credentials
+    and host never affect statement shape."""
+    parts = url.split(":", 2)
+    return parts[1].lower() if len(parts) > 1 and parts[0].lower() == "jdbc" else "unknown"
+
+
+def insert_if_absent_sql(
+    url: str, table: str, staging: str, cols: Sequence[str], keys: Sequence[str]
+) -> str:
+    """The set-based insert-if-absent statement for the target's
+    dialect, staging table → target.
+
+    - Standard/Derby (and any MERGE-capable target): ``MERGE … WHEN NOT
+      MATCHED THEN INSERT`` — one atomic statement.
+    - Postgres: ``INSERT … SELECT … ON CONFLICT (keys) DO NOTHING``.
+      The reference targets Postgres 11.4 (``docker-compose.yml``),
+      which predates MERGE (added in PG 15); ``ON CONFLICT`` is the
+      native equivalent and exactly the reference's own conflict clause
+      (``posts_pipeline.py:57``), set-based instead of per-row. Also
+      atomic, and the same 23505-retry convergence argument applies.
+
+    Identifier convention (both dialects): Spark's JDBC writer creates
+    the staging table with quoted, case-preserved column names, so
+    staging references are quoted; the target's DDL identifiers are
+    database-normalized, so target references stay bare.
+    """
+    insert_cols = ", ".join(cols)
+    if jdbc_dialect(url) == "postgresql":
+        select_cols = ", ".join(f'"{c}"' for c in cols)
+        conflict = ", ".join(keys)
+        return (
+            f"INSERT INTO {table} ({insert_cols}) "
+            f"SELECT {select_cols} FROM {staging} "
+            f"ON CONFLICT ({conflict}) DO NOTHING"
+        )
+    on = " AND ".join(f't.{k} = s."{k}"' for k in keys)
+    insert_vals = ", ".join(f's."{c}"' for c in cols)
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+
+
 def jdbc_merge_upsert(
     incoming: DataFrame,
     url: str,
@@ -151,9 +197,9 @@ def jdbc_merge_upsert(
     with the target's primary key this converges to exactly-once.
 
     The staging write is the only data-volume path and stays fully
-    distributed; the MERGE is set-based inside the database. Against
-    warehouse targets lacking MERGE, swap step (2) for the dialect's
-    ``INSERT … ON CONFLICT DO NOTHING`` — same contract.
+    distributed; the insert-if-absent is set-based inside the database,
+    in the target dialect's native statement (MERGE, or Postgres
+    ``ON CONFLICT DO NOTHING`` — see :func:`insert_if_absent_sql`).
     """
     cols = list(incoming.columns)
     staging = f"{table}_stg_{uuid.uuid4().hex[:12]}"
@@ -169,16 +215,7 @@ def jdbc_merge_upsert(
         writer = writer.option(k, v)
     writer.save()
 
-    # Spark's JDBC writer quotes column identifiers (case-preserved);
-    # the target's DDL identifiers are database-normalized — reference
-    # staging columns quoted, target columns bare.
-    on = " AND ".join(f't.{k} = s."{k}"' for k in keys)
-    insert_cols = ", ".join(cols)
-    insert_vals = ", ".join(f's."{c}"' for c in cols)
-    merge = (
-        f"MERGE INTO {table} t USING {staging} s ON {on} "
-        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
-    )
+    merge = insert_if_absent_sql(url, table, staging, cols, keys)
     spark = incoming.sparkSession
     conn = _driver_connection(spark, url)
     try:

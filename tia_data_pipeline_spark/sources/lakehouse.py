@@ -113,10 +113,42 @@ def _merge_parquet_fallback(
     staging = f"{path}__staging_{uuid.uuid4().hex}"
     merged.write.mode("overwrite").parquet(staging)
     fs, hpath, jvm = _hadoop_fs(spark, path)
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(hpath, True)
-    if not fs.rename(spath, hpath):
-        raise IOError(f"rename {staging} -> {path} failed; table left at {staging}")
+    _swap_table(fs, jvm, staging, path)
+
+
+def _swap_table(fs, jvm, staging: str, path: str) -> None:
+    """Swap ``staging`` into ``path`` rename-aside-first: live → __old,
+    staging → live, delete __old. A failed rename never leaves the live
+    path empty — worst case the old table survives (restored at
+    ``path``, or parked at ``__old`` if even the restore rename fails)
+    and staging is kept for inspection. Readers can still observe a
+    brief missing-path window between the two renames; a table FORMAT
+    with a transaction log (Delta — ``have_delta`` path above) is the
+    real fix, this is the strongest swap plain parquet offers."""
+    P = jvm.org.apache.hadoop.fs.Path
+    hpath, spath = P(path), P(staging)
+    old = P(f"{path}__old_{uuid.uuid4().hex[:8]}")
+
+    def _rename(src, dst) -> bool:
+        # Hadoop FileSystem.rename signals failure as False OR as an
+        # exception depending on implementation/version — normalize so
+        # the restore path below runs either way.
+        try:
+            return bool(fs.rename(src, dst))
+        except Exception:  # noqa: BLE001
+            return False
+
+    if not _rename(hpath, old):
+        raise IOError(
+            f"rename {path} -> {old} failed; table unchanged, staging left at {staging}"
+        )
+    if not _rename(spath, hpath):
+        where = path if _rename(old, hpath) else str(old)
+        raise IOError(
+            f"rename {staging} -> {path} failed; previous table at {where}, "
+            f"staging left at {staging}"
+        )
+    fs.delete(old, True)
 
 
 def merge_upsert_table(
@@ -181,8 +213,5 @@ def compact_table(
         df = df.coalesce(n_files)
     staging = f"{path}__compact_{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(staging)
-    spath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(hpath, True)
-    if not fs.rename(spath, hpath):
-        raise IOError(f"rename {staging} -> {path} failed; table left at {staging}")
+    _swap_table(fs, jvm, staging, path)
     return n_files
