@@ -91,3 +91,43 @@ def test_connected_components_raises_when_budget_exhausted(spark):
     # and a sufficient budget still converges to one component
     got = {r["node"]: r["component"] for r in connected_components(edges, max_iter=6).collect()}
     assert set(got.values()) == {1}
+
+
+def test_twophase_components_match_label_propagation(spark):
+    """Property: large-star/small-star labels == min-label propagation
+    labels on random graphs (both root every node at its component min)."""
+    import random
+
+    from tia_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    rng = random.Random(11)
+    nodes = list(range(60))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(55)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    base = {r["node"]: r["component"] for r in connected_components(df, max_iter=60).collect()}
+    two = {r["node"]: r["component"] for r in connected_components_twophase(df).collect()}
+    assert two == base
+
+
+def test_twophase_handles_deep_chain_in_log_rounds(spark):
+    """A 120-hop chain: min-label propagation would need 120 rounds
+    (raises under a 10-round budget), the two-phase form converges well
+    inside it — the log-diameter claim, demonstrated."""
+    import pytest
+
+    from tia_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10)
+    got = {r["node"]: r["component"] for r in connected_components_twophase(chain, max_iter=10).collect()}
+    assert set(got.values()) == {0} and len(got) == 121

@@ -55,3 +55,61 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     }
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) >= len(single)
+
+
+def test_ivf_partitioned_index_prunes_and_serves(spark, tmp_path):
+    """The persisted IVF index must (1) lay the corpus out partitioned
+    by cell, (2) plan a PartitionFilter from the literal n_probe cell
+    predicate so the scan opens only the probed cells' files, and
+    (3) with n_probe = n_lists reproduce exact brute force."""
+    import contextlib
+    import io
+
+    from tia_data_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_read_centers,
+        ivf_search_indexed,
+        ivf_write_index,
+    )
+
+    corpus = _clustered_corpus(spark, n_clusters=6, per_cluster=30)
+    assigned, centers = ivf_build_index(corpus, n_lists=6, seed=7)
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(assigned, centers, path)
+    assert ivf_read_centers(spark, path) == centers
+
+    probe_vec = [float(x) for x in corpus.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    # full probe == exact brute force over the same table
+    full = ivf_search_indexed(spark, path, probe_vec, k=5, n_probe=6, centers=centers)
+    probe_df = corpus.filter(F.col("vec_id") == 0).select("embedding")
+    exact = brute_force_top_k(spark.read.parquet(path), probe_df, k=5)
+    assert [(r["vec_id"], r["score"]) for r in full.collect()] == [
+        (r["vec_id"], r["score"]) for r in exact.collect()
+    ]
+
+    # pruned probe: partition filter in the plan, subset of files read
+    pruned = ivf_search_indexed(spark, path, probe_vec, k=5, n_probe=2, centers=centers)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_cell" in plan
+    # input_file_name() reflects files actually opened post-pruning
+    # (inputFiles() is relation-level and ignores the filter)
+    read_files = {
+        r[0]
+        for r in spark.read.parquet(path)
+        .filter(F.col("_cell").isin([0, 1]))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    all_files = set(spark.read.parquet(path).inputFiles())
+    assert read_files and read_files < all_files
+    assert all("/_cell=0/" in f or "/_cell=1/" in f for f in read_files)
+
+    # the pruned search still finds the probe's own cluster (vec_id 0's
+    # nearest cell contains its 29 blob siblings)
+    top = [r["vec_id"] for r in pruned.collect()]
+    assert top[0] == 0 and len(top) == 5

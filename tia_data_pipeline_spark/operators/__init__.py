@@ -15,7 +15,12 @@ from tia_data_pipeline_spark.operators.dedup import (
     word_shingles,
 )
 from tia_data_pipeline_spark.operators.features import zscore, zscore_pandas
-from tia_data_pipeline_spark.operators.graph import thread_closure
+from tia_data_pipeline_spark.operators.graph import (
+    connected_components,
+    connected_components_twophase,
+    dedup_components,
+    thread_closure,
+)
 from tia_data_pipeline_spark.operators.incremental import (
     dedup_batch,
     incremental_append,
@@ -36,7 +41,12 @@ from tia_data_pipeline_spark.operators.scale import (
 from tia_data_pipeline_spark.operators.similarity import (
     brute_force_top_k,
     embedding_near_duplicates,
+    ivf_build_index,
+    ivf_search_indexed,
     ivf_top_k,
+    ivf_write_index,
+    knn_join,
+    knn_join_bucketed,
     lsh_top_k,
 )
 from tia_data_pipeline_spark.operators.windows import (
@@ -47,6 +57,9 @@ from tia_data_pipeline_spark.operators.windows import (
 
 __all__ = [
     "exact_dedup",
+    "connected_components",
+    "connected_components_twophase",
+    "dedup_components",
     "minhash_near_duplicates",
     "minhash_signature_frame",
     "ngram_jaccard_pairs",
@@ -69,7 +82,12 @@ __all__ = [
     "write_bucketed",
     "brute_force_top_k",
     "embedding_near_duplicates",
+    "ivf_build_index",
+    "ivf_search_indexed",
     "ivf_top_k",
+    "ivf_write_index",
+    "knn_join",
+    "knn_join_bucketed",
     "lsh_top_k",
     "daily_window",
     "sessionize",

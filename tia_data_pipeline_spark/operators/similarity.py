@@ -225,6 +225,91 @@ def ivf_top_k(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Train the IVF coarse quantizer and assign every vector a cell:
+    returns (corpus + ``_cell`` int column, cell centers). One spark.ml
+    KMeans fit (fixed seed), amortized across every query served from
+    the written index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = corpus.withColumn(
+        "_mlvec", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_mlvec", predictionCol="_cell").fit(
+        with_vec
+    )
+    assigned = model.transform(with_vec).drop("_mlvec")
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_write_index(assigned: DataFrame, centers: list[list[float]], path: str) -> None:
+    """Persist the IVF index with the cell id as a WRITE-TIME PARTITION
+    COLUMN (``…/_cell=K/``) — the 100 TB serving shape: a query's
+    ``_cell IN (nearest n_probe)`` predicate becomes a partition filter
+    and the scan never opens the other ``n_lists - n_probe`` cells'
+    files. Centers persist as a tiny parquet side table under an
+    underscore-prefixed dir (hidden from table scans, like _SUCCESS),
+    so the index is self-describing on any Hadoop-compatible FS."""
+    assigned.write.partitionBy("_cell").mode("overwrite").parquet(path)
+    spark = assigned.sparkSession
+    rows = [(i, c) for i, c in enumerate(centers)]
+    spark.createDataFrame(rows, "cell int, center array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_ivf_centers")
+
+
+def ivf_read_centers(spark, path: str) -> list[list[float]]:
+    """Centers side table → ordered list. n_lists rows on the driver —
+    control-plane metadata, not a data collect."""
+    rows = spark.read.parquet(f"{path}/_ivf_centers").collect()
+    by_cell = {int(r["cell"]): [float(x) for x in r["center"]] for r in rows}
+    return [by_cell[i] for i in range(len(by_cell))]
+
+
+def ivf_search_indexed(
+    spark,
+    path: str,
+    probe_vec: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centers: list[list[float]] | None = None,
+) -> DataFrame:
+    """Serve a probe from the written IVF index: pick the ``n_probe``
+    nearest cells DRIVER-SIDE (a few-float comparison against n_lists
+    centers — pure control plane), then scan ONLY those partitions with
+    exact cosine re-ranking. The cell predicate is a literal ``IN``, so
+    the parquet scan plans PartitionFilters (pinned in
+    tests/test_similarity.py) — at 100 TB the query reads
+    n_probe/n_lists of the index, before any row-level work."""
+    cs = centers if centers is not None else ivf_read_centers(spark, path)
+
+    def _d2(c: list[float]) -> float:
+        return sum((float(a) - float(b)) ** 2 for a, b in zip(probe_vec, c))
+
+    cells = sorted(range(len(cs)), key=lambda i: (_d2(cs[i]), i))[:n_probe]
+    corpus = spark.read.parquet(path).filter(
+        F.col("_cell").isin([int(c) for c in cells])
+    )
+    probe = F.array(*[F.lit(float(v)) for v in probe_vec])
+    scored = corpus.select(
+        F.col(id_col),
+        portable_round(cosine_similarity(F.col(vec_col), probe), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def knn_join_bucketed(
     corpus: DataFrame,
     probes: DataFrame,
