@@ -73,3 +73,26 @@ def test_word_shingles_short_docs(spark):
     }
     assert got[1] == [] and got[3] == []
     assert got[2] == ["a b c"]
+
+
+def test_minhash_portable_path_finds_planted_near_dups(spark):
+    """The md5-portable hash family must still find planted near-dups
+    (same banding math, different shingle hash), and both paths must
+    agree on the high-estimate pairs for identical planted content."""
+    from tia_data_pipeline_spark.operators.dedup import minhash_near_duplicates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest to hide from every single hunter nearby"
+    )
+    rows = [(1, base), (2, base + " tonight"), (3, "completely different words " * 8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for portable in (False, True):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_near_duplicates(
+                df, "text", "doc_id", threshold=0.5, portable=portable
+            ).collect()
+        }
+        assert (1, 2) in pairs, f"portable={portable} missed the planted near-dup"
+        assert all(3 not in p for p in pairs)

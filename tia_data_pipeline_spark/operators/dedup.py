@@ -62,6 +62,20 @@ def _hash_family(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _X_MOD), rng.randrange(0, _X_MOD)) for _ in range(k)]
 
 
+def md5_int_sql(s: str, digits: int = 7) -> str:
+    """SQL fragment valid in BOTH Spark SQL and DuckDB: the first
+    ``digits`` hex digits of md5(s) as a BIGINT (< 16^digits = 2^28 at
+    the default) — the engine-portable shingle hash for the
+    oracle-checkable MinHash path (same instr-digit construction as the
+    SimHash bits below). 7 digits keeps a*x < 2^31 * 2^28 = 2^59, clear
+    of ANSI-mode bigint overflow in the affine hash family."""
+    terms = []
+    for i in range(digits):
+        d = f"(instr('0123456789abcdef', substr(md5({s}), {i + 1}, 1)) - 1)"
+        terms.append(f"CAST({d} AS BIGINT) * {16 ** (digits - 1 - i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM-side:
     split → zip n shifted slices → concat → distinct).
@@ -103,18 +117,36 @@ def minhash_signature(col: Column, k: int = 32, seed: int = 42, shingle_n: int =
 
 
 def minhash_signature_frame(
-    df: DataFrame, text_col: str, id_col: str, k: int = 32, seed: int = 42, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 32,
+    seed: int = 42,
+    shingle_n: int = 3,
+    *,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig) frame: shingle once, explode, then ONE grouped
     aggregate with k cheap `min((a·x+b) mod P)` aggregations — the
     shingle pipeline runs once per document instead of k times, and the
     whole thing stays in whole-stage codegen with map-side partial
-    mins. Docs with zero shingles drop out (explode of empty array)."""
+    mins. Docs with zero shingles drop out (explode of empty array).
+
+    ``portable=True`` swaps the shingle hash xxhash64 → md5-digit
+    (:func:`md5_int_sql`): identical pipeline shape, but every value is
+    reproducible in DuckDB, so the whole MinHash estimate becomes
+    hash-checkable cross-engine (the declared `q_fuzzy_dedup` path);
+    xxhash64 stays the production default (faster, JVM-native)."""
     src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    x = (
+        F.expr(md5_int_sql("_sh"))
+        if portable
+        else F.pmod(F.xxhash64("_sh"), F.lit(_X_MOD))
+    )
     ex = src.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    ).select("_id", F.pmod(F.xxhash64("_sh"), F.lit(_X_MOD)).alias("_x"))
+    ).select("_id", x.alias("_x"))
     aggs = [
         F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"_m{i}")
         for i, (a, b) in enumerate(_hash_family(k, seed))
@@ -133,6 +165,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding.
 
@@ -143,10 +176,20 @@ def minhash_near_duplicates(
     The candidate join keys on (band_idx, band_hash): only documents
     agreeing on a whole band collide, so the shuffle fan-out is bounded
     by the banding probability curve, not |docs|².
+
+    ``portable=True``: md5-digit shingle hash and the band's raw value
+    slice as the bucket key (instead of xxhash64 of it) — every
+    intermediate is DuckDB-reproducible, so the estimate hash-matches a
+    SQL oracle (`plans/llm.py::q_fuzzy_dedup`). Bucket keys grow from 8
+    bytes to r·8 bytes; production default stays xxhash64.
     """
     assert k % bands == 0, "k must divide into equal bands"
     r = k // bands
-    sig = minhash_signature_frame(df, text_col, id_col, k, seed)
+    sig = minhash_signature_frame(df, text_col, id_col, k, seed, portable=portable)
+
+    def bucket_of(i: int):
+        sl = F.slice("_sig", i * r + 1, r)
+        return sl if portable else F.xxhash64(sl)
 
     banded = sig.select(
         "_id",
@@ -154,10 +197,7 @@ def minhash_near_duplicates(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(F.slice("_sig", i * r + 1, r)).alias("bucket"),
-                    )
+                    F.struct(F.lit(i).alias("band"), bucket_of(i).alias("bucket"))
                     for i in range(bands)
                 ]
             )
@@ -204,6 +244,54 @@ def minhash_near_duplicates(
         cand.withColumn("est_jaccard", portable_round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_oracle_sql(
+    table: str,
+    shingles_sql: str,
+    id_col: str,
+    *,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB SQL reproducing :func:`minhash_near_duplicates` with
+    ``portable=True`` value-for-value: same md5-digit shingle hash
+    (:func:`md5_int_sql`), same affine family (same seed), same band
+    slices as join keys, same hot-bucket cap, same rounded estimate."""
+    from tia_data_pipeline_spark.functions.text import portable_round_sql
+
+    assert k % bands == 0
+    r = k // bands
+    fam = _hash_family(k, seed)
+    mins = ", ".join(
+        f"min(({a} * x + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(fam)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(k)) + "]"
+    band_structs = ", ".join(
+        f"{{'band': {i}, 'key': sig[{i * r + 1}:{i * r + r}]}}" for i in range(bands)
+    )
+    match_frac = (
+        f"len([i FOR i IN range(1, {k + 1}) IF sa.sig[i] = sb.sig[i]]) / {float(k)}"
+    )
+    return (
+        f"WITH sh AS (SELECT {id_col} AS _id, unnest({shingles_sql}) AS s FROM {table}), "
+        f"xs AS (SELECT _id, {md5_int_sql('s')} AS x FROM sh), "
+        f"m AS (SELECT _id, {mins} FROM xs GROUP BY _id), "
+        f"sigl AS (SELECT _id, {sig_list} AS sig FROM m), "
+        f"banded AS (SELECT _id, u.band AS band, u.key AS key FROM ("
+        f"  SELECT _id, unnest([{band_structs}]) AS u FROM sigl)), "
+        f"hot AS (SELECT band, key FROM banded GROUP BY band, key "
+        f"  HAVING count(*) > {max_bucket}), "
+        f"ok AS (SELECT banded.* FROM banded ANTI JOIN hot USING (band, key)), "
+        f"cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b FROM ok a "
+        f"  JOIN ok b ON a.band = b.band AND a.key = b.key AND a._id < b._id), "
+        f"est AS (SELECT id_a, id_b, {portable_round_sql(match_frac, 6)} AS est_jaccard "
+        f"  FROM cand JOIN sigl sa ON sa._id = id_a JOIN sigl sb ON sb._id = id_b) "
+        f"SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"
     )
 
 

@@ -486,17 +486,34 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same distinct word-3-gram shingles as _NGRAM_PAIRS_SQL, over a
+# pre-tokenized derived table (tk computed once per row).
+_SHINGLE_TABLE_SQL = f"(SELECT doc_id, {_DOC_TOKENS_SQL} AS tk FROM documents)"
+_SHINGLES_SQL = (
+    "list_distinct([array_to_string(tk[i:i+2], ' ') "
+    "FOR i IN range(1, greatest(len(tk) - 2, 0) + 1)])"
+)
+
+
 @contract_query(
     "q_fuzzy_dedup",
-    oracle=None,  # MinHash estimate is not SQL-expressible → rows-only check
+    oracle=DD.minhash_oracle_sql(
+        _SHINGLE_TABLE_SQL, _SHINGLES_SQL, "doc_id", threshold=0.5
+    ),
     covers="ext-fuzzy-dedup (MinHash+LSH banding)",
 )
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=32, 8 bands)-LSH near-dup pairs at est-Jaccard ≥ 0.5.
-    Verified structurally (tests plant known near-dups); the driver
-    records a rows-only check."""
+    """MinHash(k=32, 8 bands)-LSH near-dup pairs at est-Jaccard ≥ 0.5,
+    on the PORTABLE hash path (md5-digit shingle hash, raw band slices
+    as bucket keys): every signature component is reproducible in
+    DuckDB, so the banding, the hot-bucket cap, and the matching-
+    component estimate all hash-match the oracle — upgraded from the
+    rows-only check of rounds 1-3. Production default stays the
+    xxhash64 family (faster; structurally tested with planted
+    near-dups in tests/test_dedup.py)."""
     return DD.minhash_near_duplicates(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5,
+        portable=True,
     )
 
 
