@@ -113,3 +113,13 @@ def test_ivf_partitioned_index_prunes_and_serves(spark, tmp_path):
     # nearest cell contains its 29 blob siblings)
     top = [r["vec_id"] for r in pruned.collect()]
     assert top[0] == 0 and len(top) == 5
+
+
+def test_projection_bits_scale_rule():
+    from tia_data_pipeline_spark.operators.similarity import projection_bits_for
+
+    assert projection_bits_for(2_000, 1000) == 1
+    assert projection_bits_for(40_000, 1000) == 6    # the 8x stress corpus
+    assert projection_bits_for(1_000_000, 1000) == 10
+    assert projection_bits_for(10**9, 1000) == 20    # 100 TB-ish corpus
+    assert projection_bits_for(10, 1000) == 1        # floor at 1 bit

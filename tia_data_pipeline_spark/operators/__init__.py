@@ -45,6 +45,7 @@ from tia_data_pipeline_spark.operators.similarity import (
     ivf_search_indexed,
     ivf_top_k,
     ivf_write_index,
+    projection_bits_for,
     knn_join,
     knn_join_bucketed,
     lsh_top_k,
@@ -86,6 +87,7 @@ __all__ = [
     "ivf_search_indexed",
     "ivf_top_k",
     "ivf_write_index",
+    "projection_bits_for",
     "knn_join",
     "knn_join_bucketed",
     "lsh_top_k",

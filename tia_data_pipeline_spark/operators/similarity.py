@@ -35,6 +35,20 @@ def projection_matrix(bits: int = LSH_BITS, dim: int = EMBED_DIM, seed: int = LS
     return [[round(float(v), 6) for v in row] for row in rng.randn(bits, dim)]
 
 
+def projection_bits_for(n_vectors: int, target_bucket: int = 1000) -> int:
+    """Sign-projection bit count sizing a corpus to ~``target_bucket``
+    expected members per bucket: ``2^bits ≈ n/target``. This is the
+    scale rule from SCALE.md made executable — pair-expansion work in
+    the bucketed dedup/ANN operators grows with the SQUARE of bucket
+    size, so bits must rise with log2 of the corpus (the measured 8×
+    stress corpus went super-linear on a fixed 4-bit projection).
+    Callers pass the result to :func:`projection_matrix`; the contract
+    queries keep their fixed literals (the oracle embeds them)."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n_vectors / max(1, target_bucket)))))
+
+
 def _sign_bits(vec: Column, proj: list[list[float]]) -> Column:
     """LSH bucket id: integer of sign bits of <vec, p_i>."""
     bucket = F.lit(0).cast("bigint")
