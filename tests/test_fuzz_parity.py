@@ -120,3 +120,27 @@ def test_money_sum_fuzz_vs_duckdb(spark):
         con.sql(f"SELECT g, {money_sum_sql('v', decimals=2)} FROM t GROUP BY g").fetchall()
     )
     assert got == duck
+
+
+def test_md5_int_sql_cross_engine_fuzz(spark):
+    """The portable MinHash shingle hash (md5_int_sql) must produce the
+    SAME bigint in Spark SQL and DuckDB for arbitrary strings — the
+    whole q_fuzzy_dedup oracle upgrade rests on this primitive."""
+    from tia_data_pipeline_spark.operators.dedup import md5_int_sql
+
+    vals = [s for s in _rand_strings(300, seed=77) if s]  # md5 of '' agrees too, keep distinct rows simple
+    vals += ["", "a", "the quick brown fox", "ünïcode ğ 漢字", " " * 5]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(vals)], "i int, s string")
+    got = {
+        r["i"]: r["h"]
+        for r in df.selectExpr("i", f"{md5_int_sql('s')} AS h").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"i": list(range(len(vals))), "s": vals}))
+    want = {
+        int(i): int(h)
+        for i, h in con.execute(f"SELECT i, {md5_int_sql('s')} AS h FROM t").fetchall()
+    }
+    assert got == want
+    # range invariant: < 16^7 so a*x stays clear of ANSI bigint overflow
+    assert all(0 <= h < 16**7 for h in got.values())
