@@ -386,8 +386,15 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     its hash; fingerprint bit j is 1 iff the vote sum is positive. The
     token hash is md5-derived so the DuckDB oracle can reproduce it
     bit-for-bit (``plans/llm.py::q_simhash``).
+
+    No fan-out repartition here, unlike the shingle-based operators:
+    the map side is only tokenize+explode (cheap; md5 is computed once
+    per exploded row and its 32 bit extractions CSE), so the vote
+    aggregate's own exchange provides the parallelism — the explicit
+    repartition was measured ~1.4x pure cost at sf0.1 (interleaved A/B,
+    same method as the `_docs(fan=...)` split).
     """
-    toked = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+    toked = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )
