@@ -259,3 +259,19 @@ def test_funnel_windows_share_one_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 3
     assert len(re.findall(r"\(\d+\) Sort\b", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+
+
+# Round-4 fan-out decisions, measured by interleaved A/B at sf0.1 (see
+# plans/llm.py::_docs and operators/dedup.py::simhash docstrings): the
+# explicit repartition is a WIN only where the map side is CPU-heavy.
+FAN_OUT_EXPECTED = {"q_lang_id", "q_repetition", "q_ngram_jaccard"}
+NO_FAN_OUT_EXPECTED = {"q_word_freq", "q_tfidf", "q_collocations", "q_feature_hash", "q_simhash"}
+
+
+@pytest.mark.parametrize("name", sorted(FAN_OUT_EXPECTED | NO_FAN_OUT_EXPECTED))
+def test_fan_out_decision_pinned(spark, name):
+    p = plan_of(spark, name)
+    if name in FAN_OUT_EXPECTED:
+        assert "RoundRobinPartitioning" in p, f"{name} lost its fan-out widening"
+    else:
+        assert "RoundRobinPartitioning" not in p, f"{name} regained a redundant repartition"
