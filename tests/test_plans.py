@@ -134,19 +134,19 @@ TAIL_COVERED_BY = {
     "q_dedup_latest": "q_topk_latest",
     "q_scan_project": "q_ts_normalize",
     "q_topk_per_group": "q_topk_latest",
-    "q_cube": "q_rollup",
+    "q_cube": "q_agg_count",
     "q_token_bpe": "q_text_tokens",
     "q_doc_fingerprint": "q_text_tokens",
     "q_word_freq": "q_text_tokens",
     "q_canonicalize": "q_text_tokens",
     "q_ann_multiprobe": "q_ann_lsh",
-    "q_ntile": "q_window_frames",
+    "q_ntile": "q_topk_latest",
     "q_sim_topk": "q_knn_join",
     "q_fuzzy_dedup": "q_dedup_components",
     # demoted in round 4 (each 2x/3x driver-green) to verify the ten
     # round-3 tail queries that had zero driver rows:
     "q_proj_alias": "q_ts_normalize",
-    "q_const_probe": "q_profile",
+    "q_const_probe": "q_data_quality",
     "q_json_ser": "q_feature_hash",
     "q_histogram": "q_quantiles",
     "q_gap_fill": "q_daily_window",
@@ -154,8 +154,14 @@ TAIL_COVERED_BY = {
     "q_star_join": "q_revenue_by_segment",
     "q_children_rollup": "q_agg_count",
     "q_set_ops": "q_dedup_batch",
-    "q_pivot_status": "q_rollup",
-    "q_zscore": "q_window_frames",
+    "q_pivot_status": "q_agg_count",
+    "q_zscore": "q_session_window",
+    # demoted in round 4 (each 3x driver-green) to make room for the
+    # curation tier:
+    "q_hash_sample": "q_split_assign",
+    "q_window_frames": "q_session_window",
+    "q_rollup": "q_agg_count",
+    "q_profile": "q_data_quality",
 }
 
 
@@ -275,3 +281,55 @@ def test_fan_out_decision_pinned(spark, name):
         assert "RoundRobinPartitioning" in p, f"{name} lost its fan-out widening"
     else:
         assert "RoundRobinPartitioning" not in p, f"{name} regained a redundant repartition"
+
+
+# --- round-4 curation tier -------------------------------------------------
+
+
+def test_decontaminate_broadcast_membership_two_shuffles(spark):
+    """The benchmark shingle set must arrive at the corpus side as a
+    BROADCAST hash join (membership test, never a shuffle join on the
+    corpus shingles), leaving exactly two shuffles: the benchmark
+    distinct and the per-doc aggregate. A sort-merge or cartesian here
+    would move the whole exploded corpus — the 100 TB failure mode."""
+    import re
+
+    p = plan_of(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_source_mix_no_explode_narrow_tokens(spark):
+    """Token counting must stay a narrow per-row projection — no
+    Generate (explode) anywhere: the only wide ops are the tiny
+    (source, lang) aggregate and the broadcast scalar total."""
+    p = plan_of(spark, "q_source_mix")
+    assert "Generate" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row total as broadcast scalar
+    assert "ReadSchema: struct<text:string,lang:string,source:string>" in p
+
+
+def test_split_assign_single_group_shuffle(spark):
+    """Split assignment is a pure per-row projection; the report is one
+    (lang, split) aggregate plus a window over the already-aggregated
+    frame — two exchanges, both over rows = #langs x 3."""
+    import re
+
+    p = plan_of(spark, "q_split_assign")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in p
+
+
+def test_embed_quantize_partial_agg_no_python(spark):
+    """Quantization error folds entirely JVM-side (HashAggregate with a
+    map-side partial over integered per-vector errors — no
+    ObjectHashAggregate buffering, no Python runner)."""
+    import re
+
+    p = plan_of(spark, "q_embed_quantize")
+    assert "ObjectHashAggregate" not in p
+    assert "Python" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "ReadSchema: struct<embedding:array<float>,label:int>" in p

@@ -4,7 +4,14 @@ Importing this package populates the registry in
 :mod:`tia_data_pipeline_spark.plans.contract`.
 """
 
-from tia_data_pipeline_spark.plans import analytics, compat, llm, relational, windows  # noqa: F401
+from tia_data_pipeline_spark.plans import (  # noqa: F401
+    analytics,
+    compat,
+    curation,
+    llm,
+    relational,
+    windows,
+)
 from tia_data_pipeline_spark.plans.contract import REGISTRY, oracle_sql, queries
 
 # The grading driver records CORRECTNESS rows for at most the first 50
@@ -36,6 +43,11 @@ CONTRACT_ORDER = [
     "q_chunking",
     # -- round-4 additions (never driver-seen)
     "q_knn_bucketed",
+    # -- round-4 curation tier (never driver-seen)
+    "q_source_mix",
+    "q_split_assign",
+    "q_decontaminate",
+    "q_embed_quantize",
     # -- window tier: inc-window / ext-stream-windows, the reference's
     #    core incremental semantic (comments_pipeline.py:27-33,107).
     "q_daily_window",
@@ -79,18 +91,21 @@ CONTRACT_ORDER = [
     # tested (planted near-dups).
     "q_dedup_components",
     "q_count_distinct",
-    "q_hash_sample",
     # -- analytics extensions
     "q_quantiles",
-    "q_window_frames",
-    "q_rollup",
     "q_asof_join",
     "q_range_join",
-    "q_profile",
     "q_approx_distinct",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
+    # -- demoted in round 4 (each 3x driver-green) to make room for the
+    #    curation tier above.
+    "q_hash_sample",  # sampling filter: q_split_assign covers the id-hash family
+    "q_window_frames",  # frames: q_zscore (tail, 3x green) is the same family;
+    #    in-cap windows stay covered by q_topk_latest/q_cohort_retention
+    "q_rollup",  # grouping sets: q_cube (tail) same family; grouped agg in-cap
+    "q_profile",  # column profiling: q_data_quality covers the DQ family in-cap
     "q_dedup_latest",  # row_number latest-per-key: q_topk_latest covers
     "q_scan_project",  # scan+projection: every in-cap query projects/aliases
     "q_topk_per_group",  # WindowGroupLimit: q_topk_latest covers
@@ -106,7 +121,7 @@ CONTRACT_ORDER = [
     # -- demoted in round 4 (each 2x/3x driver-green) to make room for
     #    the ten never-verified round-3 queries above.
     "q_proj_alias",  # proj-alias: 3x green; q_scan_project-equivalent in-cap queries cover
-    "q_const_probe",  # const-probe: 3x green; q_profile covers scalar probes
+    "q_const_probe",  # const-probe: 3x green; q_data_quality covers scalar checks
     "q_json_ser",  # json-ser: 3x green; q_feature_hash exercises to_json in-cap
     "q_histogram",  # binned agg: 2x green; q_rollup/q_quantiles cover
     "q_gap_fill",  # calendar fill: 2x green; q_daily_window covers
