@@ -162,6 +162,7 @@ TAIL_COVERED_BY = {
     "q_window_frames": "q_session_window",
     "q_rollup": "q_agg_count",
     "q_profile": "q_data_quality",
+    "q_asof_join": "q_range_join",
 }
 
 
@@ -333,3 +334,16 @@ def test_embed_quantize_partial_agg_no_python(spark):
     assert "Python" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "ReadSchema: struct<embedding:array<float>,label:int>" in p
+
+
+def test_ann_recall_single_shuffle_shared_partitioning(spark):
+    """Recall evaluation scores the corpus ONCE: probes broadcast, both
+    row_number ranks AND the final per-probe aggregate share a single
+    probe_id exchange (the aggregate reuses the window's
+    partitioning)."""
+    import re
+
+    p = plan_of(spark, "q_ann_recall")
+    assert "BroadcastNestedLoopJoin" in p
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1

@@ -48,6 +48,7 @@ CONTRACT_ORDER = [
     "q_split_assign",
     "q_decontaminate",
     "q_embed_quantize",
+    "q_ann_recall",
     # -- window tier: inc-window / ext-stream-windows, the reference's
     #    core incremental semantic (comments_pipeline.py:27-33,107).
     "q_daily_window",
@@ -93,7 +94,6 @@ CONTRACT_ORDER = [
     "q_count_distinct",
     # -- analytics extensions
     "q_quantiles",
-    "q_asof_join",
     "q_range_join",
     "q_approx_distinct",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
@@ -106,6 +106,7 @@ CONTRACT_ORDER = [
     #    in-cap windows stay covered by q_topk_latest/q_cohort_retention
     "q_rollup",  # grouping sets: q_cube (tail) same family; grouped agg in-cap
     "q_profile",  # column profiling: q_data_quality covers the DQ family in-cap
+    "q_asof_join",  # temporal join: q_range_join (in-cap) same interval-join family
     "q_dedup_latest",  # row_number latest-per-key: q_topk_latest covers
     "q_scan_project",  # scan+projection: every in-cap query projects/aliases
     "q_topk_per_group",  # WindowGroupLimit: q_topk_latest covers

@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 
 from tia_data_pipeline_spark.catalog import load_table
 from tia_data_pipeline_spark.functions import text as TX
+from tia_data_pipeline_spark.functions.vectors import cosine_sql, cosine_similarity
 from tia_data_pipeline_spark.operators import sampling as SMP
 from tia_data_pipeline_spark.operators.dedup import word_shingles
+from tia_data_pipeline_spark.operators.similarity import _sign_bits
 from tia_data_pipeline_spark.plans.contract import contract_query
-from tia_data_pipeline_spark.plans.llm import _DOC_TOKENS_SQL, _docs
+from tia_data_pipeline_spark.plans.llm import _DOC_TOKENS_SQL, _PROJ, _bucket_sql, _docs
 
 # ---------------------------------------------------------------------------
 # q_source_mix — training-mixture composition report
@@ -253,4 +255,109 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_sqerr_n"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ann_recall — ANN index quality evaluation (recall@k vs exact)
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+_N_PROBES = 8
+
+
+@contract_query(
+    "q_ann_recall",
+    oracle=(
+        "WITH b AS (SELECT vec_id, embedding, "
+        f"  {{bucket}} AS bucket FROM embeddings), "
+        "probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec, bucket AS pbucket "
+        f"  FROM b WHERE vec_id < {_N_PROBES}), "
+        "scored AS (SELECT p.probe_id, c.vec_id, "
+        f"  {{score}} AS score, "
+        "  CASE WHEN c.bucket = p.pbucket THEN 1 ELSE 0 END AS mflag "
+        f"  FROM b c CROSS JOIN probes p WHERE c.vec_id >= {_N_PROBES}), "
+        "ranked AS (SELECT probe_id, vec_id, mflag, "
+        "  row_number() OVER (PARTITION BY probe_id "
+        "    ORDER BY score DESC, vec_id ASC) AS exact_rank, "
+        "  row_number() OVER (PARTITION BY probe_id "
+        "    ORDER BY mflag DESC, score DESC, vec_id ASC) AS ann_rank "
+        "  FROM scored) "
+        "SELECT probe_id, "
+        f"  sum(CASE WHEN exact_rank <= {_RECALL_K} THEN 1 ELSE 0 END)::BIGINT AS n_exact, "
+        f"  sum(CASE WHEN exact_rank <= {_RECALL_K} AND mflag = 1 "
+        f"      AND ann_rank <= {_RECALL_K} THEN 1 ELSE 0 END)::BIGINT AS n_hit, "
+        "  {recall} AS recall "
+        "FROM ranked GROUP BY probe_id"
+    ).format(
+        bucket=_bucket_sql("embedding", _PROJ),
+        score=TX.portable_round_sql(cosine_sql("c.embedding", "p.probe_vec"), 6),
+        recall=TX.portable_round_sql(
+            f"sum(CASE WHEN exact_rank <= {_RECALL_K} AND mflag = 1 "
+            f"    AND ann_rank <= {_RECALL_K} THEN 1 ELSE 0 END)::DOUBLE "
+            f"/ sum(CASE WHEN exact_rank <= {_RECALL_K} THEN 1 ELSE 0 END)",
+            6,
+        ),
+    ),
+    covers="training-data curation (ANN index evaluation: recall@k vs exact top-k)",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the single-probe sign-LSH candidate generator
+    against exact cosine top-10, per probe — the measure-don't-guess
+    op behind every 'is the ANN index good enough?' decision. The same
+    report runs over any candidate generator (multi-probe, IVF) by
+    swapping the match flag.
+
+    One pass over the corpus: probes (tiny) broadcast; each corpus row
+    scores once; the exact rank and the ANN rank are two row_numbers
+    over the SAME probe_id partitioning (ann_rank orders the bucket
+    matches first, so rank<=k under mflag=1 is rank within the
+    candidate set) — one shuffle, two sorts, and the final aggregate
+    reuses the window's partitioning (no extra exchange; pinned).
+    Reduce parallelism = n_probes, the knn_join caveat: evaluation
+    batches are small by construction (a sample, not the corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = _sign_bits(F.col("embedding"), _PROJ)
+    probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        bucket.alias("pbucket"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= _N_PROBES).select(
+        "vec_id", "embedding", bucket.alias("bucket")
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        TX.portable_round(
+            cosine_similarity(F.col("embedding"), F.col("probe_vec")), 6
+        ).alias("score"),
+        F.when(F.col("bucket") == F.col("pbucket"), F.lit(1)).otherwise(F.lit(0)).alias(
+            "mflag"
+        ),
+    )
+    w_exact = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    w_ann = Window.partitionBy("probe_id").orderBy(
+        F.col("mflag").desc(), F.col("score").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "probe_id",
+        "mflag",
+        F.row_number().over(w_exact).alias("exact_rank"),
+        F.row_number().over(w_ann).alias("ann_rank"),
+    )
+    in_exact = F.col("exact_rank") <= _RECALL_K
+    in_ann = (F.col("mflag") == 1) & (F.col("ann_rank") <= _RECALL_K)
+    n_exact = F.sum(F.when(in_exact, 1).otherwise(0)).cast("bigint")
+    n_hit = F.sum(F.when(in_exact & in_ann, 1).otherwise(0)).cast("bigint")
+    return ranked.groupBy("probe_id").agg(
+        n_exact.alias("n_exact"),
+        n_hit.alias("n_hit"),
+        TX.portable_round(
+            F.sum(F.when(in_exact & in_ann, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(in_exact, 1).otherwise(0)),
+            6,
+        ).alias("recall"),
     )
