@@ -163,6 +163,14 @@ TAIL_COVERED_BY = {
     "q_rollup": "q_agg_count",
     "q_profile": "q_data_quality",
     "q_asof_join": "q_range_join",
+    # demoted late round 4 (each 3x driver-green) to make room for the
+    # second curation batch (packing/boilerplate/entropy/temperature/
+    # cluster-sizes):
+    "q_lang_id": "q_quality_score",
+    "q_tfidf": "q_token_entropy",
+    "q_simhash": "q_ngram_jaccard",
+    "q_multimodal_meta": "q_resize_meta",
+    "q_count_distinct": "q_agg_count",
 }
 
 
@@ -347,3 +355,66 @@ def test_ann_recall_single_shuffle_shared_partitioning(spark):
     assert "BroadcastNestedLoopJoin" in p
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 2
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_pack_sequences_parallel_prefix_sum(spark):
+    """Sequence packing must be a SHARDED prefix sum: exactly one
+    exchange, hash-partitioned on shard (never the global
+    single-partition running total — the canonical scale anti-pattern),
+    and the packed-window aggregate reuses that partitioning (shard is
+    a subset of the grouping keys, so no second shuffle). Only
+    (doc_id, n_tok) crosses the wire — never text."""
+    import re
+
+    p = plan_of(spark, "q_pack_sequences")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(shard" in p
+    assert "SinglePartition" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_boilerplate_broadcast_membership(spark):
+    """The corpus-derived boilerplate set joins back as a BROADCAST
+    membership probe — the exploded corpus shingle stream must never
+    shuffle to a join exchange (sort-merge here moves the whole shingle
+    stream twice: the 100 TB failure mode). Two shuffles total: the
+    shingle df-aggregate and the per-doc aggregate."""
+    import re
+
+    p = plan_of(spark, "q_boilerplate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+
+
+def test_mix_temperature_single_corpus_scan(spark):
+    """Both normalizing scalars (corpus total, weight total) must be
+    window sums over the ALREADY-AGGREGATED per-source frame: one
+    corpus scan, one narrow aggregate exchange. The broadcast-scalar
+    alternative re-planned the corpus aggregate per consumer (measured:
+    4 scans, zero exchange reuse)."""
+    import re
+
+    p = plan_of(spark, "q_mix_temperature")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Generate" not in p  # token count stays a narrow projection
+
+
+def test_token_entropy_integer_aggregates_pruned_scan(spark):
+    """Entropy terms are integered before every cross-row sum (exact
+    BIGINT aggregation — no order-dependent double folds) and the scan
+    reads only (doc_id, lang, text)."""
+    p = plan_of(spark, "q_token_entropy")
+    assert "ObjectHashAggregate" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in p
+
+
+def test_cluster_sizes_digest_only_shuffle(spark):
+    """The first-level aggregate must group on the 32-byte digest (text
+    itself never shuffles) and the histogram level is a partial-agg over
+    (size, count) pairs — two exchanges total."""
+    import re
+
+    p = plan_of(spark, "q_cluster_sizes")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "sha2" in p

@@ -49,6 +49,11 @@ CONTRACT_ORDER = [
     "q_decontaminate",
     "q_embed_quantize",
     "q_ann_recall",
+    "q_pack_sequences",
+    "q_boilerplate",
+    "q_token_entropy",
+    "q_mix_temperature",
+    "q_cluster_sizes",
     # -- window tier: inc-window / ext-stream-windows, the reference's
     #    core incremental semantic (comments_pipeline.py:27-33,107).
     "q_daily_window",
@@ -71,10 +76,7 @@ CONTRACT_ORDER = [
     # -- LLM-pipeline tier: one slot per distinct technique
     "q_exact_dedup",
     "q_text_tokens",
-    "q_lang_id",
     "q_quality_score",
-    "q_tfidf",
-    "q_multimodal_meta",
     "q_resize_meta",
     "q_embed_stats",
     # q_knn_join supersedes q_sim_topk in-cap (round 3): batch k-NN is
@@ -84,14 +86,12 @@ CONTRACT_ORDER = [
     "q_ann_lsh",
     "q_embed_dedup",
     "q_ngram_jaccard",
-    "q_simhash",
     # q_dedup_components supersedes q_fuzzy_dedup in-cap (round 3): it
     # is fully hash-checked (recursive-CTE oracle) where fuzzy_dedup
     # was rows-only, and it exercises the cluster-closure step the
     # pairwise queries stop short of; MinHash stays tail+structure-
     # tested (planted near-dups).
     "q_dedup_components",
-    "q_count_distinct",
     # -- analytics extensions
     "q_quantiles",
     "q_range_join",
@@ -101,6 +101,11 @@ CONTRACT_ORDER = [
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
     # -- demoted in round 4 (each 3x driver-green) to make room for the
     #    curation tier above.
+    "q_lang_id",  # ext-text-analysis: 3x green; q_text_tokens/q_quality_score/q_gopher_quality keep the family in-cap
+    "q_tfidf",  # ext-text-analysis: 3x green; q_token_entropy is the same explode->grouped-stat family
+    "q_simhash",  # fuzzy-dedup hash: 3x green; q_ngram_jaccard/q_dedup_components keep the family in-cap
+    "q_multimodal_meta",  # ext-multimodal: 3x green; q_resize_meta (in-cap) drives the Arrow boundary itself
+    "q_count_distinct",  # distinct-count agg: 3x green; q_agg_count covers the agg family
     "q_hash_sample",  # sampling filter: q_split_assign covers the id-hash family
     "q_window_frames",  # frames: q_zscore (tail, 3x green) is the same family;
     #    in-cap windows stay covered by q_topk_latest/q_cohort_retention

@@ -265,6 +265,318 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECALL_K = 10
 _N_PROBES = 8
 
+# ---------------------------------------------------------------------------
+# q_pack_sequences — distributed concat-and-chop sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_WINDOW = 256  # context-window token budget per packed sequence
+_PACK_SHARDS = 8  # independent packing streams
+
+
+@contract_query(
+    "q_pack_sequences",
+    oracle=(
+        "WITH d AS (SELECT doc_id, {wc} AS n_tok, "
+        f"  ({{bucket}}) % {_PACK_SHARDS} AS shard FROM documents), "
+        "s AS (SELECT shard, doc_id, n_tok, "
+        "  coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt FROM d), "
+        f"b AS (SELECT shard, CAST(floor(strt / {_PACK_WINDOW}.0) AS BIGINT) AS seq_bin, "
+        "  doc_id, n_tok FROM s) "
+        "SELECT shard, seq_bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens, "
+        "  min(doc_id) AS first_doc, "
+        f"  {TX.portable_round_sql(f'sum(n_tok)::DOUBLE / {_PACK_WINDOW}', 6)} AS fill "
+        "FROM b GROUP BY shard, seq_bin"
+    ).format(wc=TX.word_count_sql("text"), bucket=SMP.hash_bucket_sql("doc_id")),
+    covers="training-data curation (sequence packing: concat-and-chop into context windows)",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sequence packing: documents concatenate in doc_id
+    order and chop into fixed 256-token context windows, independently
+    within each of 8 id-hash shards; each doc lands in the window its
+    first token falls in. Output is the packing manifest (docs, tokens,
+    first doc, fill factor per window) a tokenizer job consumes.
+
+    Scale shape: the naive packer is a GLOBAL running sum — one sorted
+    partition, the canonical scale anti-pattern. Sharding by content
+    hash makes the prefix-sum per-shard: the window's exchange hash-
+    partitions on shard (parallelism = shard count, each shard sorts
+    locally), exactly how a 1000-executor packer runs with shards =
+    O(cluster width). Determinism comes free: shard is a pure function
+    of doc_id and the within-shard order is doc_id, so the manifest is
+    stable under repartitioning, retries, and engine swaps. Only
+    (doc_id, n_tok) shuffle — token counts, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        TX.word_count(F.col("text")).alias("n_tok"),
+        (SMP.hash_bucket("doc_id") % _PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    strt = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    b = d.select(
+        "shard",
+        F.floor(strt / F.lit(float(_PACK_WINDOW))).cast("bigint").alias("seq_bin"),
+        "doc_id",
+        "n_tok",
+    )
+    return b.groupBy("shard", "seq_bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        TX.portable_round(F.sum("n_tok").cast("double") / _PACK_WINDOW, 6).alias("fill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_boilerplate — corpus-frequency boilerplate phrase detection
+# ---------------------------------------------------------------------------
+
+_BP_N = 5  # phrase length (word 5-grams)
+_BP_MIN_DF = 4  # a shingle in >= this many docs is boilerplate
+
+
+@contract_query(
+    "q_boilerplate",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, unnest(list_distinct("
+        f"    [array_to_string(tk[i:i+{_BP_N - 1}], ' ') "
+        f"     FOR i IN range(1, greatest(len(tk) - {_BP_N - 1}, 0) + 1)])) AS sh "
+        f"  FROM (SELECT doc_id, {_DOC_TOKENS_SQL} AS tk FROM documents)), "
+        f"c AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= {_BP_MIN_DF}), "
+        "a AS (SELECT s.doc_id, count(*) AS n_shingles, count(c.sh) AS n_boiler "
+        "  FROM sh s LEFT JOIN c ON s.sh = c.sh GROUP BY s.doc_id) "
+        "SELECT doc_id, n_shingles, n_boiler, "
+        f"  {TX.portable_round_sql('n_boiler::DOUBLE / n_shingles', 6)} AS boiler_frac "
+        "FROM a WHERE n_boiler > 0"
+    ),
+    covers="training-data curation (boilerplate phrase detection: corpus-frequent n-grams)",
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: word-5-grams appearing in >= 4 distinct
+    documents are navigation/footer/licence-style phrases; per document,
+    report the fraction of its distinct 5-grams that are boilerplate (a
+    cleaner drops or strips docs above a threshold).
+
+    Scale shape: one explode builds the shingle stream; the boilerplate
+    set is the HAVING side of a (shingle) aggregate — at any scale its
+    size is bounded by phrases repeated across documents, a vanishing
+    fraction of the shingle space — and joins back as a BROADCAST, so
+    the corpus-side stream never shuffles to a join exchange. The
+    shingle stream feeds both the df-aggregate and the join; the
+    branches diverge BEFORE any exchange, so the pruned two-column scan
+    runs twice — the right trade (scans are cheap and column-pruned;
+    shuffling the full shingle stream to a shared exchange is not).
+    Contrast q_decontaminate: same plan
+    skeleton, but the membership set there is external (benchmark),
+    here it is derived from corpus statistics. At 100 TB the df
+    aggregate shuffles (shingle, partial-count) pairs — with word
+    shingles already distinct per doc, partial aggregation collapses
+    each partition's repeats before the wire."""
+    docs = _docs(spark, sf_dir, fan=False)
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), _BP_N)).alias("sh")
+    )
+    common = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= _BP_MIN_DF)
+        .select("sh", F.lit(1).alias("hit"))
+    )
+    agg = (
+        sh.join(F.broadcast(common), "sh", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), F.count("hit").alias("n_boiler"))
+    )
+    return agg.filter(F.col("n_boiler") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        TX.portable_round(
+            F.col("n_boiler").cast("double") / F.col("n_shingles"), 6
+        ).alias("boiler_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_token_entropy — lexical-diversity quality scoring
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_token_entropy",
+    oracle=(
+        "WITH t AS (SELECT doc_id, lang, unnest({tk}) AS tok FROM documents), "
+        "tc AS (SELECT doc_id, lang, tok, count(*) AS c FROM t GROUP BY doc_id, lang, tok), "
+        "tu AS (SELECT doc_id, lang, c, "
+        "  floor(c * ln(c) * 1000000000.0 + 0.5)::BIGINT AS u FROM tc), "
+        "per AS (SELECT doc_id, lang, sum(c)::BIGINT AS n, sum(u)::BIGINT AS s "
+        "  FROM tu GROUP BY doc_id, lang), "
+        "h AS (SELECT lang, floor((ln(n) - (s / 1000000000.0) / n) * 1000000.0 "
+        "  + 0.5)::BIGINT AS h_u FROM per) "
+        "SELECT lang, count(*) AS n_docs, "
+        f"  {TX.portable_round_sql('sum(h_u)::DOUBLE / count(*)', 3)} AS avg_entropy_u "
+        "FROM h GROUP BY lang"
+    ).format(tk=_DOC_TOKENS_SQL),
+    covers="training-data curation (lexical diversity: token unigram entropy per doc)",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-unigram entropy per document (micro-nats), averaged per
+    language — the lexical-diversity signal that separates natural prose
+    from keyword stuffing and template spam (low entropy = repetitive).
+    H = ln(n) - (Σ c·ln c)/n over per-doc term counts, so the term
+    explode feeds ONE (doc, tok) aggregate and the entropy falls out of
+    two grouped sums — no per-doc map structures.
+
+    Cross-engine determinism: doubles are never summed raw across rows
+    (FP addition is order-dependent under different partitionings).
+    Each c·ln(c) term is integered to nano-units FIRST, per-doc entropy
+    to micro-units next, so every aggregate is an exact BIGINT sum —
+    the q_embed_stats trick, applied twice. At 100 TB the hot shuffle
+    is the (doc_id, tok) partial-count; partial aggregation collapses
+    repeated tokens map-side, and nothing wider than (ids, counts)
+    crosses the wire."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    tc = t.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("c"))
+    u = F.floor(F.col("c") * F.log(F.col("c")) * 1_000_000_000.0 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per = tc.select("doc_id", "lang", "c", u.alias("u")).groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("bigint").alias("n"), F.sum("u").cast("bigint").alias("s")
+    )
+    h_u = F.floor(
+        (F.log(F.col("n")) - (F.col("s") / 1_000_000_000.0) / F.col("n")) * 1_000_000.0
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        per.select("lang", h_u.alias("h_u"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            TX.portable_round(F.sum("h_u").cast("double") / F.count("*"), 3).alias(
+                "avg_entropy_u"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mix_temperature — temperature-reweighted mixture sampling weights
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_mix_temperature",
+    oracle=(
+        "WITH per AS (SELECT source, {wc} AS n_tok FROM documents), "
+        "grp AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens FROM per GROUP BY source), "
+        "tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM grp), "
+        "w AS (SELECT source, n_tokens, total, "
+        "  floor(sqrt(n_tokens::DOUBLE / total) * 1000000000.0 + 0.5)::BIGINT AS w_u "
+        "  FROM grp CROSS JOIN tot), "
+        "f AS (SELECT source, n_tokens, total, w_u, "
+        "  sum(w_u) OVER ()::BIGINT AS tot_w FROM w) "
+        "SELECT source, n_tokens, "
+        f"  {TX.portable_round_sql('n_tokens::DOUBLE / total', 6)} AS share, "
+        f"  {TX.portable_round_sql('w_u::DOUBLE / tot_w', 6)} AS temp_share, "
+        f"  {TX.portable_round_sql('(w_u::DOUBLE / tot_w) / (n_tokens::DOUBLE / total)', 4)} "
+        "  AS boost "
+        "FROM f"
+    ).format(wc=TX.word_count_sql("text")),
+    covers="training-data curation (temperature-reweighted mixture: share^tau sampling weights)",
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling weights at tau = 0.5: each source's
+    sampling weight is proportional to share^0.5, flattening the
+    mixture toward rare sources (the multilingual-pretraining staple).
+    Reports original token share, temperature share, and the up/down
+    boost factor a sampler applies.
+
+    Determinism under reordering: share^tau values are doubles, and
+    their normalizing sum must not depend on aggregation order — so
+    each weight is integered to nano-units first and the normalizer is
+    an exact BIGINT sum (tau = 0.5 is sqrt: correctly rounded by
+    IEEE-754 in both engines, bit-identical — a general pow(x, tau)
+    would carry ulp risk). Both scalar sums (corpus total, weight
+    total) are empty-frame window sums over the ALREADY-AGGREGATED
+    frame — cardinality = #sources (tens), so the single-partition
+    window is negligible; the broadcast-scalar alternative (a tot
+    crossJoin per scalar) re-plans the corpus aggregate per consumer
+    (measured: 4 scans, zero exchange reuse). This form scans the
+    corpus ONCE with one narrow (source, partial-sum) shuffle — the
+    q_source_mix shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    grp = (
+        docs.select("source", TX.word_count(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    everything = Window.partitionBy()
+    w = grp.select(
+        "source", "n_tokens", F.sum("n_tokens").over(everything).cast("bigint").alias("total")
+    )
+    w_u = F.floor(
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("total")) * 1_000_000_000.0
+        + F.lit(0.5)
+    ).cast("bigint")
+    f = w.select("source", "n_tokens", "total", w_u.alias("w_u")).select(
+        "source",
+        "n_tokens",
+        "total",
+        "w_u",
+        F.sum("w_u").over(everything).cast("bigint").alias("tot_w"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total")
+    temp_share = F.col("w_u").cast("double") / F.col("tot_w")
+    return f.select(
+        "source",
+        "n_tokens",
+        TX.portable_round(share, 6).alias("share"),
+        TX.portable_round(temp_share, 6).alias("temp_share"),
+        TX.portable_round(temp_share / share, 4).alias("boost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cluster_sizes — duplicate-cluster size histogram
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_cluster_sizes",
+    oracle=(
+        "WITH c AS (SELECT sha256(text) AS h, count(*) AS cluster_size "
+        "  FROM documents GROUP BY sha256(text)) "
+        "SELECT cluster_size, count(*) AS n_clusters, "
+        "  (cluster_size * count(*))::BIGINT AS n_docs "
+        "FROM c GROUP BY cluster_size"
+    ),
+    covers="training-data curation (duplication profile: cluster-size histogram)",
+)
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many content-identical
+    clusters exist at each multiplicity, and how many documents they
+    hold — the duplication-rate report read before choosing dedup
+    aggressiveness (e.g. 'keep one copy' vs 'keep with cap').
+
+    Scale shape: two-level aggregate where the first level shuffles
+    only 32-byte digests and the second shuffles (size, partial-count)
+    pairs — cardinality = distinct cluster sizes, essentially free. The
+    full documents never move."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy(F.sha2(F.col("text"), 256).alias("h")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return c.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
+    )
+
 
 @contract_query(
     "q_ann_recall",
