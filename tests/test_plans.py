@@ -139,7 +139,7 @@ TAIL_COVERED_BY = {
     "q_doc_fingerprint": "q_text_tokens",
     "q_word_freq": "q_text_tokens",
     "q_canonicalize": "q_text_tokens",
-    "q_ann_multiprobe": "q_ann_lsh",
+    "q_ann_multiprobe": "q_ann_recall",
     "q_ntile": "q_topk_latest",
     "q_sim_topk": "q_knn_join",
     "q_fuzzy_dedup": "q_dedup_components",
@@ -166,11 +166,17 @@ TAIL_COVERED_BY = {
     # demoted late round 4 (each 3x driver-green) to make room for the
     # second curation batch (packing/boilerplate/entropy/temperature/
     # cluster-sizes):
-    "q_lang_id": "q_quality_score",
+    "q_lang_id": "q_gopher_quality",
     "q_tfidf": "q_token_entropy",
     "q_simhash": "q_ngram_jaccard",
     "q_multimodal_meta": "q_resize_meta",
     "q_count_distinct": "q_agg_count",
+    # demoted late round 4 for the third curation batch (group sample /
+    # vocab coverage / edit distance / LM perplexity):
+    "q_quality_score": "q_gopher_quality",
+    "q_embed_stats": "q_embed_quantize",
+    "q_thread_closure": "q_dedup_components",
+    "q_ann_lsh": "q_ann_recall",
 }
 
 
@@ -407,6 +413,57 @@ def test_token_entropy_integer_aggregates_pruned_scan(spark):
     p = plan_of(spark, "q_token_entropy")
     assert "ObjectHashAggregate" not in p
     assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in p
+
+
+def test_group_sample_partial_rank_limit(spark):
+    """Exact-k per-group sampling must keep the map-side rank cut:
+    WindowGroupLimit before AND after the single exchange, so the
+    shuffle carries O(groups x k) rows, never the corpus."""
+    import re
+
+    p = plan_of(spark, "q_group_sample")
+    assert p.count("WindowGroupLimit (") == 2
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in p
+
+
+def test_vocab_coverage_partial_topk(spark):
+    """The top-k vocabulary cut must plan as TakeOrderedAndProject
+    (per-partition top-k merge) — never a full sort of the vocabulary —
+    and the corpus token total must come from the narrow no-explode
+    scan (exactly one Generate in the whole plan: the vocab explode)."""
+    import re
+
+    p = plan_of(spark, "q_vocab_coverage")
+    assert "TakeOrderedAndProject" in p
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1
+
+
+def test_edit_distance_no_self_join(spark):
+    """Candidate pairs expand in-expression from capped bucket lists:
+    no self-join (which re-plans the 32-vote simhash subtree per side —
+    measured 3 redundant corpus scans and ~10x runtime), no sort-merge
+    join, no cartesian product; exactly two corpus scans (fingerprints
+    + prefixes)."""
+    import re
+
+    p = plan_of(spark, "q_edit_distance")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+
+
+def test_lm_perplexity_model_join_no_cartesian(spark):
+    """Bigram LM scoring joins the corpus stream to the model frame on
+    the bigram key — an equi-join, never a cartesian — and the
+    continuation total is a window over the MODEL frame (vocabulary-
+    sized), not a second corpus aggregate: exactly two Generates (model
+    build + score stream), both from pruned (doc_id, text) scans."""
+    import re
+
+    p = plan_of(spark, "q_lm_perplexity")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 2
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
 
 
 def test_cluster_sizes_digest_only_shuffle(spark):

@@ -16,8 +16,9 @@ from pyspark.sql import functions as F
 from tia_data_pipeline_spark.catalog import load_table
 from tia_data_pipeline_spark.functions import text as TX
 from tia_data_pipeline_spark.functions.vectors import cosine_sql, cosine_similarity
+from tia_data_pipeline_spark.operators import dedup as DD
 from tia_data_pipeline_spark.operators import sampling as SMP
-from tia_data_pipeline_spark.operators.dedup import word_shingles
+from tia_data_pipeline_spark.operators.dedup import simhash_oracle_sql, word_shingles
 from tia_data_pipeline_spark.operators.similarity import _sign_bits
 from tia_data_pipeline_spark.plans.contract import contract_query
 from tia_data_pipeline_spark.plans.llm import _DOC_TOKENS_SQL, _PROJ, _bucket_sql, _docs
@@ -672,4 +673,261 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(in_exact, 1).otherwise(0)),
             6,
         ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_group_sample — exact-k deterministic per-group downsampling
+# ---------------------------------------------------------------------------
+
+_GS_K = 20  # docs kept per language
+
+
+@contract_query(
+    "q_group_sample",
+    oracle=(
+        "SELECT lang, doc_id, rnk FROM ("
+        "  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+        "    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk FROM documents) "
+        f"WHERE rnk <= {_GS_K}"
+    ),
+    covers="training-data curation (exact-k per-group deterministic downsampling)",
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k=20 documents per language, chosen by ranking on the
+    md5 of the id — the downsample-every-class-to-a-budget shape (rate
+    sampling can't hit an exact per-group count; taking lowest-id rows
+    biases toward oldest). The hash order is a pure function of the id:
+    the same 20 docs survive any repartitioning, rerun, or engine swap,
+    and stay a prefix-stable sample as the corpus grows within a group.
+
+    Scale shape: rank <= k over a hash order plans as WindowGroupLimit
+    (pinned) — each map task forwards at most k rows per group to the
+    exchange, so the shuffle carries O(groups x k), not the corpus.
+    Only (lang, doc_id) ever moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _GS_K)
+        .select("lang", "doc_id", F.col("rn").cast("bigint").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_vocab_coverage — heavy-hitter vocabulary coverage report
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+
+@contract_query(
+    "q_vocab_coverage",
+    oracle=(
+        "WITH v AS (SELECT tok, count(*)::BIGINT AS freq FROM ("
+        "    SELECT unnest({tk}) AS tok FROM documents) GROUP BY tok), "
+        "tot AS (SELECT sum({wc})::BIGINT AS total FROM documents), "
+        f"top AS (SELECT tok, freq FROM v ORDER BY freq DESC, tok LIMIT {_VOCAB_K}), "
+        "r AS (SELECT tok, freq, "
+        "    row_number() OVER (ORDER BY freq DESC, tok) AS rnk, "
+        "    sum(freq) OVER (ORDER BY freq DESC, tok "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum "
+        "  FROM top) "
+        "SELECT tok, freq, rnk::BIGINT AS rnk, "
+        f"  {TX.portable_round_sql('cum::DOUBLE / total', 6)} AS coverage "
+        "FROM r CROSS JOIN tot"
+    ).format(tk=_DOC_TOKENS_SQL, wc=TX.word_count_sql("text")),
+    covers="training-data curation (vocabulary heavy hitters: top-k token coverage)",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus tokens by frequency with cumulative coverage
+    share — the how-big-must-the-vocab-be report behind tokenizer
+    sizing (and the heavy-hitter profile skew-handling reads).
+
+    Scale shape: the vocabulary aggregate is the only corpus-scale
+    shuffle; the top-k cut is orderBy+limit, which plans as
+    TakeOrderedAndProject (per-partition top-k, never a full vocab
+    sort). The corpus token total comes from a SECOND narrow scan
+    summing per-row word counts (no explode) broadcast as a scalar —
+    cheaper than carrying the full vocab through a global window. Rank
+    and cumulative sum then run on the k surviving rows (one tiny
+    single-partition window, k=100 by construction)."""
+    docs = _docs(spark, sf_dir, fan=False)
+    v = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = v.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(_VOCAB_K)
+    tot = docs.select(TX.word_count(F.col("text")).alias("wc")).agg(
+        F.sum("wc").cast("bigint").alias("total")
+    )
+    order = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    cum = (
+        F.sum("freq")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "freq",
+        F.row_number().over(order).cast("bigint").alias("rnk"),
+        TX.portable_round(cum.cast("double") / F.col("total"), 6).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_edit_distance — edit-distance verification of near-dup candidates
+# ---------------------------------------------------------------------------
+
+_ED_MAX_BUCKET = 10  # candidate buckets bigger than this go to exact dedup
+_ED_PREFIX = 200  # chars of each doc the distance is computed over
+_ED_MIN_SIM = 0.6
+
+_ED_SIMHASH = simhash_oracle_sql("documents", _DOC_TOKENS_SQL, "doc_id")
+
+
+@contract_query(
+    "q_edit_distance",
+    oracle=(
+        f"WITH s AS ({_ED_SIMHASH}), "
+        f"p AS (SELECT doc_id, substr(text, 1, {_ED_PREFIX}) AS pfx FROM documents), "
+        "j AS (SELECT s.doc_id, s.simhash, p.pfx FROM s JOIN p USING (doc_id)), "
+        "ok AS (SELECT simhash FROM s GROUP BY simhash "
+        f"  HAVING count(*) BETWEEN 2 AND {_ED_MAX_BUCKET}), "
+        "c AS (SELECT j.* FROM j JOIN ok USING (simhash)), "
+        "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "    levenshtein(a.pfx, b.pfx)::BIGINT AS dist, "
+        "    greatest(greatest(length(a.pfx), length(b.pfx)), 1) AS ml "
+        "  FROM c a JOIN c b ON a.simhash = b.simhash AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, dist, "
+        f"  {TX.portable_round_sql('1 - dist::DOUBLE / ml', 6)} AS sim "
+        f"FROM pr WHERE 1 - dist::DOUBLE / ml >= {_ED_MIN_SIM}"
+    ),
+    covers="ext-fuzzy-dedup (edit-distance verification of hash-generated candidates)",
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verify stage of a candidate-then-verify dedup pipeline:
+    SimHash equality proposes candidate pairs, Levenshtein similarity
+    over a 200-char prefix confirms them (1 - dist/maxlen >= 0.6).
+    Levenshtein is exact unit-cost DP — bit-identical across engines,
+    no float constructions needed until the final ratio.
+
+    Two quadratic escape hatches, both explicit: (a) buckets larger
+    than 10 are EXCLUDED — a hash shared by hundreds of docs means
+    exact/near-exact mass duplication, which the cheap digest pipeline
+    (q_exact_dedup) handles; pairwise O(b^2) verification is for the
+    sparse tail (at sf0.1 the cap turns 83k candidate pairs into 1.5k);
+    (b) the O(n*m) DP is bounded to a 200-char prefix per side, the
+    standard bounded-verification trade.
+
+    Plan shape (the embed_dedup idiom): the simhash aggregate runs
+    ONCE; bucket membership lists group on the fingerprint and pairs
+    expand IN-EXPRESSION from each capped list — the corpus is never
+    self-joined (a self-join re-plans the whole 32-vote simhash subtree
+    per side: measured 3 redundant corpus scans and ~10x the runtime of
+    this form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = DD.simhash(docs, "text", "doc_id")
+    p = docs.select("doc_id", F.substring("text", 1, _ED_PREFIX).alias("pfx"))
+    j = s.join(p, "doc_id")
+    members = (
+        j.groupBy("simhash")
+        .agg(F.collect_list(F.struct("doc_id", "pfx")).alias("mem"))
+        .filter((F.size("mem") >= 2) & (F.size("mem") <= _ED_MAX_BUCKET))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("mem"),
+            lambda x, i: F.transform(
+                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
+                lambda y: F.when(
+                    x["doc_id"] < y["doc_id"], F.struct(x.alias("a"), y.alias("b"))
+                ).otherwise(F.struct(y.alias("a"), x.alias("b"))),
+            ),
+        )
+    )
+    pr = members.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.a.doc_id").alias("id_a"),
+        F.col("p.b.doc_id").alias("id_b"),
+        F.levenshtein(F.col("p.a.pfx"), F.col("p.b.pfx")).cast("bigint").alias("dist"),
+        F.greatest(
+            F.greatest(F.length(F.col("p.a.pfx")), F.length(F.col("p.b.pfx"))), F.lit(1)
+        ).alias("ml"),
+    )
+    sim = F.lit(1) - F.col("dist").cast("double") / F.col("ml")
+    return pr.filter(sim >= _ED_MIN_SIM).select(
+        "id_a", "id_b", "dist", TX.portable_round(sim, 6).alias("sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_lm_perplexity — bigram language-model scoring (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_lm_perplexity",
+    oracle=(
+        "WITH base AS (SELECT doc_id, {tk} AS tk FROM documents), "
+        "bi AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ') "
+        "  FOR i IN range(1, greatest(len(tk) - 1, 0) + 1)]) AS bg FROM base), "
+        "bc AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg), "
+        "cu AS (SELECT bg, cb, sum(cb) OVER (PARTITION BY split_part(bg, ' ', 1)) "
+        "  AS cuv FROM bc), "
+        "u AS (SELECT bg, floor(-ln(cb::DOUBLE / cuv) * 1000000000.0 + 0.5)::BIGINT "
+        "  AS u FROM cu), "
+        "per AS (SELECT doc_id, count(*) AS n_bigrams, sum(u)::BIGINT AS s "
+        "  FROM bi JOIN u USING (bg) GROUP BY doc_id) "
+        "SELECT doc_id, n_bigrams, "
+        f"  {TX.portable_round_sql('s::DOUBLE / 1000000000.0 / n_bigrams', 6)} AS avg_nll "
+        "FROM per"
+    ).format(tk=_DOC_TOKENS_SQL),
+    covers="training-data curation (LM quality scoring: bigram negative log-likelihood)",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram negative log-likelihood under a
+    maximum-likelihood bigram LM trained on the corpus itself — the
+    perplexity-style fluency score (CCNet-style pipelines bucket docs
+    by exactly this signal; high avg_nll = improbable word sequences).
+    P(w2|w1) = c(w1,w2)/c(w1,*), both counts from the same bigram
+    aggregate (the continuation total is a window over the MODEL frame
+    partitioned on the first word — vocabulary-sized, never corpus-
+    sized), so no bigram ever has zero probability on its own corpus.
+
+    Scale shape: two corpus-scale shuffles — the bigram-count aggregate
+    and the score join on the bigram key (model side carries one
+    pre-integered BIGINT per bigram type; partial aggregation collapses
+    repeats map-side). The per-term -ln p is integered to nano-nats
+    BEFORE the per-doc sum, so every cross-row aggregate is exact
+    integer arithmetic (order-independent under any partitioning). At
+    100 TB the model frame is prunable to top-k bigrams + backoff
+    without changing the plan shape."""
+    docs = _docs(spark, sf_dir, fan=False)
+    toks = TX.tokens(F.col("text"))
+    n_bi = F.size(toks) - 1
+    zipped = F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))
+    bigrams = F.when(n_bi < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    )
+    bi = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    bc = bi.groupBy("bg").agg(F.count("*").alias("cb"))
+    cuv = F.sum("cb").over(Window.partitionBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1))))
+    u = F.floor(
+        -F.log(F.col("cb").cast("double") / F.col("cuv")) * 1_000_000_000.0 + F.lit(0.5)
+    ).cast("bigint")
+    model = bc.select("bg", "cb", cuv.alias("cuv")).select("bg", u.alias("u"))
+    per = (
+        bi.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("u").cast("bigint").alias("s"))
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        TX.portable_round(
+            F.col("s").cast("double") / 1_000_000_000.0 / F.col("n_bigrams"), 6
+        ).alias("avg_nll"),
     )
