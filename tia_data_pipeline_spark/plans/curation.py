@@ -168,8 +168,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles to a join exchange, and the quadratic pair-join of the
     dedup family never appears (membership, not similarity). At even
     larger benchmark sets the broadcast degrades gracefully to a
-    bloom-filter pre-test in front of the same plan."""
-    docs = _docs(spark, sf_dir, fan=False)
+    bloom-filter pre-test in front of the same plan. The scan fans out
+    before the shingle assembly: 3-gram zip construction is CPU-bound
+    per row (measured 1.48s -> 0.85s at sf0.1 single-file), unlike the
+    plain-token explodes that keep fan=False."""
+    docs = _docs(spark, sf_dir)
     sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("sh"))
     bench = (
         sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
@@ -377,8 +380,10 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     here it is derived from corpus statistics. At 100 TB the df
     aggregate shuffles (shingle, partial-count) pairs — with word
     shingles already distinct per doc, partial aggregation collapses
-    each partition's repeats before the wire."""
-    docs = _docs(spark, sf_dir, fan=False)
+    each partition's repeats before the wire. The scan fans out before
+    the 5-gram assembly — the heaviest zip construction in the tier
+    (measured 3.48s -> 0.84s at sf0.1 single-file)."""
+    docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), _BP_N)).alias("sh")
     )
@@ -904,8 +909,11 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the per-doc sum, so every cross-row aggregate is exact
     integer arithmetic (order-independent under any partitioning). At
     100 TB the model frame is prunable to top-k bigrams + backoff
-    without changing the plan shape."""
-    docs = _docs(spark, sf_dir, fan=False)
+    without changing the plan shape. The scan fans out before the
+    bigram zip assembly, which feeds TWO consumers (model aggregate +
+    score join) and is CPU-bound per row (measured 1.93s -> 0.79s at
+    sf0.1 single-file)."""
+    docs = _docs(spark, sf_dir)
     toks = TX.tokens(F.col("text"))
     n_bi = F.size(toks) - 1
     zipped = F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))

@@ -48,14 +48,23 @@ def _docs(spark: SparkSession, sf_dir: str, *, fan: bool = True) -> DataFrame:
     repartition the whole regex pass serializes onto a single task.
     Narrowed before the shuffle so only the two live columns move.
 
-    ``fan=False`` for queries whose first real work is an explode
-    feeding a grouped aggregate (word_freq, tfidf, collocations,
-    feature_hash): the aggregate's own exchange already parallelizes
-    the reduce side, the serial prefix is a single linear tokenize, and
-    the extra repartition shuffle of the text column is pure cost —
-    measured ~2x slower at sf0.1 (r01→r03 bench drift, VERDICT r03
-    'Next round' #6). At cluster scale the corpus arrives pre-split and
-    fan_out no-ops either way."""
+    ``fan=False`` for queries whose first real work is a PLAIN-TOKEN
+    explode feeding a grouped aggregate (word_freq, tfidf,
+    feature_hash, vocab_coverage): the aggregate's own exchange already
+    parallelizes the reduce side, the serial prefix is a single linear
+    tokenize, and the extra repartition shuffle of the text column is
+    pure cost — measured ~2x slower at sf0.1 (r01→r03 bench drift,
+    VERDICT r03 'Next round' #6).
+
+    N-GRAM ZIP ASSEMBLY flips the decision back to ``fan=True``: the
+    slice×n + arrays_zip + concat construction is CPU-bound per row
+    (HOFs don't codegen), so serializing it onto the single input split
+    dominates everything downstream — measured at sf0.1:
+    boilerplate 5-grams 3.48s→0.84s, lm_perplexity bigrams 1.93s→0.79s,
+    decontaminate 3-grams 1.48s→0.85s, collocations bigrams
+    1.18s→1.03s. Rule: fan before zip-assembled n-grams (n>=2), not
+    before bare ``tokens`` explodes. At cluster scale the corpus
+    arrives pre-split and fan_out no-ops either way."""
     df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return fan_out(df) if fan else df
 
@@ -784,8 +793,11 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (left word, right word) — both sides shuffle on the word, the
     standard co-occurrence shape. Bigrams containing internal spaces
     from multi-space runs are excluded on both engines by the
-    2-token-split guard."""
-    docs = _docs(spark, sf_dir, fan=False)
+    2-token-split guard. The scan fans out before the bigram zip
+    assembly (CPU-bound per row; measured 1.18s -> 1.03s at sf0.1
+    single-file) — the unigram branch pays a small widening tax but
+    the bigram branch dominates."""
+    docs = _docs(spark, sf_dir)
     toks = TX.tokens(F.col("text"))
     n_bi = F.size(toks) - 1
     zipped = F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))
