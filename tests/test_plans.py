@@ -297,6 +297,9 @@ FAN_OUT_EXPECTED = {
     "q_lm_perplexity",
     "q_decontaminate",
     "q_collocations",
+    # partial WindowGroupLimit SORTS each input partition — a 3-split
+    # scan serializes the sort (A/B at sf0.1: 1.23→0.86)
+    "q_topk_per_group",
 }
 NO_FAN_OUT_EXPECTED = {
     "q_word_freq",
