@@ -1,0 +1,101 @@
+"""Bloom membership pre-test: zero false negatives, bounded false
+positives, shuffle-free probe plan, exact-join composition."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SMOKE_SF
+from tia_data_pipeline_spark.catalog import load_table
+from tia_data_pipeline_spark.operators.membership import (
+    bloom_build,
+    bloom_params,
+    bloom_prefilter,
+)
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def docs(spark):
+    return load_table(spark, SMOKE_SF, "documents").select("doc_id")
+
+
+def test_params_sizing():
+    m, k = bloom_params(1000, 0.01)
+    assert m % 64 == 0
+    assert 9000 < m < 10100  # ~9.59 bits/key for 1% fp
+    assert k == 7
+    with pytest.raises(ValueError):
+        bloom_params(0)
+    with pytest.raises(ValueError):
+        bloom_params(10, 1.5)
+
+
+def test_no_false_negatives_and_bounded_false_positives(spark, docs):
+    members = docs.filter(F.col("doc_id") % 7 == 0)
+    n = members.count()
+    m, k = bloom_params(n, 0.01)
+    bloom = bloom_build(members, "doc_id", m_bits=m, k_hashes=k)
+    assert bloom.count() <= m // 64
+
+    passed = bloom_prefilter(docs, "doc_id", bloom, m_bits=m, k_hashes=k)
+    passed_ids = {r["doc_id"] for r in passed.collect()}
+    member_ids = {r["doc_id"] for r in members.collect()}
+    # every true member survives the pre-test
+    assert member_ids <= passed_ids
+    # false-positive rate within ~5x the designed 1% (small-sample slack)
+    non_members = docs.count() - n
+    fp = len(passed_ids - member_ids)
+    assert fp / max(1, non_members) < 0.05
+
+
+def test_probe_side_never_shuffles(spark, docs, tmp_path):
+    """The production flow: build once, materialize (the filter is a
+    <= m/64-row table), probe. The probe plan must be exactly k
+    broadcasts of the tiny filter scan and ZERO keyed exchanges."""
+    members = docs.filter(F.col("doc_id") % 7 == 0)
+    m, k = bloom_params(1000, 0.01)
+    bloom_path = str(tmp_path / "bloom")
+    bloom_build(members, "doc_id", m_bits=m, k_hashes=k).write.parquet(bloom_path)
+    bloom = spark.read.parquet(bloom_path)
+    probed = bloom_prefilter(docs, "doc_id", bloom, m_bits=m, k_hashes=k)
+    p = _explain(probed)
+    assert len([l for l in p.splitlines() if ") BroadcastHashJoin" in l]) == k
+    assert "hashpartitioning(" not in p, "probe side must never shuffle"
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_composes_to_exact_join_semantics(spark, docs):
+    """bloom_prefilter -> exact semi-join ≡ plain exact semi-join:
+    the pre-test may pass false positives but the exact join removes
+    them, and it never drops a true member."""
+    members = docs.filter(F.col("doc_id") % 7 == 0)
+    m, k = bloom_params(members.count(), 0.02)
+    bloom = bloom_build(members, "doc_id", m_bits=m, k_hashes=k)
+    via_bloom = (
+        bloom_prefilter(docs, "doc_id", bloom, m_bits=m, k_hashes=k)
+        .join(members.withColumnRenamed("doc_id", "k"), F.col("doc_id") == F.col("k"), "left_semi")
+    )
+    exact = docs.join(
+        members.withColumnRenamed("doc_id", "k"), F.col("doc_id") == F.col("k"), "left_semi"
+    )
+    assert sorted(r["doc_id"] for r in via_bloom.collect()) == sorted(
+        r["doc_id"] for r in exact.collect()
+    )
+
+
+def test_bad_args(spark, docs):
+    with pytest.raises(ValueError):
+        bloom_build(docs, "doc_id", m_bits=100, k_hashes=3)
+    with pytest.raises(ValueError):
+        bloom_prefilter(docs, "doc_id", docs, m_bits=63, k_hashes=3)
