@@ -144,3 +144,51 @@ def test_md5_int_sql_cross_engine_fuzz(spark):
     assert got == want
     # range invariant: < 16^7 so a*x stays clear of ANSI bigint overflow
     assert all(0 <= h < 16**7 for h in got.values())
+
+
+def test_word_shingles_fuzz_vs_cpython_and_duckdb(spark):
+    """word_shingles (the primitive under boilerplate / decontaminate /
+    ngram-jaccard / minhash) vs a CPython model and vs the DuckDB
+    list-comprehension fragment the oracles embed — distinct word
+    n-grams, CPython split() tokenization, short docs -> []."""
+    import pandas as pd
+
+    from tia_data_pipeline_spark.functions.text import tokens_sql
+    from tia_data_pipeline_spark.operators.dedup import word_shingles
+
+    def model(s: str, n: int) -> list[str]:
+        toks = s.split()
+        sh = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        seen: set[str] = set()
+        out = []
+        for x in sh:
+            if x not in seen:
+                seen.add(x)
+                out.append(x)
+        return out
+
+    cases = _rand_strings(300, seed=4242)
+    cases += ["", "   ", "a", "a b", "a  b\tc", "x " * 30, "a b a b a b", "\n\n", "w1 w2 w3 w4 w5"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, s string")
+    for n in (2, 3, 5):
+        got = {
+            r["i"]: r["sh"]
+            for r in df.select("i", word_shingles(F.col("s"), n).alias("sh")).collect()
+        }
+        for i, s in enumerate(cases):
+            assert got[i] == model(s, n), f"n={n} {s!r}"
+        # vs the oracle fragment (order-insensitive: list_distinct order
+        # is DuckDB's business; the oracles always explode + aggregate)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"i": list(range(len(cases))), "s": cases}))
+        frag = (
+            f"list_distinct([array_to_string(tk[i:i+{n - 1}], ' ') "
+            f"FOR i IN range(1, greatest(len(tk) - {n - 1}, 0) + 1)])"
+        )
+        duck = {
+            int(i): sorted(sh)
+            for i, sh in con.execute(
+                f"SELECT i, {frag} AS sh FROM (SELECT i, {tokens_sql('s')} AS tk FROM t)"
+            ).fetchall()
+        }
+        assert {i: sorted(v) for i, v in got.items()} == duck, f"n={n}"
