@@ -99,3 +99,30 @@ def test_bad_args(spark, docs):
         bloom_build(docs, "doc_id", m_bits=100, k_hashes=3)
     with pytest.raises(ValueError):
         bloom_prefilter(docs, "doc_id", docs, m_bits=63, k_hashes=3)
+
+
+def test_semi_and_anti_join_verbs_exact(spark, docs, tmp_path):
+    """bloom_semi_join ≡ exact semi-join; bloom_anti_join ≡ exact
+    anti-join — the Bloom layer is invisible in the result."""
+    from tia_data_pipeline_spark.operators.membership import (
+        bloom_anti_join,
+        bloom_semi_join,
+    )
+
+    members = docs.filter(F.col("doc_id") % 5 == 0).withColumnRenamed("doc_id", "k")
+    m, k = bloom_params(members.count(), 0.01)
+    bp = str(tmp_path / "b")
+    bloom_build(members, "k", m_bits=m, k_hashes=k).write.parquet(bp)
+    bloom = spark.read.parquet(bp)
+
+    semi = bloom_semi_join(docs, "doc_id", members, "k", bloom, m_bits=m, k_hashes=k)
+    anti = bloom_anti_join(docs, "doc_id", members, "k", bloom, m_bits=m, k_hashes=k)
+    exact_semi = docs.join(members, F.col("doc_id") == F.col("k"), "left_semi")
+    exact_anti = docs.join(members, F.col("doc_id") == F.col("k"), "left_anti")
+    assert sorted(r["doc_id"] for r in semi.collect()) == sorted(
+        r["doc_id"] for r in exact_semi.collect()
+    )
+    assert sorted(r["doc_id"] for r in anti.collect()) == sorted(
+        r["doc_id"] for r in exact_anti.collect()
+    )
+    assert semi.count() + anti.count() == docs.count()

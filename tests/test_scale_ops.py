@@ -229,3 +229,65 @@ def test_parse_bytes_spark_size_strings():
     assert _parse_bytes("128m") == 128 << 20
     assert _parse_bytes("1g") == 1 << 30
     assert _parse_bytes("4096") == 4096
+
+
+def test_zorder_layout_narrows_every_dimension(spark, tmp_path):
+    """Files along the Z-curve have narrow min/max spans on BOTH
+    participating columns (multi-dim skipping); a single-column sort
+    gives a narrow span on its column and the FULL range on the other.
+    Span measured per output file via input_file_name()."""
+    from tia_data_pipeline_spark.operators.scale import write_zordered
+
+    orders = load_table(spark, SMOKE_SF, "orders").select("o_custkey", "o_totalprice")
+    lo_k, hi_k, lo_p, hi_p = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    rng_k, rng_p = float(hi_k - lo_k), float(hi_p - lo_p)
+
+    def spans(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(
+                ((F.max("o_custkey") - F.min("o_custkey")) / rng_k).alias("sk"),
+                ((F.max("o_totalprice") - F.min("o_totalprice")) / rng_p).alias("sp"),
+            )
+            .collect()
+        )
+        n = len(per_file)
+        return (
+            sum(r["sk"] for r in per_file) / n,
+            sum(r["sp"] for r in per_file) / n,
+            n,
+        )
+
+    zp = str(tmp_path / "z")
+    write_zordered(orders, zp, ["o_custkey", "o_totalprice"], n_files=16)
+    assert spark.read.parquet(zp).count() == orders.count()
+    zk, zpr, nz = spans(zp)
+    assert nz > 4  # the range partitioner actually split the curve
+
+    sp_path = str(tmp_path / "sorted")
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(sp_path)
+    )
+    sk, spr, _ = spans(sp_path)
+
+    # z-order: BOTH dims narrow; linear sort: only its own dim narrow
+    assert zk < 0.6 and zpr < 0.6, f"z spans too wide: {zk:.2f}/{zpr:.2f}"
+    assert sk < 0.2, f"sorted layout should be tight on its key: {sk:.2f}"
+    assert spr > 0.8, f"sorted layout should span ~full price range: {spr:.2f}"
+    # and the z layout beats the sort on the neglected dimension by a lot
+    assert zpr < spr / 2
+
+
+def test_zorder_bad_args(spark):
+    from tia_data_pipeline_spark.operators.scale import zorder_value
+
+    orders = load_table(spark, SMOKE_SF, "orders")
+    with pytest.raises(ValueError):
+        zorder_value(orders, ["o_custkey"], bits=0)
+    with pytest.raises(ValueError):
+        zorder_value(orders, ["o_custkey", "o_totalprice"], bits=32)

@@ -35,7 +35,13 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_params", "bloom_build", "bloom_prefilter"]
+__all__ = [
+    "bloom_params",
+    "bloom_build",
+    "bloom_prefilter",
+    "bloom_semi_join",
+    "bloom_anti_join",
+]
 
 _BLOOM_SEED = 0x51ED
 
@@ -133,3 +139,50 @@ def bloom_prefilter(
     return out.drop(
         *[c for i in range(k_hashes) for c in (f"_b{i}_idx", f"_b{i}_bits", f"_b{i}_pos")]
     )
+
+
+def bloom_semi_join(
+    df: DataFrame,
+    key_col: str,
+    keys: DataFrame,
+    keys_col: str,
+    bloom: DataFrame,
+    *,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Rows of ``df`` whose key IS in ``keys`` — exact semantics, Bloom
+    cost profile. The pre-test (zero false negatives) drops the bulk of
+    ``df`` before any shuffle; only the surviving sliver pays the exact
+    semi-join against the full key set. ``bloom`` must be the
+    materialized output of :func:`bloom_build` over
+    ``keys[keys_col]``."""
+    sliver = bloom_prefilter(df, key_col, bloom, m_bits=m_bits, k_hashes=k_hashes)
+    rhs = keys.select(F.col(keys_col).alias("_bloom_k")).distinct()
+    return sliver.join(rhs, F.col(key_col) == F.col("_bloom_k"), "left_semi")
+
+
+def bloom_anti_join(
+    df: DataFrame,
+    key_col: str,
+    keys: DataFrame,
+    keys_col: str,
+    bloom: DataFrame,
+    *,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Rows of ``df`` whose key is NOT in ``keys`` — the blocklist /
+    decontamination verb. Definitely-absent rows (the overwhelming
+    majority against a sparse blocklist) pass WITHOUT touching a
+    shuffle: only Bloom-possible rows are re-checked exactly, and the
+    confirmed hits subtract via an anti-join on the (tiny) confirmed
+    key set, never on the full blocklist."""
+    possible = bloom_prefilter(df, key_col, bloom, m_bits=m_bits, k_hashes=k_hashes)
+    rhs = keys.select(F.col(keys_col).alias("_bloom_k")).distinct()
+    confirmed = (
+        possible.select(F.col(key_col).alias("_bloom_hit"))
+        .distinct()
+        .join(rhs, F.col("_bloom_hit") == F.col("_bloom_k"), "left_semi")
+    )
+    return df.join(confirmed, F.col(key_col) == F.col("_bloom_hit"), "left_anti")

@@ -169,3 +169,65 @@ def salted_group_count(df: DataFrame, keys: Sequence[str], *, n_salt: int = 16) 
     salted = df.withColumn(SALT_COL, _row_salt(df, n_salt))
     partial = salted.groupBy(*keys, SALT_COL).agg(F.count("*").alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").alias("count"))
+
+
+def zorder_value(df: DataFrame, cols: Sequence[str], *, bits: int = 8) -> Column:
+    """Z-order (Morton) key over ``cols``: per-column quantile bucket
+    ids, bit-interleaved. Files laid out along this key have NARROW
+    min/max ranges on EVERY participating column, so parquet
+    row-group / file skipping prunes multi-dimensional predicates —
+    the layout lever for tables queried by more than one column
+    (single-column sort gives perfect pruning on one dim and none on
+    the others).
+
+    Bucket boundaries come from ``approxQuantile`` — a sampling-based
+    driver action whose result is ``2^bits - 1`` doubles per column
+    (the same class of small control-plane scalar as the shard-count
+    total; the data path stays fully distributed). Each value maps to
+    its bucket by counting boundaries <= value (a HOF over the
+    broadcast literal boundary array — 255 comparisons per row at the
+    default 8 bits), and buckets interleave LSB-first:
+    bit j of column i lands at position ``j * n_cols + i``. NULLs sort
+    to bucket 0."""
+    cols = list(cols)
+    if not 1 <= bits <= 21:
+        raise ValueError("bits must be in [1, 21]")
+    if len(cols) * bits > 63:
+        raise ValueError("n_cols * bits must fit a bigint")
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    z = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        cuts = df.approxQuantile(c, probs, 0.001)
+        arr = F.array(*[F.lit(float(v)) for v in cuts])
+        bucket = F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double"))).cast("bigint")
+        bucket = F.coalesce(bucket, F.lit(0).cast("bigint"))
+        for j in range(bits):
+            bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1).cast("bigint"))
+            z = z + F.shiftleft(bit, j * len(cols) + i)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    *,
+    n_files: int = 32,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` laid out along the Z-order curve of ``cols``:
+    range-partition on the interleaved key (``n_files`` output files,
+    contiguous curve segments) and sort within each file so row-group
+    stats are tight too. Point/range predicates on ANY subset of
+    ``cols`` then skip most files on min/max stats alone — the
+    multi-dim analogue of `write_bucketed`'s join locality."""
+    z = zorder_value(df, cols, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
