@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from tia_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     minhash_near_duplicates,
@@ -96,3 +98,68 @@ def test_minhash_portable_path_finds_planted_near_dups(spark):
         }
         assert (1, 2) in pairs, f"portable={portable} missed the planted near-dup"
         assert all(3 not in p for p in pairs)
+
+
+class TestSubstringOverlap:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_planted_shared_block_found_alignment_independent(self, spark):
+        import random
+
+        from tia_data_pipeline_spark.operators.dedup import substring_overlap_pairs
+
+        rng = random.Random(7)
+
+        def noise(n):
+            return "".join(rng.choice("abcdefghij ") for _ in range(n))
+
+        block = "".join(rng.choice("KLMNOPQRST") for _ in range(400))
+        rows = [
+            (1, noise(100) + block + noise(50)),      # block at offset 100
+            (2, noise(37) + block + noise(200)),      # block at offset 37
+            (3, noise(600)),                          # unrelated
+            (4, noise(500)),                          # unrelated
+        ]
+        pairs = substring_overlap_pairs(
+            self._frame(spark, rows), "text", "doc_id", k=32, mod=16, min_shared=2
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in found, "shared 400-char block missed"
+        assert all(p == (1, 2) for p in found), f"false pairs: {found}"
+        shared = {(r["id_a"], r["id_b"]): r["shared"] for r in pairs}[(1, 2)]
+        # ~(400-31)/16 ≈ 23 expected shared samples; allow wide slack
+        assert shared >= 5
+
+    def test_short_docs_sketch_empty(self, spark):
+        from tia_data_pipeline_spark.operators.dedup import (
+            char_kmer_sketch,
+            substring_overlap_pairs,
+        )
+
+        df = self._frame(spark, [(1, "tiny"), (2, "tiny"), (3, None)])
+        sk = df.select(char_kmer_sketch(F.col("text"), k=32).alias("s")).collect()
+        assert [r["s"] for r in sk][:2] == [[], []]
+        assert (
+            substring_overlap_pairs(df.filter(F.col("text").isNotNull()), "text", "doc_id").count()
+            == 0
+        )
+
+    def test_hot_kmer_cap_excludes_mass_duplication(self, spark):
+        from tia_data_pipeline_spark.operators.dedup import substring_overlap_pairs
+
+        block = "Z" * 40 + "QWERTYUIOPASDFGHJKLZXCVBNMqwertyuiopasdf" * 5
+        rows = [(i, f"prefix{i} " + block) for i in range(1, 31)]
+        pairs = substring_overlap_pairs(
+            self._frame(spark, rows), "text", "doc_id", max_df=20
+        )
+        # 30 docs share every k-mer -> df=30 > cap -> no quadratic pairs
+        assert pairs.count() == 0
+
+    def test_bad_args(self, spark):
+        from tia_data_pipeline_spark.operators.dedup import char_kmer_sketch
+
+        with pytest.raises(ValueError):
+            char_kmer_sketch(F.col("text"), k=1)
+        with pytest.raises(ValueError):
+            char_kmer_sketch(F.col("text"), mod=0)

@@ -428,3 +428,91 @@ def simhash_oracle_sql(table: str, text_tokens_sql: str, id_col: str) -> str:
         f"    SELECT {id_col} AS _id, unnest(list_distinct({text_tokens_sql})) AS tok "
         f"    FROM {table}) GROUP BY _id)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level overlap (char k-mer mod-p sketch — alignment-independent)
+# ---------------------------------------------------------------------------
+
+
+def char_kmer_sketch(col: Column, *, k: int = 32, mod: int = 16) -> Column:
+    """Sampled char k-mer hashes of a text column: hash EVERY k-char
+    window, keep the ~1/mod whose hash ≡ 0 (mod mod), distinct.
+
+    The mod-p selection is the load-bearing choice: a fixed stride
+    would sample windows at positions ≡ 0 (mod s) *of each document*,
+    so the same substring at different offsets in two documents could
+    sample disjoint window sets and the overlap would vanish. Selecting
+    by the window's own content hash is offset-invariant — a shared
+    substring of length L contributes the same ~(L-k+1)/mod sampled
+    k-mers to both documents no matter where it sits.
+
+    Per-row cost is O(len) window hashes (the lambda touches only its
+    index variable plus a raw attribute reference — no re-evaluated
+    computed chain), so callers fan the scan out first, same rule as
+    the word-shingle assemblies. Documents shorter than ``k`` sketch to
+    [].
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if mod < 1:
+        raise ValueError("mod must be >= 1")
+    n_pos = F.length(col) - (k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_pos), lambda i: F.xxhash64(col.substr(i, F.lit(k)))
+    )
+    sampled = F.array_distinct(
+        F.filter(hashes, lambda h: F.pmod(h, F.lit(mod)) == 0)
+    )
+    return F.when(n_pos < 1, F.array().cast("array<bigint>")).otherwise(sampled)
+
+
+def substring_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 32,
+    mod: int = 16,
+    max_df: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing long verbatim substrings — the
+    substring-level contamination/boilerplate signal that word-shingle
+    Jaccard misses when the shared block is a small fraction of each
+    document (quote plagiarism, license blocks, copy-pasted passages).
+
+    Evidence is counted in sampled char k-mers: a shared verbatim run
+    of length L yields ~(L-k+1)/mod shared samples, so ``min_shared``
+    sets the effective minimum run length (≈ k + mod·min_shared).
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — explode
+    the sketch, cap hot k-mers (mass-duplicated boilerplate belongs to
+    the cheap digest pipeline), expand pairs in-expression, never a
+    corpus self-join. Returns (id_a, id_b, shared).
+    """
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    km = src.select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_kmer_sketch(F.col(text_col), k=k, mod=mod)).alias("h"),
+    )
+    grouped = (
+        km.groupBy("h").agg(F.collect_list("_id").alias("mem"))
+        .filter((F.size("mem") >= 2) & (F.size("mem") <= max_df))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("mem"),
+            lambda x, i: F.transform(
+                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
