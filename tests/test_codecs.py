@@ -149,3 +149,66 @@ def test_ppm_comment_abutting_digit():
     d2 = decode_ppm(tail)
     assert (d2["width"], d2["height"]) == (6, 4)
     assert np.array_equal(d2["pixels"], px)
+
+
+def _wav_sine(freq: float, rate: int = 8000, seconds: float = 1.0, amp: float = 0.5) -> bytes:
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    samples = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_features_sine_wave_math():
+    """A pure sine has RMS = amp/√2 and zero-crossing rate = 2·freq —
+    the features must recover both from the real PCM decode."""
+    from tia_data_pipeline_spark.functions.codecs import audio_features
+
+    f = audio_features(_wav_sine(freq=440.0, rate=8000, seconds=1.0, amp=0.5))
+    assert f["duration_ms"] == 1000
+    assert abs(f["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(f["zero_cross_per_sec"] - 2 * 440.0) < 10
+    assert 0.49 < f["peak"] <= 0.51
+
+    silence = audio_features(_wav_sine(freq=440.0, rate=8000, seconds=0.5, amp=0.0))
+    assert silence["rms"] == 0.0 and silence["peak"] == 0.0
+
+
+def test_image_features_solid_and_contrast():
+    from tia_data_pipeline_spark.functions.codecs import image_features
+
+    solid = np.full((4, 6, 3), 200, dtype=np.uint8)
+    f = image_features(encode_ppm(solid))
+    assert (f["width"], f["height"]) == (6, 4)
+    assert abs(f["brightness"] - 200.0) < 1e-9
+    assert f["contrast"] == 0.0
+    assert f["mean_r"] == f["mean_g"] == f["mean_b"] == 200.0
+
+    # half-black / half-white: brightness 127.5, nonzero contrast
+    half = np.zeros((2, 2, 3), dtype=np.uint8)
+    half[:, 1, :] = 255
+    f2 = image_features(encode_ppm(half))
+    assert abs(f2["brightness"] - 127.5) < 1e-9
+    assert f2["contrast"] > 100
+
+
+def test_extract_media_features_operator(spark):
+    """The mapInPandas verb: per-kind features, NULLs for the other
+    modality, corrupt payloads degrade to NULL rows not failures."""
+    from tia_data_pipeline_spark.operators.multimodal import extract_media_features
+
+    ppm, _ = _ppm(8, 5)
+    rows = [
+        (1, bytearray(ppm)),
+        (2, bytearray(_wav_sine(200.0, rate=8000, seconds=0.25, amp=0.25))),
+        (3, bytearray(b"\x00garbage payload")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    got = {r["id"]: r.asDict() for r in extract_media_features(df).collect()}
+    assert got[1]["kind"] == "ppm" and got[1]["width"] == 8 and got[1]["rms"] is None
+    assert got[2]["kind"] == "wav" and got[2]["duration_ms"] == 250
+    assert got[2]["width"] is None and got[2]["rms"] is not None
+    assert got[3]["width"] is None and got[3]["rms"] is None

@@ -81,6 +81,7 @@ def decode_ppm(payload: bytes) -> dict:
         "format": "image/ppm",
         "width": int(w),
         "height": int(h),
+        "maxval": int(maxval),
         "pixels": pixels,
         "checksum": int(raster.sum()) % 2_147_483_647,
     }
@@ -197,3 +198,71 @@ def resize_media(payload: bytes, target_w: int, target_h: int) -> bytes:
     from tia_data_pipeline_spark.operators.multimodal import _fake_resize
 
     return _fake_resize(payload, target_w, target_h)
+
+
+# ----------------------------------------------------- feature extract ----
+def wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF PCM to a float array in [-1, 1] of shape
+    (n_frames, channels), plus the sample rate. 16-bit and 8-bit PCM
+    (the uncompressed formats) decode for real; anything else raises
+    and the caller falls back."""
+    meta = decode_wav(payload)
+    # locate the data chunk (decode_wav validated the RIFF structure)
+    i = 12
+    raw = b""
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        if cid == b"data":
+            raw = payload[i + 8 : i + 8 + size]
+            break
+        i += 8 + size + (size & 1)
+    bits, ch = meta["bits"], meta["channels"]
+    if bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    n = (len(x) // ch) * ch if ch else 0
+    return x[:n].reshape(-1, ch), meta["sample_rate"]
+
+
+def audio_features(payload: bytes) -> dict:
+    """Loudness/periodicity features over the REAL PCM stream: RMS,
+    peak, zero-crossing rate (per second, channel-averaged), duration.
+    The quality signals an audio curation pipeline gates on (silence /
+    clipping / noise detection)."""
+    pcm, rate = wav_pcm(payload)
+    if pcm.size == 0 or not rate:
+        return {"duration_ms": 0, "rms": 0.0, "peak": 0.0, "zero_cross_per_sec": 0.0}
+    mono = pcm.mean(axis=1)
+    crossings = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    dur_s = len(mono) / rate
+    return {
+        "duration_ms": int(dur_s * 1000),
+        "rms": float(np.sqrt(np.mean(pcm * pcm))),
+        "peak": float(np.max(np.abs(pcm))),
+        "zero_cross_per_sec": float(crossings / dur_s),
+    }
+
+
+def image_features(payload: bytes) -> dict:
+    """Shape/intensity features over REAL decoded pixels (PPM):
+    per-channel means, luma brightness, RMS contrast — the cheap
+    screens an image curation pipeline gates on (black/blank frames,
+    washed-out captures)."""
+    d = decode_ppm(payload)
+    px = d["pixels"].astype(np.float64)  # (h, w, 3) in [0, maxval]
+    px = px * (255.0 / max(1, d["maxval"]))
+    means = px.reshape(-1, 3).mean(axis=0)
+    luma = px.reshape(-1, 3) @ np.array([0.2126, 0.7152, 0.0722])
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+        "brightness": float(luma.mean()),
+        "contrast": float(luma.std()),
+    }

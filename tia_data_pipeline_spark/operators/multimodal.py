@@ -154,3 +154,59 @@ def sample_frames(
         "frames",
         F.transform(idx, lambda i: F.substring(F.col(payload_col), (i * every_n_bytes + 1).cast("int"), every_n_bytes)),
     )
+
+
+FEATURES_SCHEMA = (
+    "id bigint, kind string, width int, height int, brightness double, "
+    "contrast double, duration_ms bigint, rms double, peak double, "
+    "zero_cross_per_sec double"
+)
+
+
+def extract_media_features(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """The feature-extract verb of the multimodal tier (decode /
+    feature-extract / resize / frame-sample): per-payload quality
+    signals over REAL decoded content — image payloads get intensity
+    stats (per-channel means fold into brightness, RMS contrast),
+    audio payloads get loudness/periodicity (RMS, peak, zero-crossing
+    rate) — the screens a curation pipeline gates on (black frames,
+    silence, clipping).
+
+    Arrow-batched ``mapInPandas`` like the sibling verbs; modality
+    columns are NULL for the other kind, and undecodable/compressed
+    payloads degrade to (kind, NULLs) rather than failing the batch —
+    the same corrupt-input posture as decode_payloads."""
+    from tia_data_pipeline_spark.functions import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = {
+            "width": None, "height": None, "brightness": None, "contrast": None,
+            "duration_ms": None, "rms": None, "peak": None, "zero_cross_per_sec": None,
+        }
+        for pdf in batches:
+            rows = []
+            for rid, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p)
+                kind = codecs.sniff_format(payload)
+                row = {"id": rid, "kind": kind, **base}
+                try:
+                    if kind == "ppm":
+                        row.update(codecs.image_features(payload))
+                    elif kind == "wav":
+                        f = codecs.audio_features(payload)
+                        row.update(f)
+                except Exception:  # noqa: BLE001 — corrupt payload: keep NULLs
+                    pass
+                rows.append(row)
+            out = pd.DataFrame(rows)
+            yield out[
+                ["id", "kind", "width", "height", "brightness", "contrast",
+                 "duration_ms", "rms", "peak", "zero_cross_per_sec"]
+            ]
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
