@@ -212,3 +212,19 @@ def test_extract_media_features_operator(spark):
     assert got[2]["kind"] == "wav" and got[2]["duration_ms"] == 250
     assert got[2]["width"] is None and got[2]["rms"] is not None
     assert got[3]["width"] is None and got[3]["rms"] is None
+
+
+def test_ppm_comment_at_eof_clamps_offset():
+    """A header comment hitting EOF without a newline must not push the
+    raster offset past the payload — decode fails on the clean
+    truncated-raster path (ValueError), not a numpy offset error."""
+    import pytest as _pytest
+
+    from tia_data_pipeline_spark.functions.codecs import _ppm_tokens, decode_ppm
+
+    payload = b"P6\n6 4\n255# trailing comment"
+    toks, off = _ppm_tokens(payload, 3)
+    assert toks == [6, 4, 255]
+    assert off <= len(payload)
+    with _pytest.raises(ValueError):
+        decode_ppm(payload)  # header fine, raster truncated

@@ -300,6 +300,14 @@ FAN_OUT_EXPECTED = {
     # partial WindowGroupLimit SORTS each input partition — a 3-split
     # scan serializes the sort (A/B at sf0.1: 1.23→0.86)
     "q_topk_per_group",
+    # simhash's 32-vote md5-bit aggregate is the borderline case: the
+    # standalone q_simhash shape measures NEUTRAL (0.52 vs 0.51, so it
+    # stays unfanned — the shuffle buys nothing), but inside
+    # q_edit_distance, where the fingerprints feed a join +
+    # collect_list + Levenshtein pipeline, widening the vote aggregate
+    # wins consistently (interleaved min-of-4: 1.20→1.10; isolated
+    # operator 0.72→0.59). Both sides pinned so drift is visible.
+    "q_edit_distance",
 }
 NO_FAN_OUT_EXPECTED = {
     "q_word_freq",

@@ -101,9 +101,11 @@ def test_order_within_shard(spark, corpus, tmp_path):
         tokens_per_shard=10_000,
         order_by=["doc_id"],
     )
-    back = spark.read.parquet(out)
-    n_shards = back.agg(F.max("shard")).collect()[0][0] + 1
-    for shard in range(n_shards):
+    # iterate shards that actually received rows (hash assignment does
+    # not guarantee every id in [0, max] is populated)
+    shards = [r["shard"] for r in read_shard_manifest(spark, out).select("shard").collect()]
+    assert shards
+    for shard in shards:
         ids = [
             r["doc_id"]
             for r in spark.read.parquet(f"{out}/shard={shard}").select("doc_id").collect()

@@ -50,9 +50,11 @@ def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
                 i += 1
             if len(toks) == n:
                 # comment's newline is the whitespace terminating the
-                # final token; the raster starts right after it
-                i += 1
-                return toks, i
+                # final token; the raster starts right after it (clamped:
+                # a comment hitting EOF without a newline must not push
+                # the offset past the payload, or frombuffer raises an
+                # offset error instead of the clean truncated-raster path)
+                return toks, min(i + 1, len(payload))
         elif c in (b" ", b"\t", b"\n", b"\r"):
             if cur:
                 toks.append(int(cur))

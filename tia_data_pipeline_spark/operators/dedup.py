@@ -98,6 +98,38 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def bucket_pairs(mem: Column, *, order_key: str | None = None) -> Column:
+    """All unordered member pairs of a ``collect_list`` bucket column,
+    expanded IN-EXPRESSION — the shared candidate-generation idiom of
+    the whole dedup/similarity family (MinHash banding, n-gram
+    inverted index, substring k-mers, embedding buckets, edit-distance
+    verify). Grouping members and expanding pairs inside the array
+    avoids the self-join that would re-execute the bucket's entire
+    upstream lineage once per side; callers cap ``size(mem)`` FIRST —
+    a bucket of b members expands to b·(b-1)/2 structs in one row.
+
+    ``order_key=None``: members are scalars; pairs come back as
+    ``struct(id_a, id_b)`` with ``id_a <= id_b`` via least/greatest.
+    ``order_key='f'``: members are structs; pairs come back as
+    ``struct(a, b)`` (full member structs) ordered by field ``f``."""
+    if order_key is None:
+        inner = lambda x, y: F.struct(  # noqa: E731
+            F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+        )
+    else:
+        inner = lambda x, y: F.when(  # noqa: E731
+            x[order_key] < y[order_key], F.struct(x.alias("a"), y.alias("b"))
+        ).otherwise(F.struct(y.alias("a"), x.alias("b")))
+    return F.flatten(
+        F.transform(
+            mem,
+            lambda x, i: F.transform(
+                F.slice(mem, i + 2, F.size(mem)), lambda y: inner(x, y)
+            ),
+        )
+    )
+
+
 def minhash_signature(col: Column, k: int = 32, seed: int = 42, shingle_n: int = 3) -> Column:
     """k-component MinHash signature (array<bigint>) of a text column.
 
@@ -215,16 +247,7 @@ def minhash_near_duplicates(
         .agg(F.collect_list(F.struct("_id", "_sig")).alias("mem"))
         .filter((F.size("mem") >= 2) & (F.size("mem") <= max_bucket))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("mem"),
-            lambda x, i: F.transform(
-                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
-                lambda y: F.when(x["_id"] < y["_id"], F.struct(x.alias("a"), y.alias("b")))
-                .otherwise(F.struct(y.alias("a"), x.alias("b"))),
-            ),
-        )
-    )
+    pair_arr = bucket_pairs(F.col("mem"), order_key="_id")
     cand = (
         members.select(F.explode(pair_arr).alias("p"))
         .select(
@@ -335,17 +358,7 @@ def ngram_jaccard_pairs(
     doc_sizes = (
         grouped.select(F.explode("mem").alias("_id")).groupBy("_id").agg(F.count("*").alias("n_sh"))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("mem"),
-            lambda x, i: F.transform(
-                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
-    )
+    pair_arr = bucket_pairs(F.col("mem"))
     shared = (
         grouped.filter(F.size("mem") >= 2)
         .select(F.explode(pair_arr).alias("p"))
@@ -499,17 +512,7 @@ def substring_overlap_pairs(
         km.groupBy("h").agg(F.collect_list("_id").alias("mem"))
         .filter((F.size("mem") >= 2) & (F.size("mem") <= max_df))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("mem"),
-            lambda x, i: F.transform(
-                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
-    )
+    pair_arr = bucket_pairs(F.col("mem"))
     return (
         grouped.select(F.explode(pair_arr).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))

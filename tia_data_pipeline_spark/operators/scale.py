@@ -23,11 +23,13 @@ from pyspark.sql import functions as F
 SALT_COL = "_salt"
 
 
-# Beyond this many leaf files the scan is treated as already-parallel
-# without stat-ing each file (per-file driver metadata calls stop being
-# free, and a 1024-file relation that still scans narrow needs
-# compaction, not a fan-out shuffle).
-_FAN_OUT_STAT_CAP = 1024
+# Per-file driver metadata calls stop being free on many-file
+# relations: beyond this many leaf files the byte estimate stats an
+# evenly-strided SAMPLE and extrapolates (avg_size × n_files) instead
+# of touching every file, so the estimate stays O(1) py4j round-trips
+# per file sampled regardless of relation size and a 10k-tiny-file
+# relation on a wide cluster still gets its widening.
+_FAN_OUT_STAT_SAMPLE = 64
 
 
 def _estimated_scan_splits(df: DataFrame, files: list[str]) -> int | None:
@@ -37,17 +39,26 @@ def _estimated_scan_splits(df: DataFrame, files: list[str]) -> int | None:
     so total/split-size tracks the reader's behavior from both sides
     (open-cost padding ignored — it only *raises* the real count).
     Sizes come from the files' own FileSystem via driver metadata
-    calls; returns None when any lookup fails (caller falls back to the
-    file-count heuristic)."""
+    calls — an evenly-strided sample of at most
+    ``_FAN_OUT_STAT_SAMPLE`` files, extrapolated by file count (exact
+    when all files are stat-ed; a mean estimate for larger relations,
+    fine for a widen-or-not heuristic). Returns None when any lookup
+    fails (caller falls back to the file-count heuristic)."""
     spark = df.sparkSession
     try:
         max_bytes = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
-        total = 0
-        for f in files:
+        if len(files) > _FAN_OUT_STAT_SAMPLE:
+            stride = len(files) // _FAN_OUT_STAT_SAMPLE
+            sample = files[::stride][:_FAN_OUT_STAT_SAMPLE]
+        else:
+            sample = files
+        sampled = 0
+        for f in sample:
             p = jvm.org.apache.hadoop.fs.Path(f)
-            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+            sampled += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        total = sampled * len(files) // len(sample)
         return max(1, -(-total // max_bytes))  # ceil
     except Exception:  # noqa: BLE001 — inaccessible scheme/conf: heuristic fallback
         return None
@@ -92,8 +103,6 @@ def fan_out(df: DataFrame, *, target: int | None = None) -> DataFrame:
     spark = df.sparkSession
     n = target or spark.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if len(files) >= _FAN_OUT_STAT_CAP:
-        return df
     if files:
         est = _estimated_scan_splits(df, files)
         wide = est >= n if est is not None else len(files) >= n
@@ -195,10 +204,11 @@ def zorder_value(df: DataFrame, cols: Sequence[str], *, bits: int = 8) -> Column
     if len(cols) * bits > 63:
         raise ValueError("n_cols * bits must fit a bigint")
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    # one sampling job computes every column's boundary set
+    all_cuts = df.approxQuantile(cols, probs, 0.001)
     z = F.lit(0).cast("bigint")
     for i, c in enumerate(cols):
-        cuts = df.approxQuantile(c, probs, 0.001)
-        arr = F.array(*[F.lit(float(v)) for v in cuts])
+        arr = F.array(*[F.lit(float(v)) for v in all_cuts[i]])
         bucket = F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double"))).cast("bigint")
         bucket = F.coalesce(bucket, F.lit(0).cast("bigint"))
         for j in range(bits):

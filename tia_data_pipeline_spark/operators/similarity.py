@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from tia_data_pipeline_spark.functions.text import portable_round
 from tia_data_pipeline_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from tia_data_pipeline_spark.operators.dedup import bucket_pairs
 
 # Deterministic projection matrix shared with the DuckDB oracle
 # (plans/llm.py embeds the same literals in the generated SQL).
@@ -117,16 +118,7 @@ def embedding_near_duplicates(
         .agg(F.collect_list(F.struct("_id", "_vec", "_norm")).alias("mem"))
         .filter((F.size("mem") >= 2) & (F.size("mem") <= max_bucket))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("mem"),
-            lambda x, i: F.transform(
-                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
-                lambda y: F.when(x["_id"] < y["_id"], F.struct(x.alias("a"), y.alias("b")))
-                .otherwise(F.struct(y.alias("a"), x.alias("b"))),
-            ),
-        )
-    )
+    pair_arr = bucket_pairs(F.col("mem"), order_key="_id")
     denom = F.col("p.a._norm") * F.col("p.b._norm")
     score = F.when(denom > 0, dot(F.col("p.a._vec"), F.col("p.b._vec")) / denom)
     pairs = members.select(F.explode(pair_arr).alias("p")).select(
@@ -356,6 +348,12 @@ def knn_join_bucketed(
     """
     from pyspark.sql.window import Window
 
+    if hamming_probe not in (0, 1):
+        raise ValueError(
+            "hamming_probe must be 0 (own bucket) or 1 (+ Hamming-1 "
+            "neighbors); larger radii are not implemented — raising "
+            "beats silently serving radius-1 recall"
+        )
     proj = proj if proj is not None else projection_matrix()
     n_bits = len(proj)
     c = corpus.select(

@@ -835,8 +835,13 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joined (a self-join re-plans the whole 32-vote simhash subtree
     per side: measured 3 redundant corpus scans and ~10x the runtime of
     this form). The simhash branch fans its narrowed scan out before
-    the token explode (the 32-vote partial aggregate is the CPU-heavy
-    leg; measured ~17% off at sf0.1); the prefix branch stays a bare
+    the token explode: the 32-vote md5-bit partial aggregate is the
+    CPU-heavy leg, and HERE (feeding a join + collect_list +
+    Levenshtein pipeline) the widening measures a consistent win
+    (interleaved min-of-4 at sf0.1: 1.20s -> 1.10s full query; 0.72 ->
+    0.59 for the isolated operator) where the standalone q_simhash
+    shape measures neutral and stays unfanned — both decisions pinned
+    in test_fan_out_decision_pinned. The prefix branch stays a bare
     2-column scan."""
     docs = load_table(spark, sf_dir, "documents")
     s = DD.simhash(fan_out(docs.select("doc_id", "text")), "text", "doc_id")
@@ -847,17 +852,7 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("doc_id", "pfx")).alias("mem"))
         .filter((F.size("mem") >= 2) & (F.size("mem") <= _ED_MAX_BUCKET))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("mem"),
-            lambda x, i: F.transform(
-                F.slice(F.col("mem"), i + 2, F.size(F.col("mem"))),
-                lambda y: F.when(
-                    x["doc_id"] < y["doc_id"], F.struct(x.alias("a"), y.alias("b"))
-                ).otherwise(F.struct(y.alias("a"), x.alias("b"))),
-            ),
-        )
-    )
+    pair_arr = DD.bucket_pairs(F.col("mem"), order_key="doc_id")
     pr = members.select(F.explode(pair_arr).alias("p")).select(
         F.col("p.a.doc_id").alias("id_a"),
         F.col("p.b.doc_id").alias("id_b"),

@@ -30,6 +30,7 @@ win); ``True`` is a full upsert (incoming rows win on key collision).
 from __future__ import annotations
 
 import uuid
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -148,7 +149,14 @@ def _swap_table(fs, jvm, staging: str, path: str) -> None:
             f"rename {staging} -> {path} failed; previous table at {where}, "
             f"staging left at {staging}"
         )
-    fs.delete(old, True)
+    try:
+        deleted = bool(fs.delete(old, True))
+    except Exception:  # noqa: BLE001 — FS implementations throw OR return False
+        deleted = False
+    if not deleted:
+        # the swap SUCCEEDED — only the parked previous version leaked;
+        # surface it so retained __old dirs don't accumulate silently
+        warnings.warn(f"table swap left previous version at {old}; delete it manually")
 
 
 def merge_upsert_table(
