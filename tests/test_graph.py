@@ -131,3 +131,15 @@ def test_twophase_handles_deep_chain_in_log_rounds(spark):
         connected_components(chain, max_iter=10)
     got = {r["node"]: r["component"] for r in connected_components_twophase(chain, max_iter=10).collect()}
     assert set(got.values()) == {0} and len(got) == 121
+
+
+def test_dedup_components_survivor_from_docs_subset(spark):
+    """docs filtered AFTER pair generation: the cluster's labeling
+    minimum (doc 1) is absent from docs — survival must fall to the
+    minimum id PRESENT (doc 2), never silently drop the cluster."""
+    from tia_data_pipeline_spark.operators.graph import dedup_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    docs = spark.createDataFrame([(2,), (3,), (99,)], "doc_id bigint")
+    rows = {r["doc_id"]: (r["component"], r["is_kept"]) for r in dedup_components(pairs, docs).collect()}
+    assert rows == {2: (1, True), 3: (1, False), 99: (99, True)}

@@ -4,6 +4,8 @@ batch twice ≡ once."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tia_data_pipeline_spark.operators.incremental import (
     dedup_batch,
     incremental_append,
@@ -70,3 +72,32 @@ def test_scd2_merge_semantics(spark):
         (3, "C2"): (eff, None),  # ...new version opened
         (4, "d"): (eff, None),  # brand-new key
     }
+
+
+def test_incremental_append_null_keys_idempotent(spark):
+    """NULL-keyed rows must not re-append on retry: the anti-join is
+    null-safe (plain on=keys equality never matches NULL = the trap
+    lakehouse._merge_parquet_fallback documents)."""
+    existing = _frame(spark, [(None, "n"), (1, "a")])
+    batch = _frame(spark, [(None, "n"), (2, "b")])
+    first = incremental_append(batch, existing, ["id"])
+    assert sorted(r["v"] for r in first.collect()) == ["b"]
+    after = existing.unionByName(first)
+    assert incremental_append(batch, after, ["id"]).count() == 0
+
+
+def test_merge_upsert_order_col_deterministic_winner(spark):
+    """With conflicting in-batch versions of a key, order_col picks the
+    highest deterministically; without it the survivor is explicitly
+    unspecified (documented), so only the order_col form is asserted."""
+    existing = _frame(spark, [(1, "old")])
+    incoming = spark.createDataFrame(
+        [(1, "v1", 10), (1, "v2", 20), (2, "x", 5)], "id bigint, v string, ver bigint"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in merge_upsert_plan(
+            incoming, existing.withColumn("ver", F.lit(0)), ["id"], order_col="ver"
+        ).collect()
+    }
+    assert got == {1: "v2", 2: "x"}

@@ -196,3 +196,29 @@ def test_insert_if_absent_sql_per_dialect():
     assert jdbc_dialect("jdbc:postgresql://h/db") == "postgresql"
     assert jdbc_dialect("jdbc:derby:memory:db") == "derby"
     assert jdbc_dialect("not-a-jdbc-url") == "unknown"
+
+
+def test_ensure_table_honors_nullability(spark, derby_url):
+    """DDL must follow StructField.nullable (the reference DDL mixes
+    NULL and NOT NULL columns): a NULL in a nullable non-key column
+    must insert cleanly; key columns stay NOT NULL for the PK."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.LongType(), nullable=True),  # key → forced NOT NULL
+            T.StructField("opt", T.StringType(), nullable=True),
+        ]
+    )
+    jdbc_ensure_table(spark, derby_url, "tgt_null", schema, ["pk"])
+    batch = spark.createDataFrame([(1, "a"), (2, None)], schema)
+    jdbc_merge_upsert(batch, derby_url, "tgt_null", ["pk"])
+    # bare-identifier DDL → database-normalized names; address unquoted
+    back = jdbc_read(spark, derby_url, 'SELECT pk AS "pk", opt AS "opt" FROM tgt_null')
+    got = {r["pk"]: r["opt"] for r in back.collect()}
+    assert got == {1: "a", 2: None}
+
+
+def test_jdbc_read_partition_bounds_validated(spark, derby_url):
+    with pytest.raises(ValueError, match="lower_bound"):
+        jdbc_read(spark, derby_url, "SELECT 1", partition_column="x")

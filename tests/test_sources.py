@@ -74,3 +74,18 @@ def test_read_json_records_does_not_mutate_caller_schema(spark, tmp_path):
     write_json_records(spark.range(3).withColumnRenamed("id", "id"), path)
     read_json_records(spark, path, schema).collect()
     assert schema.names == ["id"]
+
+
+def test_keyed_fanout_empty_marker_rows(spark):
+    """skip_empty=False emits one NULL-record marker row per empty key,
+    distinguishing 'fetched, empty' from 'never fetched'."""
+    keys = spark.createDataFrame([(1,), (2,)], "post_id bigint")
+
+    def fetcher(post_id):
+        return [] if post_id == 2 else [{"id": 100, "title": "t"}]
+
+    rows = keyed_fanout_source(keys, "post_id", fetcher, POST_SCHEMA, skip_empty=False).collect()
+    by_key = {r["post_id"]: r for r in rows}
+    assert set(by_key) == {1, 2}
+    assert by_key[1]["id"] == 100
+    assert by_key[2]["id"] is None and by_key[2]["title"] is None

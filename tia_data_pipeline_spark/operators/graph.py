@@ -21,6 +21,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def thread_closure(
@@ -166,7 +167,14 @@ def dedup_components(
     connected components and keep the minimum-id document per
     component; docs that appear in no pair survive untouched. Returns
     ``(doc_id, component, is_kept)`` for every document.
-    """
+
+    The survivor is the minimum id *present in docs* — not the
+    component label itself. The two coincide when the pair graph was
+    built from these same docs (the declared-query case), but when
+    ``docs`` is a filtered subset (quality/language gates applied
+    AFTER pair generation) the component's labeling minimum may be a
+    filtered-out document; keying survival on the label would then
+    silently drop the whole cluster."""
     comp = connected_components(pairs, src_col=pair_a, dst_col=pair_b)
     out = (
         docs.select(F.col(id_col))
@@ -176,8 +184,11 @@ def dedup_components(
             F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
         )
     )
-    return out.withColumn(
-        "is_kept", (F.col(id_col) == F.col("component")).alias("is_kept")
+    keep = F.min(F.col(id_col)).over(Window.partitionBy("component"))
+    return out.select(
+        F.col(id_col),
+        F.col("component"),
+        (F.col(id_col) == keep).alias("is_kept"),
     )
 
 

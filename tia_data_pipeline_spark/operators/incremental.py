@@ -25,9 +25,12 @@ from pyspark.sql import DataFrame
 
 def dedup_batch(batch: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Within-batch key dedup (SURVEY op ``dedup-batch``): set semantics
-    on the PK, collapsing refetch overlap. Arbitrary-but-deterministic
-    survivor is fine for the reference semantic (duplicate rows are
-    identical re-fetches)."""
+    on the PK, collapsing refetch overlap. The survivor among duplicate
+    keys is whichever row a partition scans first — fine for the
+    reference semantic (duplicate rows are identical re-fetches);
+    batches that can carry CONFLICTING versions of a key should use
+    ``merge_upsert_plan(..., order_col=...)`` for a deterministic
+    winner."""
     return batch.dropDuplicates(list(keys))
 
 
@@ -38,25 +41,63 @@ def incremental_append(
     the `ON CONFLICT DO NOTHING` invariant (SURVEY op ``antijoin-incr``).
 
     Only the key columns of ``existing`` participate (column pruning →
-    the target scan reads just the PK), and the anti-join is null-safe
-    on composite keys.
+    the target scan reads just the PK), and the anti-join is NULL-SAFE
+    on composite keys (``eqNullSafe`` per column — the lakehouse merge
+    documents the same trap: plain ``on=keys`` equality never matches a
+    NULL key, so a NULL-keyed row would re-append on every retry and
+    break the twice-is-a-no-op invariant).
     """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     keys = list(keys)
     new_rows = dedup_batch(incoming, keys)
-    existing_keys = existing.select(*keys)
-    return new_rows.join(existing_keys, on=keys, how="left_anti")
+    existing_keys = existing.select(*[F.col(k).alias(f"_ek_{k}") for k in keys])
+    cond = reduce(
+        lambda a, b: a & b,
+        [new_rows[k].eqNullSafe(existing_keys[f"_ek_{k}"]) for k in keys],
+    )
+    return new_rows.join(existing_keys, cond, "left_anti")
 
 
 def merge_upsert_plan(
-    incoming: DataFrame, existing: DataFrame, keys: Sequence[str]
+    incoming: DataFrame,
+    existing: DataFrame,
+    keys: Sequence[str],
+    *,
+    order_col: str | None = None,
 ) -> DataFrame:
-    """Full-table merge: latest incoming row wins per key, existing rows
+    """Full-table merge: the incoming row wins per key, existing rows
     without a replacement survive. The transactional form would be Delta
     ``MERGE WHEN NOT MATCHED THEN INSERT``; this is the pure-DataFrame
-    plan (recompute target) for stores without ACID merge."""
+    plan (recompute target) for stores without ACID merge.
+
+    Within-batch survivor: with ``order_col`` set, the row with the
+    HIGHEST value per key wins (ties broken by the row's full content
+    — deterministic "latest wins"). Without it, duplicates collapse
+    via ``dropDuplicates`` — fine when duplicate keys are identical
+    refetches (the reference semantic), but an incoming batch carrying
+    CONFLICTING versions of a key gets a partitioning-dependent
+    survivor; pass ``order_col`` for reproducible merges there."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     keys = list(keys)
+    if order_col is None:
+        winners = dedup_batch(incoming, keys)
+    else:
+        others = [c for c in incoming.columns if c not in keys]
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), *[F.col(c).desc() for c in others if c != order_col]
+        )
+        winners = (
+            incoming.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     replaced = existing.join(incoming.select(*keys), on=keys, how="left_anti")
-    return replaced.unionByName(dedup_batch(incoming, keys))
+    return replaced.unionByName(winners)
 
 
 def scd2_merge(

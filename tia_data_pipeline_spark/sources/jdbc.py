@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import time
 import uuid
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,6 +49,11 @@ def jdbc_read(
     scan parallelizes into range-partitioned queries (the scale path;
     a single unpartitioned JDBC read is a one-task bottleneck)."""
     reader = spark.read.format("jdbc").option("url", url)
+    if partition_column is not None and (lower_bound is None or upper_bound is None):
+        raise ValueError(
+            "partition_column requires lower_bound and upper_bound "
+            "(Spark would otherwise fail later parsing the literal 'None')"
+        )
     if partition_column is not None:
         # Spark rejects `query` together with `partitionColumn`; the
         # partitioned form must wrap the SQL as a derived table. (The
@@ -97,11 +103,16 @@ def _sql_type(dt: T.DataType) -> str:
     raise TypeError(f"no JDBC DDL mapping for Spark type {dt}")
 
 
-def _driver_connection(spark: SparkSession, url: str):
+def _driver_connection(spark: SparkSession, url: str, properties: dict[str, str] | None = None):
     """A driver-side java.sql.Connection via the JVM gateway — the
     DDL/MERGE control channel (data volume flows through executor JDBC
-    writes, never through this connection)."""
-    return spark._jvm.java.sql.DriverManager.getConnection(url)
+    writes, never through this connection). ``properties`` carries the
+    same credential map the executor writes use (user/password/...), so
+    an authenticated target accepts the control channel too."""
+    props = spark._jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(str(k), str(v))
+    return spark._jvm.java.sql.DriverManager.getConnection(url, props)
 
 
 def jdbc_ensure_table(
@@ -110,14 +121,24 @@ def jdbc_ensure_table(
     table: str,
     schema: T.StructType,
     keys: Sequence[str],
+    *,
+    properties: dict[str, str] | None = None,
 ) -> None:
     """Idempotent `CREATE TABLE` with a primary key (`snk-ddl` against a
     JDBC target; reference ``init_db_tables.sh:5-22``). The PK is
     load-bearing for concurrent merges: it converts the
-    check-then-insert race into a retryable duplicate-key error."""
-    cols = ", ".join(f"{f.name} {_sql_type(f.dataType)} NOT NULL" for f in schema.fields)
+    check-then-insert race into a retryable duplicate-key error.
+    Column nullability follows the schema (the reference DDL mixes
+    NULL and NOT NULL columns, init_db_tables.sh:5-59); key columns
+    are forced NOT NULL for the PK."""
+    key_set = {k.lower() for k in keys}
+    cols = ", ".join(
+        f"{f.name} {_sql_type(f.dataType)}"
+        + ("" if f.nullable and f.name.lower() not in key_set else " NOT NULL")
+        for f in schema.fields
+    )
     pk = ", ".join(keys)
-    conn = _driver_connection(spark, url)
+    conn = _driver_connection(spark, url, properties)
     try:
         st = conn.createStatement()
         try:
@@ -217,19 +238,29 @@ def jdbc_merge_upsert(
 
     merge = insert_if_absent_sql(url, table, staging, cols, keys)
     spark = incoming.sparkSession
-    conn = _driver_connection(spark, url)
+    conn = _driver_connection(spark, url, properties)
     try:
         st = conn.createStatement()
-        for attempt in range(merge_retries):
+        try:
+            for attempt in range(merge_retries):
+                try:
+                    st.executeUpdate(merge)
+                    break
+                except Exception as exc:  # noqa: BLE001
+                    msg = str(exc)
+                    retryable = any(code in msg for code in _RETRYABLE_SQLSTATES)
+                    if not retryable or attempt == merge_retries - 1:
+                        raise
+                    time.sleep(0.05 * (attempt + 1))
+        except Exception:
+            # non-retryable merge failure: best-effort staging cleanup so
+            # failed runs don't accumulate _stg_* copies of the data; the
+            # warning names the table when even cleanup fails
             try:
-                st.executeUpdate(merge)
-                break
-            except Exception as exc:  # noqa: BLE001
-                msg = str(exc)
-                retryable = any(code in msg for code in _RETRYABLE_SQLSTATES)
-                if not retryable or attempt == merge_retries - 1:
-                    raise
-                time.sleep(0.05 * (attempt + 1))
+                st.executeUpdate(f"DROP TABLE {staging}")
+            except Exception:  # noqa: BLE001
+                warnings.warn(f"merge failed AND staging cleanup failed: {staging} left behind")
+            raise
         st.executeUpdate(f"DROP TABLE {staging}")
     finally:
         conn.close()

@@ -75,16 +75,22 @@ def keyed_fanout_source(
     the reference ``comments_pipeline.py:34-37``); each task fetches
     its keys and emits (key, record-json) rows. ``skip_empty`` mirrors
     the reference's empty-list guard (``comments_pipeline.py:41``) —
-    with fan-out semantics it is simply "no rows emitted".
+    with fan-out semantics "skipped" is simply "no rows emitted";
+    ``skip_empty=False`` instead emits ONE marker row per empty key
+    (the key with every record column NULL), so downstream can tell
+    "fetched, empty" from "never fetched".
     """
 
     def fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_keys: list = []
-            out_raw: list[str] = []
+            out_raw: list[str | None] = []
             for key in pdf[key_col]:
                 recs = fetcher(key)
-                if not recs and skip_empty:
+                if not recs:
+                    if not skip_empty:
+                        out_keys.append(key)
+                        out_raw.append(None)  # from_json(NULL) → NULL struct
                     continue
                 for rec in recs:
                     out_keys.append(key)

@@ -94,8 +94,18 @@ def write_training_shards(
         .save(path)
     )
 
+    # The manifest aggregates the JUST-WRITTEN output, not the input
+    # lineage: df may be the tail of an expensive curation pipeline,
+    # and re-executing it for the stats would be a third full upstream
+    # run (total-agg + write are already two). Reading the laid-out
+    # shards back is a cheap scan of exactly what the manifest
+    # describes — and doubles as a write-visibility check.
+    # explicit schema: partition discovery on an empty output (zero
+    # rows written) has nothing to infer from, and the shard column
+    # type stays the writer's int regardless of directory inference
+    back = df.sparkSession.read.format(data_format).schema(sharded.schema).load(path)
     manifest = (
-        sharded.groupBy("shard")
+        back.groupBy(F.col("shard").cast("int").alias("shard"))
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),
             F.sum(F.col(weight_col)).cast("bigint").alias("n_tokens"),

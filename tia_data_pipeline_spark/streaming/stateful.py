@@ -40,9 +40,15 @@ def _update_user_profile(
     for pdf in pdfs:
         n_events += len(pdf)
         # exact integer cents, same arithmetic as functions.text.money_sum
-        total_cents += int((pdf["value"] * 100).round().astype("int64").sum())
-        batch_max = pdf["ts"].max()
-        last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
+        # — and the same NULL semantics: F.sum skips NULLs, so the fold
+        # drops NaN before the int cast (astype('int64') on a NaN would
+        # kill the whole streaming query on one NULL value)
+        vals = (pdf["value"].dropna() * 100).round()
+        total_cents += int(vals.astype("int64").sum()) if len(vals) else 0
+        ts_vals = pdf["ts"].dropna()
+        if len(ts_vals):
+            batch_max = ts_vals.max()
+            last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
 
     state.update((n_events, total_cents, last_seen))
     yield pd.DataFrame(
