@@ -192,3 +192,21 @@ def test_word_shingles_fuzz_vs_cpython_and_duckdb(spark):
             ).fetchall()
         }
         assert {i: sorted(v) for i, v in got.items()} == duck, f"n={n}"
+
+
+def test_bpe_token_count_vertical_tab_parity(spark):
+    """BPE_RE must spell out the pinned WS_CLASS instead of `\\s`: Java
+    and RE2 disagree on whether \\s includes \\x0B, so a bare \\s makes
+    the two engines tokenize 'a\\x0bb' differently (3 vs 2 tokens)."""
+    from tia_data_pipeline_spark.functions.text import bpe_token_count, bpe_token_count_sql
+
+    cases = ["a\x0bb", "x \x0b y", "\x0b", "a.b,c", "", "tab\tsep"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, s string")
+    got = {
+        r["i"]: r["n"] for r in df.select("i", bpe_token_count(F.col("s")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"i": list(range(len(cases))), "s": cases}))
+    want = {int(i): int(n) for i, n in con.execute(f"SELECT i, {bpe_token_count_sql('s')} FROM t").fetchall()}
+    assert got == want
+    assert got[0] == 2  # 'a\x0bb' -> ['a','b']: \x0b is whitespace on BOTH engines

@@ -49,10 +49,10 @@ def money_sum(col: Column, count_expr: Column | None = None, decimals: int = 4) 
     Immune to summation-order ulp drift AND to round() dialects."""
     scale = 10**decimals
     units = F.round(col * F.lit(scale)).cast("bigint")
-    total = F.sum(units).cast("double") / F.lit(float(scale))
+    total = F.sum(units).cast("double")
     if count_expr is not None:
-        total = F.sum(units).cast("double") / count_expr / F.lit(float(scale))
-    return total
+        total = total / count_expr
+    return total / F.lit(float(scale))
 
 
 def money_sum_sql(expr: str, count_expr: str | None = None, decimals: int = 4) -> str:
@@ -160,8 +160,12 @@ def json_serialize_nested(df_schema: T.StructType, colname: str) -> Column:
 # --------------------------------------------------------------------------
 
 # BPE-ish word/number/punctuation tokenizer: letter runs, digit runs,
-# single punctuation marks — a deterministic stand-in for subword counts.
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# single punctuation marks — a deterministic stand-in for subword
+# counts. The whitespace exclusion spells out the pinned WS_CLASS
+# characters rather than `\s`: Java regex and RE2 disagree on whether
+# \s includes \x0B (the file-header invariant), so a bare \s here
+# would make the q_token_bpe oracle diverge on vertical-tab input.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
 
 
 def bpe_token_count(col: Column) -> Column:

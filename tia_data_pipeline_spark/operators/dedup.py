@@ -76,9 +76,12 @@ def md5_int_sql(s: str, digits: int = 7) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side:
-    split → zip n shifted slices → concat → distinct).
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of a text column IN ORDER, repeats kept (JVM-side:
+    split → zip n shifted slices → concat). The frequency-counting
+    queries (bigram LM, collocations, repetition rules) need every
+    occurrence; the set-semantics dedup family wraps this in
+    :func:`word_shingles` for the distinct form.
 
     Construction note: the obvious ``transform(sequence(1, m),
     i -> concat(element_at(toks, i), …))`` is ~15× slower — higher-
@@ -92,10 +95,15 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     n_sh = F.size(toks) - (n - 1)
     zipped = F.arrays_zip(*[F.slice(toks, j + 1, n_sh) for j in range(n)])
     return F.when(n_sh < 1, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
-        )
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
     )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — :func:`word_ngrams` with set
+    semantics, the dedup-family form (per-doc distinct makes the
+    shingle→doc inverted index count document frequency)."""
+    return F.array_distinct(word_ngrams(col, n))
 
 
 def bucket_pairs(mem: Column, *, order_key: str | None = None) -> Column:

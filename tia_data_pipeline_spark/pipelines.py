@@ -117,7 +117,10 @@ def posts_pipeline_streaming(
     schema: T.StructType,
     *,
     fetcher_path: str | None = None,
-    ts_string_cols: Sequence[str] = ("date_gmt",),
+    # same default as the batch posts_pipeline — the streaming form of
+    # the SAME pipeline must normalize the same columns, or one record
+    # ingested both ways stores different timestamp bytes
+    ts_string_cols: Sequence[str] = ("date_gmt", "modified_gmt"),
     trigger_interval: str = "1 hour",
 ):
     """The whole hourly pipeline as ONE continuous job: the `rest_poll`

@@ -18,7 +18,11 @@ from tia_data_pipeline_spark.functions import text as TX
 from tia_data_pipeline_spark.functions.vectors import cosine_sql, cosine_similarity
 from tia_data_pipeline_spark.operators import dedup as DD
 from tia_data_pipeline_spark.operators import sampling as SMP
-from tia_data_pipeline_spark.operators.dedup import simhash_oracle_sql, word_shingles
+from tia_data_pipeline_spark.operators.dedup import (
+    simhash_oracle_sql,
+    word_ngrams,
+    word_shingles,
+)
 from tia_data_pipeline_spark.operators.scale import fan_out
 from tia_data_pipeline_spark.operators.similarity import _sign_bits
 from tia_data_pipeline_spark.plans.contract import contract_query
@@ -913,12 +917,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     score join) and is CPU-bound per row (measured 1.93s -> 0.79s at
     sf0.1 single-file)."""
     docs = _docs(spark, sf_dir)
-    toks = TX.tokens(F.col("text"))
-    n_bi = F.size(toks) - 1
-    zipped = F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))
-    bigrams = F.when(n_bi < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
-    )
+    bigrams = word_ngrams(F.col("text"), 2)
     bi = docs.select("doc_id", F.explode(bigrams).alias("bg"))
     bc = bi.groupBy("bg").agg(F.count("*").alias("cb"))
     cuv = F.sum("cb").over(Window.partitionBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1))))

@@ -734,12 +734,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     line_metrics = docs.select("doc_id", dup_line_frac.alias("dup_line_frac"))
 
-    toks = TX.tokens(F.col("text"))
-    n_bi = F.size(toks) - 1
-    zipped = F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))
-    bigrams = F.when(n_bi < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
-    )
+    bigrams = DD.word_ngrams(F.col("text"), 2)
     counts = (
         docs.select("doc_id", F.explode(bigrams).alias("bg"))
         .groupBy("doc_id", "bg")
@@ -799,11 +794,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram branch dominates."""
     docs = _docs(spark, sf_dir)
     toks = TX.tokens(F.col("text"))
-    n_bi = F.size(toks) - 1
-    zipped = F.arrays_zip(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi))
-    bigrams = F.when(n_bi < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
-    )
+    bigrams = DD.word_ngrams(F.col("text"), 2)
     uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(F.count("*").alias("c"))
     n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
     bcnt = (
