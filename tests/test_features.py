@@ -22,10 +22,9 @@ def test_pandas_zscore_equals_expression_zscore(spark):
     }
     assert set(a) == set(b)
     for k in a:
-        if a[k] is None:
-            assert b[k] is None or math.isnan(b[k])
-        else:
-            assert a[k] == b[k], f"event {k}: {a[k]} vs {b[k]}"
+        # identical VALUES, including the degenerate-group case: both
+        # forms must emit SQL NULL (not float NaN) for n=1/zero-var
+        assert a[k] == b[k] or (a[k] is None and b[k] is None), f"event {k}: {a[k]} vs {b[k]}"
 
 
 def test_zscore_basic_properties(spark):

@@ -74,9 +74,17 @@ def decode_ppm(payload: bytes) -> dict:
     """P6 (binary) PPM → metadata + pixel array (h, w, 3) uint8."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM")
-    (w, h, maxval), off = _ppm_tokens(payload, 3)
+    toks, off = _ppm_tokens(payload, 3)
+    if len(toks) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = toks
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
+    if w < 1 or h < 1:
+        # zero-dimension headers would decode to a 0-sized pixel array
+        # and crash resize_nearest with an IndexError downstream —
+        # reject on the clean ValueError path the callers catch
+        raise ValueError("non-positive PPM dimensions")
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
     pixels = raster.reshape(h, w, 3)
     return {
@@ -132,7 +140,10 @@ def decode_wav(payload: bytes) -> dict:
             fmt, ch, rate = struct.unpack_from("<HHI", payload, i + 8)
             bits = struct.unpack_from("<H", payload, i + 22)[0]
             meta = {"audio_format": fmt, "channels": ch, "sample_rate": rate, "bits": bits}
-        elif cid == b"data":
+        elif cid == b"data" and data_size == 0:
+            # FIRST data chunk wins — the same rule wav_pcm uses, so
+            # duration/sample metadata and the decoded PCM features
+            # always describe the same chunk on multi-data payloads
             data_size = size
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if not meta:

@@ -38,7 +38,14 @@ def zscore(
     w = Window.partitionBy(key_col)
     n = F.count("*").over(w)
     s1 = F.sum(cents).over(w).cast("double")
-    s2 = F.sum(cents * cents).over(w).cast("double")
+    # Σc² accumulates as DECIMAL, not BIGINT: each product stays under
+    # 2^62 (project invariant) but the group SUM is unbounded, and
+    # under ANSI mode a bigint overflow would kill the query on a
+    # large high-valued group. Decimal(38) gives the same exact-integer
+    # accumulation DuckDB's HUGEINT does; the final cast to double
+    # rounds the identical integer on both engines.
+    sq = (cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")).cast("decimal(38,0)")
+    s2 = F.sum(sq).over(w).cast("double")
     mean = s1 / n
     var = (s2 - s1 * s1 / n) / (n - 1)
     z = (cents.cast("double") - mean) / F.sqrt(var)
@@ -101,7 +108,12 @@ def zscore_pandas(
             z = (cents.astype("float64") - s1 / n) / var**0.5
             z = np.floor(z * scale + 0.5) / scale
         else:
-            z = pd.Series([float("nan")] * n, index=pdf.index)
+            # SQL NULL, not float NaN: Spark distinguishes them (NaN is
+            # isNull=false and sorts above every number), and the
+            # expression form emits NULL for degenerate groups — the
+            # two forms must return the same value, not merely "both
+            # non-numbers"
+            z = pd.Series([None] * n, index=pdf.index, dtype="object")
         out = pdf[list(id_cols) + [key_col, value_col]].copy()
         out["zscore"] = z
         return out

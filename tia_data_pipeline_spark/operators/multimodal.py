@@ -86,10 +86,11 @@ def decode_payloads(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_fn(bytes(p)) for p in pdf[payload_col]]
-            out = pd.DataFrame(metas)
+            # one bytes() materialization per payload (they can be MBs)
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            out = pd.DataFrame([decode_fn(p) for p in payloads])
             out.insert(0, "id", pdf[id_col].to_numpy())
-            out.insert(1, "n_bytes", [len(bytes(p)) for p in pdf[payload_col]])
+            out.insert(1, "n_bytes", [len(p) for p in payloads])
             yield out
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
@@ -143,16 +144,29 @@ def sample_frames(
     every_n_bytes: int = 256,
     max_frames: int = 16,
 ) -> DataFrame:
-    """'Frame sampling' over an opaque payload: slice every Nth chunk
-    (stand-in for video frame extraction), emitted as an array of
-    binary chunks — pure Spark expressions, no Python."""
+    """'Frame sampling' over an opaque payload: up to ``max_frames``
+    chunks of ``every_n_bytes`` each, SPREAD EVENLY across the whole
+    payload (stand-in for video frame extraction — samples must
+    represent the full stream, not its first few KB), emitted as an
+    array of binary chunks — pure Spark expressions, no Python. Frame
+    i starts at ``floor(i * total / n)``: for short payloads the
+    stride degrades to contiguous chunks, for long ones it skips the
+    bytes between frames."""
+    total = F.octet_length(payload_col)
     n = F.least(
-        F.lit(max_frames), F.greatest(F.floor(F.octet_length(payload_col) / every_n_bytes), F.lit(1))
+        F.lit(max_frames), F.greatest(F.floor(total / every_n_bytes), F.lit(1))
     )
     idx = F.sequence(F.lit(0), n - 1)
     return df.withColumn(
         "frames",
-        F.transform(idx, lambda i: F.substring(F.col(payload_col), (i * every_n_bytes + 1).cast("int"), every_n_bytes)),
+        F.transform(
+            idx,
+            lambda i: F.substring(
+                F.col(payload_col),
+                (F.floor(i * total / n) + 1).cast("int"),
+                every_n_bytes,
+            ),
+        ),
     )
 
 

@@ -51,10 +51,21 @@ def stratified_hash_sample(
 
 
 def stratified_hash_sample_sql(
-    table: str, id_col: str, strata_col: str, rates: dict[str, int], default: int = 0
+    table: str, id_col: str, strata_col: str, rates: dict, default: int = 0
 ) -> str:
-    """DuckDB oracle for :func:`stratified_hash_sample`."""
-    cases = " ".join(f"WHEN {strata_col} = '{v}' THEN {k}" for v, k in rates.items())
+    """DuckDB oracle for :func:`stratified_hash_sample`. Stratum values
+    render as SQL literals matching the Spark comparison: strings are
+    quote-escaped ('' doubling), numbers stay bare (quoting an int
+    would compare text-vs-int and diverge from the DataFrame form)."""
+    if not rates:
+        return f"SELECT * FROM {table} WHERE {hash_bucket_sql(id_col)} < {default}"
+
+    def lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    cases = " ".join(f"WHEN {strata_col} = {lit(v)} THEN {k}" for v, k in rates.items())
     return (
         f"SELECT * FROM {table} WHERE {hash_bucket_sql(id_col)} < "
         f"(CASE {cases} ELSE {default} END)"

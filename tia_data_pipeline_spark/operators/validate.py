@@ -57,7 +57,14 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """One row per rule: (rule, n_violations, n_rows). Single scan,
     single aggregate — every rule is a conditional counter."""
     aggs = [
-        F.sum(F.when(r.violation, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias(r.name)
+        # coalesce: SUM over ZERO rows is NULL, but an empty batch has
+        # exactly 0 violations — a publish gate on n_violations == 0
+        # must pass it, not evaluate to NULL
+        F.coalesce(
+            F.sum(F.when(r.violation, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias(r.name)
         for r in rules
     ]
     counted = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)

@@ -32,7 +32,16 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 def events_stream(spark: SparkSession, path: str, *, max_files_per_trigger: int = 4) -> DataFrame:
     """File-based micro-batch source over an events directory (parquet,
-    µs timestamps — write with ``catalog.load_table`` semantics)."""
+    µs timestamps — write with ``catalog.load_table`` semantics).
+
+    Pins the correctness-critical session confs first: the batch path
+    gets UTC/NTZ pinning through ``catalog.load_table``, but a
+    streaming-only pipeline on a bare driver session would otherwise
+    read the µs NTZ parquet in local time and bucket every event into
+    the wrong window."""
+    from tia_data_pipeline_spark.catalog import _ensure_session_confs
+
+    _ensure_session_confs(spark)
     return (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
