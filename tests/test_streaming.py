@@ -134,3 +134,17 @@ def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
     out = spark.table("dedup_stream")
     assert out.count() == base.count()
     assert out.select("event_id").distinct().count() == base.count()
+
+
+def test_events_stream_pins_confs_on_bare_session(spark, events_dir):
+    """A streaming-only pipeline may be the FIRST thing run on a bare
+    driver session (no catalog.load_table call to pin UTC/NTZ): the
+    source itself must self-heal the session or every NTZ timestamp
+    reads shifted by the local-time offset (the round-2 failure mode,
+    streaming edition)."""
+    bare = spark.newSession()
+    bare.conf.set("spark.sql.session.timeZone", "America/New_York")
+    bare.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    events_stream(bare, events_dir)
+    assert bare.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert bare.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "false"
