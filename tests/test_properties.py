@@ -153,3 +153,72 @@ def test_chunk_featurize_search_composition(spark):
     assert len(top) == 3
     best = next(r for r in top if r["rank"] == 1)
     assert best["cid"] == best["probe_id"] and best["score"] == 1.0
+
+
+def test_bucket_pairs_exact_combinatorics(spark):
+    """For ANY bucket membership list: exactly C(n,2) pairs, each
+    unordered pair exactly once, ordered id_a <= id_b — both the
+    scalar and struct-keyed forms."""
+    from itertools import combinations
+
+    from tia_data_pipeline_spark.operators.dedup import bucket_pairs
+
+    rng = random.Random(11)
+    buckets = {b: rng.sample(range(1000), rng.randrange(2, 9)) for b in range(25)}
+    rows = [(b, m) for b, mem in buckets.items() for m in mem]
+    df = spark.createDataFrame(rows, "bucket int, m bigint")
+    mem = df.groupBy("bucket").agg(F.collect_list("m").alias("mem"))
+
+    got = (
+        mem.select("bucket", F.explode(bucket_pairs(F.col("mem"))).alias("p"))
+        .select("bucket", "p.id_a", "p.id_b")
+        .collect()
+    )
+    by_bucket: dict = {}
+    for r in got:
+        assert r["id_a"] < r["id_b"]  # sampled without replacement → strict
+        by_bucket.setdefault(r["bucket"], set()).add((r["id_a"], r["id_b"]))
+    for b, members in buckets.items():
+        want = {tuple(sorted(p)) for p in combinations(members, 2)}
+        assert by_bucket.get(b, set()) == want, f"bucket {b}"
+
+    # struct-keyed form carries full member structs, same pair set
+    smem = df.select("bucket", F.struct(F.col("m").alias("_id")).alias("s")).groupBy(
+        "bucket"
+    ).agg(F.collect_list("s").alias("mem"))
+    got2 = (
+        smem.select("bucket", F.explode(bucket_pairs(F.col("mem"), order_key="_id")).alias("p"))
+        .select("bucket", F.col("p.a._id").alias("id_a"), F.col("p.b._id").alias("id_b"))
+        .collect()
+    )
+    by_bucket2: dict = {}
+    for r in got2:
+        assert r["id_a"] < r["id_b"]
+        by_bucket2.setdefault(r["bucket"], set()).add((r["id_a"], r["id_b"]))
+    assert by_bucket2 == by_bucket
+
+
+def test_bloom_never_false_negative_randomized(spark):
+    """Fundamental Bloom property on randomized key sets across several
+    sizes: every true member passes the pre-filter, always."""
+    from tia_data_pipeline_spark.operators.membership import (
+        bloom_build,
+        bloom_params,
+        bloom_prefilter,
+    )
+
+    rng = random.Random(23)
+    for trial, n in enumerate([10, 137, 1000]):
+        keys = rng.sample(range(10_000_000), n)
+        members = spark.createDataFrame([(k,) for k in keys], "k bigint")
+        m, kh = bloom_params(n, 0.01)
+        bloom = bloom_build(members, "k", m_bits=m, k_hashes=kh)
+        probe = spark.createDataFrame(
+            [(k,) for k in keys + rng.sample(range(10_000_000, 20_000_000), n)],
+            "k bigint",
+        )
+        passed = {
+            r["k"]
+            for r in bloom_prefilter(probe, "k", bloom, m_bits=m, k_hashes=kh).collect()
+        }
+        assert set(keys) <= passed, f"trial {trial}: false negative"
