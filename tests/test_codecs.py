@@ -228,3 +228,21 @@ def test_ppm_comment_at_eof_clamps_offset():
     assert off <= len(payload)
     with _pytest.raises(ValueError):
         decode_ppm(payload)  # header fine, raster truncated
+
+
+def test_wav_multi_data_chunk_first_wins_even_zero_length():
+    """decode_wav and wav_pcm must describe the SAME data chunk — the
+    first — including when the first is zero-length."""
+    from tia_data_pipeline_spark.functions.codecs import decode_wav, wav_pcm
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    second = struct.pack("<8h", *([500] * 8))
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 0)  # zero-length first chunk
+    body += b"data" + struct.pack("<I", len(second)) + second
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    meta = decode_wav(payload)
+    pcm, rate = wav_pcm(payload)
+    assert meta["n_samples"] == 0
+    assert pcm.shape[0] == 0 and rate == 8000

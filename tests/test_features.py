@@ -3,8 +3,6 @@ expression-form z-score (same integer-moment construction)."""
 
 from __future__ import annotations
 
-import math
-
 from tests.conftest import SMOKE_SF
 from tia_data_pipeline_spark.catalog import load_table
 from tia_data_pipeline_spark.operators.features import zscore, zscore_pandas

@@ -101,3 +101,16 @@ def test_merge_upsert_order_col_deterministic_winner(spark):
         ).collect()
     }
     assert got == {1: "v2", 2: "x"}
+
+
+def test_merge_upsert_null_key_converges(spark):
+    """NULL-keyed rows replace instead of accumulating: the anti-join
+    is null-safe like the rest of the merge family."""
+    existing = _frame(spark, [(None, "old"), (1, "a")])
+    incoming = _frame(spark, [(None, "new")])
+    merged = merge_upsert_plan(incoming, existing, ["id"])
+    rows = {(r["id"], r["v"]) for r in merged.collect()}
+    assert rows == {(1, "a"), (None, "new")}
+    # and re-merging converges (no growth)
+    again = merge_upsert_plan(incoming, merged, ["id"])
+    assert again.count() == 2

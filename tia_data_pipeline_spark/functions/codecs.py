@@ -132,7 +132,7 @@ def decode_wav(payload: bytes) -> dict:
     """RIFF/WAVE chunk walk → PCM stream metadata."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF WAVE")
-    i, meta, data_size = 12, {}, 0
+    i, meta, data_size, data_seen = 12, {}, 0, False
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         size = struct.unpack_from("<I", payload, i + 4)[0]
@@ -140,11 +140,13 @@ def decode_wav(payload: bytes) -> dict:
             fmt, ch, rate = struct.unpack_from("<HHI", payload, i + 8)
             bits = struct.unpack_from("<H", payload, i + 22)[0]
             meta = {"audio_format": fmt, "channels": ch, "sample_rate": rate, "bits": bits}
-        elif cid == b"data" and data_size == 0:
+        elif cid == b"data" and not data_seen:
             # FIRST data chunk wins — the same rule wav_pcm uses, so
             # duration/sample metadata and the decoded PCM features
             # always describe the same chunk on multi-data payloads
-            data_size = size
+            # (a flag, not size==0: a zero-length first chunk must
+            # also win, or the two walkers diverge again)
+            data_size, data_seen = size, True
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if not meta:
         raise ValueError("WAVE without fmt chunk")

@@ -83,20 +83,38 @@ def merge_upsert_plan(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    from functools import reduce
+
     keys = list(keys)
     if order_col is None:
         winners = dedup_batch(incoming, keys)
     else:
-        others = [c for c in incoming.columns if c not in keys]
+        # tiebreak on the remaining SORTABLE columns only — a map-typed
+        # attributes column is irrelevant to "latest wins" and would
+        # fail planning as a sort expression
+        others = [
+            c
+            for c, t in incoming.dtypes
+            if c not in keys and c != order_col and not t.startswith("map")
+        ]
         w = Window.partitionBy(*keys).orderBy(
-            F.col(order_col).desc(), *[F.col(c).desc() for c in others if c != order_col]
+            F.col(order_col).desc(), *[F.col(c).desc() for c in others]
         )
         winners = (
             incoming.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    replaced = existing.join(incoming.select(*keys), on=keys, how="left_anti")
+    # null-safe like every other merge-family anti-join (see
+    # incremental_append): plain equality never matches a NULL key, so
+    # the old NULL-key row would survive alongside the new winner and
+    # the target would grow by one NULL row per merge
+    inc_keys = incoming.select(*[F.col(k).alias(f"_ik_{k}") for k in keys])
+    cond = reduce(
+        lambda a, b: a & b,
+        [existing[k].eqNullSafe(inc_keys[f"_ik_{k}"]) for k in keys],
+    )
+    replaced = existing.join(inc_keys, cond, "left_anti")
     return replaced.unionByName(winners)
 
 

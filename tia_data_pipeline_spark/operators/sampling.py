@@ -61,9 +61,17 @@ def stratified_hash_sample_sql(
         return f"SELECT * FROM {table} WHERE {hash_bucket_sql(id_col)} < {default}"
 
     def lit(v) -> str:
+        if v is None:
+            # `col = NULL` is never true in SQL — exactly the Spark
+            # form's behavior (== None yields NULL, falls to default)
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
-        return str(v)
+        if isinstance(v, (int, float)):
+            return str(v)
+        raise ValueError(f"unsupported stratum literal type: {type(v).__name__}")
 
     cases = " ".join(f"WHEN {strata_col} = {lit(v)} THEN {k}" for v, k in rates.items())
     return (
