@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Build, persist, and serve an ANN index — the similarity-search
+serving shape at corpus scale.
+
+    python examples/ann_index_serving.py [sf_dir] [index_dir]
+
+1. Train the IVF coarse quantizer and write the corpus partitioned by
+   cell id (``…/_cell=K/``) — the layout IS the index: a probe's
+   ``_cell IN (nearest n_probe)`` predicate prunes at the partition
+   level, so serving scans n_probe/n_lists of the data.
+2. Serve a probe from the written index and compare against the exact
+   brute-force top-k to show what the recall trade bought.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tia_data_pipeline_spark import get_spark
+from tia_data_pipeline_spark.catalog import load_table
+from tia_data_pipeline_spark.operators.similarity import (
+    brute_force_top_k,
+    ivf_build_index,
+    ivf_search_indexed,
+    ivf_write_index,
+    projection_bits_for,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    index_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="ivf_")
+    spark = get_spark(app_name="ann-index-serving")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    print(f"corpus: {n} vectors; LSH sizing rule would pick "
+          f"{projection_bits_for(n)} projection bits at this scale")
+
+    # 1. build + persist (one-time cost, amortized over every query)
+    assigned, centers = ivf_build_index(emb, n_lists=16)
+    ivf_write_index(assigned, centers, index_dir)
+    print(f"index written to {index_dir} (partitioned by _cell)")
+
+    # 2. serve: nearest cells only vs the exact scan-everything answer
+    probe = emb.limit(1).collect()[0]["embedding"]
+    approx = ivf_search_indexed(spark, index_dir, list(probe), k=10, n_probe=4)
+    exact = brute_force_top_k(emb, emb.limit(1), k=10)
+
+    approx_ids = [r["vec_id"] for r in approx.collect()]
+    exact_ids = [r["vec_id"] for r in exact.collect()]
+    recall = len(set(approx_ids) & set(exact_ids)) / len(exact_ids)
+    print(f"IVF top-10 (4/16 cells scanned): {approx_ids}")
+    print(f"exact top-10 (full scan):        {exact_ids}")
+    print(f"recall@10 = {recall:.2f}")
+
+
+if __name__ == "__main__":
+    main()
