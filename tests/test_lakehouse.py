@@ -131,3 +131,40 @@ def test_swap_failure_never_leaves_live_path_empty(spark, tmp_path):
         _swap_table(fs, jvm, missing_staging, path)
     # live table survived the failed swap
     assert spark.read.parquet(path).count() == 10
+
+
+def test_compact_table_zorder_layout(spark, tmp_path):
+    """Compaction with zorder_by re-lays files along the Morton curve:
+    rows preserved exactly, multiple files, and each file's span
+    narrows on BOTH curve columns (the multi-dim skipping property)."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tia_data_pipeline_spark.sources.lakehouse import compact_table
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(10_000), rng.randrange(10_000)) for i in range(4000)]
+    path = str(tmp_path / "zt")
+    spark.createDataFrame(rows, "id bigint, a bigint, b bigint").repartition(8).write.parquet(path)
+
+    with pytest.raises(ValueError):
+        compact_table(spark, path, sort_by=["a"], zorder_by=["a", "b"])
+
+    n = compact_table(spark, path, target_file_bytes=10_000, zorder_by=["a", "b"])
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
+    assert sorted(r["id"] for r in back.select("id").collect()) == list(range(4000))
+    assert n >= 4
+    spans = (
+        back.groupBy(F.input_file_name())
+        .agg(
+            ((F.max("a") - F.min("a")) / 10_000).alias("sa"),
+            ((F.max("b") - F.min("b")) / 10_000).alias("sb"),
+        )
+        .collect()
+    )
+    mean_sa = sum(r["sa"] for r in spans) / len(spans)
+    mean_sb = sum(r["sb"] for r in spans) / len(spans)
+    assert mean_sa < 0.7 and mean_sb < 0.7, f"z layout too wide: {mean_sa:.2f}/{mean_sb:.2f}"

@@ -196,6 +196,7 @@ def compact_table(
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> int:
     """Compact a parquet table's small files — the #1 operational debt
     of incremental sinks (every micro-batch/merge leaves files sized by
@@ -203,17 +204,33 @@ def compact_table(
     count explodes and the NameNode/listing cost dominates).
 
     Rewrites the table into ``ceil(total_bytes / target_file_bytes)``
-    files (optionally sorted, which also restores row-group locality
-    for range predicates), staging + rename like the merge fallback.
-    With Delta present, prefer its native OPTIMIZE; this is the
-    format-agnostic form. Returns the new file count.
+    files, staging + rename like the merge fallback. ``sort_by``
+    restores row-group locality for range predicates on ONE dimension;
+    ``zorder_by`` (mutually exclusive) lays files along the Morton
+    curve of several columns so min/max skipping prunes on ANY of them
+    — compaction is exactly when you re-layout, same as Delta's
+    ``OPTIMIZE ... ZORDER BY``. With Delta present, prefer its native
+    OPTIMIZE; this is the format-agnostic form. Returns the new file
+    count.
     """
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     fs, hpath, jvm = _hadoop_fs(spark, path)
     summary = fs.getContentSummary(hpath)
     total = int(summary.getLength())
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
-    if sort_by:
+    if zorder_by:
+        from tia_data_pipeline_spark.operators.scale import zorder_value
+
+        z = zorder_value(df, list(zorder_by))
+        df = (
+            df.withColumn("_z", z)
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif sort_by:
         df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_by]).sortWithinPartitions(
             *sort_by
         )
