@@ -291,3 +291,24 @@ def test_zorder_bad_args(spark):
         zorder_value(orders, ["o_custkey"], bits=0)
     with pytest.raises(ValueError):
         zorder_value(orders, ["o_custkey", "o_totalprice"], bits=32)
+
+
+def test_fan_out_many_tiny_files_still_widens(spark, tmp_path):
+    """The sampled byte estimate must keep widening a MANY-tiny-file
+    relation (the old >=1024-file short-circuit skipped the estimate
+    entirely and left bin-packed scans narrow): 80 tiny files whose
+    total is far below one split must repartition."""
+    from tia_data_pipeline_spark.operators import scale as SC
+    from tia_data_pipeline_spark.operators.scale import fan_out
+
+    path = str(tmp_path / "tiny")
+    spark.range(400).repartition(80).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert len(df.inputFiles()) >= 60  # genuinely many leaf files
+    # force the sampling path (sample < file count)
+    old = SC._FAN_OUT_STAT_SAMPLE
+    SC._FAN_OUT_STAT_SAMPLE = 16
+    try:
+        assert "RoundRobinPartitioning" in _explain(fan_out(df))
+    finally:
+        SC._FAN_OUT_STAT_SAMPLE = old
