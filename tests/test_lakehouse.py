@@ -152,19 +152,33 @@ def test_compact_table_zorder_layout(spark, tmp_path):
     with pytest.raises(ValueError):
         compact_table(spark, path, sort_by=["a"], zorder_by=["a", "b"])
 
-    n = compact_table(spark, path, target_file_bytes=10_000, zorder_by=["a", "b"])
+    n = compact_table(spark, path, target_file_bytes=6_000, zorder_by=["a", "b"])
     back = spark.read.parquet(path)
     assert back.count() == 4000
     assert sorted(r["id"] for r in back.select("id").collect()) == list(range(4000))
-    assert n >= 4
-    spans = (
-        back.groupBy(F.input_file_name())
-        .agg(
-            ((F.max("a") - F.min("a")) / 10_000).alias("sa"),
-            ((F.max("b") - F.min("b")) / 10_000).alias("sb"),
+    assert n >= 6
+
+    def mean_spans(df):
+        spans = (
+            df.groupBy(F.input_file_name())
+            .agg(
+                ((F.max("a") - F.min("a")) / 10_000).alias("sa"),
+                ((F.max("b") - F.min("b")) / 10_000).alias("sb"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    mean_sa = sum(r["sa"] for r in spans) / len(spans)
-    mean_sb = sum(r["sb"] for r in spans) / len(spans)
-    assert mean_sa < 0.7 and mean_sb < 0.7, f"z layout too wide: {mean_sa:.2f}/{mean_sb:.2f}"
+        return (
+            sum(r["sa"] for r in spans) / len(spans),
+            sum(r["sb"] for r in spans) / len(spans),
+        )
+
+    z_sa, z_sb = mean_spans(back)
+    # comparative property (robust to repartitionByRange's sampled
+    # boundaries): a linear sort on `a` leaves `b` at ~full range per
+    # file; the z layout must narrow BOTH dims strictly below that
+    sorted_path = str(tmp_path / "zs")
+    back.repartitionByRange(n, "a").sortWithinPartitions("a").write.parquet(sorted_path)
+    s_sa, s_sb = mean_spans(spark.read.parquet(sorted_path))
+    assert s_sb > 0.85, f"control layout unexpectedly narrow on b: {s_sb:.2f}"
+    assert z_sa < 0.9 and z_sb < 0.9, f"z layout too wide: {z_sa:.2f}/{z_sb:.2f}"
+    assert z_sb < s_sb / 1.5, f"z did not beat the sort's neglected dim: {z_sb:.2f} vs {s_sb:.2f}"
