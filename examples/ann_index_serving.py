@@ -47,9 +47,13 @@ def main() -> None:
     print(f"index written to {index_dir} (partitioned by _cell)")
 
     # 2. serve: nearest cells only vs the exact scan-everything answer
-    probe = emb.limit(1).collect()[0]["embedding"]
-    approx = ivf_search_indexed(spark, index_dir, list(probe), k=10, n_probe=4)
-    exact = brute_force_top_k(emb, emb.limit(1), k=10)
+    # (both sides use the SAME collected probe row — a second limit(1)
+    # could re-plan onto a different row and make recall meaningless)
+    probe_row = emb.limit(1).collect()[0]
+    probe = list(probe_row["embedding"])
+    probe_df = spark.createDataFrame([(probe_row["vec_id"], probe)], "vec_id bigint, embedding array<double>")
+    approx = ivf_search_indexed(spark, index_dir, probe, k=10, n_probe=4)
+    exact = brute_force_top_k(emb, probe_df, k=10)
 
     approx_ids = [r["vec_id"] for r in approx.collect()]
     exact_ids = [r["vec_id"] for r in exact.collect()]

@@ -232,12 +232,17 @@ def write_zordered(
     stats are tight too. Point/range predicates on ANY subset of
     ``cols`` then skip most files on min/max stats alone — the
     multi-dim analogue of `write_bucketed`'s join locality."""
+    import uuid as _uuid
+
     z = zorder_value(df, cols, bits=bits)
+    # uuid-suffixed temp column: a fixed name like "_z" would silently
+    # overwrite-then-drop a user column of the same name
+    zc = f"_z_{_uuid.uuid4().hex[:8]}"
     (
-        df.withColumn("_z", z)
-        .repartitionByRange(n_files, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        df.withColumn(zc, z)
+        .repartitionByRange(n_files, F.col(zc))
+        .sortWithinPartitions(zc)
+        .drop(zc)
         .write.mode(mode)
         .parquet(path)
     )

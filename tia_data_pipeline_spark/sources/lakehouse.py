@@ -197,6 +197,7 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: Sequence[str] | None = None,
     zorder_by: Sequence[str] | None = None,
+    zorder_bits: int = 8,
 ) -> int:
     """Compact a parquet table's small files — the #1 operational debt
     of incremental sinks (every micro-batch/merge leaves files sized by
@@ -220,23 +221,21 @@ def compact_table(
     total = int(summary.getLength())
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
-    if zorder_by:
-        from tia_data_pipeline_spark.operators.scale import zorder_value
-
-        z = zorder_value(df, list(zorder_by))
-        df = (
-            df.withColumn("_z", z)
-            .repartitionByRange(n_files, F.col("_z"))
-            .sortWithinPartitions("_z")
-            .drop("_z")
-        )
-    elif sort_by:
-        df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_by]).sortWithinPartitions(
-            *sort_by
-        )
-    else:
-        df = df.coalesce(n_files)
     staging = f"{path}__compact_{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(staging)
+    if zorder_by:
+        # one layout recipe, owned by write_zordered (collision-safe
+        # temp key, bits passthrough) — compaction just points it at
+        # the staging dir and swaps
+        from tia_data_pipeline_spark.operators.scale import write_zordered
+
+        write_zordered(df, staging, list(zorder_by), n_files=n_files, bits=zorder_bits)
+    else:
+        if sort_by:
+            df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_by]).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.coalesce(n_files)
+        df.write.mode("overwrite").parquet(staging)
     _swap_table(fs, jvm, staging, path)
     return n_files
