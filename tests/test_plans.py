@@ -142,7 +142,9 @@ TAIL_COVERED_BY = {
     "q_ann_multiprobe": "q_ann_recall",
     "q_ntile": "q_topk_latest",
     "q_sim_topk": "q_knn_join",
-    "q_fuzzy_dedup": "q_dedup_components",
+    # demoted in round 5: q_fuzzy_dedup's hash-checked oracle rotated
+    # in-cap; the permanently-rows-only HLL++ sketch takes its tail slot.
+    "q_approx_distinct": "q_agg_count",
     # demoted in round 4 (each 2x/3x driver-green) to verify the ten
     # round-3 tail queries that had zero driver rows:
     "q_proj_alias": "q_ts_normalize",

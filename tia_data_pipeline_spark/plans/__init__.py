@@ -28,6 +28,12 @@ from tia_data_pipeline_spark.plans.contract import REGISTRY, oracle_sql, queries
 DRIVER_ROW_CAP = 50
 
 CONTRACT_ORDER = [
+    # -- round-5 rotation: q_fuzzy_dedup gained a hash-checkable
+    #    portable-MinHash oracle in round 4 (plans/llm.py) but its only
+    #    driver rows are the rows-only r1-r2 ones -> in-cap first.
+    #    q_approx_distinct (HLL++ sketch, structurally no_oracle every
+    #    round) demoted to the tail in exchange (VERDICT r4 #1).
+    "q_fuzzy_dedup",
     # -- round-4 rotation: the ten round-3 queries that landed in the
     #    tail with zero driver rows go first (never-driver-verified-
     #    first policy); ten 2x/3x-driver-green rows demoted in exchange.
@@ -99,10 +105,12 @@ CONTRACT_ORDER = [
     # -- analytics extensions
     "q_quantiles",
     "q_range_join",
-    "q_approx_distinct",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
+    # -- demoted in round 5: permanently rows-only (HLL++ estimate has
+    #    no hash-matchable oracle; driver recorded no_oracle r3+r4).
+    "q_approx_distinct",  # sketch agg: rows-only by design; q_count_distinct/q_agg_count cover exact counts
     # -- demoted in round 4 (each 3x driver-green) to make room for the
     #    curation tier above.
     "q_lang_id",  # ext-text-analysis: 3x green; q_text_tokens/q_gopher_quality keep the family in-cap
@@ -131,7 +139,6 @@ CONTRACT_ORDER = [
     "q_ann_multiprobe",  # ext-sim-topk: q_ann_recall/q_knn_bucketed cover
     "q_ntile",  # ranking window: q_window_frames / q_topk_latest cover
     "q_sim_topk",  # single-probe special case: q_knn_join covers
-    "q_fuzzy_dedup",  # MinHash pairs: q_dedup_components/q_ngram_jaccard cover
     # -- demoted in round 4 (each 2x/3x driver-green) to make room for
     #    the ten never-verified round-3 queries above.
     "q_proj_alias",  # proj-alias: 3x green; q_scan_project-equivalent in-cap queries cover
@@ -148,70 +155,95 @@ CONTRACT_ORDER = [
 ]
 
 # Which rounds gave each query a green CORRECTNESS row (hash_match, or
-# rows-only-by-design for sketch queries). Source: CORRECTNESS_r01..r03
+# rows-only-by-design for sketch queries). Source: CORRECTNESS_r01..r04
 # at the repo root. Updated each round; the tail-policy test checks
 # every below-cap entry appears here.
 DRIVER_GREEN_HISTORY = {
-    "q_agg_count": [1, 2, 3],
+    "q_agg_count": [1, 2, 3, 4],
     "q_ann_lsh": [1, 2, 3],
     "q_ann_multiprobe": [1],
-    "q_antijoin_incr": [1, 2, 3],
-    "q_approx_distinct": [3],
+    "q_ann_recall": [4],
+    "q_antijoin_incr": [1, 2, 3, 4],
+    "q_approx_distinct": [3, 4],
     "q_asof_join": [1, 2, 3],
+    "q_boilerplate": [4],
     "q_canonicalize": [1],
     "q_children_rollup": [1, 2, 3],
+    "q_chunking": [4],
+    "q_cluster_sizes": [4],
+    "q_cohort_retention": [4],
+    "q_collocations": [4],
     "q_const_probe": [1, 2, 3],
     "q_count_distinct": [1, 2, 3],
     "q_cube": [1],
-    "q_daily_window": [2, 3],
-    "q_dedup_batch": [1, 2, 3],
-    "q_dedup_components": [3],
+    "q_daily_window": [2, 3, 4],
+    "q_data_quality": [4],
+    "q_decontaminate": [4],
+    "q_dedup_batch": [1, 2, 3, 4],
+    "q_dedup_components": [3, 4],
     "q_dedup_latest": [1],
     "q_doc_fingerprint": [1],
-    "q_embed_dedup": [1, 2, 3],
+    "q_edit_distance": [4],
+    "q_embed_dedup": [1, 2, 3, 4],
+    "q_embed_quantize": [4],
     "q_embed_stats": [1, 2, 3],
-    "q_exact_dedup": [1, 2, 3],
-    "q_exists_guard": [2, 3],
-    "q_filter_range": [1, 2, 3],
+    "q_exact_dedup": [1, 2, 3, 4],
+    "q_exists_guard": [2, 3, 4],
+    "q_feature_hash": [4],
+    "q_filter_range": [1, 2, 3, 4],
+    "q_funnel": [4],
     "q_fuzzy_dedup": [1, 2],
     "q_gap_fill": [2, 3],
+    "q_gopher_quality": [4],
+    "q_group_sample": [4],
     "q_hash_sample": [1, 2, 3],
     "q_histogram": [2, 3],
-    "q_join_enrich": [1, 2, 3],
+    "q_join_enrich": [1, 2, 3, 4],
     "q_json_ser": [1, 2, 3],
-    "q_knn_join": [3],
+    "q_knn_bucketed": [4],
+    "q_knn_join": [3, 4],
     "q_lang_id": [1, 2, 3],
-    "q_merge_upsert": [2, 3],
+    "q_lm_perplexity": [4],
+    "q_merge_upsert": [2, 3, 4],
+    "q_mix_temperature": [4],
     "q_multimodal_meta": [1, 2, 3],
-    "q_ngram_jaccard": [1, 2, 3],
+    "q_ngram_jaccard": [1, 2, 3, 4],
     "q_ntile": [1, 2],
+    "q_pack_sequences": [4],
+    "q_pii_redact": [4],
     "q_pivot_status": [1, 2, 3],
     "q_profile": [1, 2, 3],
     "q_proj_alias": [1, 2, 3],
     "q_quality_score": [1, 2, 3],
-    "q_quantiles": [1, 2, 3],
-    "q_range_join": [1, 2, 3],
-    "q_resize_meta": [2, 3],
-    "q_revenue_by_segment": [1, 2, 3],
+    "q_quantiles": [1, 2, 3, 4],
+    "q_range_join": [1, 2, 3, 4],
+    "q_repetition": [4],
+    "q_resize_meta": [2, 3, 4],
+    "q_revenue_by_segment": [1, 2, 3, 4],
     "q_rollup": [1, 2, 3],
     "q_scan_project": [1],
-    "q_self_join": [2, 3],
-    "q_semi_join": [1, 2, 3],
-    "q_session_window": [3],
+    "q_scd2": [4],
+    "q_self_join": [2, 3, 4],
+    "q_semi_join": [1, 2, 3, 4],
+    "q_session_window": [3, 4],
     "q_set_ops": [1, 2, 3],
     "q_sim_topk": [1, 2],
     "q_simhash": [1, 2, 3],
     "q_sliding_window": [2, 3],
+    "q_source_mix": [4],
+    "q_split_assign": [4],
     "q_star_join": [1, 2, 3],
-    "q_text_tokens": [1, 2, 3],
+    "q_text_tokens": [1, 2, 3, 4],
     "q_tfidf": [1, 2, 3],
     "q_thread_closure": [1, 2, 3],
     "q_token_bpe": [1],
-    "q_topk_latest": [1, 2, 3],
+    "q_token_entropy": [4],
+    "q_topk_latest": [1, 2, 3, 4],
     "q_topk_per_group": [1],
-    "q_ts_normalize": [1, 2, 3],
+    "q_ts_normalize": [1, 2, 3, 4],
+    "q_vocab_coverage": [4],
     "q_window_frames": [1, 2, 3],
-    "q_word_count": [1, 2, 3],
+    "q_word_count": [1, 2, 3, 4],
     "q_word_freq": [1],
     "q_zscore": [1, 2, 3],
 }
