@@ -103,6 +103,24 @@ def test_merge_upsert_order_col_deterministic_winner(spark):
     assert got == {1: "v2", 2: "x"}
 
 
+def test_merge_upsert_order_col_skips_nested_maps(spark):
+    """ADVICE r4: map types are unorderable at ANY depth — an
+    array<map<...>> or struct-with-map column must be excluded from the
+    tiebreak sort, not just top-level maps (which used to be the only
+    exclusion and left nested maps to fail planning)."""
+    incoming = spark.createDataFrame(
+        [
+            (1, "v1", 10, [{"a": "1"}], {"m": {"k": "v"}}),
+            (1, "v2", 20, [{"a": "2"}], {"m": {"k": "w"}}),
+        ],
+        "id bigint, v string, ver bigint, tags array<map<string,string>>, "
+        "meta struct<m: map<string,string>>",
+    )
+    existing = incoming.limit(0)
+    got = merge_upsert_plan(incoming, existing, ["id"], order_col="ver").collect()
+    assert len(got) == 1 and got[0]["v"] == "v2"
+
+
 def test_merge_upsert_null_key_converges(spark):
     """NULL-keyed rows replace instead of accumulating: the anti-join
     is null-safe like the rest of the merge family."""

@@ -94,6 +94,32 @@ def test_composes_to_exact_join_semantics(spark, docs):
     )
 
 
+def test_anti_join_probe_side_is_broadcast(spark, docs, tmp_path):
+    """ADVICE r4: the final subtract in bloom_anti_join must broadcast
+    the (tiny, derived) confirmed-hit set — without the hint Spark has
+    no size stats and plans a sort-merge anti-join that shuffles the
+    FULL probe side, contradicting the 'definitely-absent rows never
+    shuffle' contract. Same pin for bloom_semi_join's sliver join NOT
+    asserted: there the exact join against the full key set is the
+    deliberate pay-the-shuffle path."""
+    from tia_data_pipeline_spark.operators.membership import bloom_anti_join
+
+    members = docs.filter(F.col("doc_id") % 5 == 0).withColumnRenamed("doc_id", "k")
+    m, k = bloom_params(members.count(), 0.01)
+    bp = str(tmp_path / "b")
+    bloom_build(members, "k", m_bits=m, k_hashes=k).write.parquet(bp)
+    bloom = spark.read.parquet(bp)
+
+    anti = bloom_anti_join(docs, "doc_id", members, "k", bloom, m_bits=m, k_hashes=k)
+    p = _explain(anti)
+    anti_lines = [l for l in p.splitlines() if "Join LeftAnti" in l]
+    assert anti_lines, "expected an anti join in the plan"
+    assert all("BroadcastHashJoin" in l for l in anti_lines), (
+        "the confirmed-hit subtract must be a broadcast anti-join:\n" + p
+    )
+    assert "SortMergeJoin LeftAnti" not in p
+
+
 def test_bad_args(spark, docs):
     with pytest.raises(ValueError):
         bloom_build(docs, "doc_id", m_bits=100, k_hashes=3)

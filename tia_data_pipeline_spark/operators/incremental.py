@@ -89,13 +89,14 @@ def merge_upsert_plan(
     if order_col is None:
         winners = dedup_batch(incoming, keys)
     else:
-        # tiebreak on the remaining SORTABLE columns only — a map-typed
-        # attributes column is irrelevant to "latest wins" and would
-        # fail planning as a sort expression
+        # tiebreak on the remaining SORTABLE columns only — map types
+        # are unorderable at ANY nesting depth (a bare map column, an
+        # array<map<...>>, a struct with a map field all fail planning
+        # as sort expressions), so exclude on substring, not prefix
         others = [
             c
             for c, t in incoming.dtypes
-            if c not in keys and c != order_col and not t.startswith("map")
+            if c not in keys and c != order_col and "map<" not in t
         ]
         w = Window.partitionBy(*keys).orderBy(
             F.col(order_col).desc(), *[F.col(c).desc() for c in others]

@@ -177,7 +177,12 @@ def bloom_anti_join(
     majority against a sparse blocklist) pass WITHOUT touching a
     shuffle: only Bloom-possible rows are re-checked exactly, and the
     confirmed hits subtract via an anti-join on the (tiny) confirmed
-    key set, never on the full blocklist."""
+    key set, never on the full blocklist. ``confirmed`` carries a
+    broadcast hint: it is tiny by construction (bloom-possible keys
+    that ARE in the set), but Spark has no size stats for the derived
+    plan and would otherwise fall back to a sort-merge anti-join that
+    shuffles the full probe side (pinned by
+    tests/test_membership.py::test_anti_join_probe_side_is_broadcast)."""
     possible = bloom_prefilter(df, key_col, bloom, m_bits=m_bits, k_hashes=k_hashes)
     rhs = keys.select(F.col(keys_col).alias("_bloom_k")).distinct()
     confirmed = (
@@ -185,4 +190,6 @@ def bloom_anti_join(
         .distinct()
         .join(rhs, F.col("_bloom_hit") == F.col("_bloom_k"), "left_semi")
     )
-    return df.join(confirmed, F.col(key_col) == F.col("_bloom_hit"), "left_anti")
+    return df.join(
+        F.broadcast(confirmed), F.col(key_col) == F.col("_bloom_hit"), "left_anti"
+    )

@@ -50,7 +50,12 @@ def _estimated_scan_splits(df: DataFrame, files: list[str]) -> int | None:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         if len(files) > _FAN_OUT_STAT_SAMPLE:
-            stride = len(files) // _FAN_OUT_STAT_SAMPLE
+            # ceiling-division stride so the sample spans the WHOLE
+            # listing: floor stride is 1 for 65-127 files, which would
+            # stat only the first 64 — biased when listing order
+            # correlates with size (one big compacted file up front,
+            # small increments behind it)
+            stride = -(-len(files) // _FAN_OUT_STAT_SAMPLE)
             sample = files[::stride][:_FAN_OUT_STAT_SAMPLE]
         else:
             sample = files

@@ -3,8 +3,10 @@
 The last step of a curation pipeline (SURVEY §2.4 north-star tier) is
 materializing the cleaned corpus as SHARDS a training loader can
 stream: each shard holds roughly ``tokens_per_shard`` tokens, the
-assignment is a pure function of the row key (stable under retries,
-repartitioning, and engine swaps), and a manifest records per-shard
+assignment is a pure function of the row key (stable under retries and
+repartitioning within Spark; the hash is xxhash64, so NOT reproducible
+from another engine — see :func:`shard_assignment`), and a manifest
+records per-shard
 row/token counts so the loader can plan epochs without scanning data.
 
 Scale design (the q_pack_sequences argument, applied to the sink):
@@ -77,6 +79,11 @@ def write_training_shards(
     """
     if tokens_per_shard < 1:
         raise ValueError("tokens_per_shard must be >= 1")
+    if "shard" in df.columns:
+        raise ValueError(
+            "df already has a 'shard' column; rename it — the writer owns "
+            "that name for the partition directory"
+        )
     total = df.agg(F.sum(F.col(weight_col)).alias("t")).collect()[0]["t"] or 0
     n_shards = max(1, math.ceil(total / tokens_per_shard))
 
