@@ -120,6 +120,104 @@ def test_anti_join_probe_side_is_broadcast(spark, docs, tmp_path):
     assert "SortMergeJoin LeftAnti" not in p
 
 
+def test_membership_mark_parity_broadcast_vs_bloom(spark, docs):
+    """VERDICT r4 #3: the size-conditional membership verb must produce
+    IDENTICAL rows on both physical paths — broadcast join vs Bloom
+    split (absent rows bypass, sliver pays the exact shuffle join)."""
+    from tia_data_pipeline_spark.operators.membership import membership_mark
+
+    members = docs.filter(F.col("doc_id") % 5 == 0).withColumnRenamed("doc_id", "k")
+    via_bc = membership_mark(docs, "doc_id", members, "k", strategy="broadcast")
+    via_bloom = membership_mark(docs, "doc_id", members, "k", strategy="bloom")
+    rows_bc = sorted((r["doc_id"], r["hit"]) for r in via_bc.collect())
+    rows_bloom = sorted((r["doc_id"], r["hit"]) for r in via_bloom.collect())
+    assert rows_bc == rows_bloom
+    assert via_bc.columns == via_bloom.columns
+    # sanity: actual membership semantics, not all-NULL
+    assert any(h == 1 for _, h in rows_bc) and any(h is None for _, h in rows_bc)
+
+
+def test_membership_mark_duplicate_members_never_duplicate_stream(spark, docs):
+    """A member key appearing twice must not double the stream row —
+    both paths dedup the member side unless told it is pre-distinct."""
+    from tia_data_pipeline_spark.operators.membership import membership_mark
+
+    dup_members = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumnRenamed("doc_id", "k")
+        .unionAll(docs.filter(F.col("doc_id") % 5 == 0).withColumnRenamed("doc_id", "k"))
+    )
+    n = docs.count()
+    for strat in ("broadcast", "bloom"):
+        assert (
+            membership_mark(docs, "doc_id", dup_members, "k", strategy=strat).count()
+            == n
+        )
+
+
+def test_membership_mark_bloom_path_never_broadcasts_members(spark, docs):
+    """The whole point of the bloom path is a member set beyond
+    broadcast reach: the exact sliver join must plan as a shuffle join
+    (shuffle_hash hint), and the only broadcasts are the k word-table
+    probes."""
+    from tia_data_pipeline_spark.operators.membership import membership_mark
+
+    members = docs.filter(F.col("doc_id") % 5 == 0).withColumnRenamed("doc_id", "k")
+    marked = membership_mark(docs, "doc_id", members, "k", strategy="bloom")
+    p = _explain(marked)
+    assert "ShuffledHashJoin" in p, "exact sliver join must be a shuffle join:\n" + p
+    # every broadcast join is a word-table probe on the idx equi-key;
+    # the probe subplan appears in BOTH union legs (sliver + absent),
+    # so 2k joins — the k tiny broadcast exchanges are shared between
+    # the legs at runtime (ReusedExchange)
+    bcast = [l for l in p.splitlines() if ") BroadcastHashJoin" in l]
+    n = members.count()
+    _, k = bloom_params(n, 0.01)
+    assert len(bcast) == 2 * k, p
+
+
+def test_membership_mark_auto_picks_by_estimated_bytes(spark, docs):
+    """auto = broadcast under the bound (or with no estimate), bloom
+    above it — pinned via the resulting plan shape."""
+    from tia_data_pipeline_spark.operators.membership import membership_mark
+
+    members = docs.filter(F.col("doc_id") % 5 == 0).withColumnRenamed("doc_id", "k")
+    small = membership_mark(
+        docs, "doc_id", members, "k", strategy="auto", est_member_source_bytes=1024
+    )
+    assert "ShuffledHashJoin" not in _explain(small)
+    none_est = membership_mark(docs, "doc_id", members, "k", strategy="auto")
+    assert "ShuffledHashJoin" not in _explain(none_est)
+    big = membership_mark(
+        docs,
+        "doc_id",
+        members,
+        "k",
+        strategy="auto",
+        est_member_source_bytes=1 << 40,
+    )
+    assert "ShuffledHashJoin" in _explain(big)
+
+
+def test_membership_queries_bloom_parity(spark, monkeypatch):
+    """Query-level parity: q_decontaminate / q_boilerplate forced onto
+    the bloom path produce exactly their broadcast-path output."""
+    from tia_data_pipeline_spark.plans import curation
+
+    for q in ("q_decontaminate", "q_boilerplate"):
+        fn = curation.__dict__[q]
+        monkeypatch.setattr(curation, "_MEMBERSHIP_STRATEGY", "broadcast")
+        base = sorted(map(tuple, fn(spark, SMOKE_SF).collect()))
+        monkeypatch.setattr(curation, "_MEMBERSHIP_STRATEGY", "bloom")
+        via_bloom = sorted(map(tuple, fn(spark, SMOKE_SF).collect()))
+        assert base == via_bloom, q
+    # at least the decontamination query is non-empty at smoke scale
+    # (q_boilerplate can legitimately be empty: no 5-gram repeats in
+    # >=4 docs on a tiny corpus), so the parity above is not vacuous
+    monkeypatch.setattr(curation, "_MEMBERSHIP_STRATEGY", "broadcast")
+    assert curation.q_decontaminate(spark, SMOKE_SF).count() > 0
+
+
 def test_bad_args(spark, docs):
     with pytest.raises(ValueError):
         bloom_build(docs, "doc_id", m_bits=100, k_hashes=3)

@@ -39,11 +39,23 @@ __all__ = [
     "bloom_params",
     "bloom_build",
     "bloom_prefilter",
+    "bloom_mark",
     "bloom_semi_join",
     "bloom_anti_join",
+    "membership_mark",
 ]
 
 _BLOOM_SEED = 0x51ED
+
+# membership_mark's auto strategy: broadcast the member key set while
+# its SOURCE bytes stay under this; beyond it, route through the Bloom
+# split so only the possibly-member sliver ever reaches a shuffle. The
+# bound is on raw source bytes (driver file stats), a deliberate
+# overestimate of the distinct-key build: real executors broadcast a
+# few hundred MB comfortably, and the failure mode of choosing bloom
+# too early is a mild constant factor, while broadcasting too long is
+# an executor OOM.
+BROADCAST_MAX_SOURCE_BYTES = 256 << 20
 
 
 def bloom_params(n_keys: int, fp_rate: float = 0.01) -> tuple[int, int]:
@@ -139,6 +151,128 @@ def bloom_prefilter(
     return out.drop(
         *[c for i in range(k_hashes) for c in (f"_b{i}_idx", f"_b{i}_bits", f"_b{i}_pos")]
     )
+
+
+def bloom_mark(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    *,
+    m_bits: int,
+    k_hashes: int,
+    flag_col: str,
+) -> DataFrame:
+    """Like :func:`bloom_prefilter` but MARKS instead of filters: adds
+    boolean ``flag_col`` (true = possibly member, false = definitely
+    absent) and keeps every row. Same probe plan — k broadcast joins of
+    the tiny word table, the probe side never shuffles — but every row
+    rides through all k probes (no between-probe reduction), which is
+    the price of keeping the definitely-absent rows in the stream.
+    Same materialization note as bloom_prefilter applies."""
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    out = df
+    key = F.col(key_col)
+    tests = []
+    for i, pos in enumerate(_positions(key, m_bits, k_hashes)):
+        b = bloom.select(
+            F.col("idx").alias(f"_b{i}_idx"), F.col("bits").alias(f"_b{i}_bits")
+        )
+        out = out.withColumn(f"_b{i}_pos", pos).join(
+            F.broadcast(b),
+            (F.col(f"_b{i}_pos") / 64).cast("int") == F.col(f"_b{i}_idx"),
+            "left",
+        )
+        tests.append(
+            F.coalesce(F.col(f"_b{i}_bits"), F.lit(0).cast("bigint")).bitwiseAND(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(_b{i}_pos, 64) AS INT))"
+                )
+            )
+            != 0
+        )
+    flag = tests[0]
+    for t in tests[1:]:
+        flag = flag & t
+    return out.withColumn(flag_col, flag).drop(
+        *[c for i in range(k_hashes) for c in (f"_b{i}_idx", f"_b{i}_bits", f"_b{i}_pos")]
+    )
+
+
+def membership_mark(
+    stream: DataFrame,
+    key_col: str,
+    members: DataFrame,
+    members_col: str,
+    *,
+    hit_col: str = "hit",
+    strategy: str = "auto",
+    est_member_source_bytes: int | None = None,
+    broadcast_max_bytes: int = BROADCAST_MAX_SOURCE_BYTES,
+    fp_rate: float = 0.01,
+    members_distinct: bool = False,
+) -> DataFrame:
+    """Mark each ``stream`` row with ``hit_col`` = 1 when its key is in
+    ``members``, NULL otherwise — the membership-join verb behind
+    decontamination / boilerplate-class queries, with a size-conditional
+    physical plan:
+
+    - ``broadcast`` (member set fits an executor): the distinct member
+      keys broadcast; the stream left-joins them without shuffling.
+      This is today's q_decontaminate/q_boilerplate plan, unchanged.
+    - ``bloom`` (member set beyond broadcast reach): a Bloom word table
+      (:func:`bloom_build`) marks every stream row possible/absent via
+      k broadcast probes; definitely-absent rows (the overwhelming
+      majority against a sparse member set) bypass the exact join
+      entirely, and only the possible sliver pays a SHUFFLE_HASH join
+      against the full member set. One driver scalar (``members``
+      count) sizes the filter — control-plane, large path only.
+    - ``auto``: picks by ``est_member_source_bytes`` (see
+      ``operators.scale.estimated_relation_bytes``; callers scale it by
+      the member-side selectivity they know, e.g. 1/17 for the
+      benchmark split). None → broadcast (the safe default at test
+      scale; at warehouse scale the caller always has a scan behind
+      the member set to estimate from).
+
+    Both paths produce IDENTICAL rows (parity-tested): the Bloom layer
+    has no false negatives, and false positives are removed by the
+    exact sliver join. Pass ``members_distinct=True`` when the member
+    side is already key-unique (an aggregate output, a pre-distincted
+    set) to keep the redundant dedup exchange out of the plan."""
+    if strategy not in ("auto", "broadcast", "bloom"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        big = (
+            est_member_source_bytes is not None
+            and est_member_source_bytes > broadcast_max_bytes
+        )
+        strategy = "bloom" if big else "broadcast"
+
+    member_keys = members.select(F.col(members_col).alias(key_col))
+    if not members_distinct:
+        member_keys = member_keys.distinct()
+    member_keys = member_keys.withColumn(hit_col, F.lit(1))
+    if strategy == "broadcast":
+        return stream.join(F.broadcast(member_keys), key_col, "left")
+
+    n_keys = max(1, members.count())
+    m_bits, k_hashes = bloom_params(n_keys, fp_rate)
+    bloom = bloom_build(members, members_col, m_bits=m_bits, k_hashes=k_hashes)
+    # materialize: the probe references the word table k times and
+    # exchange reuse does not collapse alias-projected copies of an
+    # unmaterialized aggregate (see bloom_prefilter docstring)
+    bloom = bloom.persist()
+    bloom.count()
+    marked = bloom_mark(
+        stream, key_col, bloom, m_bits=m_bits, k_hashes=k_hashes, flag_col="_possible"
+    )
+    sliver = marked.filter(F.col("_possible")).drop("_possible")
+    absent = marked.filter(~F.col("_possible")).drop("_possible")
+    # shuffle_hash, never broadcast: the whole point of this path is a
+    # member set beyond broadcast reach (plan-pinned in
+    # tests/test_membership.py::test_membership_mark_bloom_path_never_broadcasts_members)
+    exact = sliver.join(member_keys.hint("shuffle_hash"), key_col, "left")
+    return exact.unionByName(absent.withColumn(hit_col, F.lit(None).cast("int")))
 
 
 def bloom_semi_join(

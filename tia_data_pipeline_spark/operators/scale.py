@@ -32,29 +32,19 @@ SALT_COL = "_salt"
 _FAN_OUT_STAT_SAMPLE = 64
 
 
-def _estimated_scan_splits(df: DataFrame, files: list[str]) -> int | None:
-    """Approximate how many read partitions the file scan yields:
-    ``ceil(total_bytes / maxPartitionBytes)``. Splittable-parquet large
-    files divide at the split size and tiny files bin-pack toward it,
-    so total/split-size tracks the reader's behavior from both sides
-    (open-cost padding ignored — it only *raises* the real count).
-    Sizes come from the files' own FileSystem via driver metadata
-    calls — an evenly-strided sample of at most
-    ``_FAN_OUT_STAT_SAMPLE`` files, extrapolated by file count (exact
-    when all files are stat-ed; a mean estimate for larger relations,
-    fine for a widen-or-not heuristic). Returns None when any lookup
-    fails (caller falls back to the file-count heuristic)."""
-    spark = df.sparkSession
+def _sampled_total_bytes(spark, files: list[str]) -> int | None:
+    """Total bytes across ``files`` from driver FileSystem metadata —
+    an evenly-strided sample of at most ``_FAN_OUT_STAT_SAMPLE`` files
+    extrapolated by file count (exact when all files are stat-ed; a
+    mean estimate for larger relations). The stride is ceiling-division
+    so the sample spans the WHOLE listing: floor stride is 1 for 65-127
+    files, which would stat only the first 64 — biased when listing
+    order correlates with size (one big compacted file up front, small
+    increments behind it). None when any lookup fails."""
     try:
-        max_bytes = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         if len(files) > _FAN_OUT_STAT_SAMPLE:
-            # ceiling-division stride so the sample spans the WHOLE
-            # listing: floor stride is 1 for 65-127 files, which would
-            # stat only the first 64 — biased when listing order
-            # correlates with size (one big compacted file up front,
-            # small increments behind it)
             stride = -(-len(files) // _FAN_OUT_STAT_SAMPLE)
             sample = files[::stride][:_FAN_OUT_STAT_SAMPLE]
         else:
@@ -63,10 +53,40 @@ def _estimated_scan_splits(df: DataFrame, files: list[str]) -> int | None:
         for f in sample:
             p = jvm.org.apache.hadoop.fs.Path(f)
             sampled += p.getFileSystem(hconf).getFileStatus(p).getLen()
-        total = sampled * len(files) // len(sample)
-        return max(1, -(-total // max_bytes))  # ceil
-    except Exception:  # noqa: BLE001 — inaccessible scheme/conf: heuristic fallback
+        return sampled * len(files) // len(sample)
+    except Exception:  # noqa: BLE001 — inaccessible scheme/conf
         return None
+
+
+def estimated_relation_bytes(df: DataFrame) -> int | None:
+    """Total leaf-file bytes behind ``df``'s scan — driver metadata
+    only, no Spark job. ``None`` for in-memory relations or unreadable
+    schemes; callers fall back to their conservative default. Used by
+    size-conditional plan choices (e.g. broadcast-vs-bloom membership
+    in ``operators.membership.membership_mark``)."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    return _sampled_total_bytes(df.sparkSession, files)
+
+
+def _estimated_scan_splits(df: DataFrame, files: list[str]) -> int | None:
+    """Approximate how many read partitions the file scan yields:
+    ``ceil(total_bytes / maxPartitionBytes)``. Splittable-parquet large
+    files divide at the split size and tiny files bin-pack toward it,
+    so total/split-size tracks the reader's behavior from both sides
+    (open-cost padding ignored — it only *raises* the real count).
+    Returns None when any lookup fails (caller falls back to the
+    file-count heuristic)."""
+    spark = df.sparkSession
+    try:
+        max_bytes = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:  # noqa: BLE001 — unparseable conf: heuristic fallback
+        return None
+    total = _sampled_total_bytes(spark, files)
+    if total is None:
+        return None
+    return max(1, -(-total // max_bytes))  # ceil
 
 
 _BYTE_SUFFIXES = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}

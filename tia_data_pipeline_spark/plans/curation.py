@@ -23,7 +23,8 @@ from tia_data_pipeline_spark.operators.dedup import (
     word_ngrams,
     word_shingles,
 )
-from tia_data_pipeline_spark.operators.scale import fan_out
+from tia_data_pipeline_spark.operators.membership import membership_mark
+from tia_data_pipeline_spark.operators.scale import estimated_relation_bytes, fan_out
 from tia_data_pipeline_spark.operators.similarity import _sign_bits
 from tia_data_pipeline_spark.plans.contract import contract_query
 from tia_data_pipeline_spark.plans.llm import _DOC_TOKENS_SQL, _PROJ, _bucket_sql, _docs
@@ -140,6 +141,20 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BENCH_MOD = 17  # doc_id % 17 == 0 plays the held-out benchmark set
 
+# Physical strategy for the membership joins (q_decontaminate /
+# q_boilerplate): "auto" sizes broadcast-vs-bloom from driver file
+# stats; tests pin parity by forcing "bloom" and comparing against the
+# broadcast output.
+_MEMBERSHIP_STRATEGY = "auto"
+
+# q_boilerplate's member side is DERIVED (the df>=4 5-gram set), so its
+# size is estimated from the corpus scan scaled by the repeated-phrase
+# mass: boilerplate phrases are a few percent of the distinct shingle
+# space on web text (each appears in >=4 docs by construction), so
+# corpus_bytes/50 is a deliberate overestimate of the distinct-phrase
+# build — conservative in the direction that flips to bloom EARLIER.
+_BOILER_MEMBER_FRACTION = 50
+
 
 @contract_query(
     "q_decontaminate",
@@ -171,23 +186,33 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     through explode → broadcast hash join → partial-agg, with the only
     shuffle the (doc_id) aggregate. No shuffle ever carries the corpus
     shingles to a join exchange, and the quadratic pair-join of the
-    dedup family never appears (membership, not similarity). At even
-    larger benchmark sets the broadcast degrades gracefully to a
-    bloom-filter pre-test in front of the same plan. The scan fans out
-    before the shingle assembly: 3-gram zip construction is CPU-bound
-    per row (measured 1.48s -> 0.85s at sf0.1 single-file), unlike the
-    plain-token explodes that keep fan=False."""
+    dedup family never appears (membership, not similarity). The
+    membership join is SIZE-CONDITIONAL (``membership_mark``): under
+    the broadcast bound it is exactly the broadcast plan above; a
+    benchmark side whose estimated source bytes (corpus scan / 17, the
+    held-out fraction — driver file stats, no job) outgrow it routes
+    through the Bloom word-table split, where definitely-absent corpus
+    shingles bypass the exact join entirely and only the possible
+    sliver pays a shuffle. Both paths are parity-tested identical. The
+    scan fans out before the shingle assembly: 3-gram zip construction
+    is CPU-bound per row (measured 1.48s -> 0.85s at sf0.1
+    single-file), unlike the plain-token explodes that keep
+    fan=False."""
     docs = _docs(spark, sf_dir)
     sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("sh"))
-    bench = (
-        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
-        .select("sh")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
+    bench = sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select("sh").distinct()
     corpus = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    est = estimated_relation_bytes(docs)
     agg = (
-        corpus.join(F.broadcast(bench), "sh", "left")
+        membership_mark(
+            corpus,
+            "sh",
+            bench,
+            "sh",
+            strategy=_MEMBERSHIP_STRATEGY,
+            est_member_source_bytes=None if est is None else est // _BENCH_MOD,
+            members_distinct=True,
+        )
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shingles"), F.count("hit").alias("n_hits"))
     )
@@ -374,8 +399,12 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one explode builds the shingle stream; the boilerplate
     set is the HAVING side of a (shingle) aggregate — at any scale its
     size is bounded by phrases repeated across documents, a vanishing
-    fraction of the shingle space — and joins back as a BROADCAST, so
-    the corpus-side stream never shuffles to a join exchange. The
+    fraction of the shingle space — and joins back SIZE-CONDITIONALLY
+    (``membership_mark``): a broadcast under the bound (today's plan,
+    corpus stream never shuffles to a join exchange), the Bloom
+    word-table split above it (estimated from corpus bytes /
+    ``_BOILER_MEMBER_FRACTION``; absent shingles — the vast majority —
+    bypass the exact join, the possible sliver pays one shuffle). The
     shingle stream feeds both the df-aggregate and the join; the
     branches diverge BEFORE any exchange, so the pruned two-column scan
     runs twice — the right trade (scans are cheap and column-pruned;
@@ -396,10 +425,22 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("sh")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= _BP_MIN_DF)
-        .select("sh", F.lit(1).alias("hit"))
+        .select("sh")
     )
+    est = estimated_relation_bytes(docs)
     agg = (
-        sh.join(F.broadcast(common), "sh", "left")
+        membership_mark(
+            sh,
+            "sh",
+            common,
+            "sh",
+            hit_col="hit",
+            strategy=_MEMBERSHIP_STRATEGY,
+            est_member_source_bytes=(
+                None if est is None else est // _BOILER_MEMBER_FRACTION
+            ),
+            members_distinct=True,
+        )
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shingles"), F.count("hit").alias("n_boiler"))
     )
