@@ -42,6 +42,43 @@ def test_ivf_matches_brute_force_on_clusters(spark):
     assert recall >= 0.9, f"IVF recall {recall} on clustered data (exact={exact}, ivf={approx})"
 
 
+def test_ivf_fit_sample_is_bounded_and_serving_exact(spark, tmp_path):
+    """VERDICT r4 #4: the KMeans fit input is capped by a deterministic
+    id-hash sample while ASSIGNMENT stays full-corpus — the build still
+    assigns every vector a cell, and full-probe serving over the
+    sampled-fit index is still exactly brute force."""
+    from tia_data_pipeline_spark.operators.similarity import (
+        _kmeans_fit_input,
+        ivf_build_index,
+        ivf_search_indexed,
+        ivf_write_index,
+    )
+
+    corpus = _clustered_corpus(spark, n_clusters=6, per_cluster=30)
+    n = corpus.count()
+    cap = 60
+    fit = _kmeans_fit_input(corpus, "vec_id", cap, seed=7)
+    m = fit.count()
+    # expected cap hash variance: mean n*keep/denom ~= cap
+    assert m < n and m <= 2 * cap
+    # deterministic: same input -> same keep-set
+    assert fit.count() == m
+    # no cap when the corpus already fits
+    assert _kmeans_fit_input(corpus, "vec_id", n, seed=7).count() == n
+
+    assigned, centers = ivf_build_index(corpus, n_lists=6, seed=7, fit_sample_max=cap)
+    assert assigned.count() == n, "assignment must stay full-corpus"
+    path = str(tmp_path / "ivf_sampled")
+    ivf_write_index(assigned, centers, path)
+    probe_vec = [float(x) for x in corpus.filter(F.col("vec_id") == 0).first()["embedding"]]
+    full = ivf_search_indexed(spark, path, probe_vec, k=5, n_probe=6, centers=centers)
+    probe_df = corpus.filter(F.col("vec_id") == 0).select("embedding")
+    exact = brute_force_top_k(spark.read.parquet(path), probe_df, k=5)
+    assert [(r["vec_id"], r["score"]) for r in full.collect()] == [
+        (r["vec_id"], r["score"]) for r in exact.collect()
+    ]
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     corpus = _clustered_corpus(spark, n_clusters=4, per_cluster=60)
     probe = corpus.filter(F.col("vec_id") == 0)
