@@ -145,6 +145,70 @@ def test_comments_pipeline_window_fanout_and_manifest(spark):
     assert sorted(r["post_id"] for r in manifest.collect()) == [1]
 
 
+def test_comments_pipeline_streaming_equals_batch(spark, tmp_path):
+    """VERDICT r4 #5: the streaming keyed fan-out daily pipeline must
+    converge to exactly the batch comments_pipeline contents — stream
+    parents in two file-arrival waves into a Derby sink, compare to the
+    batch form over the same parents, then re-drain to prove the
+    exactly-once layer (offsets x MERGE) holds."""
+    from tia_data_pipeline_spark.pipelines import comments_pipeline_streaming
+    from tia_data_pipeline_spark.sources.jdbc import jdbc_read
+
+    def fetcher(post_id):
+        if post_id == 2:
+            return []
+        return [
+            {"id": post_id * 10 + k, "date_gmt": "2022-01-01T06:00:00", "content": f"re {k}"}
+            for k in range(2)
+        ]
+
+    posts_rows = [(1, "2022-01-01 05:00:00"), (2, "2022-01-01 23:00:00"), (3, "2022-01-01 09:00:00")]
+    posts_schema = "id bigint, date_gmt string"
+    posts_dir = str(tmp_path / "posts")
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    # wave 1: two parents on disk before the stream starts
+    spark.createDataFrame(posts_rows[:2], posts_schema).write.mode("append").parquet(posts_dir)
+
+    def drain():
+        stream = spark.readStream.schema(posts_schema).parquet(posts_dir)
+        q = comments_pipeline_streaming(
+            spark,
+            stream,
+            fetcher,
+            COMMENT_SCHEMA,
+            url=url,
+            table="comments_stream",
+            checkpoint=str(tmp_path / "ck"),
+        )
+        q.awaitTermination()
+
+    drain()
+    # wave 2: a later parent arrives; a fresh availableNow drain picks
+    # up only the new file (checkpointed offsets)
+    spark.createDataFrame(posts_rows[2:], posts_schema).write.mode("append").parquet(posts_dir)
+    drain()
+
+    got = sorted(
+        map(tuple, jdbc_read(spark, url, 'SELECT * FROM comments_stream').collect())
+    )
+
+    # batch reference over the same parents
+    posts = spark.createDataFrame(posts_rows, posts_schema)
+    existing = spark.createDataFrame([], "id bigint, date_gmt string, content string, word_count bigint")
+    to_insert, _ = comments_pipeline(
+        spark, posts, fetcher, COMMENT_SCHEMA, existing,
+        window_start="2022-01-01", window_end="2022-01-02",
+    )
+    expect = sorted(map(tuple, to_insert.collect()))
+    assert got == expect and len(got) == 4  # posts 1 and 3, two comments each
+
+    # replay drain with nothing new: exactly-once contents hold
+    drain()
+    assert sorted(
+        map(tuple, jdbc_read(spark, url, 'SELECT * FROM comments_stream').collect())
+    ) == expect
+
+
 def test_source_probe_failure_skips_fetch(spark):
     """HttpSensor semantics (reference ``posts_pipeline.py:66-73``):
     a down source is a pre-flight SKIP — empty insert batch, same

@@ -195,6 +195,66 @@ def comments_pipeline(
     return to_insert, manifest
 
 
+def comments_pipeline_streaming(
+    spark: SparkSession,
+    posts_stream: DataFrame,
+    fetcher: KeyFetcher | None,
+    schema: T.StructType | None,
+    *,
+    url: str,
+    table: str,
+    checkpoint: str,
+    post_key: str = "id",
+    comment_key: str = "id",
+    available_now: bool = True,
+):
+    """The daily keyed fan-out pipeline as ONE continuous job — the
+    streaming mirror of :func:`comments_pipeline`
+    (reference ``comments_pipeline.py:107``), shaped like
+    :func:`posts_pipeline_streaming` + ``stream_upsert_jdbc``.
+
+    ``posts_stream`` is a STREAMING frame of parent posts standing in
+    for the reference's 'yesterday's posts' sink query: instead of a
+    scheduler recomputing a wall-clock window daily, whatever parents
+    arrive in a micro-batch ARE that batch's window. Per micro-batch:
+    distinct parent keys → keyed fan-out comments fetch (the driving
+    key set stays distributed, ``sources/rest.py``) → normalize (same
+    ``date_gmt``/``editable_until`` ts-norm as the batch form — one
+    comment ingested both ways must store identical bytes) → keyed
+    MERGE into the JDBC sink. Checkpointed offsets make the stream
+    at-least-once; the MERGE makes replay harmless — exactly-once
+    table contents, the same two-layer idempotency as
+    ``streaming/sinks.py``. Returns the started StreamingQuery.
+
+    ``fetcher=None`` / ``schema=None`` use the reference's contract
+    (``sources/contracts.py``), as in the batch form."""
+    from tia_data_pipeline_spark.sources.jdbc import jdbc_ensure_table, jdbc_merge_upsert
+
+    if fetcher is None or schema is None:
+        from tia_data_pipeline_spark.sources import contracts
+
+        fetcher = fetcher if fetcher is not None else contracts.default_key_fetcher()
+        schema = schema if schema is not None else contracts.COMMENTS_SCHEMA
+
+    def write_batch(batch_posts: DataFrame, batch_id: int) -> None:
+        bspark = batch_posts.sparkSession
+        window_posts = batch_posts.select(F.col(post_key).alias("post_id")).distinct()
+        fetched = keyed_fanout_source(window_posts, "post_id", fetcher, schema)
+        rows = fetched if "post_id" in schema.fieldNames() else fetched.drop("post_id")
+        normalized = normalize_records(
+            rows, text_col="content", ts_string_cols=("date_gmt", "editable_until")
+        )
+        jdbc_ensure_table(bspark, url, table, normalized.schema, [comment_key])
+        jdbc_merge_upsert(normalized, url, table, [comment_key])
+
+    writer = posts_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def rollup_daily_incremental(
     spark: SparkSession,
     events: DataFrame,
