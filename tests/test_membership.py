@@ -119,6 +119,21 @@ def test_anti_join_probe_side_is_broadcast(spark, docs, tmp_path):
     )
     assert "SortMergeJoin LeftAnti" not in p
 
+    # dense-overlap escape hatch: confirmed can approach the full
+    # blocklist (re-filtering a contaminated stream), where a forced
+    # broadcast would OOM — sparse_overlap=False must take a shuffle
+    # subtract instead, with identical rows
+    dense = bloom_anti_join(
+        docs, "doc_id", members, "k", bloom, m_bits=m, k_hashes=k, sparse_overlap=False
+    )
+    pd_ = _explain(dense)
+    assert not any(
+        "BroadcastHashJoin" in l for l in pd_.splitlines() if "Join LeftAnti" in l
+    )
+    assert sorted(r["doc_id"] for r in dense.collect()) == sorted(
+        r["doc_id"] for r in anti.collect()
+    )
+
 
 def test_membership_mark_parity_broadcast_vs_bloom(spark, docs):
     """VERDICT r4 #3: the size-conditional membership verb must produce
@@ -133,6 +148,14 @@ def test_membership_mark_parity_broadcast_vs_bloom(spark, docs):
     rows_bloom = sorted((r["doc_id"], r["hit"]) for r in via_bloom.collect())
     assert rows_bc == rows_bloom
     assert via_bc.columns == via_bloom.columns
+    # prebuilt-filter escape hatch (explicit storage lifecycle): same rows
+    m, k = bloom_params(members.count(), 0.01)
+    pre = bloom_build(members, "k", m_bits=m, k_hashes=k)
+    via_pre = membership_mark(
+        docs, "doc_id", members, "k", strategy="bloom",
+        bloom=pre, bloom_m_bits=m, bloom_k_hashes=k,
+    )
+    assert sorted((r["doc_id"], r["hit"]) for r in via_pre.collect()) == rows_bc
     # sanity: actual membership semantics, not all-NULL
     assert any(h == 1 for _, h in rows_bc) and any(h is None for _, h in rows_bc)
 

@@ -211,6 +211,9 @@ def membership_mark(
     broadcast_max_bytes: int = BROADCAST_MAX_SOURCE_BYTES,
     fp_rate: float = 0.01,
     members_distinct: bool = False,
+    bloom: DataFrame | None = None,
+    bloom_m_bits: int | None = None,
+    bloom_k_hashes: int | None = None,
 ) -> DataFrame:
     """Mark each ``stream`` row with ``hit_col`` = 1 when its key is in
     ``members``, NULL otherwise — the membership-join verb behind
@@ -255,14 +258,28 @@ def membership_mark(
     if strategy == "broadcast":
         return stream.join(F.broadcast(member_keys), key_col, "left")
 
-    n_keys = max(1, members.count())
-    m_bits, k_hashes = bloom_params(n_keys, fp_rate)
-    bloom = bloom_build(members, members_col, m_bits=m_bits, k_hashes=k_hashes)
-    # materialize: the probe references the word table k times and
-    # exchange reuse does not collapse alias-projected copies of an
-    # unmaterialized aggregate (see bloom_prefilter docstring)
-    bloom = bloom.persist()
-    bloom.count()
+    if bloom is not None:
+        # caller-materialized filter (e.g. parquet-backed bloom_build
+        # output): no count job, no persist — the long-lived-service
+        # path with explicit storage lifecycle
+        if bloom_m_bits is None or bloom_k_hashes is None:
+            raise ValueError("bloom_m_bits/bloom_k_hashes required with a prebuilt bloom")
+        m_bits, k_hashes = bloom_m_bits, bloom_k_hashes
+    else:
+        n_keys = max(1, members.count())
+        m_bits, k_hashes = bloom_params(n_keys, fp_rate)
+        bloom = bloom_build(members, members_col, m_bits=m_bits, k_hashes=k_hashes)
+        # materialize: the probe references the word table k times and
+        # exchange reuse does not collapse alias-projected copies of an
+        # unmaterialized aggregate (see bloom_prefilter docstring).
+        # Lifecycle: the cached blocks live as long as the returned
+        # plan holds the reference — Spark's ContextCleaner unpersists
+        # them once the result is garbage-collected — so a loop that
+        # drops its results does not accumulate word tables; a
+        # long-lived service that keeps many results alive should pass
+        # a parquet-materialized filter via ``bloom=`` instead.
+        bloom = bloom.persist()
+        bloom.count()
     marked = bloom_mark(
         stream, key_col, bloom, m_bits=m_bits, k_hashes=k_hashes, flag_col="_possible"
     )
@@ -305,18 +322,25 @@ def bloom_anti_join(
     *,
     m_bits: int,
     k_hashes: int,
+    sparse_overlap: bool = True,
 ) -> DataFrame:
     """Rows of ``df`` whose key is NOT in ``keys`` — the blocklist /
     decontamination verb. Definitely-absent rows (the overwhelming
     majority against a sparse blocklist) pass WITHOUT touching a
     shuffle: only Bloom-possible rows are re-checked exactly, and the
-    confirmed hits subtract via an anti-join on the (tiny) confirmed
-    key set, never on the full blocklist. ``confirmed`` carries a
-    broadcast hint: it is tiny by construction (bloom-possible keys
-    that ARE in the set), but Spark has no size stats for the derived
-    plan and would otherwise fall back to a sort-merge anti-join that
-    shuffles the full probe side (pinned by
-    tests/test_membership.py::test_anti_join_probe_side_is_broadcast)."""
+    confirmed hits subtract via an anti-join on the confirmed key set,
+    never on the full blocklist.
+
+    ``sparse_overlap=True`` (the verb's premise: few stream keys are
+    actually blocked) broadcasts ``confirmed`` — Spark has no size
+    stats for the derived plan and would otherwise fall back to a
+    sort-merge anti-join that shuffles the full probe side (pinned by
+    tests/test_membership.py::test_anti_join_probe_side_is_broadcast).
+    ``confirmed`` is bounded by ``distinct(stream keys) ∩ blocklist``,
+    NOT tiny by construction: re-filtering an already-contaminated
+    stream makes it approach the full blocklist. Pass
+    ``sparse_overlap=False`` there to take a shuffle-hash subtract
+    instead of risking a driver-sized broadcast."""
     possible = bloom_prefilter(df, key_col, bloom, m_bits=m_bits, k_hashes=k_hashes)
     rhs = keys.select(F.col(keys_col).alias("_bloom_k")).distinct()
     confirmed = (
@@ -324,6 +348,5 @@ def bloom_anti_join(
         .distinct()
         .join(rhs, F.col("_bloom_hit") == F.col("_bloom_k"), "left_semi")
     )
-    return df.join(
-        F.broadcast(confirmed), F.col(key_col) == F.col("_bloom_hit"), "left_anti"
-    )
+    confirmed = F.broadcast(confirmed) if sparse_overlap else confirmed.hint("shuffle_hash")
+    return df.join(confirmed, F.col(key_col) == F.col("_bloom_hit"), "left_anti")

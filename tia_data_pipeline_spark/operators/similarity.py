@@ -196,7 +196,12 @@ def _kmeans_fit_input(
     n = with_vec.count()
     if n <= fit_sample_max:
         return with_vec
-    denom = 1_000_000
+    # denom scales with n so keep >= 16 at ANY corpus size: a fixed
+    # 1e6 modulus floors keep at 1 once n > 1e6 * fit_sample_max and
+    # the sample silently overshoots the cap (n/1e6 rows, growing with
+    # the corpus). Power-of-two denom >= 2^20, sized so the keep
+    # fraction has <= 1/16 relative error.
+    denom = 1 << max(20, (16 * n // fit_sample_max).bit_length())
     keep = max(1, (fit_sample_max * denom) // n)
     return with_vec.filter(
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(denom)) < F.lit(keep)

@@ -147,13 +147,21 @@ _BENCH_MOD = 17  # doc_id % 17 == 0 plays the held-out benchmark set
 # broadcast output.
 _MEMBERSHIP_STRATEGY = "auto"
 
-# q_boilerplate's member side is DERIVED (the df>=4 5-gram set), so its
-# size is estimated from the corpus scan scaled by the repeated-phrase
-# mass: boilerplate phrases are a few percent of the distinct shingle
-# space on web text (each appears in >=4 docs by construction), so
-# corpus_bytes/50 is a deliberate overestimate of the distinct-phrase
-# build — conservative in the direction that flips to bloom EARLIER.
-_BOILER_MEMBER_FRACTION = 50
+# Member-side size estimates must account for SHINGLE EXPANSION: a
+# distinct word-n-gram set over diverse text is ~n x the source bytes
+# (every word lands in n shingles, nearly all distinct), so the raw
+# scan size UNDERestimates the member build — the unsafe direction for
+# a broadcast bound.
+#
+# q_decontaminate: members = the bench split's distinct 3-grams, so
+# est = corpus_bytes / 17 (the split fraction) x 3 (3-gram expansion).
+_DECON_SHINGLE_EXPANSION = 3
+# q_boilerplate: members = the df>=4 5-gram set — 5x expansion, then
+# the repeated-phrase mass (a few percent of the distinct shingle
+# space on web text). 5 x ~2% -> corpus_bytes/10 as the deliberate
+# overestimate, conservative in the direction that flips to bloom
+# EARLIER.
+_BOILER_MEMBER_FRACTION = 10
 
 
 @contract_query(
@@ -190,7 +198,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership join is SIZE-CONDITIONAL (``membership_mark``): under
     the broadcast bound it is exactly the broadcast plan above; a
     benchmark side whose estimated source bytes (corpus scan / 17, the
-    held-out fraction — driver file stats, no job) outgrow it routes
+    held-out fraction, x3 for 3-gram shingle expansion — driver file
+    stats, no job) outgrow it routes
     through the Bloom word-table split, where definitely-absent corpus
     shingles bypass the exact join entirely and only the possible
     sliver pays a shuffle. Both paths are parity-tested identical. The
@@ -210,7 +219,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             bench,
             "sh",
             strategy=_MEMBERSHIP_STRATEGY,
-            est_member_source_bytes=None if est is None else est // _BENCH_MOD,
+            est_member_source_bytes=(
+                None if est is None else est * _DECON_SHINGLE_EXPANSION // _BENCH_MOD
+            ),
             members_distinct=True,
         )
         .groupBy("doc_id")
