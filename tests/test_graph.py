@@ -143,3 +143,48 @@ def test_dedup_components_survivor_from_docs_subset(spark):
     docs = spark.createDataFrame([(2,), (3,), (99,)], "doc_id bigint")
     rows = {r["doc_id"]: (r["component"], r["is_kept"]) for r in dedup_components(pairs, docs).collect()}
     assert rows == {2: (1, True), 3: (1, False), 99: (99, True)}
+
+
+def test_pagerank_integer_cycle_fixed_point(spark):
+    """On a 3-cycle with out-degree 1, rank mass is conserved exactly:
+    every node stays at the initial integer scale through any number
+    of iterations (base + damping*scale = scale)."""
+    from tia_data_pipeline_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint")
+    got = {r["node"]: r["rank_n"] for r in pagerank_integer(edges, "src", "dst").collect()}
+    assert got == {1: 1_000_000_000, 2: 1_000_000_000, 3: 1_000_000_000}
+
+
+def test_pagerank_integer_star_hand_computed(spark):
+    """a->{b,c} with dangling leaves, two iterations, hand-computed
+    bigint recurrence — pins the exact integer arithmetic the oracle
+    restates (contributions integer-divide, update divides by 100)."""
+    from tia_data_pipeline_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame([(1, 2), (1, 3)], "src bigint, dst bigint")
+    got = {
+        r["node"]: r["rank_n"]
+        for r in pagerank_integer(edges, "src", "dst", iterations=2).collect()
+    }
+    # iter1: a=base=150M; b=c=150M + 85*(1e9 div 2) div 100 = 575M
+    # iter2: b=c=150M + 85*(150M div 2) div 100 = 213_750_000
+    assert got[1] == 150_000_000
+    assert got[2] == got[3] == 213_750_000
+
+
+def test_pagerank_shuffle_state_path_matches_broadcast(spark):
+    """small_rank_state=False (the beyond-broadcast form) must produce
+    identical bigint ranks — the physical strategy is invisible."""
+    from tia_data_pipeline_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(23)] + [(i, (i + 1) % 23) for i in range(23)],
+        "src bigint, dst bigint",
+    )
+    a = {r["node"]: r["rank_n"] for r in pagerank_integer(edges, "src", "dst").collect()}
+    b = {
+        r["node"]: r["rank_n"]
+        for r in pagerank_integer(edges, "src", "dst", small_rank_state=False).collect()
+    }
+    assert a == b and len(a) == 23

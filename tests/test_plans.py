@@ -135,16 +135,22 @@ TAIL_COVERED_BY = {
     "q_scan_project": "q_ts_normalize",
     "q_topk_per_group": "q_topk_latest",
     "q_cube": "q_agg_count",
-    "q_token_bpe": "q_text_tokens",
-    "q_doc_fingerprint": "q_text_tokens",
-    "q_word_freq": "q_text_tokens",
-    "q_canonicalize": "q_text_tokens",
+    "q_token_bpe": "q_tok_fertility",  # same bpe_token_count surface
+    "q_doc_fingerprint": "q_gopher_quality",
+    "q_word_freq": "q_token_entropy",
+    "q_canonicalize": "q_gopher_quality",
     "q_ann_multiprobe": "q_ann_recall",
     "q_ntile": "q_topk_latest",
     "q_sim_topk": "q_knn_join",
     # demoted in round 5: q_fuzzy_dedup's hash-checked oracle rotated
     # in-cap; the permanently-rows-only HLL++ sketch takes its tail slot.
     "q_approx_distinct": "q_agg_count",
+    # demoted in round 5 (each 2-4x driver-green) for the four new
+    # operator families (pagerank / ks drift / jsd mix / fertility):
+    "q_session_window": "q_daily_window",
+    "q_join_enrich": "q_revenue_by_segment",
+    "q_embed_dedup": "q_knn_join",
+    "q_text_tokens": "q_gopher_quality",
     # demoted in round 4 (each 2x/3x driver-green) to verify the ten
     # round-3 tail queries that had zero driver rows:
     "q_proj_alias": "q_ts_normalize",
@@ -157,11 +163,11 @@ TAIL_COVERED_BY = {
     "q_children_rollup": "q_agg_count",
     "q_set_ops": "q_dedup_batch",
     "q_pivot_status": "q_agg_count",
-    "q_zscore": "q_session_window",
+    "q_zscore": "q_cohort_retention",
     # demoted in round 4 (each 3x driver-green) to make room for the
     # curation tier:
     "q_hash_sample": "q_split_assign",
-    "q_window_frames": "q_session_window",
+    "q_window_frames": "q_cohort_retention",
     "q_rollup": "q_agg_count",
     "q_profile": "q_data_quality",
     "q_asof_join": "q_range_join",
@@ -511,3 +517,51 @@ def test_cluster_sizes_digest_only_shuffle(spark):
     p = plan_of(spark, "q_cluster_sizes")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
     assert "sha2" in p
+
+
+# --- round-5 additions ------------------------------------------------------
+
+
+def test_pagerank_iterations_broadcast_state_not_edges(spark):
+    """Each of the 5 iterations must join the (tiny) rank state to the
+    edge list as a BROADCAST — 2 broadcast joins per iteration (state
+    onto edges, contribs onto nodes); the edge list itself never plans
+    a per-iteration sort-merge join."""
+    p = plan_of(spark, "q_pagerank")
+    assert p.count("BroadcastHashJoin") >= 10
+    # the only acceptable non-broadcast joins are in the one-time edge
+    # build (orders x lineitem before AQE converts it)
+    iter_smj = [l for l in p.splitlines() if "SortMergeJoin LeftOuter" in l]
+    assert not iter_smj, "rank-state joins must broadcast:\n" + p
+
+
+def test_ks_drift_windows_over_collapsed_grid(spark):
+    """The unpartitioned cumulative window must run over the collapsed
+    distinct-value grid (post-aggregate), never the raw corpus: the
+    (val) aggregate appears below the single-partition exchange."""
+    p = plan_of(spark, "q_ks_drift")
+    assert "SinglePartition" in p  # the tiny grid window + final agg
+    assert "hashpartitioning(n_chars" in p  # grid collapse first
+    assert "ReadSchema: struct<source:string,n_chars:bigint>" in p
+
+
+def test_jsd_mix_single_vocab_aggregate(spark):
+    """One (tok) aggregate collapses the corpus to its vocabulary; the
+    totals ride back as a broadcast scalar (nested-loop of a 1-row
+    frame), and nothing else shuffles the token stream."""
+    p = plan_of(spark, "q_jsd_mix")
+    # two static copies of the (tok) aggregate — the totals diamond;
+    # AQE reuses the exchange at runtime (CLAUDE.md diamond rule)
+    assert p.count("hashpartitioning(tok") == 2
+    assert "BroadcastNestedLoopJoin" in p
+    assert "ReadSchema: struct<text:string,source:string>" in p
+
+
+def test_tok_fertility_no_explode_narrow_scan(spark):
+    """Fertility counts are per-row counters — no Generate anywhere;
+    scan reads exactly (lang, text) and the only keyed exchange is the
+    per-lang aggregate."""
+    p = plan_of(spark, "q_tok_fertility")
+    assert "Generate" not in p
+    assert "ReadSchema: struct<text:string,lang:string>" in p
+    assert p.count("hashpartitioning(lang") == 1

@@ -34,6 +34,15 @@ CONTRACT_ORDER = [
     #    q_approx_distinct (HLL++ sketch, structurally no_oracle every
     #    round) demoted to the tail in exchange (VERDICT r4 #1).
     "q_fuzzy_dedup",
+    # -- round-5 additions (never driver-seen): four new operator
+    #    families — iterative integer PageRank, two-sample KS drift,
+    #    Jensen-Shannon mixture divergence, tokenizer fertility. Four
+    #    multi-green redundant variants demoted in exchange (families
+    #    keep in-cap representatives; see TAIL_COVERED_BY).
+    "q_pagerank",
+    "q_ks_drift",
+    "q_jsd_mix",
+    "q_tok_fertility",
     # -- round-4 rotation: the ten round-3 queries that landed in the
     #    tail with zero driver rows go first (never-driver-verified-
     #    first policy); ten 2x/3x-driver-green rows demoted in exchange.
@@ -67,7 +76,6 @@ CONTRACT_ORDER = [
     # -- window tier: inc-window / ext-stream-windows, the reference's
     #    core incremental semantic (comments_pipeline.py:27-33,107).
     "q_daily_window",
-    "q_session_window",
     "q_self_join",
     "q_exists_guard",
     # 50-slot pressure note: with nine second-batch curation queries in
@@ -80,7 +88,6 @@ CONTRACT_ORDER = [
     "q_merge_upsert",
     "q_antijoin_incr",
     "q_semi_join",
-    "q_join_enrich",
     "q_agg_count",
     "q_topk_latest",
     "q_filter_range",
@@ -88,13 +95,11 @@ CONTRACT_ORDER = [
     "q_ts_normalize",
     # -- LLM-pipeline tier: one slot per distinct technique
     "q_exact_dedup",
-    "q_text_tokens",
     "q_resize_meta",
     # q_knn_join supersedes q_sim_topk in-cap (round 3): batch k-NN is
     # the strict generalization (N probes vs 1), same hash-checked
     # cosine math; single-probe stays tail-verified.
     "q_knn_join",
-    "q_embed_dedup",
     "q_ngram_jaccard",
     # q_dedup_components supersedes q_fuzzy_dedup in-cap (round 3): it
     # is fully hash-checked (recursive-CTE oracle) where fuzzy_dedup
@@ -111,6 +116,12 @@ CONTRACT_ORDER = [
     # -- demoted in round 5: permanently rows-only (HLL++ estimate has
     #    no hash-matchable oracle; driver recorded no_oracle r3+r4).
     "q_approx_distinct",  # sketch agg: rows-only by design; q_count_distinct/q_agg_count cover exact counts
+    # -- demoted in round 5 (each 2-4x driver-green) to make room for
+    #    the four new operator families above.
+    "q_session_window",  # ext-stream-windows: 2x green; q_daily_window keeps both window ops in-cap
+    "q_join_enrich",  # join-enrich: 4x green; the flagship q_revenue_by_segment is the same broadcast-enrich join
+    "q_embed_dedup",  # embedding near-dup pairs: 4x green; q_knn_join/q_ann_recall/q_embed_quantize keep the embedding family in-cap
+    "q_text_tokens",  # ext-text-analysis: 4x green; q_gopher_quality/q_token_entropy/q_tok_fertility keep the family in-cap
     # -- demoted in round 4 (each 3x driver-green) to make room for the
     #    curation tier above.
     "q_lang_id",  # ext-text-analysis: 3x green; q_text_tokens/q_gopher_quality keep the family in-cap

@@ -496,3 +496,95 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.selectExpr(
         "stack(3, 'view', c1, 'view>click', c2, 'view>click>purchase', c3) AS (stage, n_users)"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pagerank — fixed-iteration integer PageRank over the purchase graph
+# ---------------------------------------------------------------------------
+
+_PR_ITER = 5
+_PR_DAMP = 85
+_PR_SCALE = 1_000_000_000
+
+
+def _pagerank_oracle() -> str:
+    """The exact integer-PageRank recurrence as chained CTEs (DuckDB
+    disallows grouped aggregation over a recursive reference, so the
+    fixed iteration count unrolls instead — semantically identical to
+    the operator's driver loop)."""
+    base = (100 - _PR_DAMP) * _PR_SCALE // 100
+    sql = (
+        "WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s "
+        "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "edges AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs), "
+        "deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src), "
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), "
+        f"pr0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank_n FROM nodes), "
+    )
+    for i in range(_PR_ITER):
+        sql += (
+            f"pr{i + 1} AS (SELECT n.node, "
+            f"CAST({base} + {_PR_DAMP} * COALESCE(s.c, 0) // 100 AS BIGINT) AS rank_n "
+            "FROM nodes n LEFT JOIN ("
+            "  SELECT e.dst, SUM(p.rank_n // d.deg) AS c "
+            f"  FROM edges e JOIN deg d ON e.src = d.src JOIN pr{i} p ON p.node = e.src "
+            "  GROUP BY e.dst) s ON s.dst = n.node), "
+        )
+    sql = sql.rstrip(", ")
+    return (
+        sql
+        + " SELECT node, CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, "
+        f"rank_n, {portable_round_sql(f'rank_n / {_PR_SCALE}.0', 6)} AS rank "
+        f"FROM pr{_PR_ITER}"
+    )
+
+
+@contract_query(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    covers="iterative link analysis (extension: fixed-iteration integer PageRank)",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer↔supplier purchase graph
+    (edges: 'customer c bought from supplier s', both directions, from
+    orders ⋈ lineitem), five damped iterations.
+
+    Every quantity is BIGINT (see ``operators.graph.pagerank_integer``):
+    contributions are integer divisions and the per-node sum is a
+    bigint aggregate, so the result is bit-identical across engines
+    and partitionings — the oracle states the same recurrence as
+    chained SQL CTEs. Node ids disambiguate the two key spaces by
+    parity (cust*2 / supp*2+1).
+
+    Scale shape: rank state is (node, int64); each iteration is one
+    equi-join against the persisted degree-annotated edge list plus a
+    grouped sum — 2 keyed shuffles x 5 iterations, no driver-side
+    graph. At warehouse scale the edge list would be bucketed by src
+    so the per-iteration join is exchange-free on the edge side."""
+    from tia_data_pipeline_spark.operators.graph import pagerank_integer
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").union(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    ranks = pagerank_integer(
+        edges, "src", "dst",
+        iterations=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE,
+    )
+    return ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        "rank_n",
+        portable_round(F.col("rank_n") / F.lit(float(_PR_SCALE)), 6).alias("rank"),
+    )

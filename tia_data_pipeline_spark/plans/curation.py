@@ -989,3 +989,192 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double") / 1_000_000_000.0 / F.col("n_bigrams"), 6
         ).alias("avg_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ks_drift — two-sample Kolmogorov–Smirnov distribution drift
+# ---------------------------------------------------------------------------
+
+# "snapshot A vs snapshot B": even- vs odd-numbered sources stand in
+# for two crawl snapshots whose length distributions are compared.
+_GA_EXPR = "CAST(substr(source, 4) AS INT) % 2 = 0"
+
+
+@contract_query(
+    "q_ks_drift",
+    oracle=(
+        "WITH v AS (SELECT n_chars AS val, "
+        f"  CASE WHEN {_GA_EXPR} THEN 1 ELSE 0 END AS ga FROM documents), "
+        "c AS (SELECT val, SUM(ga)::BIGINT AS ca, SUM(1 - ga)::BIGINT AS cb "
+        "  FROM v GROUP BY val), "
+        "t AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM c), "
+        "k AS (SELECT "
+        "  CAST(SUM(ca) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a, "
+        "  CAST(SUM(cb) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b "
+        "  FROM c), "
+        "m AS (SELECT MAX(ABS(cum_a * t.nb - cum_b * t.na))::BIGINT AS ks_num "
+        "  FROM k CROSS JOIN t) "
+        "SELECT t.na AS n_a, t.nb AS n_b, m.ks_num, "
+        f"  {TX.portable_round_sql('m.ks_num::DOUBLE / (t.na * t.nb)', 6)} AS ks "
+        "FROM m CROSS JOIN t"
+    ),
+    covers="training-data curation (two-sample KS distribution-drift statistic)",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the document
+    length distributions of two corpus snapshots (even- vs odd-numbered
+    sources) — the drift monitor a recurring-crawl pipeline runs before
+    mixing a new snapshot into training data.
+
+    Exactness: the KS supremum is evaluated at every distinct value
+    with INTEGER cross-multiplied ECDFs — ``|cum_a*n_b - cum_b*n_a|``
+    is exact bigint arithmetic, so the max is order-independent and
+    hash-stable; only the final ratio touches doubles (rounded).
+    Overflow bound: cum*n products need n_a*n_b < 2^63 (~3e9 rows per
+    side); beyond that, pre-collapse to a bounded value grid first.
+
+    Scale shape: one (value) aggregate collapses the corpus to its
+    distinct-length grid BEFORE any window — the unpartitioned cum-sum
+    window (single partition by construction, same caveat as
+    q_quantiles) runs over |grid| rows, not |corpus|, and the totals
+    join back as a broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents").select("n_chars", "source")
+    ga = F.expr(_GA_EXPR)
+    c = docs.groupBy(F.col("n_chars").alias("val")).agg(
+        F.sum(F.when(ga, 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(ga, 0).otherwise(1)).cast("bigint").alias("cb"),
+    )
+    tot = c.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    k = c.select(
+        F.sum("ca").over(w).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(w).cast("bigint").alias("cum_b"),
+    )
+    m = (
+        k.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")))
+            .cast("bigint")
+            .alias("ks_num")
+        )
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "ks_num",
+        TX.portable_round(
+            F.col("ks_num").cast("double") / (F.col("na") * F.col("nb")), 6
+        ).alias("ks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_jsd_mix — Jensen–Shannon divergence between two sources' token mixes
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_jsd_mix",
+    oracle=(
+        "WITH tk AS (SELECT "
+        f"  CASE WHEN {_GA_EXPR} THEN 1 ELSE 0 END AS ga, "
+        f"  unnest({_DOC_TOKENS_SQL}) AS tok FROM documents), "
+        "c AS (SELECT tok, SUM(ga)::BIGINT AS a, SUM(1 - ga)::BIGINT AS b "
+        "  FROM tk GROUP BY tok), "
+        "t AS (SELECT SUM(a)::BIGINT AS ta, SUM(b)::BIGINT AS tb FROM c), "
+        "terms AS (SELECT "
+        "  CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END AS both_, "
+        "  CASE WHEN a > 0 AND b = 0 THEN 1 ELSE 0 END AS only_a, "
+        "  CASE WHEN b > 0 AND a = 0 THEN 1 ELSE 0 END AS only_b, "
+        "  CASE WHEN a > 0 THEN floor((ln(2 * a * t.tb) - ln(a * t.tb + b * t.ta)) "
+        "       * a * 1000000000.0 + 0.5)::BIGINT ELSE 0 END AS term_a, "
+        "  CASE WHEN b > 0 THEN floor((ln(2 * b * t.ta) - ln(a * t.tb + b * t.ta)) "
+        "       * b * 1000000000.0 + 0.5)::BIGINT ELSE 0 END AS term_b "
+        "  FROM c CROSS JOIN t) "
+        "SELECT SUM(both_)::BIGINT AS n_vocab_both, "
+        "  SUM(only_a)::BIGINT AS n_vocab_a_only, SUM(only_b)::BIGINT AS n_vocab_b_only, "
+        "  t.ta AS n_tok_a, t.tb AS n_tok_b, "
+        + TX.portable_round_sql(
+            "(SUM(term_a)::DOUBLE / t.ta + SUM(term_b)::DOUBLE / t.tb) / 2000000000.0", 6
+        )
+        + " AS jsd FROM terms CROSS JOIN t GROUP BY t.ta, t.tb"
+    ),
+    covers="training-data curation (Jensen-Shannon divergence between source token mixes)",
+)
+def q_jsd_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the unigram distributions of
+    two corpus snapshots (even- vs odd-numbered sources) plus their
+    vocabulary overlap — the corpus-similarity report that decides
+    whether a new snapshot warrants re-mixing.
+
+    Portability: every log argument is an INTEGER-valued double —
+    ``p·ln(p/m)`` rewrites as ``a·(ln(2a·B) − ln(aB + bA))/A`` so the
+    engines never ln() a rounded fraction; per-token terms integerize
+    to nano-nats BEFORE the sum (order-independent, the q_lm_perplexity
+    trick) and only the two final scalar divisions touch doubles.
+    Integer-exactness bound: 2aB must stay < 2^53 (~corpus 1e8 tokens
+    per side); shard the token space beyond that.
+
+    Scale shape: explode → one (token) aggregate (bare-token explode →
+    fan=False per the fan rule) collapses the corpus to its vocabulary;
+    the totals ride back in as a broadcast scalar and the term algebra
+    is a narrow projection over vocab rows; one final 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    ga = F.expr(_GA_EXPR)
+    tk = docs.select(
+        F.when(ga, 1).otherwise(0).alias("ga"),
+        F.explode(TX.tokens(F.col("text"))).alias("tok"),
+    )
+    c = tk.groupBy("tok").agg(
+        F.sum("ga").cast("bigint").alias("a"),
+        F.sum(F.lit(1) - F.col("ga")).cast("bigint").alias("b"),
+    )
+    tot = c.agg(
+        F.sum("a").cast("bigint").alias("ta"), F.sum("b").cast("bigint").alias("tb")
+    )
+    ct = c.crossJoin(F.broadcast(tot))
+    ln = F.log  # natural log on both engines
+    term_a = F.when(
+        F.col("a") > 0,
+        F.floor(
+            (ln(2 * F.col("a") * F.col("tb")) - ln(F.col("a") * F.col("tb") + F.col("b") * F.col("ta")))
+            * F.col("a")
+            * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    term_b = F.when(
+        F.col("b") > 0,
+        F.floor(
+            (ln(2 * F.col("b") * F.col("ta")) - ln(F.col("a") * F.col("tb") + F.col("b") * F.col("ta")))
+            * F.col("b")
+            * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    terms = ct.select(
+        F.when((F.col("a") > 0) & (F.col("b") > 0), 1).otherwise(0).alias("both_"),
+        F.when((F.col("a") > 0) & (F.col("b") == 0), 1).otherwise(0).alias("only_a"),
+        F.when((F.col("b") > 0) & (F.col("a") == 0), 1).otherwise(0).alias("only_b"),
+        term_a.alias("term_a"),
+        term_b.alias("term_b"),
+        "ta",
+        "tb",
+    )
+    return terms.groupBy("ta", "tb").agg(
+        F.sum("both_").cast("bigint").alias("n_vocab_both"),
+        F.sum("only_a").cast("bigint").alias("n_vocab_a_only"),
+        F.sum("only_b").cast("bigint").alias("n_vocab_b_only"),
+        F.first("ta").alias("n_tok_a"),
+        F.first("tb").alias("n_tok_b"),
+        TX.portable_round(
+            (
+                F.sum("term_a").cast("double") / F.col("ta")
+                + F.sum("term_b").cast("double") / F.col("tb")
+            )
+            / F.lit(2_000_000_000.0),
+            6,
+        ).alias("jsd"),
+    ).drop("ta", "tb")

@@ -926,3 +926,60 @@ def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(chunks).alias("u"))
         .select("doc_id", F.col("u.chunk_id").alias("chunk_id"), F.col("u.chunk").alias("chunk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_tok_fertility — tokenizer fertility diagnostics per language
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_tok_fertility",
+    oracle=(
+        "WITH per AS (SELECT lang, {wc} AS n_words, {bpe} AS n_bpe, "
+        "  length(text)::BIGINT AS n_chars FROM documents) "
+        "SELECT lang, count(*)::BIGINT AS n_docs, "
+        "  SUM(n_words)::BIGINT AS n_words, SUM(n_bpe)::BIGINT AS n_bpe, "
+        "  SUM(n_chars)::BIGINT AS n_chars, "
+        "  {fert} AS fertility, {cpt} AS chars_per_token "
+        "FROM per GROUP BY lang"
+    ).format(
+        wc=TX.word_count_sql("text"),
+        bpe=TX.bpe_token_count_sql("text"),
+        fert=TX.portable_round_sql("SUM(n_bpe)::DOUBLE / SUM(n_words)", 6),
+        cpt=TX.portable_round_sql("SUM(n_chars)::DOUBLE / SUM(n_bpe)", 6),
+    ),
+    covers="ext-text-analysis (tokenizer fertility: subword/word and chars/subword per language)",
+)
+def q_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility diagnostics per language: subword-per-word
+    (fertility) and chars-per-subword — the report that flags languages
+    a tokenizer serves badly (high fertility inflates their effective
+    sequence length and training cost; the standard multilingual
+    tokenizer-budget check).
+
+    Scale shape: three narrow per-row counters (whitespace tokens,
+    BPE-ish regex tokens, char length — no explode anywhere), then one
+    partial→final aggregate on lang (a handful of groups). The scan
+    fans out first: the BPE regex count is the CPU-bound projection
+    class from the fan rule. Ratios divide the already-aggregated
+    bigint sums (exact, order-independent), rounded portably."""
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("lang", "text"))
+    per = docs.select(
+        "lang",
+        TX.word_count(F.col("text")).alias("n_words"),
+        TX.bpe_token_count(F.col("text")).alias("n_bpe"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        TX.portable_round(F.sum("n_bpe").cast("double") / F.sum("n_words"), 6).alias(
+            "fertility"
+        ),
+        TX.portable_round(F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6).alias(
+            "chars_per_token"
+        ),
+    )
