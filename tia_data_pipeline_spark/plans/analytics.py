@@ -556,11 +556,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained SQL CTEs. Node ids disambiguate the two key spaces by
     parity (cust*2 / supp*2+1).
 
-    Scale shape: rank state is (node, int64); each iteration is one
-    equi-join against the persisted degree-annotated edge list plus a
-    grouped sum — 2 keyed shuffles x 5 iterations, no driver-side
-    graph. At warehouse scale the edge list would be bucketed by src
-    so the per-iteration join is exchange-free on the edge side."""
+    Scale shape: rank state is (node, int64), orders of magnitude
+    smaller than the edge list, so each iteration BROADCASTS it onto
+    the persisted degree-annotated edges — the edges never shuffle and
+    the only per-iteration exchange is the partial→final contribution
+    sum (plan-pinned). No driver-side graph. Node sets beyond broadcast
+    reach flip ``small_rank_state=False`` (shuffle joins, where
+    bucketing the edge list by src pays)."""
     from tia_data_pipeline_spark.operators.graph import pagerank_integer
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
