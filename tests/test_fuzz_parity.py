@@ -210,3 +210,40 @@ def test_bpe_token_count_vertical_tab_parity(spark):
     want = {int(i): int(n) for i, n in con.execute(f"SELECT i, {bpe_token_count_sql('s')} FROM t").fetchall()}
     assert got == want
     assert got[0] == 2  # 'a\x0bb' -> ['a','b']: \x0b is whitespace on BOTH engines
+
+
+def test_integer_log_nanonat_fuzz_vs_duckdb(spark):
+    """Pins the TRUE cross-engine contract of the ln-of-integer
+    nano-nat construction behind q_jsd_mix / q_bm25 / q_lm_perplexity /
+    q_token_entropy: JVM Math.log and DuckDB's libm ln differ by 1 ulp
+    on ~1% of large integer arguments, so the per-TERM bigints
+    floor((ln(x)-ln(y))·w·1e9 + 0.5) may differ by a few units when
+    the pre-floor product is large (observed max 2 at products ~1e15).
+    The queries stay hash-exact because their OUTPUT divides the term
+    sum by 1e9·total before 6-dp portable rounding — a ±few-nano-unit
+    term wobble moves the rounded output only if the true value sits
+    within ~1e-12 of a rounding boundary (and for the fixed driver
+    corpus the computation is deterministic, so green is green). This
+    test pins both halves: terms agree within ±4 and almost always
+    exactly."""
+    import random
+
+    rng = random.Random(4242)
+    rows = []
+    for i in range(500):
+        x = rng.randrange(1, 10**13)
+        y = rng.randrange(1, 10**13)
+        w = rng.randrange(1, 10**6)
+        rows.append((i, x, y, w))
+    df = spark.createDataFrame(rows, "i int, x bigint, y bigint, w bigint")
+    expr = "CAST(floor((ln(x) - ln(y)) * w * 1000000000.0 + 0.5) AS BIGINT)"
+    got = {r["i"]: r["v"] for r in df.selectExpr("i", f"{expr} AS v").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x BIGINT, y BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    duck = dict(
+        con.sql("SELECT i, floor((ln(x) - ln(y)) * w * 1000000000.0 + 0.5)::BIGINT FROM t").fetchall()
+    )
+    diffs = [abs(got[i] - duck[i]) for i in got]
+    assert max(diffs) <= 4, f"ulp wobble exceeded bound: {max(diffs)}"
+    assert sum(d == 0 for d in diffs) >= int(0.98 * len(diffs))

@@ -151,12 +151,15 @@ TAIL_COVERED_BY = {
     "q_join_enrich": "q_revenue_by_segment",
     "q_embed_dedup": "q_knn_join",
     "q_text_tokens": "q_gopher_quality",
+    # demoted in round 5 (4x green) for q_bm25 / q_winsorize:
+    "q_ngram_jaccard": "q_dedup_components",
+    "q_quantiles": "q_winsorize",
     # demoted in round 4 (each 2x/3x driver-green) to verify the ten
     # round-3 tail queries that had zero driver rows:
     "q_proj_alias": "q_ts_normalize",
     "q_const_probe": "q_data_quality",
     "q_json_ser": "q_feature_hash",
-    "q_histogram": "q_quantiles",
+    "q_histogram": "q_winsorize",
     "q_gap_fill": "q_daily_window",
     "q_sliding_window": "q_daily_window",
     "q_star_join": "q_revenue_by_segment",
@@ -176,7 +179,7 @@ TAIL_COVERED_BY = {
     # cluster-sizes):
     "q_lang_id": "q_gopher_quality",
     "q_tfidf": "q_token_entropy",
-    "q_simhash": "q_ngram_jaccard",
+    "q_simhash": "q_edit_distance",  # simhash buckets feed the in-cap Levenshtein verify
     "q_multimodal_meta": "q_resize_meta",
     "q_count_distinct": "q_agg_count",
     # demoted late round 4 for the third curation batch (group sample /
@@ -565,3 +568,23 @@ def test_tok_fertility_no_explode_narrow_scan(spark):
     assert "Generate" not in p
     assert "ReadSchema: struct<text:string,lang:string>" in p
     assert p.count("hashpartitioning(lang") == 1
+
+
+def test_bm25_literal_term_filter_no_term_join(spark):
+    """The query-term filter must be an IN literal on the exploded
+    stream (terms never arrive via a join); the only joins are the
+    3-row df broadcast, the doc-length join over the matched subset,
+    and the broadcast scalar; top-k is TakeOrderedAndProject."""
+    p = plan_of(spark, "q_bm25")
+    assert "TakeOrderedAndProject" in p
+    assert "tok IN (" in p or "tok#" in p  # literal IN reaches the filter
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_winsorize_shares_group_partitioning(spark):
+    """Rank window and clamp re-aggregation hash-partition on
+    event_type; the 6-row bounds table joins back as a broadcast."""
+    p = plan_of(spark, "q_winsorize")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "ReadSchema: struct<event_type:string,value:double>" in p

@@ -43,6 +43,8 @@ CONTRACT_ORDER = [
     "q_ks_drift",
     "q_jsd_mix",
     "q_tok_fertility",
+    "q_bm25",
+    "q_winsorize",
     # -- round-4 rotation: the ten round-3 queries that landed in the
     #    tail with zero driver rows go first (never-driver-verified-
     #    first policy); ten 2x/3x-driver-green rows demoted in exchange.
@@ -100,7 +102,6 @@ CONTRACT_ORDER = [
     # the strict generalization (N probes vs 1), same hash-checked
     # cosine math; single-probe stays tail-verified.
     "q_knn_join",
-    "q_ngram_jaccard",
     # q_dedup_components supersedes q_fuzzy_dedup in-cap (round 3): it
     # is fully hash-checked (recursive-CTE oracle) where fuzzy_dedup
     # was rows-only, and it exercises the cluster-closure step the
@@ -108,7 +109,6 @@ CONTRACT_ORDER = [
     # tested (planted near-dups).
     "q_dedup_components",
     # -- analytics extensions
-    "q_quantiles",
     "q_range_join",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
@@ -122,6 +122,8 @@ CONTRACT_ORDER = [
     "q_join_enrich",  # join-enrich: 4x green; the flagship q_revenue_by_segment is the same broadcast-enrich join
     "q_embed_dedup",  # embedding near-dup pairs: 4x green; q_knn_join/q_ann_recall/q_embed_quantize keep the embedding family in-cap
     "q_text_tokens",  # ext-text-analysis: 4x green; q_gopher_quality/q_token_entropy/q_tok_fertility keep the family in-cap
+    "q_ngram_jaccard",  # exact-Jaccard pairs: 4x green; q_dedup_components/q_edit_distance keep the fuzzy family in-cap
+    "q_quantiles",  # interpolated percentiles: 4x green; q_winsorize keeps exact order-stats in-cap
     # -- demoted in round 4 (each 3x driver-green) to make room for the
     #    curation tier above.
     "q_lang_id",  # ext-text-analysis: 3x green; q_text_tokens/q_gopher_quality keep the family in-cap

@@ -590,3 +590,87 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_n",
         portable_round(F.col("rank_n") / F.lit(float(_PR_SCALE)), 6).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_winsorize — robust (winsorized) group statistics via exact order stats
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_winsorize",
+    oracle=(
+        "WITH v AS (SELECT event_type, round(value * 100)::BIGINT AS cents FROM events), "
+        "r AS (SELECT event_type, cents, "
+        "  row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn, "
+        "  count(*) OVER (PARTITION BY event_type) AS n FROM v), "
+        "b AS (SELECT event_type, max(n)::BIGINT AS n, "
+        "  max(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS lo_c, "
+        "  max(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) AS hi_c "
+        "  FROM r GROUP BY event_type), "
+        "w AS (SELECT v.event_type, b.n, b.lo_c, b.hi_c, "
+        "  SUM(v.cents)::BIGINT AS sum_c, "
+        "  SUM(least(greatest(v.cents, b.lo_c), b.hi_c))::BIGINT AS wsum_c "
+        "  FROM v JOIN b ON v.event_type = b.event_type "
+        "  GROUP BY v.event_type, b.n, b.lo_c, b.hi_c) "
+        "SELECT event_type, n, "
+        f"  {portable_round_sql('lo_c / 100.0', 2)} AS p05, "
+        f"  {portable_round_sql('hi_c / 100.0', 2)} AS p95, "
+        f"  {portable_round_sql('sum_c / (n * 100.0)', 6)} AS mean, "
+        f"  {portable_round_sql('wsum_c / (n * 100.0)', 6)} AS win_mean "
+        "FROM w"
+    ),
+    covers="robust group statistics (extension: exact-order-stat winsorized mean)",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group statistics: clamp ``value`` at the exact
+    5th/95th order statistics (percentile_disc semantics — the element
+    at rank ``ceil(p·n)``, never an interpolated double) and report the
+    robust mean beside the raw mean — the outlier-resistant metric
+    sheet a data-quality monitor publishes per event type.
+
+    Exactness: values quantize to integer cents up front (the
+    ``money_sum`` discipline), ranks and clamp bounds are integer order
+    statistics, and both sums are BIGINT — order-independent under any
+    partitioning; doubles appear only in the final rounded divisions.
+
+    Scale shape: one rank window and the clamp re-aggregation share
+    the same (event_type) hash partitioning — the join of the 6-row
+    bounds table back onto the value stream broadcasts. Per-group state
+    is bounded by the group's row count only in the rank window's sort
+    (the standard per-partition sort, spillable); no global sort
+    anywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("cents"))).alias("lo_c"),
+        F.max(F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("cents"))).alias("hi_c"),
+    )
+    w = (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "n", "lo_c", "hi_c")
+        .agg(
+            F.sum("cents").cast("bigint").alias("sum_c"),
+            F.sum(F.least(F.greatest(F.col("cents"), F.col("lo_c")), F.col("hi_c")))
+            .cast("bigint")
+            .alias("wsum_c"),
+        )
+    )
+    return w.select(
+        "event_type",
+        "n",
+        portable_round(F.col("lo_c") / 100.0, 2).alias("p05"),
+        portable_round(F.col("hi_c") / 100.0, 2).alias("p95"),
+        portable_round(F.col("sum_c") / (F.col("n") * 100.0), 6).alias("mean"),
+        portable_round(F.col("wsum_c") / (F.col("n") * 100.0), 6).alias("win_mean"),
+    )

@@ -983,3 +983,107 @@ def q_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bm25 — BM25 retrieval scoring against a fixed query
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_K = 20  # result size
+# k1=1.2, b=0.75 folded into integers: ratio = 2.2·tf / (tf + 0.3 +
+# 0.9·dl·N/T) == 22·tf·T / (10·tf·T + 3·T + 9·dl·N) after clearing
+# denominators — every operand a bigint.
+
+
+@contract_query(
+    "q_bm25",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest({tk}) AS tok FROM documents), "
+        "dl AS (SELECT doc_id, {wc} AS dl FROM documents), "
+        "scal AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS t FROM dl), "
+        "tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks "
+        "  WHERE tok IN ({terms}) GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok), "
+        "sc AS (SELECT tf.doc_id, "
+        "  floor((ln(2 * (scal.n - df.df) + 1) - ln(2 * df.df + 1)) "
+        "    * ((22 * tf.tf * scal.t) / (10 * tf.tf * scal.t + 3 * scal.t + 9 * dl.dl * scal.n)) "
+        "    * 1000000000.0 + 0.5)::BIGINT AS sc_n "
+        "  FROM tf JOIN df ON tf.tok = df.tok JOIN dl ON tf.doc_id = dl.doc_id "
+        "  CROSS JOIN scal), "
+        "agg AS (SELECT doc_id, count(*)::BIGINT AS n_terms, SUM(sc_n)::BIGINT AS score_n "
+        "  FROM sc GROUP BY doc_id) "
+        "SELECT doc_id, n_terms, score_n, "
+        f"  {{rnd}} AS score FROM agg ORDER BY score_n DESC, doc_id ASC LIMIT {_BM25_K}"
+    ).format(
+        tk=_DOC_TOKENS_SQL,
+        wc=TX.word_count_sql("text"),
+        terms=", ".join(f"'{t}'" for t in _BM25_TERMS),
+        rnd=TX.portable_round_sql("score_n / 1000000000.0", 6),
+    ),
+    covers="ext-sim-topk / ext-text-analysis (BM25 lexical retrieval top-k)",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 (k1=1.2, b=0.75) for a fixed query —
+    the lexical-retrieval verb of a RAG/dedup pipeline, complementing
+    the embedding k-NN family.
+
+    Exactness: idf rewrites as ``ln(2(N−df)+1) − ln(2df+1)`` (logs of
+    integer-valued doubles only) and the tf saturation clears its
+    denominators to ``22·tf·T / (10·tf·T + 3T + 9·dl·N)`` — one double
+    division of exact bigints; per-(doc,term) scores integerize to
+    nano-units before the per-doc sum, so ordering and the hash are
+    partition-independent. Bound: 22·tf·T < 2^53 (T ≲ 2e13 tokens for
+    the usual tf) — shard the corpus beyond that.
+
+    Scale shape: the term filter is an ``IN`` literal on the exploded
+    stream (no join — candidate rows collapse immediately to the
+    (doc, term) tf aggregate, which only contains docs matching ≥1
+    term); df is a 3-row aggregate OF that frame; doc length joins on
+    doc_id over the matched subset only; N/T ride in as a broadcast
+    scalar; final top-k is TakeOrderedAndProject with doc_id tiebreak."""
+    docs = _docs(spark, sf_dir, fan=False)
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    dl = docs.select("doc_id", TX.word_count(F.col("text")).alias("dl"))
+    scal = dl.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("dl").cast("bigint").alias("t")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    sc = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.floor(
+                (
+                    F.log(2 * (F.col("n") - F.col("df")) + 1)
+                    - F.log(2 * F.col("df") + 1)
+                )
+                * (
+                    (22 * F.col("tf") * F.col("t"))
+                    / (10 * F.col("tf") * F.col("t") + 3 * F.col("t") + 9 * F.col("dl") * F.col("n"))
+                )
+                * F.lit(1_000_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("sc_n"),
+        )
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("sc_n").cast("bigint").alias("score_n"),
+    )
+    out = agg.select(
+        "doc_id",
+        "n_terms",
+        "score_n",
+        TX.portable_round(F.col("score_n") / F.lit(1_000_000_000.0), 6).alias("score"),
+    )
+    return out.orderBy(F.col("score_n").desc(), F.col("doc_id").asc()).limit(_BM25_K)
