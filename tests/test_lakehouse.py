@@ -182,3 +182,20 @@ def test_compact_table_zorder_layout(spark, tmp_path):
     assert s_sb > 0.85, f"control layout unexpectedly narrow on b: {s_sb:.2f}"
     assert z_sa < 0.9 and z_sb < 0.9, f"z layout too wide: {z_sa:.2f}/{z_sb:.2f}"
     assert z_sb < s_sb / 1.5, f"z did not beat the sort's neglected dim: {z_sb:.2f} vs {s_sb:.2f}"
+
+
+def test_compact_table_refuses_delta_tables(spark, tmp_path):
+    """Review r5: pointing parquet-level compaction at a Delta table
+    would resurrect tombstoned files and destroy _delta_log — the
+    _delta_log presence check must refuse loudly instead."""
+    import os
+
+    import pytest
+
+    from tia_data_pipeline_spark.sources.lakehouse import compact_table
+
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+    os.makedirs(f"{path}/_delta_log")
+    with pytest.raises(ValueError, match="Delta"):
+        compact_table(spark, path)

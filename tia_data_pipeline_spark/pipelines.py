@@ -236,15 +236,23 @@ def comments_pipeline_streaming(
         fetcher = fetcher if fetcher is not None else contracts.default_key_fetcher()
         schema = schema if schema is not None else contracts.COMMENTS_SCHEMA
 
+    # Ensure the sink table ONCE before the stream starts (the
+    # normalized schema is a pure function of the declared record
+    # schema — derive it from an empty frame), not per micro-batch.
+    norm_schema = normalize_records(
+        spark.createDataFrame([], schema),
+        text_col="content",
+        ts_string_cols=("date_gmt", "editable_until"),
+    ).schema
+    jdbc_ensure_table(spark, url, table, norm_schema, [comment_key])
+
     def write_batch(batch_posts: DataFrame, batch_id: int) -> None:
-        bspark = batch_posts.sparkSession
         window_posts = batch_posts.select(F.col(post_key).alias("post_id")).distinct()
         fetched = keyed_fanout_source(window_posts, "post_id", fetcher, schema)
         rows = fetched if "post_id" in schema.fieldNames() else fetched.drop("post_id")
         normalized = normalize_records(
             rows, text_col="content", ts_string_cols=("date_gmt", "editable_until")
         )
-        jdbc_ensure_table(bspark, url, table, normalized.schema, [comment_key])
         jdbc_merge_upsert(normalized, url, table, [comment_key])
 
     writer = posts_stream.writeStream.foreachBatch(write_batch).option(

@@ -88,26 +88,22 @@ def _merge_parquet_fallback(
     keys: Sequence[str],
     update_on_match: bool,
 ) -> None:
+    # Compose the merge-family operators rather than re-stating their
+    # null-safe anti-joins here (CLAUDE.md pins the whole family to the
+    # same eqNullSafe-per-key discipline — one implementation site):
+    # upsert ≡ merge_upsert_plan (incoming wins per key), insert-only ≡
+    # existing ∪ incremental_append (the reference's ON CONFLICT DO
+    # NOTHING). Both match the Delta path's `<=>` merge condition.
+    from tia_data_pipeline_spark.operators.incremental import (
+        incremental_append,
+        merge_upsert_plan,
+    )
+
     existing = spark.read.parquet(path)
-
-    def anti(left: DataFrame, right_keys: DataFrame) -> DataFrame:
-        # Null-safe key equality (<=>), matching the Delta path's merge
-        # condition exactly: a NULL key matches itself, so re-merging a
-        # batch with NULL keys stays idempotent (a plain `on=[names]`
-        # join would silently duplicate NULL-keyed rows).
-        l, r = left.alias("l"), right_keys.alias("r")
-        cond = None
-        for k in keys:
-            c = F.col(f"l.`{k}`").eqNullSafe(F.col(f"r.`{k}`"))
-            cond = c if cond is None else (cond & c)
-        return l.join(r, cond, "left_anti")
-
     if update_on_match:
-        # Upsert: incoming wins — keep only unmatched existing rows.
-        merged = anti(existing, updates.select(*keys).distinct()).unionByName(updates)
+        merged = merge_upsert_plan(updates, existing, keys)
     else:
-        # ON CONFLICT DO NOTHING: existing wins — insert only new keys.
-        merged = existing.unionByName(anti(updates, existing.select(*keys).distinct()))
+        merged = existing.unionByName(incremental_append(updates, existing, keys))
     # The anti-join shuffles on the keys only (pruned probe side); the
     # full-width rewrite is the fallback's real cost and the reason the
     # Delta path (file-pruned MERGE) is the production answer.
@@ -179,8 +175,15 @@ def merge_upsert_table(
         raise ValueError("merge_upsert_table requires at least one key column")
     if not table_exists(spark, path):
         # Dedup within the batch so a key colliding with itself can't
-        # seed duplicates (mirrors MERGE source-dedup discipline).
-        updates.dropDuplicates(list(keys)).write.mode("overwrite").parquet(path)
+        # seed duplicates (mirrors MERGE source-dedup discipline). The
+        # create MUST match the format later merges expect: a plain
+        # parquet seed under a Delta runtime would make every SECOND
+        # merge raise ('not a Delta table').
+        writer = updates.dropDuplicates(list(keys)).write.mode("overwrite")
+        if have_delta(spark):
+            writer.format("delta").save(path)
+        else:
+            writer.parquet(path)
         return
     if have_delta(spark):
         _merge_delta(spark, updates.dropDuplicates(list(keys)), path, keys, update_on_match)
@@ -217,6 +220,15 @@ def compact_table(
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
     fs, hpath, jvm = _hadoop_fs(spark, path)
+    # Refuse Delta tables outright: spark.read.parquet would resurrect
+    # tombstoned (logically deleted) data files and the swap would
+    # discard _delta_log — silent corruption. Delta's own OPTIMIZE is
+    # the right tool there.
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")):
+        raise ValueError(
+            f"{path} is a Delta table (_delta_log present); use Delta's "
+            "OPTIMIZE instead of parquet-level compaction"
+        )
     summary = fs.getContentSummary(hpath)
     total = int(summary.getLength())
     n_files = max(1, -(-total // target_file_bytes))  # ceil

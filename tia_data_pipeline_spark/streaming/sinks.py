@@ -46,10 +46,13 @@ def stream_upsert_jdbc(
     concurrent reader never observes a half-applied batch.
     """
     keys = list(keys)
+    # Ensure the table ONCE, before the stream starts — the schema is
+    # already known from the unstarted frame. Doing it per micro-batch
+    # would pay a driver JDBC connection and a swallowed duplicate-DDL
+    # error on every trigger of a continuous stream.
+    jdbc_ensure_table(stream_df.sparkSession, url, table, stream_df.schema, keys)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        jdbc_ensure_table(spark, url, table, batch_df.schema, keys)
         jdbc_merge_upsert(batch_df, url, table, keys)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
