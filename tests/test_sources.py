@@ -89,3 +89,39 @@ def test_keyed_fanout_empty_marker_rows(spark):
     assert set(by_key) == {1, 2}
     assert by_key[1]["id"] == 100
     assert by_key[2]["id"] is None and by_key[2]["title"] is None
+
+
+def test_keyed_fanout_key_declared_in_schema_no_duplicate_column(spark):
+    """Review r5: a record schema that itself declares the driving key
+    must yield ONE column of that name (the record's own field), not an
+    ambiguous duplicate with the helper key column."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("post_id", T.LongType()), T.StructField("body", T.StringType())]
+    )
+    keys = spark.createDataFrame([(1,), (2,)], "post_id bigint")
+
+    def fetcher(post_id):
+        return [{"post_id": post_id, "body": f"b{post_id}"}]
+
+    df = keyed_fanout_source(keys, "post_id", fetcher, schema)
+    assert df.columns == ["post_id", "body"]
+    got = sorted((r["post_id"], r["body"]) for r in df.collect())
+    assert got == [(1, "b1"), (2, "b2")]
+
+
+def test_keyed_fanout_null_and_integral_keys(spark):
+    """Review r5: a NULL in a nullable bigint key column promotes the
+    pandas batch to float64 — the fetcher must receive real ints (not
+    1.0 / NaN), and NULL keys are skipped (nothing to fetch)."""
+    keys = spark.createDataFrame([(1,), (None,), (2,)], "post_id bigint")
+    seen = []
+
+    def fetcher(post_id):
+        seen.append(post_id)
+        assert isinstance(post_id, int), f"fetcher got {type(post_id).__name__}"
+        return [{"id": post_id * 100, "title": f"c{post_id}"}]
+
+    df = keyed_fanout_source(keys, "post_id", fetcher, POST_SCHEMA)
+    assert {r["post_id"] for r in df.collect()} == {1, 2}

@@ -56,3 +56,26 @@ def test_unique_and_fk_violations(spark):
     assert dups == {(1,): 3}
     bad_fk = [r["k"] for r in fk_violations(child, "fk", parent, "pk").collect()]
     assert bad_fk == [2]  # NULL FK is not a violation (SQL semantics)
+
+
+def test_validate_awkward_rule_names_and_duplicates(spark):
+    """Review r5: names with spaces/quotes and two rules sharing a name
+    must not break the stack unpivot (positional aliases); empty rule
+    lists are rejected loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tia_data_pipeline_spark.operators.validate import Rule, validate
+
+    df = spark.createDataFrame([(1,), (-2,), (3,)], "v bigint")
+    rules = [
+        Rule("weird name's", F.col("v") < 0),
+        Rule("range_v", F.col("v") < 0),
+        Rule("range_v", F.col("v") > 2),  # duplicate name, different rule
+    ]
+    rows = validate(df, rules).collect()
+    assert [r["rule"] for r in rows] == ["weird name's", "range_v", "range_v"]
+    assert [r["n_violations"] for r in rows] == [1, 1, 1]
+    assert all(r["n_rows"] == 3 for r in rows)
+    with pytest.raises(ValueError):
+        validate(df, [])

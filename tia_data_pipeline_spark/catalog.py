@@ -81,6 +81,9 @@ def ensure_table(spark: SparkSession, name: str, path: str, schema=None):
     idempotent table creation — ``CREATE TABLE IF NOT EXISTS`` over a
     parquet location. Re-running is a no-op, like the reference's
     ``IF NOT EXISTS`` heredoc executed on every container init."""
+    # a bare driver session must still scan µs-NTZ parquet as
+    # TimestampType/UTC (CLAUDE.md invariant) — pin before any read
+    _ensure_session_confs(spark)
     if not spark.catalog.tableExists(name):
         spark.catalog.createTable(name, path=path, source="parquet", schema=schema)
     return spark.table(name)

@@ -55,7 +55,16 @@ def matches(col: str, pattern: str) -> Rule:
 
 def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """One row per rule: (rule, n_violations, n_rows). Single scan,
-    single aggregate — every rule is a conditional counter."""
+    single aggregate — every rule is a conditional counter.
+
+    Rule names pass through literally (quote-escaped) and columns are
+    positional ``_r{i}`` aliases, so names containing spaces/quotes and
+    two rules sharing a name (two ``in_range`` checks on one column)
+    are all fine; an empty rule list is rejected (``stack(0)`` would be
+    a parse error, and a zero-rule report is almost always a bug in the
+    caller's rule assembly)."""
+    if not rules:
+        raise ValueError("validate() requires at least one rule")
     aggs = [
         # coalesce: SUM over ZERO rows is NULL, but an empty batch has
         # exactly 0 violations — a publish gate on n_violations == 0
@@ -64,11 +73,14 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
             F.sum(F.when(r.violation, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
         )
         .cast("bigint")
-        .alias(r.name)
-        for r in rules
+        .alias(f"_r{i}")
+        for i, r in enumerate(rules)
     ]
     counted = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
-    stack_args = ", ".join(f"'{r.name}', {r.name}" for r in rules)
+    stack_args = ", ".join(
+        "'{name}', _r{i}".format(name=r.name.replace("'", "''"), i=i)
+        for i, r in enumerate(rules)
+    )
     return counted.selectExpr(
         f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)", "_n AS n_rows"
     ).select("rule", "n_violations", "n_rows")

@@ -81,11 +81,23 @@ def keyed_fanout_source(
     "fetched, empty" from "never fetched".
     """
 
+    key_type = dict(keys.dtypes)[key_col]
+    integral_key = key_type in ("tinyint", "smallint", "int", "bigint")
+
     def fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_keys: list = []
             out_raw: list[str | None] = []
             for key in pdf[key_col]:
+                # a NULL in a nullable integral key column promotes the
+                # whole pandas column to float64 (Arrow -> pandas), so
+                # keys arrive as 1.0 / NaN — a real REST fetcher would
+                # build 'posts/1.0/comments'. Skip NULLs (no endpoint to
+                # fetch) and restore the integral type before the call.
+                if pd.isna(key):
+                    continue
+                if integral_key:
+                    key = int(key)
                 recs = fetcher(key)
                 if not recs:
                     if not skip_empty:
@@ -97,15 +109,20 @@ def keyed_fanout_source(
                     out_raw.append(json.dumps(rec))
             yield pd.DataFrame({"_key": out_keys, "raw": out_raw})
 
-    key_type = dict(keys.dtypes)[key_col]
     raw = keys.select(key_col).mapInPandas(fetch_batch, schema=f"_key {key_type}, raw string")
-    return raw.select(
+    parsed = raw.select(
         F.col("_key").alias(key_col),
         F.from_json("raw", schema, {"mode": "PERMISSIVE"}).alias("rec"),
-    ).select(key_col, "rec.*")
+    )
+    if key_col in schema.fieldNames():
+        # the record schema declares the key itself — emitting the
+        # driving-key helper column too would produce two identically
+        # named columns and break every downstream reference
+        return parsed.select("rec.*")
+    return parsed.select(key_col, "rec.*")
 
 
-def pages_for_latest(per_page: int = 30) -> Sequence[int]:
-    """The reference fetches exactly page 1 of `per_page` items
+def pages_for_latest() -> Sequence[int]:
+    """The reference fetches exactly page 1 of the default page size
     (``posts_pipeline.py:26``); kept as an explicit contract."""
     return (1,)

@@ -50,11 +50,14 @@ class RestPollStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows(poll)), {"poll": poll + 1}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # deterministic replay for recovery: re-fetch every poll in range
-        out = []
-        for poll in range(start["poll"], end["poll"]):
-            out.extend(self._rows(poll))
-        return iter(out)
+        # deterministic replay for recovery: re-fetch every poll in
+        # range, STREAMED — a list would materialize the whole recovery
+        # gap (thousands of polls after a long outage) on the driver
+        def gen():
+            for poll in range(start["poll"], end["poll"]):
+                yield from self._rows(poll)
+
+        return gen()
 
 
 class RestPollStreamDataSource(DataSource):
