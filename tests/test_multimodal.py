@@ -56,3 +56,23 @@ def test_sample_frames_expression_level(spark):
     assert all(len(bytes(f)) == 100 for f in got[1][:4])
     assert len(got[2]) == 1  # tiny payload → 1 frame
     assert bytes(got[2][0]) == b"tiny"
+
+
+def test_null_payloads_degrade_not_crash(spark):
+    """Review r5: a NULL payload must take the degrade-to-NULLs path
+    (empty-bytes decode), never a worker-killing bytes(None)."""
+    from tia_data_pipeline_spark.operators.multimodal import (
+        decode_payloads,
+        extract_media_features,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"P6 1 1 255 abc")), (2, None)], "id bigint, payload binary"
+    )
+    dec = {r["id"]: r.asDict() for r in decode_payloads(df).collect()}
+    assert dec[2]["format"] == "empty" and dec[2]["n_bytes"] == 0
+    rs = {r["id"]: r.asDict() for r in resize_images(df, target_w=8, target_h=8).collect()}
+    assert rs[2]["orig_bytes"] == 0
+    feats = {r["id"]: r.asDict() for r in extract_media_features(df).collect()}
+    assert feats[2]["kind"] == "unknown" and feats[2]["width"] is None

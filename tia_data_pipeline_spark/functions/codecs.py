@@ -123,16 +123,24 @@ def decode_bmp(payload: bytes) -> dict:
         "format": f"image/bmp;bpp={bpp}",
         "width": int(width),
         "height": abs(int(height)),  # negative height = top-down rows
-        "checksum": int(np.frombuffer(payload, dtype=np.uint8).sum()) % 2_147_483_647,
+        # header-only parse means header-only cost: cap the checksum at
+        # the first 1 KiB (same bound as fake_decode) — summing a 50 MB
+        # raster would make "metadata extraction" O(payload) per row
+        "checksum": int(np.frombuffer(payload[:1024], dtype=np.uint8).sum())
+        % 2_147_483_647,
     }
 
 
 # ---------------------------------------------------------------- WAV ----
-def decode_wav(payload: bytes) -> dict:
-    """RIFF/WAVE chunk walk → PCM stream metadata."""
+def _wav_chunks(payload: bytes) -> tuple[dict, int, int]:
+    """ONE RIFF chunk walk shared by decode_wav and wav_pcm — the two
+    walkers diverged once on the first-data-chunk rule, so there is
+    exactly one now. Returns (fmt meta, data offset, data size); the
+    FIRST data chunk wins (a flag, not size==0: a zero-length first
+    chunk must also win)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF WAVE")
-    i, meta, data_size, data_seen = 12, {}, 0, False
+    i, meta, data_off, data_size, data_seen = 12, {}, 0, 0, False
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         size = struct.unpack_from("<I", payload, i + 4)[0]
@@ -141,15 +149,16 @@ def decode_wav(payload: bytes) -> dict:
             bits = struct.unpack_from("<H", payload, i + 22)[0]
             meta = {"audio_format": fmt, "channels": ch, "sample_rate": rate, "bits": bits}
         elif cid == b"data" and not data_seen:
-            # FIRST data chunk wins — the same rule wav_pcm uses, so
-            # duration/sample metadata and the decoded PCM features
-            # always describe the same chunk on multi-data payloads
-            # (a flag, not size==0: a zero-length first chunk must
-            # also win, or the two walkers diverge again)
-            data_size, data_seen = size, True
+            data_off, data_size, data_seen = i + 8, size, True
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if not meta:
         raise ValueError("WAVE without fmt chunk")
+    return meta, data_off, data_size
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE chunk walk → PCM stream metadata."""
+    meta, _, data_size = _wav_chunks(payload)
     frame = meta["channels"] * max(meta["bits"] // 8, 1)
     n_samples = data_size // frame if frame else 0
     return {
@@ -221,17 +230,8 @@ def wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
     (n_frames, channels), plus the sample rate. 16-bit and 8-bit PCM
     (the uncompressed formats) decode for real; anything else raises
     and the caller falls back."""
-    meta = decode_wav(payload)
-    # locate the data chunk (decode_wav validated the RIFF structure)
-    i = 12
-    raw = b""
-    while i + 8 <= len(payload):
-        cid = payload[i : i + 4]
-        size = struct.unpack_from("<I", payload, i + 4)[0]
-        if cid == b"data":
-            raw = payload[i + 8 : i + 8 + size]
-            break
-        i += 8 + size + (size & 1)
+    meta, data_off, data_size = _wav_chunks(payload)
+    raw = payload[data_off : data_off + data_size] if data_size else b""
     bits, ch = meta["bits"], meta["channels"]
     if bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0

@@ -86,8 +86,11 @@ def decode_payloads(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # one bytes() materialization per payload (they can be MBs)
-            payloads = [bytes(p) for p in pdf[payload_col]]
+            # one bytes() materialization per payload (they can be MBs);
+            # NULL payloads stay empty bytes — the decode of b"" takes
+            # the same degrade-to-NULLs path as any undecodable input,
+            # never a worker-killing bytes(None)
+            payloads = [b"" if p is None else bytes(p) for p in pdf[payload_col]]
             out = pd.DataFrame([decode_fn(p) for p in payloads])
             out.insert(0, "id", pdf[id_col].to_numpy())
             out.insert(1, "n_bytes", [len(p) for p in payloads])
@@ -121,7 +124,7 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [bytes(p) for p in pdf[payload_col]]
+            payloads = [b"" if p is None else bytes(p) for p in pdf[payload_col]]
             resized = [fn(p, target_w, target_h) for p in payloads]
             yield pd.DataFrame(
                 {
@@ -205,7 +208,7 @@ def extract_media_features(
         for pdf in batches:
             rows = []
             for rid, p in zip(pdf[id_col], pdf[payload_col]):
-                payload = bytes(p)
+                payload = b"" if p is None else bytes(p)
                 kind = codecs.sniff_format(payload)
                 row = {"id": rid, "kind": kind, **base}
                 try:

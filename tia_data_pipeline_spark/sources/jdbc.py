@@ -94,6 +94,44 @@ _SQL_TYPES: dict[type, str] = {
 _RETRYABLE_SQLSTATES = ("40XL1", "40001", "40P01", "55P03", "23505")
 
 
+def _sqlstates_of(exc: Exception) -> set[str]:
+    """SQLState codes from a py4j-wrapped java exception CHAIN —
+    ``getSQLState()`` on each SQLException reached via
+    getNextException/getCause links. Message-substring matching alone
+    is dead code on Postgres: PSQLException messages ('ERROR: deadlock
+    detected') never contain the '40P01' text."""
+    states: set[str] = set()
+    je = getattr(exc, "java_exception", None)
+    for _ in range(10):  # bounded chain walk
+        if je is None:
+            break
+        try:
+            state = je.getSQLState()
+            if state:
+                states.add(str(state))
+        except Exception:  # noqa: BLE001 — not an SQLException link
+            pass
+        nxt = None
+        for meth in ("getNextException", "getCause"):
+            try:
+                cand = getattr(je, meth)()
+            except Exception:  # noqa: BLE001
+                continue
+            if cand is not None and not cand.equals(je):
+                nxt = cand
+                break
+        je = nxt
+    return states
+
+
+def _is_retryable(exc: Exception) -> bool:
+    if _sqlstates_of(exc) & set(_RETRYABLE_SQLSTATES):
+        return True
+    # fallback for drivers that embed the state in the message (Derby)
+    msg = str(exc)
+    return any(code in msg for code in _RETRYABLE_SQLSTATES)
+
+
 def _sql_type(dt: T.DataType) -> str:
     if isinstance(dt, T.DecimalType):
         return f"DECIMAL({dt.precision},{dt.scale})"
@@ -238,7 +276,16 @@ def jdbc_merge_upsert(
 
     merge = insert_if_absent_sql(url, table, staging, cols, keys)
     spark = incoming.sparkSession
-    conn = _driver_connection(spark, url, properties)
+    try:
+        conn = _driver_connection(spark, url, properties)
+    except Exception:
+        # the staging copy is already written by the executors; without
+        # a control connection it cannot be dropped — name it so
+        # retried runs don't accumulate full-size _stg_* tables silently
+        warnings.warn(
+            f"driver connection failed after staging write; {staging} left behind"
+        )
+        raise
     try:
         st = conn.createStatement()
         try:
@@ -247,9 +294,7 @@ def jdbc_merge_upsert(
                     st.executeUpdate(merge)
                     break
                 except Exception as exc:  # noqa: BLE001
-                    msg = str(exc)
-                    retryable = any(code in msg for code in _RETRYABLE_SQLSTATES)
-                    if not retryable or attempt == merge_retries - 1:
+                    if not _is_retryable(exc) or attempt == merge_retries - 1:
                         raise
                     time.sleep(0.05 * (attempt + 1))
         except Exception:
