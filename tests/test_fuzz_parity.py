@@ -247,3 +247,43 @@ def test_integer_log_nanonat_fuzz_vs_duckdb(spark):
     diffs = [abs(got[i] - duck[i]) for i in got]
     assert max(diffs) <= 4, f"ulp wobble exceeded bound: {max(diffs)}"
     assert sum(d == 0 for d in diffs) >= int(0.98 * len(diffs))
+
+
+def test_cosine_fuzz_including_zero_vectors_vs_duckdb(spark):
+    """Review r5: bare list_cosine_similarity returns -1.0 for a
+    zero-norm vector where the Spark form yields NULL; cosine_sql's
+    guard must state Spark's semantics exactly — fuzzed over random
+    vectors with planted zeros."""
+    import random
+
+    from tia_data_pipeline_spark.functions.vectors import cosine_similarity, cosine_sql
+
+    rng = random.Random(77)
+    rows = []
+    for i in range(200):
+        a = [rng.gauss(0, 1) for _ in range(8)]
+        b = [rng.gauss(0, 1) for _ in range(8)]
+        if i % 7 == 0:
+            a = [0.0] * 8
+        if i % 11 == 0:
+            b = [0.0] * 8
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "i int, a array<double>, b array<double>")
+    from tia_data_pipeline_spark.functions.text import portable_round
+
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", portable_round(cosine_similarity(F.col("a"), F.col("b")), 6).alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, a DOUBLE[], b DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    duck = dict(
+        con.sql(
+            f"SELECT i, {portable_round_sql(cosine_sql('a', 'b'), 6)} FROM t"
+        ).fetchall()
+    )
+    assert got == duck
+    assert any(v is None for v in got.values())  # the zero-vector rows

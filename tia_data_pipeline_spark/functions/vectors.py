@@ -45,5 +45,14 @@ def dot_sql(a: str, b: str) -> str:
 
 
 def cosine_sql(a: str, b: str) -> str:
-    """DuckDB fragment matching :func:`cosine_similarity`."""
-    return f"list_cosine_similarity(({a})::DOUBLE[], ({b})::DOUBLE[])"
+    """DuckDB fragment matching :func:`cosine_similarity` INCLUDING the
+    zero-norm case: bare ``list_cosine_similarity`` returns -1.0 for a
+    zero vector (verified on DuckDB 1.0.0) where the Spark form yields
+    NULL, so the guard states Spark's ``denom > 0`` condition via
+    self-dot-products (sum of squares > 0 ⟺ norm > 0, exactly)."""
+    ad, bd = f"({a})::DOUBLE[]", f"({b})::DOUBLE[]"
+    return (
+        f"CASE WHEN list_dot_product({ad}, {ad}) > 0 "
+        f"AND list_dot_product({bd}, {bd}) > 0 "
+        f"THEN list_cosine_similarity({ad}, {bd}) END"
+    )

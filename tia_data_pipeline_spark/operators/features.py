@@ -90,8 +90,13 @@ def zscore_pandas(
     this computable-in-SQL case — kept as the pattern for logic that
     isn't."""
     scale = float(10**decimals)
+    # derive id/key types from the input schema — hardcoding bigint
+    # would make any string/other-typed key fail at Arrow conversion,
+    # an undeclared precondition the expression form doesn't have
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = ", ".join(
-        [f"{c} bigint" for c in id_cols] + [f"{key_col} bigint", f"{value_col} double", "zscore double"]
+        [f"{c} {in_types[c]}" for c in id_cols]
+        + [f"{key_col} {in_types[key_col]}", f"{value_col} double", "zscore double"]
     )
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:

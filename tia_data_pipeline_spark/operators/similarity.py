@@ -75,7 +75,15 @@ def brute_force_top_k(
     top-k compiles to TakeOrderedAndProject (no total sort). Ordering is
     on the *rounded* score with the id as tiebreak so the k-boundary is
     deterministic across engines.
+
+    SINGLE-probe by contract: with several probe rows the un-keyed
+    cross join would interleave scores across probes and the global
+    limit would return a meaningless mixed top-k — guarded here (the
+    probe is a tiny frame, so the check is a trivial job); batch probes
+    belong to knn_join.
     """
+    if probe.limit(2).count() > 1:
+        raise ValueError("brute_force_top_k takes a ONE-row probe; use knn_join for batches")
     p = F.broadcast(probe.select(F.col(vec_col).alias("_probe_vec")))
     scored = corpus.crossJoin(p).select(
         F.col(id_col),
@@ -231,15 +239,16 @@ def ivf_top_k(
     across all queries; no oracle (k-means isn't cross-engine
     reproducible), so this is a rows-only / structurally-tested path.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    with_vec = corpus.withColumn("_mlvec", array_to_vector(F.col(vec_col).cast("array<double>")))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_mlvec", predictionCol="_cell")
-    model = km.fit(_kmeans_fit_input(with_vec, id_col, fit_sample_max, seed))
-    assigned = model.transform(with_vec)
-
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    # one fit/assign implementation: ivf_build_index (which also drops
+    # the heavy _mlvec column — previously leaked through the join here)
+    assigned, centers = ivf_build_index(
+        corpus,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_lists=n_lists,
+        seed=seed,
+        fit_sample_max=fit_sample_max,
+    )
 
     def _dist2(vec: Column, center: list[float]) -> Column:
         c = F.array(*[F.lit(v) for v in center])
@@ -399,11 +408,13 @@ def knn_join_bucketed(
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("_corpus_vec"),
+        l2_norm(F.col(vec_col)).alias("_c_norm"),
         _sign_bits(F.col(vec_col), proj).alias("_bucket"),
     )
     pb = probes.select(
         F.col(probe_id_col).alias("_probe_id"),
         F.col(vec_col).alias("_probe_vec"),
+        l2_norm(F.col(vec_col)).alias("_p_norm"),
         _sign_bits(F.col(vec_col), proj).alias("_pbucket"),
     )
     if hamming_probe == 0:
@@ -413,14 +424,14 @@ def knn_join_bucketed(
             F.col("_pbucket"),
             *[F.expr(f"_pbucket ^ {1 << i}") for i in range(n_bits)],
         )
-    p = pb.select("_probe_id", "_probe_vec", F.explode(probed).alias("_bucket"))
+    p = pb.select("_probe_id", "_probe_vec", "_p_norm", F.explode(probed).alias("_bucket"))
     cand = c.join(p.hint("SHUFFLE_HASH"), "_bucket")
+    denom = F.col("_c_norm") * F.col("_p_norm")
+    score = F.when(denom > 0, dot(F.col("_corpus_vec"), F.col("_probe_vec")) / denom)
     scored = cand.select(
         F.col("_probe_id").alias(probe_id_col),
         F.col(id_col),
-        portable_round(
-            cosine_similarity(F.col("_corpus_vec"), F.col("_probe_vec")), 6
-        ).alias("score"),
+        portable_round(score, 6).alias("score"),
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
@@ -455,17 +466,26 @@ def knn_join(
     """
     from pyspark.sql.window import Window
 
+    # norms precompute per ROW on each side (the file-wide rule the
+    # pair-expansion operators follow): scoring a pair then costs one
+    # dot fold, not three — identical doubles, the denominators are
+    # the same sqrt values cosine_similarity would produce
     p = F.broadcast(
         probes.select(
-            F.col(probe_id_col).alias("_probe_id"), F.col(vec_col).alias("_probe_vec")
+            F.col(probe_id_col).alias("_probe_id"),
+            F.col(vec_col).alias("_probe_vec"),
+            l2_norm(F.col(vec_col)).alias("_p_norm"),
         )
     )
-    scored = corpus.crossJoin(p).select(
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_c_norm")
+    )
+    denom = F.col("_c_norm") * F.col("_p_norm")
+    score = F.when(denom > 0, dot(F.col(vec_col), F.col("_probe_vec")) / denom)
+    scored = c.crossJoin(p).select(
         F.col("_probe_id").alias(probe_id_col),
         F.col(id_col),
-        portable_round(cosine_similarity(F.col(vec_col), F.col("_probe_vec")), 6).alias(
-            "score"
-        ),
+        portable_round(score, 6).alias("score"),
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
