@@ -154,6 +154,9 @@ TAIL_COVERED_BY = {
     # demoted in round 5 (4x green) for q_bm25 / q_winsorize:
     "q_ngram_jaccard": "q_dedup_components",
     "q_quantiles": "q_winsorize",
+    # demoted in round 5 (1x green) for q_ols_trend / q_gini:
+    "q_repetition": "q_gopher_quality",
+    "q_collocations": "q_vocab_coverage",
     # demoted in round 4 (each 2x/3x driver-green) to verify the ten
     # round-3 tail queries that had zero driver rows:
     "q_proj_alias": "q_ts_normalize",
@@ -588,3 +591,22 @@ def test_winsorize_shares_group_partitioning(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "ReadSchema: struct<event_type:string,value:double>" in p
+
+
+def test_ols_trend_window_and_agg_share_partitioning(spark):
+    """The per-group min-x window and the moment aggregate must share
+    ONE (event_type) hash partitioning; moments are decimal(38,0)
+    HashAggregate, not an Object buffer."""
+    p = plan_of(spark, "q_ols_trend")
+    assert p.count("hashpartitioning(event_type") == 1
+    assert "ObjectHashAggregate" not in p
+    assert "ReadSchema: struct<ts:timestamp,event_type:string,value:double>" in p
+
+
+def test_gini_window_and_agg_share_partitioning(spark):
+    """Rank window and moment aggregate share one (source)
+    partitioning; no explode anywhere (token count is a narrow
+    projection)."""
+    p = plan_of(spark, "q_gini")
+    assert p.count("hashpartitioning(source") == 1
+    assert "Generate" not in p

@@ -45,6 +45,8 @@ CONTRACT_ORDER = [
     "q_tok_fertility",
     "q_bm25",
     "q_winsorize",
+    "q_ols_trend",
+    "q_gini",
     # -- round-4 rotation: the ten round-3 queries that landed in the
     #    tail with zero driver rows go first (never-driver-verified-
     #    first policy); ten 2x/3x-driver-green rows demoted in exchange.
@@ -53,8 +55,6 @@ CONTRACT_ORDER = [
     "q_cohort_retention",
     "q_funnel",
     "q_scd2",
-    "q_repetition",
-    "q_collocations",
     "q_feature_hash",
     "q_data_quality",
     "q_chunking",
@@ -124,6 +124,8 @@ CONTRACT_ORDER = [
     "q_text_tokens",  # ext-text-analysis: 4x green; q_gopher_quality/q_token_entropy/q_tok_fertility keep the family in-cap
     "q_ngram_jaccard",  # exact-Jaccard pairs: 4x green; q_dedup_components/q_edit_distance keep the fuzzy family in-cap
     "q_quantiles",  # interpolated percentiles: 4x green; q_winsorize keeps exact order-stats in-cap
+    "q_repetition",  # Gopher repetition rules: 1x green; q_gopher_quality keeps the rule family in-cap
+    "q_collocations",  # PMI pairs: 1x green; q_vocab_coverage keeps corpus-level token stats in-cap
     # -- demoted in round 4 (each 3x driver-green) to make room for the
     #    curation tier above.
     "q_lang_id",  # ext-text-analysis: 3x green; q_text_tokens/q_gopher_quality keep the family in-cap

@@ -674,3 +674,80 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(F.col("sum_c") / (F.col("n") * 100.0), 6).alias("mean"),
         portable_round(F.col("wsum_c") / (F.col("n") * 100.0), 6).alias("win_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ols_trend — per-group least-squares trend over event time
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_ols_trend",
+    oracle=(
+        "WITH e AS (SELECT event_type, "
+        "  epoch_us(ts::TIMESTAMP) // 1000000 AS xs, "
+        f"  {_CENTS} AS cents FROM events), "
+        "r AS (SELECT event_type, cents, "
+        "  xs - min(xs) OVER (PARTITION BY event_type) AS x FROM e), "
+        "g AS (SELECT event_type, count(*)::BIGINT AS n, "
+        "  sum(x)::BIGINT AS sx, sum(cents)::BIGINT AS sy, "
+        "  sum(x * cents) AS sxy, sum(x * x) AS sxx "
+        "  FROM r GROUP BY event_type) "
+        "SELECT event_type, n, "
+        f"  {portable_round_sql('sy::DOUBLE / n / 100.0', 6)} AS mean_value, "
+        "  CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0 THEN "
+        + portable_round_sql(
+            "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) "
+            "/ (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * 86400.0 / 100.0",
+            6,
+        )
+        + " END AS slope_per_day FROM g"
+    ),
+    covers="trend detection (extension: per-group exact-moment OLS slope)",
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of value over time: the OLS slope
+    (value units per DAY) from exact integer moments — the metric-drift
+    detector a monitoring pipeline fits per series.
+
+    Exactness: x is whole seconds RE-BASED per group (x − min(x), so
+    x ≤ the window span and x² stays far from 2^62), y is integer
+    cents; Σx/Σy are bigint and Σxy/Σx² accumulate as decimal(38,0)
+    (the q_zscore discipline — group sums of products are unbounded
+    even when each product fits; DuckDB's HUGEINT matches decimal
+    exactly). The slope combines the sums in ONE fixed double op
+    sequence identical to the oracle text, so both engines round the
+    same doubles. Groups with a degenerate time axis (all events at
+    one instant) yield NULL.
+
+    Scale shape: the per-group min-window and the moment aggregate
+    share one (event_type) hash partitioning; output is |groups| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("xs"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "cents",
+        (F.col("xs") - F.min("xs").over(w)).alias("x"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    g = r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum((dec("x") * dec("cents")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((dec("x") * dec("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxyd, sxxd = (F.col(c).cast("double") for c in ("sxy", "sxx"))
+    den = nd * sxxd - sxd * sxd
+    slope = (nd * sxyd - sxd * syd) / den * 86400.0 / 100.0
+    return g.select(
+        "event_type",
+        "n",
+        portable_round(syd / nd / 100.0, 6).alias("mean_value"),
+        F.when(den > 0, portable_round(slope, 6)).alias("slope_per_day"),
+    )

@@ -1178,3 +1178,66 @@ def q_jsd_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd"),
     ).drop("ta", "tb")
+
+
+# ---------------------------------------------------------------------------
+# q_gini — token-mass inequality per source
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_gini",
+    oracle=(
+        "WITH per AS (SELECT source, doc_id, {wc} AS x FROM documents), "
+        "r AS (SELECT source, x, "
+        "  row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS rn FROM per), "
+        "g AS (SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, "
+        "  sum(rn * x) AS swx FROM r GROUP BY source) "
+        "SELECT source, n AS n_docs, sx AS total_tokens, "
+        "  CASE WHEN sx > 0 AND n > 1 THEN "
+        "{gini}"
+        "  END AS gini FROM g"
+    ).format(
+        wc=TX.word_count_sql("text"),
+        gini=TX.portable_round_sql(
+            "(2.0 * swx::DOUBLE - (n::DOUBLE + 1.0) * sx::DOUBLE) / (n::DOUBLE * sx::DOUBLE)",
+            6,
+        ),
+    ),
+    covers="training-data curation (token-mass inequality: per-source Gini coefficient)",
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-document token mass within each
+    source — the inequality report that flags sources dominated by a
+    few huge documents (mixture weights assume doc-level mass is
+    representative; a high-Gini source needs length-capping first).
+
+    Exactness: ranks are integers from a tiebroken sort, Σx and
+    Σ(rank·x) are exact integer aggregates (rank·x stays far below
+    2^62: rank ≤ group rows, x ≤ doc tokens), and the Gini formula
+    G = (2Σ(i·xᵢ) − (n+1)Σx)/(nΣx) over ASCENDING-sorted x combines
+    them in one fixed double sequence. Ties make Σ(i·x) permutation-
+    invariant within the tied block (equal x ⇒ block sum = x·Σi), so
+    the statistic is deterministic under any partitioning.
+
+    Scale shape: the rank window and the moment aggregate share one
+    (source) hash partitioning; the token count is a narrow per-row
+    projection (no explode); output is |sources| rows."""
+    per = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", TX.word_count(F.col("text")).alias("x")
+    )
+    wr = Window.partitionBy("source").orderBy("x", "doc_id")
+    r = per.select("source", "x", F.row_number().over(wr).alias("rn"))
+    g = r.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("rn").cast("bigint") * F.col("x")).alias("swx"),
+    )
+    nd, sxd, swxd = (F.col(c).cast("double") for c in ("n", "sx", "swx"))
+    gini = (2.0 * swxd - (nd + 1.0) * sxd) / (nd * sxd)
+    return g.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("sx").alias("total_tokens"),
+        F.when((F.col("sx") > 0) & (F.col("n") > 1), TX.portable_round(gini, 6)).alias("gini"),
+    )
