@@ -148,3 +148,47 @@ def test_events_stream_pins_confs_on_bare_session(spark, events_dir):
     events_stream(bare, events_dir)
     assert bare.conf.get("spark.sql.session.timeZone") == "UTC"
     assert bare.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "false"
+
+
+def test_stream_interval_join_equals_batch(spark, events_dir, tmp_path):
+    """Stream-stream watermarked interval join (view->purchase
+    attribution within 1h per user) must equal the batch twin on the
+    same input, with the two sides arriving across several
+    micro-batches (maxFilesPerTrigger splits the 6-file dir)."""
+    from tia_data_pipeline_spark.streaming.joins import (
+        interval_join_batch,
+        stream_interval_join,
+    )
+    from tia_data_pipeline_spark.streaming.windows import events_stream
+
+    ev = load_table(spark, SMOKE_SF, "events").select("event_id", "ts", "user_id", "event_type")
+    views_b = ev.filter(F.col("event_type") == "view")
+    buys_b = ev.filter(F.col("event_type") == "purchase")
+    expect = sorted(
+        (r["l_event_id"], r["r_event_id"])
+        for r in interval_join_batch(views_b, buys_b, within="1 hour").collect()
+    )
+    assert expect, "batch twin matched nothing — fixture no longer exercises the join"
+
+    s = events_stream(spark, events_dir, max_files_per_trigger=2).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    joined = stream_interval_join(
+        s.filter(F.col("event_type") == "view"),
+        s.filter(F.col("event_type") == "purchase"),
+        within="1 hour",
+        watermark="365 days",  # drain-everything test: no late-drop semantics in play
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_stream")
+        .option("checkpointLocation", str(tmp_path / "ij_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["l_event_id"], r["r_event_id"]) for r in spark.table("ij_stream").collect()
+    )
+    assert got == expect

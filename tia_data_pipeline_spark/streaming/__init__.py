@@ -1,5 +1,9 @@
 """Structured Streaming forms of the incremental pipelines."""
 
+from tia_data_pipeline_spark.streaming.joins import (
+    interval_join_batch,
+    stream_interval_join,
+)
 from tia_data_pipeline_spark.streaming.sinks import stream_upsert_jdbc
 from tia_data_pipeline_spark.streaming.windows import (
     stream_daily_counts,
@@ -14,4 +18,6 @@ __all__ = [
     "stream_session_windows",
     "run_available_now",
     "stream_upsert_jdbc",
+    "interval_join_batch",
+    "stream_interval_join",
 ]
