@@ -34,11 +34,12 @@ CONTRACT_ORDER = [
     #    q_approx_distinct (HLL++ sketch, structurally no_oracle every
     #    round) demoted to the tail in exchange (VERDICT r4 #1).
     "q_fuzzy_dedup",
-    # -- round-5 additions (never driver-seen): four new operator
-    #    families — iterative integer PageRank, two-sample KS drift,
-    #    Jensen-Shannon mixture divergence, tokenizer fertility. Four
-    #    multi-green redundant variants demoted in exchange (families
-    #    keep in-cap representatives; see TAIL_COVERED_BY).
+    # -- round-5 additions (never driver-seen), three batches / eight
+    #    queries: integer PageRank, KS drift, JSD mixture divergence,
+    #    tokenizer fertility, BM25 retrieval, winsorized stats, OLS
+    #    trend, Gini inequality. Eight driver-green redundant variants
+    #    demoted in exchange (each family keeps an in-cap
+    #    representative; see TAIL_COVERED_BY).
     "q_pagerank",
     "q_ks_drift",
     "q_jsd_mix",
@@ -116,8 +117,8 @@ CONTRACT_ORDER = [
     # -- demoted in round 5: permanently rows-only (HLL++ estimate has
     #    no hash-matchable oracle; driver recorded no_oracle r3+r4).
     "q_approx_distinct",  # sketch agg: rows-only by design; q_count_distinct/q_agg_count cover exact counts
-    # -- demoted in round 5 (each 2-4x driver-green) to make room for
-    #    the four new operator families above.
+    # -- demoted in round 5 (each 1-4x driver-green) to make room for
+    #    the eight new round-5 queries above.
     "q_session_window",  # ext-stream-windows: 2x green; q_daily_window keeps both window ops in-cap
     "q_join_enrich",  # join-enrich: 4x green; the flagship q_revenue_by_segment is the same broadcast-enrich join
     "q_embed_dedup",  # embedding near-dup pairs: 4x green; q_knn_join/q_ann_recall/q_embed_quantize keep the embedding family in-cap

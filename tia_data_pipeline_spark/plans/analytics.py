@@ -600,7 +600,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_winsorize",
     oracle=(
-        "WITH v AS (SELECT event_type, round(value * 100)::BIGINT AS cents FROM events), "
+        f"WITH v AS (SELECT event_type, {_CENTS} AS cents FROM events), "
         "r AS (SELECT event_type, cents, "
         "  row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn, "
         "  count(*) OVER (PARTITION BY event_type) AS n FROM v), "

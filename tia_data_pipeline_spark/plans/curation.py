@@ -997,7 +997,10 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # "snapshot A vs snapshot B": even- vs odd-numbered sources stand in
 # for two crawl snapshots whose length distributions are compared.
-_GA_EXPR = "CAST(substr(source, 4) AS INT) % 2 = 0"
+# TRY_CAST, not CAST: ANSI mode raises on a non-numeric suffix, so one
+# odd source name ('web-1') would abort the query; try_cast classifies
+# it deterministically (NULL % 2 = NULL -> the ELSE arm) on both engines.
+_GA_EXPR = "TRY_CAST(substr(source, 4) AS INT) % 2 = 0"
 
 
 @contract_query(
@@ -1212,9 +1215,10 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     few huge documents (mixture weights assume doc-level mass is
     representative; a high-Gini source needs length-capping first).
 
-    Exactness: ranks are integers from a tiebroken sort, Σx and
-    Σ(rank·x) are exact integer aggregates (rank·x stays far below
-    2^62: rank ≤ group rows, x ≤ doc tokens), and the Gini formula
+    Exactness: ranks are integers from a tiebroken sort, Σx is a
+    bigint aggregate and Σ(rank·x) accumulates as decimal(38,0) (each
+    term fits 2^62 but the group SUM grows ~n²·avg(x)/2 — the zscore
+    rule; DuckDB's HUGEINT accumulator matches), and the Gini formula
     G = (2Σ(i·xᵢ) − (n+1)Σx)/(nΣx) over ASCENDING-sorted x combines
     them in one fixed double sequence. Ties make Σ(i·x) permutation-
     invariant within the tied block (equal x ⇒ block sum = x·Σi), so
@@ -1228,10 +1232,14 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.partitionBy("source").orderBy("x", "doc_id")
     r = per.select("source", "x", F.row_number().over(wr).alias("rn"))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     g = r.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
-        F.sum(F.col("rn").cast("bigint") * F.col("x")).alias("swx"),
+        # decimal(38,0), not bigint: the SUM of rank-weighted terms
+        # grows ~n^2·avg(x)/2 — unbounded even though each term fits
+        # (the CLAUDE.md zscore rule); DuckDB's HUGEINT matches exactly
+        F.sum((dec("rn") * dec("x")).cast("decimal(38,0)")).alias("swx"),
     )
     nd, sxd, swxd = (F.col(c).cast("double") for c in ("n", "sx", "swx"))
     gini = (2.0 * swxd - (nd + 1.0) * sxd) / (nd * sxd)
