@@ -287,3 +287,31 @@ def test_cosine_fuzz_including_zero_vectors_vs_duckdb(spark):
     )
     assert got == duck
     assert any(v is None for v in got.values())  # the zero-vector rows
+
+
+def test_gopher_ellipsis_crlf_parity_vs_duckdb(spark):
+    """Review r5: Java's $ matches before a trailing \\r while RE2
+    (DuckDB) matches only end-of-text, so the ellipsis line test must
+    consume \\r before the anchor — pinned on CRLF, LF and bare lines."""
+    from tia_data_pipeline_spark.functions.text import gopher_rules, gopher_rules_sql
+
+    docs = [
+        (0, "foo...\r\nbar"),   # CRLF: the diverging case
+        (1, "foo...\nbar"),     # LF
+        (2, "foo..."),          # no terminator
+        (3, "foo... \t\r\nbar"),  # trailing blanks before CR
+        (4, "no dots\r\nhere"),
+    ]
+    df = spark.createDataFrame(docs, "i int, text string")
+    cols, _ = gopher_rules(F.col("text"))
+    got = {
+        r["i"]: float(r["e"])
+        for r in df.select("i", cols["ellipsis_frac"].alias("e")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+    sql_cols, _ = gopher_rules_sql("text")
+    duck = dict(con.sql(f"SELECT i, {sql_cols['ellipsis_frac']} FROM t").fetchall())
+    assert got == {k: float(v) for k, v in duck.items()}
+    assert got[0] == 0.5  # the CRLF ellipsis line counts on BOTH engines

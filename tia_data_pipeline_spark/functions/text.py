@@ -110,7 +110,7 @@ def word_count(col: Column) -> Column:
     """``len(content.split())`` — reference ``posts_pipeline.py:41``,
     ``comments_pipeline.py:74``. NULL→NULL, ''→0. BIGINT for
     cross-engine schema stability (DuckDB ``len()`` is BIGINT)."""
-    return F.coalesce(F.size(tokens(col)), F.lit(None)).cast("bigint")
+    return F.size(tokens(col)).cast("bigint")
 
 
 def word_count_sql(expr: str) -> str:
@@ -171,7 +171,7 @@ BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
 def bpe_token_count(col: Column) -> Column:
     """Count of BPE-ish tokens (letter runs / digit runs / punct marks)."""
     # regexp_count is Spark 3.5+; portable to DuckDB via the same pattern.
-    return F.coalesce(F.regexp_count(col, F.lit(BPE_RE)), F.lit(None)).cast("bigint")
+    return F.regexp_count(col, F.lit(BPE_RE)).cast("bigint")
 
 
 def bpe_token_count_sql(expr: str) -> str:
@@ -270,7 +270,9 @@ def quality_score(col: Column) -> Column:
     engines hash identically."""
     n_chars = F.length(col).cast("double")
     n_words = word_count(col).cast("double")
-    n_punct = F.length(F.regexp_replace(col, r"[^\.,;:!\?]", "")).cast("double")
+    # regexp_count, not regexp_replace+length: the replace form
+    # allocates a document-sized copy per row (see _script_count)
+    n_punct = F.regexp_count(col, F.lit(r"[\.,;:!\?]")).cast("double")
     len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
     punct_penalty = F.least(n_punct / F.greatest(n_chars, F.lit(1.0)) * 4.0, F.lit(1.0))
     avg_word_len = n_chars / F.greatest(n_words, F.lit(1.0))
@@ -283,7 +285,7 @@ def quality_score(col: Column) -> Column:
 def quality_score_sql(expr: str) -> str:
     n_chars = f"length({expr})::DOUBLE"
     n_words = f"({word_count_sql(expr)})::DOUBLE"
-    n_punct = f"length(regexp_replace({expr}, '[^\\.,;:!\\?]', '', 'g'))::DOUBLE"
+    n_punct = f"len(regexp_extract_all({expr}, '[\\.,;:!\\?]'))::DOUBLE"
     len_score = f"least({n_words} / 100.0, 1.0)"
     punct_penalty = f"least({n_punct} / greatest({n_chars}, 1.0) * 4.0, 1.0)"
     avg_word_len = f"({n_chars} / greatest({n_words}, 1.0))"
@@ -356,7 +358,11 @@ GOPHER_MAX_ELLIPSIS_FRAC = 0.3
 
 # \x{...} escapes: the one unicode form BOTH Java regex and RE2 parse.
 _BULLET_RE = r"^[ \t]*[-*\x{2022}]"  # line starts with -, *, or •
-_ELLIPSIS_RE = r"(\.\.\.|\x{2026})[ \t]*$"  # line ends with ... or …
+# \r in the pre-anchor class: Java $ matches just BEFORE a trailing
+# line terminator while RE2 (DuckDB) only matches end-of-text, so a
+# CRLF document ("foo...\r\n" -> line "foo...\r") would diverge
+# between the engines without it (empirically verified both ways).
+_ELLIPSIS_RE = r"(\.\.\.|\x{2026})[ \t\r]*$"  # line ends with ... or …
 _SYMBOL_RE = r"#|\.\.\.|\x{2026}"  # hash or ellipsis occurrences
 
 
@@ -371,7 +377,7 @@ def gopher_rules(col: Column) -> tuple[dict[str, Column], Column]:
     thresholds evaluated on the rounded metrics.
     """
     toks = tokens(col)
-    n_words = F.coalesce(F.size(toks), F.lit(None)).cast("bigint")
+    n_words = F.size(toks).cast("bigint")
     words_div = F.greatest(n_words.cast("double"), F.lit(1.0))
     # chars-in-words = doc length minus whitespace, over the same
     # pinned whitespace class the tokenizer uses.
