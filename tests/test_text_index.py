@@ -87,6 +87,24 @@ def test_df_denormalized_consistently(spark, index_path):
     assert bad == 0
 
 
+def test_bucket_modulus_persists_with_index(spark, tmp_path):
+    """Review r5: the serve path must take n_buckets from the index
+    itself — a non-default build modulus previously needed the caller
+    to repeat it, and a mismatch silently pruned away the partitions
+    holding the terms."""
+    from tia_data_pipeline_spark.plans.llm import _BM25_TERMS, q_bm25
+
+    path = str(tmp_path / "idx8")
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    build_text_index(docs, path, n_buckets=8)
+    got = [
+        tuple(r)
+        for r in bm25_search_indexed(spark, path, list(_BM25_TERMS), k=20).collect()
+    ]
+    expect = [tuple(r) for r in q_bm25(spark, SMOKE_SF).collect()]
+    assert got == expect
+
+
 def test_bad_args(spark, index_path):
     with pytest.raises(ValueError):
         bm25_search_indexed(spark, index_path, [])

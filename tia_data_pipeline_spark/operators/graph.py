@@ -341,6 +341,9 @@ def _pagerank_loop(
     hint = F.broadcast if small_rank_state else (lambda df: df)
     e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")).distinct()
     deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    # persisted for the loop; lifecycle is ContextCleaner-bounded (the
+    # cached blocks release once the returned plan is garbage-collected
+    # — same convention as membership_mark's word table)
     e_deg = e.join(deg, "_src").persist()
     nodes = (
         e.select(F.col("_src").alias("node"))
@@ -350,7 +353,7 @@ def _pagerank_loop(
     )
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.withColumn("rank_n", F.lit(scale).cast("bigint"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             e_deg.join(hint(ranks), e_deg["_src"] == ranks["node"])
             .select(F.col("_dst"), F.expr("rank_n div _deg").alias("_c"))
@@ -367,4 +370,10 @@ def _pagerank_loop(
                 ).alias("rank_n"),
             )
         )
+        # long runs flatten lineage periodically (the same escape hatch
+        # connected_components_twophase uses): each iteration nests two
+        # joins into the plan, and analyzer time goes super-linear past
+        # a few dozen levels. No-op at the fixed-iteration defaults.
+        if (it + 1) % 10 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

@@ -14,7 +14,9 @@ Layout under ``path``:
   needs no second aggregate over the index.
 - ``_doc_stats``: (doc_id, dl) — per-document token length for the
   BM25 length normalizer.
-- ``_corpus_stats``: one row (n_docs, total_tokens) — the scalars.
+- ``_corpus_stats``: one row (n_docs, total_tokens, n_buckets) — the
+  scalars plus the bucket modulus, so serving can never hash terms
+  with a different modulus than the build.
 
 Scoring is the q_bm25 arithmetic verbatim (``plans/llm.py``): idf as
 differences of integer-argument logs, tf saturation with cleared
@@ -71,9 +73,17 @@ def build_text_index(
 
     dl = base.select("doc_id", TX.word_count(F.col("text")).alias("dl"))
     dl.write.mode("overwrite").parquet(f"{path}/_doc_stats")
-    dl.agg(
+    # aggregate the JUST-WRITTEN stats table, not the source lineage:
+    # re-running the tokenize over the text corpus would double the
+    # stats phase for identical numbers (same rule as the shard
+    # writer's manifest). n_buckets persists WITH the index — a serve
+    # called with a different modulus would hash terms into the wrong
+    # partitions and silently return a partial top-k.
+    spark = docs.sparkSession
+    spark.read.parquet(f"{path}/_doc_stats").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tokens"),
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
 
 
@@ -83,7 +93,6 @@ def bm25_search_indexed(
     terms: list[str],
     *,
     k: int = 10,
-    n_buckets: int = 16,
 ) -> DataFrame:
     """Serve a BM25 top-k from the written index: the query terms'
     buckets are computed DRIVER-SIDE (a few xxhash64 calls via one tiny
@@ -93,6 +102,10 @@ def bm25_search_indexed(
     integer arithmetic, so the result equals the full-scan query."""
     if not terms:
         raise ValueError("terms must be non-empty")
+    # the bucket modulus comes from the index itself (one 1-row read)
+    n_buckets = int(
+        spark.read.parquet(f"{path}/_corpus_stats").collect()[0]["n_buckets"]
+    )
     bucket_rows = (
         spark.range(1)
         .select(

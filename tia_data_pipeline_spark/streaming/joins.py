@@ -45,12 +45,18 @@ def interval_join_batch(
     sides' identical schemas never collide."""
     l = _prefixed(left, "l_", key_col, ts_col)
     r = _prefixed(right, "r_", key_col, ts_col)
-    cond = (
+    return l.join(r, _interval_cond(within))
+
+
+def _interval_cond(within: str):
+    """ONE statement of the key + time-range predicate — the batch and
+    streaming twins must never drift (their equivalence IS the module's
+    contract)."""
+    return (
         (F.col("l__key") == F.col("r__key"))
         & (F.col("l__ts") <= F.col("r__ts"))
         & (F.col("l__ts") > F.col("r__ts") - F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond)
 
 
 def stream_interval_join(
@@ -71,9 +77,4 @@ def stream_interval_join(
     nothing, exactly like the batch twin on the delivered data."""
     l = _prefixed(left, "l_", key_col, ts_col).withWatermark("l__ts", watermark)
     r = _prefixed(right, "r_", key_col, ts_col).withWatermark("r__ts", watermark)
-    cond = (
-        (F.col("l__key") == F.col("r__key"))
-        & (F.col("l__ts") <= F.col("r__ts"))
-        & (F.col("l__ts") > F.col("r__ts") - F.expr(f"INTERVAL {within}"))
-    )
-    return l.join(r, cond)
+    return l.join(r, _interval_cond(within))
