@@ -222,3 +222,68 @@ def test_bloom_never_false_negative_randomized(spark):
             for r in bloom_prefilter(probe, "k", bloom, m_bits=m, k_hashes=kh).collect()
         }
         assert set(keys) <= passed, f"trial {trial}: false negative"
+
+
+def test_pagerank_mass_conservation_random_graph(spark):
+    """On a random graph with NO dangling nodes, total integer rank
+    mass is conserved up to truncation: N·scale ≥ Σrank ≥ N·scale −
+    loss bound (each node loses < 1 unit to integer division per edge
+    per iteration). Dangling nodes only ever LOWER the total."""
+    from tia_data_pipeline_spark.operators.graph import pagerank_integer
+
+    rng = random.Random(11)
+    n = 40
+    # every node gets at least one out-edge → no dangling mass loss
+    edges = [(i, rng.randrange(n)) for i in range(n)] + [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(80)
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    ranks = {r["node"]: r["rank_n"] for r in pagerank_integer(df, "src", "dst", iterations=4).collect()}
+    total = sum(ranks.values())
+    scale = 1_000_000_000
+    assert total <= len(ranks) * scale
+    # truncation loss: < (|E| + 2) units per iteration is generous
+    assert total >= len(ranks) * scale - 4 * (len(set(edges)) + len(ranks)) * 100
+    assert all(v >= 150_000_000 for v in ranks.values())  # >= base
+
+
+def test_ks_and_gini_bounds_random_inputs(spark):
+    """KS ∈ [0, 1] with 0 for identical samples; Gini ∈ [0, 1) with 0
+    for a perfectly equal distribution — checked via the same SQL the
+    contract queries state, on random and degenerate inputs."""
+    import duckdb
+
+    rng = random.Random(5)
+    vals_a = [rng.randrange(1, 500) for _ in range(300)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (val INT, ga INT)")
+    con.executemany("INSERT INTO v VALUES (?, ?)", [(v, 1) for v in vals_a] + [(v, 0) for v in vals_a])
+    ks_same = con.sql(
+        "WITH c AS (SELECT val, SUM(ga)::BIGINT ca, SUM(1-ga)::BIGINT cb FROM v GROUP BY val), "
+        "t AS (SELECT SUM(ca)::BIGINT na, SUM(cb)::BIGINT nb FROM c), "
+        "k AS (SELECT CAST(SUM(ca) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_a, "
+        "           CAST(SUM(cb) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_b FROM c) "
+        "SELECT MAX(ABS(cum_a*t.nb - cum_b*t.na))::DOUBLE / (t.na*t.nb) FROM k CROSS JOIN t GROUP BY t.na, t.nb"
+    ).fetchone()[0]
+    assert ks_same == 0.0
+
+    # gini: equal distribution -> 0; concentrated -> high but < 1
+    eq = spark.createDataFrame([(i, 10) for i in range(50)], "doc_id bigint, x bigint")
+    conc = spark.createDataFrame(
+        [(i, 1) for i in range(49)] + [(49, 10_000)], "doc_id bigint, x bigint"
+    )
+    from pyspark.sql.window import Window
+
+    def gini_of(df):
+        wr = Window.orderBy("x", "doc_id")
+        r = df.select("x", F.row_number().over(wr).alias("rn"))
+        row = r.agg(
+            F.count("*").alias("n"), F.sum("x").alias("sx"),
+            F.sum(F.col("rn") * F.col("x")).alias("swx"),
+        ).collect()[0]
+        n, sx, swx = float(row["n"]), float(row["sx"]), float(row["swx"])
+        return (2.0 * swx - (n + 1.0) * sx) / (n * sx)
+
+    assert abs(gini_of(eq)) < 1e-12
+    g = gini_of(conc)
+    assert 0.9 < g < 1.0
