@@ -90,3 +90,68 @@ def test_full_curation_to_shards(spark, tmp_path):
     # manifest accounts for every token
     man_total = read_shard_manifest(spark, out).agg(F.sum("n_tokens")).collect()[0][0]
     assert man_total == clean.agg(F.sum("n_tok")).collect()[0][0]
+
+
+def test_release_gate_statistics_on_shards(spark, tmp_path):
+    """Round-5 extension of the end-to-end story: after sharding, the
+    RELEASE GATE statistics a pipeline would publish alongside the
+    artifact — per-shard Gini of token mass (no shard dominated by a
+    few huge docs), KS drift between the shards' length distributions
+    (hash assignment should make shards statistically alike), and a
+    retrieval index built ON the artifact that serves sane results."""
+    from pyspark.sql.window import Window
+
+    from tia_data_pipeline_spark.operators.text_index import (
+        bm25_search_indexed,
+        build_text_index,
+    )
+    from tia_data_pipeline_spark.sources.shards import write_training_shards
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    clean = docs.withColumn("n_tok", word_count(F.col("text")))
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        clean, out, key_col="doc_id", weight_col="n_tok", tokens_per_shard=8_000
+    )
+    back = spark.read.parquet(out)
+
+    # Gini per shard: hash assignment mixes doc sizes, so no shard
+    # should be grossly more unequal than the corpus itself
+    wr = Window.partitionBy("shard").orderBy("n_tok", "doc_id")
+    r = back.select("shard", "n_tok", "doc_id", F.row_number().over(wr).alias("rn"))
+    g = r.groupBy("shard").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("sx"),
+        F.sum(F.col("rn").cast("bigint") * F.col("n_tok")).alias("swx"),
+    )
+    ginis = [
+        (2.0 * row["swx"] - (row["n"] + 1.0) * row["sx"]) / (row["n"] * row["sx"])
+        for row in g.collect()
+    ]
+    assert ginis and all(0.0 <= x < 0.7 for x in ginis), ginis
+
+    # KS between shard 0 and the rest: same underlying distribution →
+    # small statistic (hash split ≈ random split)
+    counts = (
+        back.groupBy("n_tok")
+        .agg(
+            F.sum(F.when(F.col("shard") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("shard") != 0, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    wv = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb")).collect()[0]
+    ks_num = (
+        counts.select(
+            F.sum("ca").over(wv).alias("cum_a"), F.sum("cb").over(wv).alias("cum_b")
+        )
+        .agg(F.max(F.abs(F.col("cum_a") * tot["nb"] - F.col("cum_b") * tot["na"])))
+        .collect()[0][0]
+    )
+    ks = ks_num / (tot["na"] * tot["nb"])
+    assert ks < 0.2, f"hash shards drifted apart: KS={ks}"
+
+    # retrieval index on the artifact serves plausible results
+    idx = str(tmp_path / "idx")
+    build_text_index(back.select("doc_id", "text"), idx)
+    hits = bm25_search_indexed(spark, idx, ["spark", "join"], k=5).collect()
+    assert len(hits) == 5 and all(h["score"] is not None for h in hits)
