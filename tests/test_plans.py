@@ -154,9 +154,10 @@ TAIL_COVERED_BY = {
     # demoted in round 5 (4x green) for q_bm25 / q_winsorize:
     "q_ngram_jaccard": "q_dedup_components",
     "q_quantiles": "q_winsorize",
-    # demoted in round 5 (1x green) for q_ols_trend / q_gini:
+    # demoted in round 5 (1x green) for q_ols_trend / q_gini / q_autocorr:
     "q_repetition": "q_gopher_quality",
     "q_collocations": "q_vocab_coverage",
+    "q_knn_bucketed": "q_knn_join",
     # demoted in round 4 (each 2x/3x driver-green) to verify the ten
     # round-3 tail queries that had zero driver rows:
     "q_proj_alias": "q_ts_normalize",

@@ -48,6 +48,7 @@ CONTRACT_ORDER = [
     "q_winsorize",
     "q_ols_trend",
     "q_gini",
+    "q_autocorr",
     # -- round-4 rotation: the ten round-3 queries that landed in the
     #    tail with zero driver rows go first (never-driver-verified-
     #    first policy); ten 2x/3x-driver-green rows demoted in exchange.
@@ -59,8 +60,6 @@ CONTRACT_ORDER = [
     "q_feature_hash",
     "q_data_quality",
     "q_chunking",
-    # -- round-4 additions (never driver-seen)
-    "q_knn_bucketed",
     # -- round-4 curation tier (never driver-seen)
     "q_source_mix",
     "q_split_assign",
@@ -127,6 +126,7 @@ CONTRACT_ORDER = [
     "q_quantiles",  # interpolated percentiles: 4x green; q_winsorize keeps exact order-stats in-cap
     "q_repetition",  # Gopher repetition rules: 1x green; q_gopher_quality keeps the rule family in-cap
     "q_collocations",  # PMI pairs: 1x green; q_vocab_coverage keeps corpus-level token stats in-cap
+    "q_knn_bucketed",  # bucketed batch k-NN: 1x green; q_knn_join/q_ann_recall keep the family in-cap
     # -- demoted in round 4 (each 3x driver-green) to make room for the
     #    curation tier above.
     "q_lang_id",  # ext-text-analysis: 3x green; q_text_tokens/q_gopher_quality keep the family in-cap

@@ -751,3 +751,78 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(syd / nd / 100.0, 6).alias("mean_value"),
         F.when(den > 0, portable_round(slope, 6)).alias("slope_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_autocorr — lag-1 autocorrelation of the daily event series
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_autocorr",
+    oracle=(
+        "WITH d AS (SELECT date_trunc('day', ts::TIMESTAMP) AS day, "
+        "  count(*)::BIGINT AS x FROM events GROUP BY day), "
+        "p AS (SELECT x, lead(x) OVER (ORDER BY day) AS y FROM d), "
+        "q AS (SELECT * FROM p WHERE y IS NOT NULL), "
+        "g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, "
+        "  sum(y)::BIGINT AS sy, sum(x * y) AS sxy, "
+        "  sum(x * x) AS sxx, sum(y * y) AS syy FROM q) "
+        "SELECT n AS n_pairs, "
+        f"  {portable_round_sql('sx::DOUBLE / n', 6)} AS mean_daily, "
+        "  CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) "
+        "         * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0 THEN "
+        + portable_round_sql(
+            "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) "
+            "/ sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) "
+            "     * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))",
+            6,
+        )
+        + " END AS autocorr FROM g"
+    ),
+    covers="time-series diagnostics (extension: lag-1 autocorrelation of daily volume)",
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Pearson autocorrelation of the daily event count — the
+    serial-dependence diagnostic behind seasonality/anomaly monitors
+    (near 0: volume is memoryless day to day; near ±1: strong
+    trend/alternation, so day-grain resampling is unsafe).
+
+    Exactness: daily counts are exact bigints; the (x, next-day) pairs
+    come from one lead() over the ~|days| collapsed series (the
+    single-partition window runs over the aggregated grid, q_quantiles
+    caveat); Σx/Σy are bigint and the product sums accumulate as
+    decimal(38,0) (daily counts square past 2^62 at warehouse volume —
+    the zscore rule), then one fixed double sequence shared with the
+    oracle text. A constant series (zero variance) yields NULL.
+
+    Scale shape: the only corpus-sized work is the (day) aggregate —
+    partial counts collapse map-side; everything after runs on |days|
+    rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count("*").cast("bigint").alias("x"))
+    wd = Window.orderBy("day")
+    q = daily.select("day", "x", F.lead("x").over(wd).alias("y")).filter(
+        F.col("y").isNotNull()
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    g = q.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((dec("x") * dec("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((dec("x") * dec("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((dec("y") * dec("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxyd, sxxd, syyd = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    vx = nd * sxxd - sxd * sxd
+    vy = nd * syyd - syd * syd
+    r = (nd * sxyd - sxd * syd) / F.sqrt(vx * vy)
+    return g.select(
+        F.col("n").alias("n_pairs"),
+        portable_round(sxd / nd, 6).alias("mean_daily"),
+        F.when(vx * vy > 0, portable_round(r, 6)).alias("autocorr"),
+    )
