@@ -188,3 +188,37 @@ def test_chunking_overlap_semantics(spark):
     assert [len(t) for t in texts] == [40, 40, 40]
     assert texts[0] == words[0:40] and texts[1] == words[30:70] and texts[2] == words[60:100]
     assert texts[0][-10:] == texts[1][:10]  # exactly the overlap
+
+
+def test_null_text_parity_feature_hash_and_chunking(spark, tmp_path):
+    """Review r5 (latent NULL divergences): on a corpus containing a
+    NULL-text document, q_feature_hash must render the all-zeros vector
+    and q_chunking zero chunks — identically on both engines. The
+    driver corpus has no NULL texts, so this synthesizes one."""
+    import duckdb
+
+    from tests.oracle import assert_parity
+    from tia_data_pipeline_spark import plans
+
+    sf = str(tmp_path / "sf_null")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "src0", 30),
+            (2, None, "en", "src1", 0),
+            (3, "", "en", "src2", 0),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    for name in ("q_feature_hash", "q_chunking"):
+        q = plans.REGISTRY[name]
+        assert_parity(q.build(spark, sf), con.sql(q.oracle), name)
+    # explicit semantics: NULL text -> zeros vector / zero chunks
+    fh = {r["doc_id"]: r["features_json"] for r in plans.REGISTRY["q_feature_hash"].build(spark, sf).collect()}
+    assert fh[2] == "[" + ",".join(["0"] * 16) + "]"
+    ch = plans.REGISTRY["q_chunking"].build(spark, sf)
+    assert ch.filter(F.col("doc_id").isin(2, 3)).count() == 0

@@ -806,7 +806,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         bcnt.filter(F.col("cb") >= 5)
         .withColumn("w1", parts.getItem(0))
         .withColumn("w2", parts.getItem(1))
-        .filter(F.size(F.split(F.col("bg"), " ", -1)) == 2)
+        .filter(F.size(parts) == 2)
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
@@ -836,7 +836,10 @@ _FH_DIM = 16  # md5 first hex digit → 16 buckets, portable bit-for-bit
 @contract_query(
     "q_feature_hash",
     oracle=(
-        "SELECT doc_id, to_json([len(list_filter({t}, "
+        # coalesce to []: a NULL text must produce the all-zeros vector
+        # on BOTH engines (Spark's explode_outer path yields zero
+        # counts; bare list_filter(NULL) would render [null,null,...])
+        "SELECT doc_id, to_json([len(list_filter(coalesce({t}, []), "
         "  tok -> (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) = i)) "
         f"  FOR i IN range(0, {_FH_DIM})])::VARCHAR AS features_json "
         "FROM documents"
@@ -883,7 +886,7 @@ _STEP = _CHUNK - _OVERLAP
 
 _CHUNK_ORACLE = (
     "WITH base AS (SELECT doc_id, " + _DOC_TOKENS_SQL + " AS tk FROM documents), "
-    "sized AS (SELECT doc_id, tk, CASE WHEN len(tk) = 0 THEN 0 ELSE "
+    "sized AS (SELECT doc_id, tk, CASE WHEN coalesce(len(tk), 0) = 0 THEN 0 ELSE "
     "  greatest(1, (len(tk) - " + str(_OVERLAP) + " + " + str(_STEP) + " - 1) // "
     + str(_STEP) + ") END AS n_chunks FROM base) "
     "SELECT doc_id, u.chunk_id, u.chunk FROM ("
@@ -909,7 +912,10 @@ def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives arithmetically; empty docs produce zero chunks."""
     docs = _docs(spark, sf_dir)
     with_tk = docs.select("doc_id", TX.tokens(F.col("text")).alias("tk"))
-    n = F.size(F.col("tk"))
+    # coalesce(size, 0): size(NULL) is NULL, and greatest(1, NULL)
+    # returns 1 on both engines — a NULL-text doc would emit a spurious
+    # chunk ('' on Spark, NULL in the oracle) instead of zero chunks
+    n = F.coalesce(F.size(F.col("tk")), F.lit(0))
     n_chunks = F.when(n == 0, F.lit(0)).otherwise(
         F.greatest(F.lit(1), F.expr(f"(size(tk) - {_OVERLAP} + {_STEP} - 1) div {_STEP}"))
     )
