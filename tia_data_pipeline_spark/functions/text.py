@@ -312,10 +312,13 @@ def doc_fingerprint(col: Column) -> Column:
 
 
 def doc_fingerprint_sql(expr: str) -> str:
+    # NULL guard: the Spark fold yields NULL for NULL input, but
+    # list_prepend(0, NULL) is [0] in DuckDB and would reduce to 0
     return (
+        f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(0::BIGINT, "
         f"list_transform(regexp_split_to_array({expr}, ''), ch -> ascii(ch)::BIGINT)), "
-        f"(acc, c) -> (acc * 31 + c) % {_FP_MOD})"
+        f"(acc, c) -> (acc * 31 + c) % {_FP_MOD}) END"
     )
 
 # Kept-characters class for canonicalize: ASCII alnum + space + the

@@ -547,8 +547,9 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT source, n_tokens, "
         f"  {TX.portable_round_sql('n_tokens::DOUBLE / total', 6)} AS share, "
         f"  {TX.portable_round_sql('w_u::DOUBLE / tot_w', 6)} AS temp_share, "
+        "  CASE WHEN n_tokens > 0 THEN "
         f"  {TX.portable_round_sql('(w_u::DOUBLE / tot_w) / (n_tokens::DOUBLE / total)', 4)} "
-        "  AS boost "
+        "  END AS boost "
         "FROM f"
     ).format(wc=TX.word_count_sql("text")),
     covers="training-data curation (temperature-reweighted mixture: share^tau sampling weights)",
@@ -601,7 +602,11 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         TX.portable_round(share, 6).alias("share"),
         TX.portable_round(temp_share, 6).alias("temp_share"),
-        TX.portable_round(temp_share / share, 4).alias("boost"),
+        # a zero-token source has no defined boost (its share is 0):
+        # NULL on both engines instead of an ANSI divide-by-zero abort
+        F.when(
+            F.col("n_tokens") > 0, TX.portable_round(temp_share / share, 4)
+        ).alias("boost"),
     )
 
 

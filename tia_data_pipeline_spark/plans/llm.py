@@ -167,8 +167,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_resize_meta",
     oracle=(
-        "SELECT doc_id, strlen(text)::BIGINT AS orig_bytes, "
-        "(CASE WHEN strlen(text) = 0 THEN 0 ELSE (224*224)//512 END)::BIGINT "
+        # coalesce: the multimodal operators treat a NULL payload as
+        # empty bytes (degrade-to-NULLs posture), so the oracle's size
+        # law must too
+        "SELECT doc_id, coalesce(strlen(text), 0)::BIGINT AS orig_bytes, "
+        "(CASE WHEN coalesce(strlen(text), 0) = 0 THEN 0 ELSE (224*224)//512 END)::BIGINT "
         "AS resized_bytes, 224::INTEGER AS width, 224::INTEGER AS height "
         "FROM documents"
     ),
@@ -952,8 +955,12 @@ def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).format(
         wc=TX.word_count_sql("text"),
         bpe=TX.bpe_token_count_sql("text"),
-        fert=TX.portable_round_sql("SUM(n_bpe)::DOUBLE / SUM(n_words)", 6),
-        cpt=TX.portable_round_sql("SUM(n_chars)::DOUBLE / SUM(n_bpe)", 6),
+        fert="CASE WHEN SUM(n_words) > 0 THEN "
+        + TX.portable_round_sql("SUM(n_bpe)::DOUBLE / SUM(n_words)", 6)
+        + " END",
+        cpt="CASE WHEN SUM(n_bpe) > 0 THEN "
+        + TX.portable_round_sql("SUM(n_chars)::DOUBLE / SUM(n_bpe)", 6)
+        + " END",
     ),
     covers="ext-text-analysis (tokenizer fertility: subword/word and chars/subword per language)",
 )
@@ -982,12 +989,16 @@ def q_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("bigint").alias("n_words"),
         F.sum("n_bpe").cast("bigint").alias("n_bpe"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
-        TX.portable_round(F.sum("n_bpe").cast("double") / F.sum("n_words"), 6).alias(
-            "fertility"
-        ),
-        TX.portable_round(F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6).alias(
-            "chars_per_token"
-        ),
+        # a language slice of empty/NULL docs has no defined ratios:
+        # NULL, not an ANSI divide-by-zero abort
+        F.when(
+            F.sum("n_words") > 0,
+            TX.portable_round(F.sum("n_bpe").cast("double") / F.sum("n_words"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.sum("n_bpe") > 0,
+            TX.portable_round(F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6),
+        ).alias("chars_per_token"),
     )
 
 
