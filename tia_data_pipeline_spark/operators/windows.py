@@ -25,9 +25,15 @@ def daily_window(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     latter. Two-phase hash aggregate; at scale the input is
     partition-pruned by the same day column. The money sum goes through
     exact integer cents (order-independent, oracle-stable).
+
+    Event-time precondition, stated explicitly: rows without a
+    timestamp are excluded (F.window would silently drop them anyway
+    while a SQL date_trunc would emit a NULL group — the explicit
+    filter makes both engines agree by construction).
     """
     return (
-        events.groupBy(F.window(F.col(ts_col), "1 day").alias("w"))
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.window(F.col(ts_col), "1 day").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
             money_sum(F.col("value"), decimals=2).alias("sum_value"),
@@ -41,9 +47,12 @@ def sliding_window(
 ) -> DataFrame:
     """Sliding window (width 1h, slide 15m): each event lands in
     width/slide windows. Spark's native `window()` does the fan-out
-    JVM-side; the oracle reproduces it by exploding k∈[0,4)."""
+    JVM-side; the oracle reproduces it by exploding k∈[0,4). NULL
+    timestamps are excluded explicitly (same rationale as
+    daily_window)."""
     return (
-        events.groupBy(F.window(F.col(ts_col), width, slide).alias("w"))
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.window(F.col(ts_col), width, slide).alias("w"))
         .agg(
             F.count("*").alias("n_events"),
             money_sum(F.col("value"), count_expr=F.count("*"), decimals=2).alias("avg_value"),
@@ -76,6 +85,12 @@ def sessionize(
     bare-session drift should degrade to the same values, not an
     AnalysisException).
     """
+    # sessionization REQUIRES a key and a time: a NULL in either has
+    # no session semantics, and NULL ordering diverges across engines
+    # (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST), so the
+    # precondition is an explicit filter both the oracle and the
+    # streaming form state identically
+    events = events.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
     w_order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     gap_us = gap_minutes * 60 * 1_000_000
     ts_instant = F.col(ts_col).cast("timestamp")
@@ -119,6 +134,9 @@ def cohort_retention(
     swap ``countDistinct`` for ``approx_count_distinct`` — the exact
     form is the oracle-checkable baseline.
     """
+    # cohorts need an identified user and a timestamp (precondition
+    # stated explicitly; see sessionize)
+    events = events.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
     day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(key_col)
     with_cohort = events.select(F.col(key_col), day.alias("_day")).withColumn(

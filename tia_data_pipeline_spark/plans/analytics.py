@@ -78,7 +78,7 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_frames",
     oracle=(
         "WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, "
-        f"{_CENTS} AS cents FROM events) "
+        f"{_CENTS} AS cents FROM events WHERE ts IS NOT NULL) "
         "SELECT event_id, user_id, "
         "(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "  ROWS UNBOUNDED PRECEDING))::BIGINT::DOUBLE / 100.0 AS running_value, "
@@ -94,7 +94,9 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running total and 3-row moving average over the event
     stream — frame aggregates in exact integer cents. One shuffle on
     user_id serves both frames (same window partitioning)."""
-    events = load_table(spark, sf_dir, "events")
+    # frames are event-time ordered: rows without a timestamp are
+    # excluded explicitly (NULL ordering diverges across engines)
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     cents = F.round(F.col("value") * 100).cast("bigint")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -427,7 +429,8 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_cohort_retention",
     oracle=(
-        "WITH d AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day FROM events), "
+        "WITH d AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day FROM events "
+        "  WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
         "c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id) "
         "SELECT c.cohort_day, date_diff('day', c.cohort_day, d.day)::BIGINT AS day_offset, "
         "count(DISTINCT d.user_id)::BIGINT AS n_users "
@@ -600,7 +603,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_winsorize",
     oracle=(
-        f"WITH v AS (SELECT event_type, {_CENTS} AS cents FROM events), "
+        f"WITH v AS (SELECT event_type, {_CENTS} AS cents FROM events "
+        "  WHERE value IS NOT NULL), "
         "r AS (SELECT event_type, cents, "
         "  row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn, "
         "  count(*) OVER (PARTITION BY event_type) AS n FROM v), "
@@ -640,7 +644,10 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by the group's row count only in the rank window's sort
     (the standard per-partition sort, spillable); no global sort
     anywhere."""
-    ev = load_table(spark, sf_dir, "events").select(
+    # order statistics are over OBSERVED measurements: NULL values are
+    # excluded explicitly (they also rank NULLS FIRST on Spark vs
+    # NULLS LAST on DuckDB, so leaving them in diverges the ranks)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
         "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
     )
     wr = Window.partitionBy("event_type").orderBy("cents")
@@ -762,7 +769,7 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_autocorr",
     oracle=(
         "WITH d AS (SELECT date_trunc('day', ts::TIMESTAMP) AS day, "
-        "  count(*)::BIGINT AS x FROM events GROUP BY day), "
+        "  count(*)::BIGINT AS x FROM events WHERE ts IS NOT NULL GROUP BY day), "
         "p AS (SELECT x, lead(x) OVER (ORDER BY day) AS y FROM d), "
         "q AS (SELECT * FROM p WHERE y IS NOT NULL), "
         "g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, "
@@ -799,7 +806,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the only corpus-sized work is the (day) aggregate —
     partial counts collapse map-side; everything after runs on |days|
     rows."""
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         F.date_trunc("day", F.col("ts")).alias("day")
     )
     daily = ev.groupBy("day").agg(F.count("*").cast("bigint").alias("x"))

@@ -23,7 +23,8 @@ _SLIDE_US = 15 * 60 * 1_000_000
     "q_daily_window",
     oracle=(
         "SELECT date_trunc('day', ts::TIMESTAMP) AS day, count(*) AS n_events, "
-        f"{money_sum_sql('value', decimals=2)} AS sum_value FROM events GROUP BY 1"
+        f"{money_sum_sql('value', decimals=2)} AS sum_value "
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1"
     ),
     covers="inc-window (comments_pipeline.py:27-33,107)",
 )
@@ -36,7 +37,7 @@ def q_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_sliding_window",
     oracle=(
-        "WITH e AS (SELECT ts::TIMESTAMP AS ts, value FROM events) "
+        "WITH e AS (SELECT ts::TIMESTAMP AS ts, value FROM events WHERE ts IS NOT NULL) "
         "SELECT make_timestamp((epoch_us(ts) // {slide} - k) * {slide}) AS window_start, "
         "count(*) AS n_events, {avg} AS avg_value "
         "FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) "
@@ -117,7 +118,8 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_session_window",
     oracle=(
-        "WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events), "
+        "WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events "
+        "  WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
         "flagged AS ("
         "  SELECT user_id, event_id, ts, "
         "    CASE WHEN lag(ts) OVER w IS NULL "
