@@ -120,3 +120,66 @@ def test_event_query_parity_on_null_corpus(spark, null_events_sf, null_events_du
     sides, pinned here."""
     q = plans.REGISTRY[name]
     assert_parity(q.build(spark, null_events_sf), null_events_duck.sql(q.oracle), name)
+
+
+_REL_TABLES = ("orders", "lineitem", "customer", "supplier", "nation", "region", "part")
+
+
+def _relational_queries():
+    return [
+        name
+        for name, q in plans.REGISTRY.items()
+        if q.oracle is not None and any(t in q.oracle for t in _REL_TABLES)
+    ]
+
+
+@pytest.fixture(scope="module")
+def null_rel_sf(spark, tmp_path_factory):
+    """The sf0.001 star schema plus hostile rows: NULL order/line keys,
+    a NULL order date, a NULL supplier FK, a NULL customer key."""
+    from tests.conftest import SMOKE_SF
+    from tia_data_pipeline_spark.catalog import TABLES, load_table
+
+    sf = str(tmp_path_factory.mktemp("null_rel") / "sf")
+    for t in TABLES:
+        df = load_table(spark, SMOKE_SF, t)
+        if t in ("orders", "lineitem", "customer"):
+            r = df.limit(1).collect()[0].asDict()
+            extras = []
+            if t == "orders":
+                r2 = dict(r); r2["o_orderkey"] = 99999901; r2["o_orderdate"] = None
+                r3 = dict(r); r3["o_orderkey"] = None
+                extras = [r2, r3]
+            elif t == "lineitem":
+                r2 = dict(r); r2["l_orderkey"] = 99999902; r2["l_suppkey"] = None
+                r3 = dict(r); r3["l_orderkey"] = None; r3["l_linenumber"] = 1
+                extras = [r2, r3]
+            else:
+                r2 = dict(r); r2["c_custkey"] = None
+                extras = [r2]
+            df = df.unionByName(spark.createDataFrame(extras, df.schema))
+        df.write.mode("overwrite").parquet(f"{sf}/{t}.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def null_rel_duck(null_rel_sf):
+    from tia_data_pipeline_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{null_rel_sf}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", _relational_queries())
+def test_relational_query_parity_on_null_corpus(spark, null_rel_sf, null_rel_duck, name):
+    """NULL keys in the star schema: NOT IN collapses to zero rows on
+    one NULL (the q_antijoin_incr oracle bug this suite caught), while
+    the engine's merge family is deliberately null-safe — oracles must
+    state NOT EXISTS / IS NOT DISTINCT FROM semantics."""
+    q = plans.REGISTRY[name]
+    assert_parity(q.build(spark, null_rel_sf), null_rel_duck.sql(q.oracle), name)

@@ -141,10 +141,17 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_antijoin_incr",
     oracle=(
-        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate "
-        "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
-        "AND o_orderkey NOT IN ("
-        "  SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')"
+        # NOT EXISTS with IS NOT DISTINCT FROM, never NOT IN: one NULL
+        # key in the existing set makes NOT IN return UNKNOWN for EVERY
+        # row (zero results), while the engine's merge-family anti-join
+        # is deliberately null-safe (a NULL key matches itself — the
+        # CLAUDE.md eqNullSafe invariant); the oracle must state the
+        # same semantics.
+        "SELECT i.o_orderkey, i.o_custkey, i.o_totalprice, i.o_orderdate "
+        "FROM orders i WHERE i.o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND NOT EXISTS ("
+        "  SELECT 1 FROM orders e WHERE e.o_orderdate < TIMESTAMP '1998-01-01' "
+        "  AND e.o_orderkey IS NOT DISTINCT FROM i.o_orderkey)"
     ),
     covers="antijoin-incr (posts_pipeline.py:57 across batches)",
 )
