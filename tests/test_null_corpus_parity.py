@@ -183,3 +183,60 @@ def test_relational_query_parity_on_null_corpus(spark, null_rel_sf, null_rel_duc
     state NOT EXISTS / IS NOT DISTINCT FROM semantics."""
     q = plans.REGISTRY[name]
     assert_parity(q.build(spark, null_rel_sf), null_rel_duck.sql(q.oracle), name)
+
+
+_EMB_OTHER = ("documents", "events", "orders", "lineitem", "customer",
+              "supplier", "nation", "region", "part")
+
+
+def _embedding_queries():
+    return [
+        name
+        for name, q in plans.REGISTRY.items()
+        if q.oracle is not None
+        and "embeddings" in q.oracle
+        and not any(t in q.oracle for t in _EMB_OTHER)
+    ]
+
+
+@pytest.fixture(scope="module")
+def null_emb_sf(spark, tmp_path_factory):
+    """sf0.001 embeddings plus a NULL vector, an all-zeros vector, and
+    a NULL label."""
+    from tests.conftest import SMOKE_SF
+    from tia_data_pipeline_spark.catalog import load_table
+
+    sf = str(tmp_path_factory.mktemp("null_emb") / "sf")
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+    dim = len(emb.limit(1).collect()[0]["embedding"])
+    base = emb.limit(1).collect()[0].asDict()
+    extras = [
+        {"vec_id": 990001, "embedding": None, "label": 1},
+        {"vec_id": 990002, "embedding": [0.0] * dim, "label": 2},
+        {"vec_id": 990003, "embedding": base["embedding"], "label": None},
+    ]
+    emb.unionByName(spark.createDataFrame(extras, emb.schema)).write.parquet(
+        f"{sf}/embeddings.parquet"
+    )
+    return sf
+
+
+@pytest.fixture(scope="module")
+def null_emb_duck(null_emb_sf):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{null_emb_sf}/embeddings.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _embedding_queries())
+def test_embedding_query_parity_on_null_corpus(spark, null_emb_sf, null_emb_duck, name):
+    """NULL / zero-norm vectors: DuckDB's list_dot_product RAISES on a
+    NULL list (the bucket oracles), Spark's sign-bit fold silently
+    lands NULL vectors in bucket 0, and bare list_cosine_similarity
+    returns -1.0 for zero norm — the LSH paths exclude NULL vectors
+    explicitly and cosine_sql guards zero norms."""
+    q = plans.REGISTRY[name]
+    assert_parity(q.build(spark, null_emb_sf), null_emb_duck.sql(q.oracle), name)

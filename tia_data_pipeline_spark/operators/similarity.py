@@ -112,6 +112,10 @@ def embedding_near_duplicates(
     the projection bit count (fewer bits → bigger buckets → higher
     recall, more compute)."""
     proj = proj if proj is not None else projection_matrix()
+    # a row without a vector cannot be similar to anything — exclude it
+    # explicitly (sign_bits of a NULL array would otherwise land NULL
+    # vectors together in bucket 0)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     # Norms are precomputed per vector BEFORE pair expansion: cosine on
     # a pair then needs only the dot product, not 2 more O(dim) folds —
     # each vector's norm is computed once instead of once per pair.
@@ -158,7 +162,10 @@ def lsh_top_k(
     """
     proj = proj if proj is not None else projection_matrix()
     n_bits = len(proj)
-    bucketed = corpus.withColumn("_bucket", _sign_bits(F.col(vec_col), proj))
+    # NULL vectors are never candidates (see embedding_near_duplicates)
+    bucketed = corpus.filter(F.col(vec_col).isNotNull()).withColumn(
+        "_bucket", _sign_bits(F.col(vec_col), proj)
+    )
     probe_b = F.broadcast(
         probe.select(
             F.col(vec_col).alias("_probe_vec"),

@@ -241,7 +241,8 @@ _PROJ = SIM.projection_matrix()
         f"{_bucket_sql('embedding', _PROJ)} AS probe_bucket "
         "FROM embeddings WHERE vec_id = 0), "
         "cand AS (SELECT vec_id, embedding, probe_vec FROM embeddings, probe "
-        f"WHERE vec_id <> 0 AND {_bucket_sql('embedding', _PROJ)} = probe_bucket) "
+        "WHERE vec_id <> 0 AND embedding IS NOT NULL "
+        f"AND {_bucket_sql('embedding', _PROJ)} = probe_bucket) "
         f"SELECT vec_id, {TX.portable_round_sql(cosine_sql('embedding', 'probe_vec'), 6)} AS score "
         "FROM cand ORDER BY score DESC, vec_id ASC LIMIT 10"
     ),
@@ -263,7 +264,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_bucket_sql('embedding', _PROJ)} AS probe_bucket "
         "FROM embeddings WHERE vec_id = 0), "
         "cand AS (SELECT vec_id, embedding, probe_vec FROM embeddings, probe "
-        f"WHERE vec_id <> 0 AND {_bucket_sql('embedding', _PROJ)} IN "
+        "WHERE vec_id <> 0 AND embedding IS NOT NULL "
+        f"AND {_bucket_sql('embedding', _PROJ)} IN "
         "(probe_bucket, " + ", ".join(f"xor(probe_bucket, {1 << i})" for i in range(len(_PROJ)))
         + ")) "
         f"SELECT vec_id, {TX.portable_round_sql(cosine_sql('embedding', 'probe_vec'), 6)} AS score "
@@ -293,7 +295,8 @@ _EMBED_DEDUP_TAU = 0.35  # the synthetic corpus is isotropic-random
     "q_embed_dedup",
     oracle=(
         "WITH b AS (SELECT vec_id, embedding, "
-        f"{_bucket_sql('embedding', _PROJ4)} AS bucket FROM embeddings), "
+        f"{_bucket_sql('embedding', _PROJ4)} AS bucket FROM embeddings "
+        "  WHERE embedding IS NOT NULL), "
         "pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, "
         f"  {TX.portable_round_sql(cosine_sql('a.embedding', 'b2.embedding'), 6)} AS score "
         "  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) "
