@@ -315,3 +315,57 @@ def test_gopher_ellipsis_crlf_parity_vs_duckdb(spark):
     duck = dict(con.sql(f"SELECT i, {sql_cols['ellipsis_frac']} FROM t").fetchall())
     assert got == {k: float(v) for k, v in duck.items()}
     assert got[0] == 0.5  # the CRLF ellipsis line counts on BOTH engines
+
+
+def test_string_function_pairs_fuzz_vs_duckdb(spark):
+    """Differential fuzz of EVERY string-function pair over adversarial
+    text (unicode line separators, CRLF, CJK, NBSP, ellipses, emails /
+    phones / IPs adjacent to word and non-word chars). Caught in round
+    5: Java's $ matches before a trailing line terminator (U+2028 made
+    strip_ws delete an interior space -> \\z everywhere), and Java's
+    \\b is Unicode-aware while RE2's is ASCII (CJK-adjacent IPs
+    redacted on DuckDB only -> explicit guard classes)."""
+    import random
+
+    from tia_data_pipeline_spark.functions import text as TXF
+
+    rng = random.Random(31337)
+    alphabet = (
+        list("abcdefghij XYZ0123456789.,;:!?#…")
+        + ["...", "\t", "\n", "\r\n", "\r", " ", " ", "　",
+           "der ", "die ", "the ", "el ", "le ", "und ", "日本語", "漢字",
+           "a@b.co", "+1-555-123-4567", "192.168.0.1", "-", "--", "'", '"']
+    )
+    cases = []
+    for i in range(400):
+        n = rng.randrange(0, 40)
+        cases.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    df = spark.createDataFrame(cases, "i int, s string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+
+    pairs = [
+        ("word_count", TXF.word_count(F.col("s")), TXF.word_count_sql("s")),
+        ("bpe", TXF.bpe_token_count(F.col("s")), TXF.bpe_token_count_sql("s")),
+        ("quality", TXF.quality_score(F.col("s")), TXF.quality_score_sql("s")),
+        ("lang_id", TXF.lang_id(F.col("s")), TXF.lang_id_sql("s")),
+        ("canonicalize", TXF.canonicalize(F.col("s")), TXF.canonicalize_sql("s")),
+        ("fingerprint", TXF.doc_fingerprint(F.col("s")), TXF.doc_fingerprint_sql("s")),
+    ]
+    g_cols, g_keep = TXF.gopher_rules(F.col("s"))
+    gs_cols, gs_keep = TXF.gopher_rules_sql("s")
+    pairs += [(f"gopher.{k}", g_cols[k], gs_cols[k]) for k in g_cols]
+    pairs.append(("gopher.keep", g_keep, gs_keep))
+    red_col, red_counts = TXF.redact_pii(F.col("s"))
+    red_sql, red_counts_sql = TXF.redact_pii_sql("s")
+    pairs.append(("pii.redacted", red_col, red_sql))
+    pairs += [(f"pii.{k}", red_counts[k], red_counts_sql[k]) for k in red_counts]
+
+    for name, spark_col, sql_frag in pairs:
+        got = {r["i"]: r["v"] for r in df.select("i", spark_col.alias("v")).collect()}
+        duck = dict(con.sql(f"SELECT i, {sql_frag} FROM t").fetchall())
+        bad = [i for i in got if got[i] != duck[i]]
+        assert not bad, f"{name}: {len(bad)} mismatches, first: " + repr(
+            (cases[bad[0]][1], got[bad[0]], duck[bad[0]])
+        )

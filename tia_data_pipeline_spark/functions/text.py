@@ -65,7 +65,11 @@ def money_sum_sql(expr: str, count_expr: str | None = None, decimals: int = 4) -
 
 # One whitespace class shared by engine (Java regex) and oracle (RE2).
 WS_CLASS = r"[ \t\n\r\f\x0B]"
-_TRIM_RE = f"^{WS_CLASS}+|{WS_CLASS}+$"
+# \z, never $: Java's $ also matches BEFORE a trailing line terminator
+# (\n \r \u0085 \u2028 \u2029), so `WS+$` deletes an interior space
+# in "a \u2028" on Spark while RE2's $ (end-of-text) does not —
+# fuzz-caught; \z means end-of-text in BOTH engines.
+_TRIM_RE = f"^{WS_CLASS}+|{WS_CLASS}+\\z"
 _SPLIT_RE = f"{WS_CLASS}+"
 
 
@@ -78,7 +82,7 @@ def strip_ws(col: Column) -> Column:
 def strip_ws_sql(expr: str) -> str:
     """DuckDB fragment equivalent to :func:`strip_ws` (RE2 needs the
     explicit ``'g'`` flag — DuckDB replaces first match by default)."""
-    return f"regexp_replace({expr}, '^{WS_CLASS}+|{WS_CLASS}+$', '', 'g')"
+    return f"regexp_replace({expr}, '^{WS_CLASS}+|{WS_CLASS}+\\z', '', 'g')"
 
 
 def tokens(col: Column) -> Column:
@@ -123,7 +127,9 @@ def normalize_iso_timestamp(col: Column) -> Column:
     ``posts_pipeline.py:38-39``: only 19-char ``YYYY-MM-DDTHH:MM:SS``
     strings are rewritten; fractional/offset forms pass through
     untouched (length ≠ 19)."""
-    is_bare_iso = col.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$")
+    # \z: Java's $ would also accept a 20-char string ending in a line
+    # terminator, violating the documented exactly-19-char contract
+    is_bare_iso = col.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\z")
     return F.when(is_bare_iso, F.regexp_replace(col, "T", " ")).otherwise(col)
 
 
@@ -334,7 +340,7 @@ def canonicalize(col: Column) -> Column:
     lowered = F.lower(col)
     no_punct = F.regexp_replace(lowered, _CANON_KEEP, " ")
     collapsed = F.regexp_replace(no_punct, " +", " ")
-    return F.regexp_replace(collapsed, "^ +| +$", "")
+    return F.regexp_replace(collapsed, "^ +| +\\z", "")
 
 
 def canonicalize_sql(expr: str) -> str:
@@ -342,7 +348,7 @@ def canonicalize_sql(expr: str) -> str:
     lowered = f"lower({expr})"
     no_punct = f"regexp_replace({lowered}, '{_CANON_KEEP}', ' ', 'g')"
     collapsed = f"regexp_replace({no_punct}, ' +', ' ', 'g')"
-    return f"regexp_replace({collapsed}, '^ +| +$', '', 'g')"
+    return f"regexp_replace({collapsed}, '^ +| +\\z', '', 'g')"
 
 
 # --------------------------------------------------------------------------
@@ -365,7 +371,7 @@ _BULLET_RE = r"^[ \t]*[-*\x{2022}]"  # line starts with -, *, or •
 # line terminator while RE2 (DuckDB) only matches end-of-text, so a
 # CRLF document ("foo...\r\n" -> line "foo...\r") would diverge
 # between the engines without it (empirically verified both ways).
-_ELLIPSIS_RE = r"(\.\.\.|\x{2026})[ \t\r]*$"  # line ends with ... or …
+_ELLIPSIS_RE = r"(\.\.\.|\x{2026})[ \t\r]*\z"  # line ends with ... or …
 _SYMBOL_RE = r"#|\.\.\.|\x{2026}"  # hash or ellipsis occurrences
 
 
@@ -457,10 +463,14 @@ def gopher_rules_sql(expr: str) -> tuple[dict[str, str], str]:
 # PII redaction (emails / IPv4 / phone-like runs)
 # --------------------------------------------------------------------------
 # Patterns restricted to constructs Java regex and RE2 interpret
-# identically: ASCII classes, bounded repetition, \b word boundaries —
-# no backreferences, no lookaround (RE2 has neither).
+# identically: ASCII classes, bounded repetition, \A/\z anchors — no
+# backreferences, no lookaround (RE2 has neither), and NO \b: Java's
+# \b is Unicode-aware (CJK counts as word chars) while RE2's is ASCII,
+# so "漢字192.168.0.1" matched on DuckDB but not Spark (fuzz-caught).
+# The IP guard is therefore explicit consuming character classes with
+# capture groups restored in the replacement.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_IPV4_RE = r"(\A|[^0-9.])((?:\d{1,3}\.){3}\d{1,3})(\z|[^0-9.])"
 PII_PHONE_RE = r"\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]?\d{0,4}"
 
 
@@ -480,7 +490,8 @@ def redact_pii(col: Column) -> tuple[Column, dict[str, Column]]:
         "n_phones": F.regexp_count(col, F.lit(PII_PHONE_RE)).cast("bigint"),
     }
     redacted = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
-    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "<IP>")
+    # $1/$3 restore the consumed guard characters around the IP
+    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "$1<IP>$3")
     redacted = F.regexp_replace(redacted, PII_PHONE_RE, "<PHONE>")
     return redacted, counts
 
@@ -493,6 +504,6 @@ def redact_pii_sql(expr: str) -> tuple[str, dict[str, str]]:
         "n_phones": f"len(regexp_extract_all({expr}, '{PII_PHONE_RE}'))",
     }
     redacted = f"regexp_replace({expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
-    redacted = f"regexp_replace({redacted}, '{PII_IPV4_RE}', '<IP>', 'g')"
+    redacted = f"regexp_replace({redacted}, '{PII_IPV4_RE}', '\\1<IP>\\3', 'g')"
     redacted = f"regexp_replace({redacted}, '{PII_PHONE_RE}', '<PHONE>', 'g')"
     return redacted, counts
