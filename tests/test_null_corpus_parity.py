@@ -240,3 +240,62 @@ def test_embedding_query_parity_on_null_corpus(spark, null_emb_sf, null_emb_duck
     explicitly and cosine_sql guards zero norms."""
     q = plans.REGISTRY[name]
     assert_parity(q.build(spark, null_emb_sf), null_emb_duck.sql(q.oracle), name)
+
+
+@pytest.fixture(scope="module")
+def historic_events_sf(spark, tmp_path_factory):
+    """Events with NEGATIVE epochs (pre-1970), the epoch-0 boundary,
+    odd microseconds and far-future (within pandas-ns range) — the
+    corpus that exposed // (truncate toward zero) vs floor window
+    alignment and INT64 product overflow before a HUGEINT sum."""
+    from datetime import datetime
+
+    sf = str(tmp_path_factory.mktemp("hist_events") / "sf")
+    times = [
+        datetime(1969, 12, 31, 23, 59, 59, 999999),
+        datetime(1969, 7, 20, 20, 17, 40, 500001),
+        datetime(1970, 1, 1, 0, 0, 0),
+        datetime(1970, 1, 1, 0, 0, 0, 1),
+        datetime(2200, 6, 15, 23, 47, 16, 854775),
+        datetime(1900, 1, 1, 12, 30, 15, 123456),
+    ]
+    rows = []
+    i = 0
+    for t in times:
+        for k in range(5):
+            rows.append(
+                (i, t.replace(minute=(t.minute + k) % 60), k % 3,
+                 ["view", "click", "purchase"][k % 3], float(k) + 0.25, None)
+            )
+            i += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def historic_events_duck(historic_events_sf):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{historic_events_sf}/events.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _event_only_queries())
+def test_event_query_parity_on_historic_timestamps(
+    spark, historic_events_sf, historic_events_duck, name
+):
+    """Negative epochs: DuckDB's // and Spark's div both truncate
+    toward zero while F.window FLOORS, so window-bucket oracles must
+    state floor division via exact modulus subtraction; century time
+    spans overflow INT64 per-term products, so moment oracles promote
+    to HUGEINT before multiplying (matching Spark's decimal path)."""
+    q = plans.REGISTRY[name]
+    assert_parity(
+        q.build(spark, historic_events_sf), historic_events_duck.sql(q.oracle), name
+    )

@@ -696,9 +696,13 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"  {_CENTS} AS cents FROM events), "
         "r AS (SELECT event_type, cents, "
         "  xs - min(xs) OVER (PARTITION BY event_type) AS x FROM e), "
+        # x::HUGEINT before multiplying: the per-term PRODUCT itself
+        # overflows INT64 for century-scale spans (x ~ 1.1e10 s ->
+        # x*x ~ 1.3e20) even though the HUGEINT sum would be fine —
+        # matching the Spark side's decimal(19)xdecimal(19) promotion
         "g AS (SELECT event_type, count(*)::BIGINT AS n, "
         "  sum(x)::BIGINT AS sx, sum(cents)::BIGINT AS sy, "
-        "  sum(x * cents) AS sxy, sum(x * x) AS sxx "
+        "  sum(x::HUGEINT * cents) AS sxy, sum(x::HUGEINT * x) AS sxx "
         "  FROM r GROUP BY event_type) "
         "SELECT event_type, n, "
         f"  {portable_round_sql('sy::DOUBLE / n / 100.0', 6)} AS mean_value, "
@@ -773,8 +777,8 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p AS (SELECT x, lead(x) OVER (ORDER BY day) AS y FROM d), "
         "q AS (SELECT * FROM p WHERE y IS NOT NULL), "
         "g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, "
-        "  sum(y)::BIGINT AS sy, sum(x * y) AS sxy, "
-        "  sum(x * x) AS sxx, sum(y * y) AS syy FROM q) "
+        "  sum(y)::BIGINT AS sy, sum(x::HUGEINT * y) AS sxy, "
+        "  sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy FROM q) "
         "SELECT n AS n_pairs, "
         f"  {portable_round_sql('sx::DOUBLE / n', 6)} AS mean_daily, "
         "  CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) "

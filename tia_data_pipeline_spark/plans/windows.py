@@ -37,8 +37,16 @@ def q_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_sliding_window",
     oracle=(
-        "WITH e AS (SELECT ts::TIMESTAMP AS ts, value FROM events WHERE ts IS NOT NULL) "
-        "SELECT make_timestamp((epoch_us(ts) // {slide} - k) * {slide}) AS window_start, "
+        # FLOOR division, not // : DuckDB's // (like Spark's div)
+        # truncates toward zero, which mis-aligns pre-1970 windows
+        # (negative epoch_us) one slide late while F.window floors —
+        # subtracting the positive modulus makes the numerator exactly
+        # divisible, so truncation == floor in pure integers.
+        "WITH e AS (SELECT ts::TIMESTAMP AS ts, value, "
+        "  (epoch_us(ts::TIMESTAMP) - ((epoch_us(ts::TIMESTAMP) % {slide}) + {slide}) % {slide}) "
+        "    // {slide} AS w0 "
+        "  FROM events WHERE ts IS NOT NULL) "
+        "SELECT make_timestamp((w0 - k) * {slide}) AS window_start, "
         "count(*) AS n_events, {avg} AS avg_value "
         "FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) "
         "GROUP BY 1".format(slide=_SLIDE_US, avg=money_sum_sql("value", "count(*)", 2))
