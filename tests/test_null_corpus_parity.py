@@ -299,3 +299,55 @@ def test_event_query_parity_on_historic_timestamps(
     assert_parity(
         q.build(spark, historic_events_sf), historic_events_duck.sql(q.oracle), name
     )
+
+
+@pytest.fixture(scope="module")
+def extreme_values_sf(spark, tmp_path_factory):
+    """Events with NaN, ±Inf, signed zero, rounding-boundary and
+    1e12-magnitude values — the corpus that exposed ANSI cast aborts
+    on NaN cents and INT64 overflow in the zscore oracle's cents²."""
+    from datetime import datetime
+
+    sf = str(tmp_path_factory.mktemp("extreme_vals") / "sf")
+    vals = [0.005, -0.005, 2.675, 1e12, -1e12, 0.0, -0.0, 1.005,
+            1234567.891, float("nan"), float("inf"), float("-inf")]
+    rows = []
+    i = 0
+    for v in vals:
+        for k in range(3):
+            rows.append(
+                (i, datetime(2024, 3, 1 + k, 9 + k, k), k % 4,
+                 ["view", "click", "purchase"][k % 3], v, None)
+            )
+            i += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def extreme_values_duck(extreme_values_sf):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{extreme_values_sf}/events.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _event_only_queries())
+def test_event_query_parity_on_extreme_values(
+    spark, extreme_values_sf, extreme_values_duck, name
+):
+    """Non-finite doubles are corrupt MEASUREMENTS: the row survives
+    (counts, windows) but the value nullifies (finite_value /
+    finite_value_sql) instead of aborting the ANSI cents cast; order
+    statistics drop the row; cents-squared sums promote to
+    HUGEINT/decimal before multiplying."""
+    q = plans.REGISTRY[name]
+    assert_parity(
+        q.build(spark, extreme_values_sf), extreme_values_duck.sql(q.oracle), name
+    )

@@ -73,6 +73,21 @@ _TRIM_RE = f"^{WS_CLASS}+|{WS_CLASS}+\\z"
 _SPLIT_RE = f"{WS_CLASS}+"
 
 
+def finite_value(col: Column) -> Column:
+    """A measurement column with non-finite doubles (NaN, ±Inf)
+    nullified — the 'corrupt measurement' posture: the ROW survives
+    (counts/windows still see it) but the value contributes nothing.
+    Under ANSI mode a NaN reaching ``round(v*100)::BIGINT`` would
+    otherwise abort the whole query; DuckDB twin:
+    :func:`finite_value_sql`. Finite values beyond cents-int64 range
+    (|v| ≥ ~9.2e16/100) remain a data-contract violation that raises."""
+    return F.when(~F.isnan(col) & (F.abs(col) != float("inf")), col)
+
+
+def finite_value_sql(expr: str) -> str:
+    return f"CASE WHEN isfinite({expr}) THEN {expr} END"
+
+
 def strip_ws(col: Column) -> Column:
     """Strip leading/trailing ASCII whitespace (regex trim; ``F.trim``
     only strips 0x20 so it cannot reproduce ``str.split()``)."""

@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tia_data_pipeline_spark.functions.text import portable_round, portable_round_sql
+from tia_data_pipeline_spark.functions.text import (
+    finite_value,
+    finite_value_sql,
+    portable_round,
+    portable_round_sql,
+)
 
 
 def zscore(
@@ -34,7 +39,9 @@ def zscore(
     """Per-key z-score of a 2-dp money column, deterministic across
     engines: integer moments, explicit sample-variance formula, one
     division order. Groups with zero variance (or n=1) yield NULL."""
-    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    # non-finite values nullify (corrupt measurement); both engines
+    # then run the identical NULL-skipping arithmetic
+    cents = F.round(finite_value(F.col(value_col)) * 100).cast("bigint")
     w = Window.partitionBy(key_col)
     n = F.count("*").over(w)
     s1 = F.sum(cents).over(w).cast("double")
@@ -67,10 +74,10 @@ def zscore_oracle_sql(
     )
     return (
         f"WITH c AS (SELECT {ids}, {key_col}, {value_col}, "
-        f"  round({value_col} * 100)::BIGINT AS cents FROM {table}), "
+        f"  round({finite_value_sql(value_col)} * 100)::BIGINT AS cents FROM {table}), "
         f"m AS (SELECT *, count(*) OVER w AS n, "
         f"  (sum(cents) OVER w)::DOUBLE AS s1, "
-        f"  (sum(cents * cents) OVER w)::DOUBLE AS s2 "
+        f"  (sum(cents::HUGEINT * cents) OVER w)::DOUBLE AS s2 "
         f"  FROM c WINDOW w AS (PARTITION BY {key_col})) "
         f"SELECT {ids}, {key_col}, {value_col}, "
         f"CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0 "

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tia_data_pipeline_spark.functions.text import money_sum
+from tia_data_pipeline_spark.functions.text import finite_value, money_sum
 
 
 def daily_window(events: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -36,7 +36,9 @@ def daily_window(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         .groupBy(F.window(F.col(ts_col), "1 day").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            money_sum(F.col("value"), decimals=2).alias("sum_value"),
+            # non-finite values are corrupt measurements: the event
+            # still counts, its value contributes nothing (NULL)
+            money_sum(finite_value(F.col("value")), decimals=2).alias("sum_value"),
         )
         .select(F.col("w.start").alias("day"), "n_events", "sum_value")
     )
@@ -55,7 +57,9 @@ def sliding_window(
         .groupBy(F.window(F.col(ts_col), width, slide).alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            money_sum(F.col("value"), count_expr=F.count("*"), decimals=2).alias("avg_value"),
+            money_sum(
+                finite_value(F.col("value")), count_expr=F.count("*"), decimals=2
+            ).alias("avg_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
     )

@@ -15,12 +15,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tia_data_pipeline_spark.catalog import load_table
-from tia_data_pipeline_spark.functions.text import portable_round, portable_round_sql
+from tia_data_pipeline_spark.functions.text import (
+    finite_value,
+    finite_value_sql,
+    portable_round,
+    portable_round_sql,
+)
 from tia_data_pipeline_spark.operators.features import zscore, zscore_oracle_sql
 from tia_data_pipeline_spark.operators.scale import fan_out
 from tia_data_pipeline_spark.plans.contract import contract_query
 
-_CENTS = "round(value * 100)::BIGINT"
+# finite guard inside: a NaN/Inf measurement nullifies instead of
+# aborting the ANSI cast (see functions.text.finite_value)
+_CENTS = "round(CASE WHEN isfinite(value) THEN value END * 100)::BIGINT"
 _QS = (0.25, 0.5, 0.9)
 
 
@@ -29,7 +36,10 @@ _QS = (0.25, 0.5, 0.9)
     oracle=(
         "SELECT event_type, "
         + ", ".join(
-            f"{portable_round_sql(f'quantile_cont(value, {q})', 6)} AS p{int(q * 100)}"
+            portable_round_sql(
+                "quantile_cont(" + finite_value_sql("value") + f", {q})", 6
+            )
+            + f" AS p{int(q * 100)}"
             for q in _QS
         )
         + " FROM events GROUP BY event_type"
@@ -51,7 +61,9 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw fold, so the quantile_cont oracle is unchanged. The further
     scale escape for unbounded value domains is ``approx_percentile``
     (t-digest sketch, mergeable map-side)."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value", finite_value(F.col("value"))
+    )
     vc = events.groupBy("event_type", "value").agg(F.count("*").alias("freq"))
     return vc.groupBy("event_type").agg(
         *[
@@ -97,7 +109,7 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frames are event-time ordered: rows without a timestamp are
     # excluded explicitly (NULL ordering diverges across engines)
     events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.round(finite_value(F.col("value")) * 100).cast("bigint")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     frame3 = w.rowsBetween(-2, Window.currentRow)
@@ -604,7 +616,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_winsorize",
     oracle=(
         f"WITH v AS (SELECT event_type, {_CENTS} AS cents FROM events "
-        "  WHERE value IS NOT NULL), "
+        "  WHERE isfinite(value)), "
         "r AS (SELECT event_type, cents, "
         "  row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn, "
         "  count(*) OVER (PARTITION BY event_type) AS n FROM v), "
@@ -647,8 +659,10 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order statistics are over OBSERVED measurements: NULL values are
     # excluded explicitly (they also rank NULLS FIRST on Spark vs
     # NULLS LAST on DuckDB, so leaving them in diverges the ranks)
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
-        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value") & (F.abs("value") != float("inf")))
+        .select("event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"))
     )
     wr = Window.partitionBy("event_type").orderBy("cents")
     wn = Window.partitionBy("event_type")
@@ -736,7 +750,7 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.expr("unix_micros(ts) div 1000000").alias("xs"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.round(finite_value(F.col("value")) * 100).cast("bigint").alias("cents"),
     )
     w = Window.partitionBy("event_type")
     r = ev.select(

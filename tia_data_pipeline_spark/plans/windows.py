@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from tia_data_pipeline_spark.catalog import load_table
-from tia_data_pipeline_spark.functions.text import money_sum_sql
+from tia_data_pipeline_spark.functions.text import finite_value_sql, money_sum_sql
 from tia_data_pipeline_spark.operators.windows import daily_window, sessionize, sliding_window
 from tia_data_pipeline_spark.plans.contract import contract_query
 
@@ -23,7 +23,7 @@ _SLIDE_US = 15 * 60 * 1_000_000
     "q_daily_window",
     oracle=(
         "SELECT date_trunc('day', ts::TIMESTAMP) AS day, count(*) AS n_events, "
-        f"{money_sum_sql('value', decimals=2)} AS sum_value "
+        f"{money_sum_sql(finite_value_sql('value'), decimals=2)} AS sum_value "
         "FROM events WHERE ts IS NOT NULL GROUP BY 1"
     ),
     covers="inc-window (comments_pipeline.py:27-33,107)",
@@ -42,7 +42,7 @@ def q_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (negative epoch_us) one slide late while F.window floors —
         # subtracting the positive modulus makes the numerator exactly
         # divisible, so truncation == floor in pure integers.
-        "WITH e AS (SELECT ts::TIMESTAMP AS ts, value, "
+        f"WITH e AS (SELECT ts::TIMESTAMP AS ts, {finite_value_sql('value')} AS value, "
         "  (epoch_us(ts::TIMESTAMP) - ((epoch_us(ts::TIMESTAMP) % {slide}) + {slide}) % {slide}) "
         "    // {slide} AS w0 "
         "  FROM events WHERE ts IS NOT NULL) "
@@ -105,8 +105,8 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_histogram",
     oracle=(
-        "SELECT (floor(value / 25) * 25)::BIGINT AS bucket_lo, count(*) AS n "
-        "FROM events GROUP BY 1"
+        f"SELECT (floor({finite_value_sql('value')} / 25) * 25)::BIGINT AS bucket_lo, "
+        "count(*) AS n FROM events GROUP BY 1"
     ),
     covers="value histogram (fixed-width bucketing)",
 )
@@ -116,9 +116,15 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dashboard histogram at any scale."""
     from pyspark.sql import functions as F
 
+    from tia_data_pipeline_spark.functions.text import finite_value
+
     events = load_table(spark, sf_dir, "events")
     return (
-        events.groupBy((F.floor(F.col("value") / 25) * 25).cast("bigint").alias("bucket_lo"))
+        events.groupBy(
+            (F.floor(finite_value(F.col("value")) / 25) * 25)
+            .cast("bigint")
+            .alias("bucket_lo")
+        )
         .agg(F.count("*").alias("n"))
     )
 
