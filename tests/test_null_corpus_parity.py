@@ -351,3 +351,52 @@ def test_event_query_parity_on_extreme_values(
     assert_parity(
         q.build(spark, extreme_values_sf), extreme_values_duck.sql(q.oracle), name
     )
+
+
+@pytest.fixture(scope="module")
+def adversarial_text_sf(spark, tmp_path_factory):
+    """Documents whose TEXT is adversarial (unicode line separators,
+    CRLF, CJK, NBSP, ideographic space, ellipses, PII-shaped tokens)
+    plus planted near-dups so pair queries fire — end-to-end
+    composition coverage above the primitive-level string fuzz."""
+    import random
+
+    sf = str(tmp_path_factory.mktemp("advtext") / "sf")
+    rng = random.Random(777)
+    alphabet = (
+        list("abcdefghij XYZ0123456789.,;:!?#…")
+        + ["...", "\t", "\n", "\r\n", "\r", " ", " ", "　",
+           "der ", "die ", "the ", "el ", "le ", "und ", "日本語 ", "漢字 ",
+           "a@b.co ", "+1-555-123-4567 ", "192.168.0.1 ", "-", "--", "'", '"']
+    )
+    rows = []
+    for i in range(60):
+        n = rng.randrange(0, 120)
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        rows.append((i, text, ["en", "de", "fr", "es", "zh"][i % 5], f"src{i % 20}", len(text)))
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu", "en", "src0", 60))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam nu", "en", "src1", 60))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def adversarial_text_duck(adversarial_text_sf):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{adversarial_text_sf}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _doc_only_queries())
+def test_doc_query_parity_on_adversarial_text(
+    spark, adversarial_text_sf, adversarial_text_duck, name
+):
+    q = plans.REGISTRY[name]
+    assert_parity(
+        q.build(spark, adversarial_text_sf), adversarial_text_duck.sql(q.oracle), name
+    )
