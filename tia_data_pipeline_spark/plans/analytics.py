@@ -661,7 +661,9 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULLS LAST on DuckDB, so leaving them in diverges the ranks)
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull() & ~F.isnan("value") & (F.abs("value") != float("inf")))
+        # one finiteness definition: rows whose measurement nullifies
+        # under finite_value are dropped (order stats need real values)
+        .filter(finite_value(F.col("value")).isNotNull())
         .select("event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"))
     )
     wr = Window.partitionBy("event_type").orderBy("cents")

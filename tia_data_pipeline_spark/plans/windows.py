@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from tia_data_pipeline_spark.catalog import load_table
-from tia_data_pipeline_spark.functions.text import finite_value_sql, money_sum_sql
+from tia_data_pipeline_spark.functions.text import (
+    finite_value,
+    finite_value_sql,
+    money_sum_sql,
+)
 from tia_data_pipeline_spark.operators.windows import daily_window, sessionize, sliding_window
 from tia_data_pipeline_spark.plans.contract import contract_query
 
@@ -115,8 +119,6 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow expression, the aggregate two-phase; the distributed form of
     a dashboard histogram at any scale."""
     from pyspark.sql import functions as F
-
-    from tia_data_pipeline_spark.functions.text import finite_value
 
     events = load_table(spark, sf_dir, "events")
     return (
