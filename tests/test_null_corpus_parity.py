@@ -400,3 +400,40 @@ def test_doc_query_parity_on_adversarial_text(
     assert_parity(
         q.build(spark, adversarial_text_sf), adversarial_text_duck.sql(q.oracle), name
     )
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """Every table present but EMPTY — the classic first-run /
+    filtered-to-nothing edge. Caught: DuckDB synthesizes the rollup /
+    cube grand-total row over empty input while Spark emits none."""
+    from tests.conftest import SMOKE_SF
+    from tia_data_pipeline_spark.catalog import TABLES, load_table
+
+    sf = str(tmp_path_factory.mktemp("empty") / "sf")
+    for t in TABLES:
+        load_table(spark, SMOKE_SF, t).limit(0).write.mode("overwrite").parquet(
+            f"{sf}/{t}.parquet"
+        )
+    return sf
+
+
+@pytest.fixture(scope="module")
+def empty_duck(empty_sf):
+    from tia_data_pipeline_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{empty_sf}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, q in plans.REGISTRY.items() if q.oracle is not None]
+)
+def test_query_parity_on_empty_tables(spark, empty_sf, empty_duck, name):
+    q = plans.REGISTRY[name]
+    assert_parity(q.build(spark, empty_sf), empty_duck.sql(q.oracle), name)

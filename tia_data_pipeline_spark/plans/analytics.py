@@ -162,7 +162,12 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
         "(sum(round(l_quantity * 100)::BIGINT))::DOUBLE / 100.0 AS sum_qty "
-        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        # HAVING count(*) > 0: on EMPTY input DuckDB synthesizes the
+        # grand-total grouping-set row (n=0) while Spark's rollup emits
+        # zero rows; no real group can have count 0, so the clause only
+        # drops that synthetic row — empty-table parity.
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+        "HAVING count(*) > 0"
     ),
     covers="grouping sets / rollup (extension)",
 )
@@ -182,7 +187,8 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cube",
     oracle=(
         "SELECT l_returnflag, l_linestatus, count(*) AS n_items "
-        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) "
+        "HAVING count(*) > 0"  # empty-input parity, see q_rollup
     ),
     covers="grouping sets / cube (extension)",
 )
