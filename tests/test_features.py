@@ -60,3 +60,28 @@ def test_approx_distinct_error_bound(spark):
         assert abs(n_approx - n_exact) <= max(1, 0.05 * n_exact), (
             f"{etype}: approx {n_approx} vs exact {n_exact}"
         )
+
+
+def test_pandas_zscore_dirty_group_and_half_cents(spark):
+    """Review r5: the pandas twin must mirror the expression form on
+    (a) groups containing NULL/NaN values (previously a hard
+    IntCastingNaNError) and (b) exact half-cents (pandas .round is
+    half-to-even where Spark F.round is HALF-UP)."""
+    from tia_data_pipeline_spark.operators.features import zscore, zscore_pandas
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 0.125),   # 12.5 cents: HALF-UP -> 13
+            (2, 1, 2.0),
+            (3, 1, None),    # dirty measurement
+            (4, 1, float("nan")),
+            (5, 2, 1.0),
+            (6, 2, 1.0),
+        ],
+        "event_id bigint, user_id bigint, value double",
+    )
+    expr = {r["event_id"]: r["zscore"] for r in zscore(df, "user_id", "value").collect()}
+    pnd = {r["event_id"]: r["zscore"] for r in zscore_pandas(df, "user_id", "value").collect()}
+    assert expr == pnd
+    assert expr[3] is None and expr[4] is None  # dirty rows -> NULL z
+    assert expr[1] is not None  # valid stats from the 2 clean rows

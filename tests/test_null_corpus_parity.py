@@ -16,18 +16,25 @@ import pytest
 from tests.oracle import assert_parity
 from tia_data_pipeline_spark import plans
 
-_OTHER_TABLES = ("embeddings", "events", "orders", "lineitem", "customer",
-                 "supplier", "nation", "region", "part")
+from tia_data_pipeline_spark.catalog import TABLES as _ALL_TABLES
 
 
-def _doc_only_queries():
+def _family_queries(family: str):
+    """Queries whose oracle touches ONLY the given table (single-family
+    coverage); the exclusion list derives from the one catalog table
+    registry so a new corpus table can never be silently missed."""
+    others = set(_ALL_TABLES) - {family}
     return [
         name
         for name, q in plans.REGISTRY.items()
         if q.oracle is not None
-        and "documents" in q.oracle
-        and not any(t in q.oracle for t in _OTHER_TABLES)
+        and family in q.oracle
+        and not any(t in q.oracle for t in others)
     ]
+
+
+def _doc_only_queries():
+    return _family_queries("documents")
 
 
 @pytest.fixture(scope="module")
@@ -62,18 +69,8 @@ def test_query_parity_on_null_corpus(spark, null_sf, null_duck, name):
     assert_parity(q.build(spark, null_sf), null_duck.sql(q.oracle), name)
 
 
-_EVENT_OTHER = ("documents", "embeddings", "orders", "lineitem", "customer",
-                "supplier", "nation", "region", "part")
-
-
 def _event_only_queries():
-    return [
-        name
-        for name, q in plans.REGISTRY.items()
-        if q.oracle is not None
-        and "events" in q.oracle
-        and not any(t in q.oracle for t in _EVENT_OTHER)
-    ]
+    return _family_queries("events")
 
 
 @pytest.fixture(scope="module")
@@ -122,7 +119,9 @@ def test_event_query_parity_on_null_corpus(spark, null_events_sf, null_events_du
     assert_parity(q.build(spark, null_events_sf), null_events_duck.sql(q.oracle), name)
 
 
-_REL_TABLES = ("orders", "lineitem", "customer", "supplier", "nation", "region", "part")
+_REL_TABLES = tuple(
+    t for t in _ALL_TABLES if t not in ("documents", "events", "embeddings")
+)
 
 
 def _relational_queries():
@@ -185,18 +184,8 @@ def test_relational_query_parity_on_null_corpus(spark, null_rel_sf, null_rel_duc
     assert_parity(q.build(spark, null_rel_sf), null_rel_duck.sql(q.oracle), name)
 
 
-_EMB_OTHER = ("documents", "events", "orders", "lineitem", "customer",
-              "supplier", "nation", "region", "part")
-
-
 def _embedding_queries():
-    return [
-        name
-        for name, q in plans.REGISTRY.items()
-        if q.oracle is not None
-        and "embeddings" in q.oracle
-        and not any(t in q.oracle for t in _EMB_OTHER)
-    ]
+    return _family_queries("embeddings")
 
 
 @pytest.fixture(scope="module")

@@ -43,7 +43,10 @@ def zscore(
     # then run the identical NULL-skipping arithmetic
     cents = F.round(finite_value(F.col(value_col)) * 100).cast("bigint")
     w = Window.partitionBy(key_col)
-    n = F.count("*").over(w)
+    # count VALID measurements, not rows: with a nullified (non-finite
+    # or NULL) value in the group, count(*) would divide the
+    # NULL-skipping sums by too many rows and bias mean/variance
+    n = F.count(cents).over(w)
     s1 = F.sum(cents).over(w).cast("double")
     # Σc² accumulates as DECIMAL, not BIGINT: each product stays under
     # 2^62 (project invariant) but the group SUM is unbounded, and
@@ -75,7 +78,7 @@ def zscore_oracle_sql(
     return (
         f"WITH c AS (SELECT {ids}, {key_col}, {value_col}, "
         f"  round({finite_value_sql(value_col)} * 100)::BIGINT AS cents FROM {table}), "
-        f"m AS (SELECT *, count(*) OVER w AS n, "
+        f"m AS (SELECT *, count(cents) OVER w AS n, "
         f"  (sum(cents) OVER w)::DOUBLE AS s1, "
         f"  (sum(cents::HUGEINT * cents) OVER w)::DOUBLE AS s2 "
         f"  FROM c WINDOW w AS (PARTITION BY {key_col})) "
@@ -107,18 +110,28 @@ def zscore_pandas(
     )
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf[value_col] * 100).round().astype("int64")
-        n = len(cents)
+        import numpy as np
+
+        # mirror the expression form exactly: non-finite measurements
+        # nullify (pandas .round().astype(int64) would CRASH on
+        # NaN/None), cents round HALF-UP like Spark's F.round (pandas
+        # .round is half-to-even: 12.5 -> 12 where Spark gives 13),
+        # and n counts VALID measurements only
+        vals = pd.to_numeric(pdf[value_col], errors="coerce").astype("float64")
+        vals = vals.where(np.isfinite(vals))
+        raw = vals * 100
+        cents = (np.sign(raw) * np.floor(np.abs(raw) + 0.5)).astype("float64")
+        valid = cents.dropna()
+        n = len(valid)
         if n > 1:
-            s1, s2 = float(cents.sum()), float((cents * cents).sum())
+            s1, s2 = float(valid.sum()), float((valid * valid).sum())
             var = (s2 - s1 * s1 / n) / (n - 1)
         else:
             var = 0.0
         if n > 1 and var > 0:
-            import numpy as np
-
-            z = (cents.astype("float64") - s1 / n) / var**0.5
+            z = (cents - s1 / n) / var**0.5
             z = np.floor(z * scale + 0.5) / scale
+            z = pd.Series(z, index=pdf.index, dtype="object").where(cents.notna(), None)
         else:
             # SQL NULL, not float NaN: Spark distinguishes them (NaN is
             # isNull=false and sorts above every number), and the

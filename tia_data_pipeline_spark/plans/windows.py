@@ -2,8 +2,10 @@
 
 The reference's daily incremental batch (`inc-window`) generalized to
 tumbling, sliding, and session windows over ``events``. Oracle casts
-``ts::TIMESTAMP`` everywhere: the parquet column is ns-precision and
-DuckDB reads TIMESTAMP_NS, while Spark's TimestampType is µs.
+``ts::TIMESTAMP`` everywhere: the parquet column is µs NTZ (the
+pinned invariant — the catalog disables inferTimestampNTZ so Spark
+scans it as TimestampType) and the cast keeps DuckDB comparing the
+same µs instants.
 """
 
 from __future__ import annotations
