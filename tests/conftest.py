@@ -17,10 +17,9 @@ def spark():
 
 @pytest.fixture(scope="session")
 def duck():
+    from tests.oracle import create_duck_views
+
     con = duckdb.connect()
-    for name in TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(SMOKE_SF, name)}')"
-        )
+    create_duck_views(con, SMOKE_SF)
     yield con
     con.close()

@@ -13,6 +13,22 @@ import numpy as np
 import pandas as pd
 
 
+def create_duck_views(con, sf_dir: str) -> None:
+    """Register every corpus table as a DuckDB view over its parquet —
+    ONE implementation shared by conftest and scripts/drive_entry so
+    the harness and the test oracle can never bootstrap differently.
+    Handles both single-file tables (the driver corpus) and directory
+    tables (fixture writes)."""
+    import os
+
+    from tia_data_pipeline_spark.catalog import TABLES, table_path
+
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df.copy()
     out = out.reindex(sorted(out.columns), axis=1)

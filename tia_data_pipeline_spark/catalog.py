@@ -54,6 +54,12 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # rebase modes: runtime-settable; CORRECTED keeps any pre-Gregorian
+    # timestamp bytes read as written instead of raising under the
+    # EXCEPTION default on a bare session (no effect on the modern-
+    # writer corpus, pinned for caller-provided sessions anyway)
+    spark.conf.set("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
