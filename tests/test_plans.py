@@ -158,6 +158,7 @@ TAIL_COVERED_BY = {
     "q_repetition": "q_gopher_quality",
     "q_collocations": "q_vocab_coverage",
     "q_knn_bucketed": "q_knn_join",
+    "q_chunking": "q_pack_sequences",
     # demoted in round 4 (each 2x/3x driver-green) to verify the ten
     # round-3 tail queries that had zero driver rows:
     "q_proj_alias": "q_ts_normalize",

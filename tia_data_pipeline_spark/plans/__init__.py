@@ -49,6 +49,7 @@ CONTRACT_ORDER = [
     "q_ols_trend",
     "q_gini",
     "q_autocorr",
+    "q_changepoint",
     # -- round-4 rotation: the ten round-3 queries that landed in the
     #    tail with zero driver rows go first (never-driver-verified-
     #    first policy); ten 2x/3x-driver-green rows demoted in exchange.
@@ -59,7 +60,6 @@ CONTRACT_ORDER = [
     "q_scd2",
     "q_feature_hash",
     "q_data_quality",
-    "q_chunking",
     # -- round-4 curation tier (never driver-seen)
     "q_source_mix",
     "q_split_assign",
@@ -127,6 +127,7 @@ CONTRACT_ORDER = [
     "q_repetition",  # Gopher repetition rules: 1x green; q_gopher_quality keeps the rule family in-cap
     "q_collocations",  # PMI pairs: 1x green; q_vocab_coverage keeps corpus-level token stats in-cap
     "q_knn_bucketed",  # bucketed batch k-NN: 1x green; q_knn_join/q_ann_recall keep the family in-cap
+    "q_chunking",  # token-window chunks: 1x green; q_pack_sequences keeps token-window packing in-cap
     # -- demoted in round 4 (each 3x driver-green) to make room for the
     #    curation tier above.
     "q_lang_id",  # ext-text-analysis: 3x green; q_text_tokens/q_gopher_quality keep the family in-cap

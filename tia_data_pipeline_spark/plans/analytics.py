@@ -859,3 +859,80 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(sxd / nd, 6).alias("mean_daily"),
         F.when(vx * vy > 0, portable_round(r, 6)).alias("autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_changepoint — CUSUM mean-shift detection over the daily series
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_changepoint",
+    oracle=(
+        "WITH d AS (SELECT date_trunc('day', ts::TIMESTAMP) AS day, "
+        "  count(*)::BIGINT AS x FROM events WHERE ts IS NOT NULL GROUP BY day), "
+        "o AS (SELECT day, x, "
+        "  row_number() OVER (ORDER BY day) AS t, "
+        "  CAST(SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx "
+        "  FROM d), "
+        "g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS total FROM d), "
+        "dev AS (SELECT o.day, abs(g.n * o.pfx - o.t * g.total)::BIGINT AS dev_num, "
+        "  g.n, g.total FROM o CROSS JOIN g), "
+        "top AS (SELECT *, row_number() OVER (ORDER BY dev_num DESC, day ASC) AS rn FROM dev) "
+        "SELECT n AS n_days, total AS total_events, day AS change_day, dev_num, "
+        "  CASE WHEN n * total > 0 THEN "
+        f"{portable_round_sql('dev_num::DOUBLE / (n * total)', 6)}"
+        "  END AS cusum FROM top WHERE rn = 1"
+    ),
+    covers="time-series diagnostics (extension: CUSUM mean-shift changepoint)",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint over daily event volume: the day t maximizing
+    |n·prefix_t − t·total| — the classic mean-shift statistic with the
+    rational mean cleared to PURE-BIGINT arithmetic (n·Σ_{i≤t}x − t·Σx
+    is exact, so the argmax is hash-stable under any partitioning; only
+    the final normalized ratio touches doubles). The monitor that flags
+    WHERE a pipeline's volume regime changed, beside q_autocorr's
+    serial-dependence and q_ols_trend's drift rate.
+
+    Scale shape: the corpus collapses to the |days| grid in one
+    map-side-combined aggregate; the prefix/rank windows run over that
+    tiny grid (single-partition caveat, as q_quantiles); totals join as
+    a broadcast scalar; output is exactly one row with an
+    earliest-day tiebreak on equal deviations. Bound: n·total < 2^63.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    wd = Window.orderBy("day")
+    o = d.select(
+        "day",
+        "x",
+        F.row_number().over(wd).alias("t"),
+        F.sum("x")
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("pfx"),
+    )
+    g = d.agg(F.count("*").cast("bigint").alias("n"), F.sum("x").cast("bigint").alias("total"))
+    dev = o.crossJoin(F.broadcast(g)).select(
+        "day",
+        F.abs(F.col("n") * F.col("pfx") - F.col("t") * F.col("total"))
+        .cast("bigint")
+        .alias("dev_num"),
+        "n",
+        "total",
+    )
+    wr = Window.orderBy(F.col("dev_num").desc(), F.col("day").asc())
+    top = dev.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") == 1)
+    return top.select(
+        F.col("n").alias("n_days"),
+        F.col("total").alias("total_events"),
+        F.col("day").alias("change_day"),
+        "dev_num",
+        F.when(
+            F.col("n") * F.col("total") > 0,
+            portable_round(F.col("dev_num").cast("double") / (F.col("n") * F.col("total")), 6),
+        ).alias("cusum"),
+    )
