@@ -47,6 +47,12 @@ def null_sf(spark, tmp_path_factory):
             (3, "", "de", "src2", 0),
             (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src3", 50),
             (5, "one two three four five six seven eight nine ten", "fr", "src4", 40),
+            # src1 is deliberately MULTI-doc with doc 2's NULL text among
+            # real docs: rank windows that fail to filter NULL measurements
+            # shift every non-null rank (Spark NULLS FIRST vs DuckDB NULLS
+            # LAST) — the q_gini divergence class (round-6 advice).
+            (6, "six seven eight nine ten eleven twelve", "en", "src1", None),
+            (7, "alpha beta gamma delta epsilon", "en", "src1", 30),
         ],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     ).write.parquet(f"{sf}/documents.parquet")

