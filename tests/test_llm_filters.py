@@ -22,6 +22,11 @@ _PII_CASES = [
     (3, "email a@b.com from 127.0.0.1 phone +62-21-555-7777"),
     (4, "no pii here, just text with dots... and 12.5 percent"),
     (5, ""),
+    # single-separator-adjacent IPs: the first match consumes the
+    # separator as its trailing guard, so a single replace pass leaks
+    # the second IP (round-6 advice) — the second pass must catch it
+    (6, "1.2.3.4 5.6.7.8"),
+    (7, "9.8.7.6\n1.1.1.1 2.2.2.2 3.3.3.3"),
 ]
 
 _GOPHER_CASES = [
@@ -67,6 +72,10 @@ def test_pii_redaction_matches_duckdb_and_actually_redacts(spark):
     assert got[1][2] == 2 and "<IP>" in got[1][0]
     assert got[2][3] >= 2 and "<PHONE>" in got[2][0]
     assert got[4] == (_PII_CASES[4][1], 0, 0, 0)  # untouched text passes through
+    # adjacent IPs all redacted (none leak via the consumed guard),
+    # including at position 0 and end-of-string
+    assert got[6] == ("<IP> <IP>", 0, 2, 0)
+    assert got[7] == ("<IP>\n<IP> <IP> <IP>", 0, 4, 0)
 
 
 def test_gopher_rules_match_duckdb_and_each_rule_fires(spark):

@@ -478,47 +478,108 @@ def gopher_rules_sql(expr: str) -> tuple[dict[str, str], str]:
 # PII redaction (emails / IPv4 / phone-like runs)
 # --------------------------------------------------------------------------
 # Patterns restricted to constructs Java regex and RE2 interpret
-# identically: ASCII classes, bounded repetition, \A/\z anchors — no
-# backreferences, no lookaround (RE2 has neither), and NO \b: Java's
-# \b is Unicode-aware (CJK counts as word chars) while RE2's is ASCII,
-# so "漢字192.168.0.1" matched on DuckDB but not Spark (fuzz-caught).
+# identically: ASCII classes, bounded repetition — no backreferences,
+# no lookaround (RE2 has neither), and NO \b: Java's \b is
+# Unicode-aware (CJK counts as word chars) while RE2's is ASCII, so
+# "漢字192.168.0.1" matched on DuckDB but not Spark (fuzz-caught).
 # The IP guard is therefore explicit consuming character classes with
-# capture groups restored in the replacement.
+# capture groups restored in the replacement. The guard has NO \A/\z
+# alternation: the text is padded with a sentinel char before the
+# passes (see redact_pii), so a plain single-char class suffices —
+# the round-5 alternation form ((\A|[^0-9.])..) backtracked at every
+# position across six full-text passes and benched 6x slower.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4_RE = r"(\A|[^0-9.])((?:\d{1,3}\.){3}\d{1,3})(\z|[^0-9.])"
+PII_IPV4_RE = r"([^0-9.])((?:\d{1,3}\.){3}\d{1,3})([^0-9.])"
 PII_PHONE_RE = r"\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]?\d{0,4}"
+# Pad sentinel: must be consumable by NO pattern (not an email atom,
+# not [0-9.], not '+', not the phone separators [- ]) so the pads
+# always survive every replace and strip back off positionally; ','
+# still satisfies the IP guard class, so an IP at position 0 / end of
+# the original text is redacted without a \A|\z alternation.
+_PII_PAD = ","
+
+
+def redact_token_counts(redacted: Column, original: Column) -> dict[str, Column]:
+    """Per-pattern redaction counts derived from the redacted text:
+    tokens emitted, minus any literal token already present in the
+    original, so the counts and the rewritten text always agree.
+    Literal scans (no classes, no quantifiers) — the heavy patterns
+    never run a second time for counting. Pass ``F.col`` references to
+    an already-projected redacted column so the replace chain is
+    computed once per row (CollapseProject keeps expensive expressions
+    un-inlined)."""
+
+    def _tok_count(token: str) -> Column:
+        return (
+            F.regexp_count(redacted, F.lit(token)) - F.regexp_count(original, F.lit(token))
+        ).cast("bigint")
+
+    return {
+        "n_emails": _tok_count("<EMAIL>"),
+        "n_ips": _tok_count("<IP>"),
+        "n_phones": _tok_count("<PHONE>"),
+    }
 
 
 def redact_pii(col: Column) -> tuple[Column, dict[str, Column]]:
     """Redact emails, IPv4 addresses and international-format phone
     numbers, replacing each with a typed token. Returns
-    ``(redacted_text, counts)``; counts are per-pattern matches on the
-    ORIGINAL text (replacement order — email, ip, phone — is pinned so
-    both engines rewrite identical bytes).
+    ``(redacted_text, counts)`` (counts per
+    :func:`redact_token_counts`). Replacement order — email, ip ×2,
+    phone — is pinned so both engines rewrite identical bytes; the
+    second IP pass catches an IP whose leading guard char was consumed
+    by the previous IP match (two IPs separated by a single non-digit
+    char leaked through the round-5 single-pass form) and is gated on
+    the first pass having emitted a token at all.
 
-    Linear RE2/Java regex passes over the document; at scale this is a
-    narrow projection — no shuffle, no Python.
+    The email and phone patterns are gated behind exact single-char
+    preconditions (``@`` / ``+`` must appear for a match to exist), so
+    on a typical corpus the expensive scans skip most rows — a
+    data-dependent shortcut that holds at any scale, stated identically
+    on both engines. Linear RE2/Java regex passes over the document; at
+    scale this is a narrow projection — no shuffle, no Python.
     """
-    counts = {
-        "n_emails": F.regexp_count(col, F.lit(PII_EMAIL_RE)).cast("bigint"),
-        "n_ips": F.regexp_count(col, F.lit(PII_IPV4_RE)).cast("bigint"),
-        "n_phones": F.regexp_count(col, F.lit(PII_PHONE_RE)).cast("bigint"),
-    }
-    redacted = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    padded = F.concat(F.lit(_PII_PAD), col, F.lit(_PII_PAD))
+    r = F.when(
+        col.contains("@"), F.regexp_replace(padded, PII_EMAIL_RE, "<EMAIL>")
+    ).otherwise(padded)
     # $1/$3 restore the consumed guard characters around the IP
-    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "$1<IP>$3")
-    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "<PHONE>")
-    return redacted, counts
+    r = F.regexp_replace(r, PII_IPV4_RE, "$1<IP>$3")
+    r = F.when(
+        r.contains("<IP>"), F.regexp_replace(r, PII_IPV4_RE, "$1<IP>$3")
+    ).otherwise(r)
+    r = F.when(
+        col.contains("+"), F.regexp_replace(r, PII_PHONE_RE, "<PHONE>")
+    ).otherwise(r)
+    redacted = F.substring(r, F.lit(2), F.length(r) - F.lit(2))
+    return redacted, redact_token_counts(redacted, col)
+
+
+def redact_token_counts_sql(redacted: str, original: str) -> dict[str, str]:
+    """DuckDB fragments mirroring :func:`redact_token_counts`."""
+
+    def _tok_count(token: str) -> str:
+        return (
+            f"(len(regexp_extract_all({redacted}, '{token}')) "
+            f"- len(regexp_extract_all({original}, '{token}')))::BIGINT"
+        )
+
+    return {
+        "n_emails": _tok_count("<EMAIL>"),
+        "n_ips": _tok_count("<IP>"),
+        "n_phones": _tok_count("<PHONE>"),
+    }
 
 
 def redact_pii_sql(expr: str) -> tuple[str, dict[str, str]]:
-    """DuckDB fragments mirroring :func:`redact_pii`."""
-    counts = {
-        "n_emails": f"len(regexp_extract_all({expr}, '{PII_EMAIL_RE}'))",
-        "n_ips": f"len(regexp_extract_all({expr}, '{PII_IPV4_RE}'))",
-        "n_phones": f"len(regexp_extract_all({expr}, '{PII_PHONE_RE}'))",
-    }
-    redacted = f"regexp_replace({expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
-    redacted = f"regexp_replace({redacted}, '{PII_IPV4_RE}', '\\1<IP>\\3', 'g')"
-    redacted = f"regexp_replace({redacted}, '{PII_PHONE_RE}', '<PHONE>', 'g')"
-    return redacted, counts
+    """DuckDB fragments mirroring :func:`redact_pii`. The Spark side's
+    ``contains`` gates are pure work-skipping (the preconditions are
+    exact), so the oracle states the ungated chain — identical
+    results, simpler SQL."""
+    padded = f"('{_PII_PAD}' || {expr} || '{_PII_PAD}')"
+    r = f"regexp_replace({padded}, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
+    r = f"regexp_replace({r}, '{PII_IPV4_RE}', '\\1<IP>\\3', 'g')"
+    r = f"regexp_replace({r}, '{PII_IPV4_RE}', '\\1<IP>\\3', 'g')"
+    r = f"regexp_replace({r}, '{PII_PHONE_RE}', '<PHONE>', 'g')"
+    redacted = f"substr({r}, 2, length({r}) - 2)"
+    return redacted, redact_token_counts_sql(redacted, expr)

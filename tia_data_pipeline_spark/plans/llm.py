@@ -640,13 +640,18 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass: emails / IPv4s / international phone runs
-    replaced by typed tokens, with per-pattern match counts (counted on
-    the original text; replacement order pinned email→ip→phone on both
-    engines). Linear regex passes, no shuffle."""
-    redacted, counts = TX.redact_pii(F.col("text"))
-    return _docs(spark, sf_dir).select(
+    replaced by typed tokens, with per-pattern redaction counts
+    (tokens emitted; replacement order pinned email→ip×2→phone on both
+    engines). Linear regex passes, no shuffle. Two-step projection:
+    the replace chain lands in a named column first, so the counts
+    reference it instead of re-running the chain (CollapseProject
+    keeps a multiply-referenced expensive expression un-inlined)."""
+    redacted, _ = TX.redact_pii(F.col("text"))
+    step = _docs(spark, sf_dir).select("doc_id", "text", redacted.alias("redacted"))
+    counts = TX.redact_token_counts(F.col("redacted"), F.col("text"))
+    return step.select(
         "doc_id",
-        redacted.alias("redacted"),
+        "redacted",
         counts["n_emails"].alias("n_emails"),
         counts["n_ips"].alias("n_ips"),
         counts["n_phones"].alias("n_phones"),
@@ -1033,8 +1038,8 @@ _BM25_K = 20  # result size
         "  CROSS JOIN scal), "
         "agg AS (SELECT doc_id, count(*)::BIGINT AS n_terms, SUM(sc_n)::BIGINT AS score_n "
         "  FROM sc GROUP BY doc_id) "
-        "SELECT doc_id, n_terms, score_n, "
-        f"  {{rnd}} AS score FROM agg ORDER BY score_n DESC, doc_id ASC LIMIT {_BM25_K}"
+        "SELECT doc_id, n_terms, "
+        f"  {{rnd}} AS score FROM agg ORDER BY score DESC, doc_id ASC LIMIT {_BM25_K}"
     ).format(
         tk=_DOC_TOKENS_SQL,
         wc=TX.word_count_sql("text"),
@@ -1061,7 +1066,14 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, term) tf aggregate, which only contains docs matching ≥1
     term); df is a 3-row aggregate OF that frame; doc length joins on
     doc_id over the matched subset only; N/T ride in as a broadcast
-    scalar; final top-k is TakeOrderedAndProject with doc_id tiebreak."""
+    scalar; final top-k is TakeOrderedAndProject with doc_id tiebreak.
+
+    The contract output deliberately EXCLUDES the raw nano-nat
+    ``score_n`` (and orders on the 6-dp rounded score instead): ln()
+    is 1-ulp divergent cross-engine on ~1% of large integer args, so a
+    raw term-sum column can flake the driver hash at a near-boundary
+    term; only the 1e9-divided, 6-dp-rounded score is hash-safe
+    (CLAUDE.md ln-family rule)."""
     docs = _docs(spark, sf_dir, fan=False)
     toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
     dl = docs.select("doc_id", TX.word_count(F.col("text")).alias("dl"))
@@ -1103,7 +1115,6 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select(
         "doc_id",
         "n_terms",
-        "score_n",
         TX.portable_round(F.col("score_n") / F.lit(1_000_000_000.0), 6).alias("score"),
     )
-    return out.orderBy(F.col("score_n").desc(), F.col("doc_id").asc()).limit(_BM25_K)
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(_BM25_K)
