@@ -12,8 +12,13 @@ materialization through the `noop` sink — measures compute + shuffle,
 not driver-side collect.
 
 Prints ONE JSON line:
-  {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+  {"metric": "total_query_wall_sec", "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, "value": N}
+("value" AFTER the queries map: the driver's tail-capture window
+truncated the r4/r5 artifacts from the FRONT of the line as the
+registry grew, losing the headline — trailing placement means any
+future clipping eats query entries, not the total) and writes the
+same JSON to BENCH_local.json so a self-contained copy always exists.
 """
 
 from __future__ import annotations
@@ -66,17 +71,24 @@ def main() -> None:
             results[name] = -1.0
 
     total = round(sum(t for t in results.values() if t > 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-            }
-        )
-    )
+    # "value" LAST and compact separators: the driver tail-captures
+    # stdout, so front-clipping on a long line must lose query entries,
+    # never the headline. A full copy goes to BENCH_local.json.
+    payload = {
+        "metric": "total_query_wall_sec",
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "n_queries": len(results),
+        "value": total,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

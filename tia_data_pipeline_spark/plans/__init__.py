@@ -34,12 +34,13 @@ CONTRACT_ORDER = [
     #    q_approx_distinct (HLL++ sketch, structurally no_oracle every
     #    round) demoted to the tail in exchange (VERDICT r4 #1).
     "q_fuzzy_dedup",
-    # -- round-5 additions (never driver-seen), three batches / eight
-    #    queries: integer PageRank, KS drift, JSD mixture divergence,
+    # -- round-5 additions (never driver-seen then; all ten went green
+    #    r5): integer PageRank, KS drift, JSD mixture divergence,
     #    tokenizer fertility, BM25 retrieval, winsorized stats, OLS
-    #    trend, Gini inequality. Eight driver-green redundant variants
-    #    demoted in exchange (each family keeps an in-cap
-    #    representative; see TAIL_COVERED_BY).
+    #    trend, Gini inequality, lag-1 autocorrelation, CUSUM
+    #    changepoint. Driver-green redundant variants demoted in
+    #    exchange (each family keeps an in-cap representative; see
+    #    TAIL_COVERED_BY).
     "q_pagerank",
     "q_ks_drift",
     "q_jsd_mix",
@@ -172,95 +173,105 @@ CONTRACT_ORDER = [
 ]
 
 # Which rounds gave each query a green CORRECTNESS row (hash_match, or
-# rows-only-by-design for sketch queries). Source: CORRECTNESS_r01..r04
+# rows-only-by-design for sketch queries). Source: CORRECTNESS_r01..r05
 # at the repo root. Updated each round; the tail-policy test checks
 # every below-cap entry appears here.
 DRIVER_GREEN_HISTORY = {
-    "q_agg_count": [1, 2, 3, 4],
+    "q_agg_count": [1, 2, 3, 4, 5],
     "q_ann_lsh": [1, 2, 3],
     "q_ann_multiprobe": [1],
-    "q_ann_recall": [4],
-    "q_antijoin_incr": [1, 2, 3, 4],
+    "q_ann_recall": [4, 5],
+    "q_antijoin_incr": [1, 2, 3, 4, 5],
     "q_approx_distinct": [3, 4],
     "q_asof_join": [1, 2, 3],
-    "q_boilerplate": [4],
+    "q_autocorr": [5],
+    "q_bm25": [5],
+    "q_boilerplate": [4, 5],
     "q_canonicalize": [1],
+    "q_changepoint": [5],
     "q_children_rollup": [1, 2, 3],
     "q_chunking": [4],
-    "q_cluster_sizes": [4],
-    "q_cohort_retention": [4],
+    "q_cluster_sizes": [4, 5],
+    "q_cohort_retention": [4, 5],
     "q_collocations": [4],
     "q_const_probe": [1, 2, 3],
     "q_count_distinct": [1, 2, 3],
     "q_cube": [1],
-    "q_daily_window": [2, 3, 4],
-    "q_data_quality": [4],
-    "q_decontaminate": [4],
-    "q_dedup_batch": [1, 2, 3, 4],
-    "q_dedup_components": [3, 4],
+    "q_daily_window": [2, 3, 4, 5],
+    "q_data_quality": [4, 5],
+    "q_decontaminate": [4, 5],
+    "q_dedup_batch": [1, 2, 3, 4, 5],
+    "q_dedup_components": [3, 4, 5],
     "q_dedup_latest": [1],
     "q_doc_fingerprint": [1],
-    "q_edit_distance": [4],
+    "q_edit_distance": [4, 5],
     "q_embed_dedup": [1, 2, 3, 4],
-    "q_embed_quantize": [4],
+    "q_embed_quantize": [4, 5],
     "q_embed_stats": [1, 2, 3],
-    "q_exact_dedup": [1, 2, 3, 4],
-    "q_exists_guard": [2, 3, 4],
-    "q_feature_hash": [4],
-    "q_filter_range": [1, 2, 3, 4],
-    "q_funnel": [4],
-    "q_fuzzy_dedup": [1, 2],
+    "q_exact_dedup": [1, 2, 3, 4, 5],
+    "q_exists_guard": [2, 3, 4, 5],
+    "q_feature_hash": [4, 5],
+    "q_filter_range": [1, 2, 3, 4, 5],
+    "q_funnel": [4, 5],
+    "q_fuzzy_dedup": [1, 2, 5],
     "q_gap_fill": [2, 3],
-    "q_gopher_quality": [4],
-    "q_group_sample": [4],
+    "q_gini": [5],
+    "q_gopher_quality": [4, 5],
+    "q_group_sample": [4, 5],
     "q_hash_sample": [1, 2, 3],
     "q_histogram": [2, 3],
     "q_join_enrich": [1, 2, 3, 4],
+    "q_jsd_mix": [5],
     "q_json_ser": [1, 2, 3],
     "q_knn_bucketed": [4],
-    "q_knn_join": [3, 4],
+    "q_knn_join": [3, 4, 5],
+    "q_ks_drift": [5],
     "q_lang_id": [1, 2, 3],
-    "q_lm_perplexity": [4],
-    "q_merge_upsert": [2, 3, 4],
-    "q_mix_temperature": [4],
+    "q_lm_perplexity": [4, 5],
+    "q_merge_upsert": [2, 3, 4, 5],
+    "q_mix_temperature": [4, 5],
     "q_multimodal_meta": [1, 2, 3],
     "q_ngram_jaccard": [1, 2, 3, 4],
     "q_ntile": [1, 2],
-    "q_pack_sequences": [4],
-    "q_pii_redact": [4],
+    "q_ols_trend": [5],
+    "q_pack_sequences": [4, 5],
+    "q_pagerank": [5],
+    "q_pii_redact": [4, 5],
     "q_pivot_status": [1, 2, 3],
     "q_profile": [1, 2, 3],
     "q_proj_alias": [1, 2, 3],
     "q_quality_score": [1, 2, 3],
     "q_quantiles": [1, 2, 3, 4],
-    "q_range_join": [1, 2, 3, 4],
+    "q_range_join": [1, 2, 3, 4, 5],
     "q_repetition": [4],
-    "q_resize_meta": [2, 3, 4],
-    "q_revenue_by_segment": [1, 2, 3, 4],
+    "q_resize_meta": [2, 3, 4, 5],
+    "q_revenue_by_segment": [1, 2, 3, 4, 5],
     "q_rollup": [1, 2, 3],
     "q_scan_project": [1],
-    "q_scd2": [4],
-    "q_self_join": [2, 3, 4],
-    "q_semi_join": [1, 2, 3, 4],
+    "q_scd2": [4, 5],
+    "q_self_join": [2, 3, 4, 5],
+    "q_semi_join": [1, 2, 3, 4, 5],
     "q_session_window": [3, 4],
     "q_set_ops": [1, 2, 3],
     "q_sim_topk": [1, 2],
     "q_simhash": [1, 2, 3],
     "q_sliding_window": [2, 3],
-    "q_source_mix": [4],
-    "q_split_assign": [4],
+    "q_source_mix": [4, 5],
+    "q_split_assign": [4, 5],
     "q_star_join": [1, 2, 3],
     "q_text_tokens": [1, 2, 3, 4],
     "q_tfidf": [1, 2, 3],
     "q_thread_closure": [1, 2, 3],
+    "q_tok_fertility": [5],
     "q_token_bpe": [1],
-    "q_token_entropy": [4],
-    "q_topk_latest": [1, 2, 3, 4],
+    "q_token_entropy": [4, 5],
+    "q_topk_latest": [1, 2, 3, 4, 5],
     "q_topk_per_group": [1],
-    "q_ts_normalize": [1, 2, 3, 4],
-    "q_vocab_coverage": [4],
+    "q_ts_normalize": [1, 2, 3, 4, 5],
+    "q_vocab_coverage": [4, 5],
     "q_window_frames": [1, 2, 3],
-    "q_word_count": [1, 2, 3, 4],
+    "q_winsorize": [5],
+    "q_word_count": [1, 2, 3, 4, 5],
     "q_word_freq": [1],
     "q_zscore": [1, 2, 3],
 }
