@@ -131,17 +131,27 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
-    "q_dedup_latest": "q_topk_latest",
-    "q_scan_project": "q_ts_normalize",
+    # demoted in round 6 (each 2-4x driver-green) for q_substring_dedup
+    # and the seven stale-evidence promotions:
+    "q_source_mix": "q_jsd_mix",
+    "q_mix_temperature": "q_jsd_mix",
+    "q_cluster_sizes": "q_dedup_components",
+    "q_group_sample": "q_split_assign",
+    "q_decontaminate": "q_boilerplate",
+    "q_fuzzy_dedup": "q_dedup_components",
+    "q_funnel": "q_cohort_retention",
+    "q_scd2": "q_merge_upsert",
+    "q_lm_perplexity": "q_token_entropy",
+    "q_pack_sequences": "q_chunking",
+    "q_vocab_coverage": "q_token_entropy",
+    "q_embed_quantize": "q_ann_recall",
+    "q_knn_join": "q_knn_bucketed",
     "q_topk_per_group": "q_topk_latest",
-    "q_cube": "q_agg_count",
     "q_token_bpe": "q_tok_fertility",  # same bpe_token_count surface
-    "q_doc_fingerprint": "q_gopher_quality",
-    "q_word_freq": "q_token_entropy",
     "q_canonicalize": "q_gopher_quality",
     "q_ann_multiprobe": "q_ann_recall",
     "q_ntile": "q_topk_latest",
-    "q_sim_topk": "q_knn_join",
+    "q_sim_topk": "q_knn_bucketed",
     # demoted in round 5: q_fuzzy_dedup's hash-checked oracle rotated
     # in-cap; the permanently-rows-only HLL++ sketch takes its tail slot.
     "q_approx_distinct": "q_agg_count",
@@ -149,16 +159,14 @@ TAIL_COVERED_BY = {
     # operator families (pagerank / ks drift / jsd mix / fertility):
     "q_session_window": "q_daily_window",
     "q_join_enrich": "q_revenue_by_segment",
-    "q_embed_dedup": "q_knn_join",
+    "q_embed_dedup": "q_knn_bucketed",
     "q_text_tokens": "q_gopher_quality",
     # demoted in round 5 (4x green) for q_bm25 / q_winsorize:
     "q_ngram_jaccard": "q_dedup_components",
     "q_quantiles": "q_winsorize",
     # demoted in round 5 (1x green) for q_ols_trend / q_gini / q_autocorr:
     "q_repetition": "q_gopher_quality",
-    "q_collocations": "q_vocab_coverage",
-    "q_knn_bucketed": "q_knn_join",
-    "q_chunking": "q_pack_sequences",
+    "q_collocations": "q_token_entropy",
     # demoted in round 4 (each 2x/3x driver-green) to verify the ten
     # round-3 tail queries that had zero driver rows:
     "q_proj_alias": "q_ts_normalize",
@@ -190,7 +198,7 @@ TAIL_COVERED_BY = {
     # demoted late round 4 for the third curation batch (group sample /
     # vocab coverage / edit distance / LM perplexity):
     "q_quality_score": "q_gopher_quality",
-    "q_embed_stats": "q_embed_quantize",
+    "q_embed_stats": "q_ann_recall",
     "q_thread_closure": "q_dedup_components",
     "q_ann_lsh": "q_ann_recall",
 }
@@ -500,6 +508,29 @@ def test_edit_distance_no_self_join(spark):
     p = plan_of(spark, "q_edit_distance")
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+
+
+def test_mad_outliers_single_exchange(spark):
+    """Both rank windows, both median max-over-partition windows, and
+    the final aggregate must share ONE hash partitioning on source —
+    a single exchange for the whole query (the sessionize discipline)."""
+    p = plan_of(spark, "q_mad_outliers")
+    shuffles = [l for l in p.splitlines() if l.strip().startswith("(") and "Exchange" in l]
+    assert len(shuffles) == 1, f"expected 1 exchange, plan has {len(shuffles)}"
+
+
+def test_substring_dedup_no_self_join_single_scan(spark):
+    """The portable char-k-mer overlap query must generate candidate
+    pairs by in-expression bucket expansion, never a corpus self-join
+    (the oracle's formulation): no sort-merge join, no cartesian, and
+    exactly ONE corpus scan (positions explode from the single pruned
+    text scan; the 1/mod sampling filter runs before any exchange)."""
+    import re
+
+    p = plan_of(spark, "q_substring_dedup")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
 
 
 def test_lm_perplexity_model_join_no_cartesian(spark):

@@ -355,24 +355,7 @@ def ngram_jaccard_pairs(
     ~|shingles|²/2⁶⁵ — negligible) → group ids per shingle → expand
     pairs in-expression → count shared per pair → join per-doc sizes.
     """
-    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
-    sh_ids = src.select(
-        F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
-    ).select("_id", F.xxhash64("s").alias("sh"))
-    grouped = (
-        sh_ids.groupBy("sh").agg(F.collect_list("_id").alias("mem")).filter(F.size("mem") <= max_df)
-    )
-    # Per-doc set size over the capped universe (df=1 shingles count).
-    doc_sizes = (
-        grouped.select(F.explode("mem").alias("_id")).groupBy("_id").agg(F.count("*").alias("n_sh"))
-    )
-    pair_arr = bucket_pairs(F.col("mem"))
-    shared = (
-        grouped.filter(F.size("mem") >= 2)
-        .select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count("*").alias("shared"))
-    )
+    shared, doc_sizes = _shingle_overlap_frames(df, text_col, id_col, n=n, max_df=max_df)
     ja = (
         shared.join(doc_sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
         .join(doc_sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
@@ -384,6 +367,69 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return ja
+
+
+def _shingle_overlap_frames(
+    df: DataFrame, text_col: str, id_col: str, *, n: int, max_df: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared skeleton of the exact shingle-overlap family
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): explode
+    distinct word n-grams → hash to 64-bit shuffle keys → cap hot
+    shingles → expand pairs in-expression. Returns ``(shared,
+    doc_sizes)``: per-pair shared-shingle counts (id_a < id_b) and the
+    per-doc set size over the capped universe (df=1 shingles count)."""
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    sh_ids = src.select(
+        F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    ).select("_id", F.xxhash64("s").alias("sh"))
+    grouped = (
+        sh_ids.groupBy("sh").agg(F.collect_list("_id").alias("mem")).filter(F.size("mem") <= max_df)
+    )
+    doc_sizes = (
+        grouped.select(F.explode("mem").alias("_id")).groupBy("_id").agg(F.count("*").alias("n_sh"))
+    )
+    pair_arr = bucket_pairs(F.col("mem"))
+    shared = (
+        grouped.filter(F.size("mem") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return shared, doc_sizes
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 20,
+) -> DataFrame:
+    """ASYMMETRIC shingle-containment pairs: ``|A∩B| / |A|`` per side,
+    kept when either side's containment clears the threshold. Catches
+    the small-doc-inside-big-doc duplication Jaccard structurally
+    misses — a 100-shingle quote fully contained in a 10k-shingle page
+    has Jaccard ≈ 0.01 but containment 1.0 (the FineWeb/RefinedWeb
+    sub-document contamination case).
+
+    Same single-pass inverted-index plan as :func:`ngram_jaccard_pairs`
+    (shared skeleton, no self-join); both directions come from ONE
+    unordered pair count joined to both size sides. Returns
+    ``(id_a, id_b, shared, cont_a, cont_b)`` with 6-dp portable
+    rounding applied before the threshold compare (identical boundary
+    behavior on both engines)."""
+    shared, doc_sizes = _shingle_overlap_frames(df, text_col, id_col, n=n, max_df=max_df)
+    out = (
+        shared.join(doc_sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(doc_sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn("cont_a", portable_round(F.col("shared") / F.col("na"), 6))
+        .withColumn("cont_b", portable_round(F.col("shared") / F.col("nb"), 6))
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+        .select("id_a", "id_b", F.col("shared").cast("bigint").alias("shared"), "cont_a", "cont_b")
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -497,6 +543,7 @@ def substring_overlap_pairs(
     mod: int = 16,
     max_df: int = 20,
     min_shared: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """Document pairs sharing long verbatim substrings — the
     substring-level contamination/boilerplate signal that word-shingle
@@ -510,16 +557,52 @@ def substring_overlap_pairs(
     the sketch, cap hot k-mers (mass-duplicated boilerplate belongs to
     the cheap digest pipeline), expand pairs in-expression, never a
     corpus self-join. Returns (id_a, id_b, shared).
-    """
+
+    ``portable=True`` swaps the k-mer hash xxhash64 → md5-digit
+    (:func:`md5_int_sql`, the q_fuzzy_dedup discipline), making the
+    pair set reproducible in DuckDB for the oracle-checked contract
+    query. Pipeline shape differs mechanically: positions explode to
+    rows BEFORE hashing (a plain projection gets codegen CSE across
+    the 7 digit extractions, which a higher-order lambda never would —
+    7 md5 calls per k-mer vs 1), the 1/mod sampling filter runs
+    before anything shuffles, and ``collect_set`` dedupes per-doc
+    repeats inside the bucket aggregate instead of a per-doc
+    ``array_distinct``, so both paths reach the wire with the same
+    sampled-distinct volume. xxhash64 stays the production default
+    (JVM-native, no md5 per position)."""
     src = fan_out(df.select(F.col(id_col), F.col(text_col)))
-    km = src.select(
-        F.col(id_col).alias("_id"),
-        F.explode(char_kmer_sketch(F.col(text_col), k=k, mod=mod)).alias("h"),
-    )
-    grouped = (
-        km.groupBy("h").agg(F.collect_list("_id").alias("mem"))
-        .filter((F.size("mem") >= 2) & (F.size("mem") <= max_df))
-    )
+    if portable:
+        n_pos = F.length(F.col(text_col)) - (k - 1)
+        pos = src.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("_i"),
+        )
+        hs = (
+            pos.select(
+                "_id", F.substring(F.col("_t"), F.col("_i"), F.lit(k)).alias("_km")
+            )
+            .select("_id", F.expr(md5_int_sql("_km")).alias("h"))
+            .filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
+        )
+        grouped = (
+            hs.groupBy("h")
+            .agg(F.collect_set("_id").alias("mem"))
+            .filter((F.size("mem") >= 2) & (F.size("mem") <= max_df))
+        )
+    else:
+        km = src.select(
+            F.col(id_col).alias("_id"),
+            F.explode(char_kmer_sketch(F.col(text_col), k=k, mod=mod)).alias("h"),
+        )
+        grouped = (
+            km.groupBy("h").agg(F.collect_list("_id").alias("mem"))
+            .filter((F.size("mem") >= 2) & (F.size("mem") <= max_df))
+        )
     pair_arr = bucket_pairs(F.col("mem"))
     return (
         grouped.select(F.explode(pair_arr).alias("p"))

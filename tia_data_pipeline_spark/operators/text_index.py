@@ -157,10 +157,13 @@ def bm25_search_indexed(
         F.count("*").cast("bigint").alias("n_terms"),
         F.sum("sc_n").cast("bigint").alias("score_n"),
     )
+    # Projection/order mirror q_bm25 exactly (bit-for-bit equivalence
+    # is test-pinned): the raw nano-nat score_n stays OFF the output —
+    # ln() is 1-ulp divergent cross-engine — and the top-k orders on
+    # the 6-dp rounded score with doc_id tiebreak.
     out = agg.select(
         "doc_id",
         "n_terms",
-        "score_n",
         portable_round(F.col("score_n") / F.lit(1_000_000_000.0), 6).alias("score"),
     )
-    return out.orderBy(F.col("score_n").desc(), F.col("doc_id").asc()).limit(k)
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -28,19 +28,32 @@ from tia_data_pipeline_spark.plans.contract import REGISTRY, oracle_sql, queries
 DRIVER_ROW_CAP = 50
 
 CONTRACT_ORDER = [
-    # -- round-5 rotation: q_fuzzy_dedup gained a hash-checkable
-    #    portable-MinHash oracle in round 4 (plans/llm.py) but its only
-    #    driver rows are the rows-only r1-r2 ones -> in-cap first.
-    #    q_approx_distinct (HLL++ sketch, structurally no_oracle every
-    #    round) demoted to the tail in exchange (VERDICT r4 #1).
-    "q_fuzzy_dedup",
-    # -- round-5 additions (never driver-seen then; all ten went green
-    #    r5): integer PageRank, KS drift, JSD mixture divergence,
-    #    tokenizer fertility, BM25 retrieval, winsorized stats, OLS
-    #    trend, Gini inequality, lag-1 autocorrelation, CUSUM
-    #    changepoint. Driver-green redundant variants demoted in
-    #    exchange (each family keeps an in-cap representative; see
-    #    TAIL_COVERED_BY).
+    # -- round-6 additions (never driver-seen): slots before everything
+    #    else per the never-verified-first policy.
+    "q_substring_dedup",
+    "q_mad_outliers",
+    "q_containment",
+    "q_burstiness",
+    "q_zipf_fit",
+    "q_dup_graph_degree",
+    # -- round-6 rotation (VERDICT r5 #7): single-green tail entries with
+    #    the STALEST driver evidence rotate in so evidence ages uniformly
+    #    (q_knn_bucketed/q_chunking last green r4; the rest r1). Eight
+    #    multi-green redundant variants demote in exchange (each family
+    #    keeps an in-cap representative; see TAIL_COVERED_BY).
+    "q_knn_bucketed",
+    "q_chunking",
+    "q_cube",
+    "q_dedup_latest",
+    "q_doc_fingerprint",
+    "q_scan_project",
+    "q_word_freq",
+    # -- round-5 additions, all ten green r5: integer PageRank, KS drift,
+    #    JSD mixture divergence, tokenizer fertility, BM25, winsorized
+    #    stats, OLS trend, Gini, lag-1 autocorrelation, CUSUM changepoint.
+    #    Kept in-cap once more: q_gini/q_ks_drift changed this round (NULL
+    #    preconditions) and q_bm25 dropped its raw nano-nat column, so a
+    #    fresh driver row re-verifies the changed form.
     "q_pagerank",
     "q_ks_drift",
     "q_jsd_mix",
@@ -51,41 +64,22 @@ CONTRACT_ORDER = [
     "q_gini",
     "q_autocorr",
     "q_changepoint",
-    # -- round-4 rotation: the ten round-3 queries that landed in the
-    #    tail with zero driver rows go first (never-driver-verified-
-    #    first policy); ten 2x/3x-driver-green rows demoted in exchange.
+    # -- retained r4/r5 families (2x green; q_pii_redact and q_boilerplate
+    #    changed this round - fresh rows re-verify) and the relational/
+    #    windows tier (operator representatives and flagship).
     "q_gopher_quality",
     "q_pii_redact",
     "q_cohort_retention",
-    "q_funnel",
-    "q_scd2",
     "q_feature_hash",
     "q_data_quality",
-    # -- round-4 curation tier (never driver-seen)
-    "q_source_mix",
     "q_split_assign",
-    "q_decontaminate",
-    "q_embed_quantize",
     "q_ann_recall",
-    "q_pack_sequences",
     "q_boilerplate",
     "q_token_entropy",
-    "q_mix_temperature",
-    "q_cluster_sizes",
-    "q_group_sample",
-    "q_vocab_coverage",
     "q_edit_distance",
-    "q_lm_perplexity",
-    # -- window tier: inc-window / ext-stream-windows, the reference's
-    #    core incremental semantic (comments_pipeline.py:27-33,107).
     "q_daily_window",
     "q_self_join",
     "q_exists_guard",
-    # 50-slot pressure note: with nine second-batch curation queries in
-    # the never-seen block, four more 3x-green rows demote below
-    # (q_quality_score, q_embed_stats, q_thread_closure, q_ann_lsh) —
-    # each family keeps an in-cap representative (see TAIL_COVERED_BY).
-    # -- flagship + the reference's relational surface
     "q_revenue_by_segment",
     "q_dedup_batch",
     "q_merge_upsert",
@@ -96,80 +90,69 @@ CONTRACT_ORDER = [
     "q_filter_range",
     "q_word_count",
     "q_ts_normalize",
-    # -- LLM-pipeline tier: one slot per distinct technique
     "q_exact_dedup",
     "q_resize_meta",
-    # q_knn_join supersedes q_sim_topk in-cap (round 3): batch k-NN is
-    # the strict generalization (N probes vs 1), same hash-checked
-    # cosine math; single-probe stays tail-verified.
-    "q_knn_join",
-    # q_dedup_components supersedes q_fuzzy_dedup in-cap (round 3): it
-    # is fully hash-checked (recursive-CTE oracle) where fuzzy_dedup
-    # was rows-only, and it exercises the cluster-closure step the
-    # pairwise queries stop short of; MinHash stays tail+structure-
-    # tested (planted near-dups).
     "q_dedup_components",
-    # -- analytics extensions
     "q_range_join",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
-    # -- demoted in round 5: permanently rows-only (HLL++ estimate has
-    #    no hash-matchable oracle; driver recorded no_oracle r3+r4).
-    "q_approx_distinct",  # sketch agg: rows-only by design; q_count_distinct/q_agg_count cover exact counts
-    # -- demoted in round 5 (each 1-4x driver-green) to make room for
-    #    the eight new round-5 queries above.
-    "q_session_window",  # ext-stream-windows: 2x green; q_daily_window keeps both window ops in-cap
-    "q_join_enrich",  # join-enrich: 4x green; the flagship q_revenue_by_segment is the same broadcast-enrich join
-    "q_embed_dedup",  # embedding near-dup pairs: 4x green; q_knn_join/q_ann_recall/q_embed_quantize keep the embedding family in-cap
-    "q_text_tokens",  # ext-text-analysis: 4x green; q_gopher_quality/q_token_entropy/q_tok_fertility keep the family in-cap
-    "q_ngram_jaccard",  # exact-Jaccard pairs: 4x green; q_dedup_components/q_edit_distance keep the fuzzy family in-cap
-    "q_quantiles",  # interpolated percentiles: 4x green; q_winsorize keeps exact order-stats in-cap
-    "q_repetition",  # Gopher repetition rules: 1x green; q_gopher_quality keeps the rule family in-cap
-    "q_collocations",  # PMI pairs: 1x green; q_vocab_coverage keeps corpus-level token stats in-cap
-    "q_knn_bucketed",  # bucketed batch k-NN: 1x green; q_knn_join/q_ann_recall keep the family in-cap
-    "q_chunking",  # token-window chunks: 1x green; q_pack_sequences keeps token-window packing in-cap
-    # -- demoted in round 4 (each 3x driver-green) to make room for the
-    #    curation tier above.
-    "q_lang_id",  # ext-text-analysis: 3x green; q_text_tokens/q_gopher_quality keep the family in-cap
-    "q_tfidf",  # ext-text-analysis: 3x green; q_token_entropy is the same explode->grouped-stat family
-    "q_quality_score",  # quality heuristics: 3x green; q_gopher_quality covers in-cap
-    "q_embed_stats",  # embedding fold: 3x green; q_embed_quantize is the same integered-fold family
-    "q_thread_closure",  # iterative closure: 3x green; q_dedup_components is the same loop machinery
-    "q_ann_lsh",  # sign-LSH probe: 3x green; q_ann_recall drives the same buckets in-cap
-    "q_simhash",  # fuzzy-dedup hash: 3x green; q_ngram_jaccard/q_dedup_components keep the family in-cap
-    "q_multimodal_meta",  # ext-multimodal: 3x green; q_resize_meta (in-cap) drives the Arrow boundary itself
-    "q_count_distinct",  # distinct-count agg: 3x green; q_agg_count covers the agg family
-    "q_hash_sample",  # sampling filter: q_split_assign covers the id-hash family
-    "q_window_frames",  # frames: q_zscore (tail, 3x green) is the same family;
-    #    in-cap windows stay covered by q_topk_latest/q_cohort_retention
-    "q_rollup",  # grouping sets: q_cube (tail) same family; grouped agg in-cap
-    "q_profile",  # column profiling: q_data_quality covers the DQ family in-cap
-    "q_asof_join",  # temporal join: q_range_join (in-cap) same interval-join family
-    "q_dedup_latest",  # row_number latest-per-key: q_topk_latest covers
-    "q_scan_project",  # scan+projection: every in-cap query projects/aliases
-    "q_topk_per_group",  # WindowGroupLimit: q_topk_latest covers
-    "q_cube",  # grouping sets: q_rollup covers
-    "q_token_bpe",  # ext-text-analysis: q_text_tokens covers
-    "q_doc_fingerprint",  # ext-text-analysis
-    "q_word_freq",  # ext-text-analysis
-    "q_canonicalize",  # ext-text-analysis
-    "q_ann_multiprobe",  # ext-sim-topk: q_ann_recall/q_knn_bucketed cover
-    "q_ntile",  # ranking window: q_window_frames / q_topk_latest cover
-    "q_sim_topk",  # single-probe special case: q_knn_join covers
-    # -- demoted in round 4 (each 2x/3x driver-green) to make room for
-    #    the ten never-verified round-3 queries above.
-    "q_proj_alias",  # proj-alias: 3x green; q_scan_project-equivalent in-cap queries cover
-    "q_const_probe",  # const-probe: 3x green; q_data_quality covers scalar checks
-    "q_json_ser",  # json-ser: 3x green; q_feature_hash exercises to_json in-cap
-    "q_histogram",  # binned agg: 2x green; q_rollup/q_quantiles cover
-    "q_gap_fill",  # calendar fill: 2x green; q_daily_window covers
-    "q_sliding_window",  # hop windows: 2x green; q_daily_window/q_session_window cover
-    "q_star_join",  # multi-dim join: 3x green; q_revenue_by_segment covers
-    "q_children_rollup",  # parent-child rollup: 3x green; q_agg_count covers
-    "q_set_ops",  # union/intersect/except: 3x green; q_dedup_batch covers union
-    "q_pivot_status",  # pivot: 3x green; q_rollup covers grouped agg
-    "q_zscore",  # window-frame stats: 3x green; q_window_frames covers
+    # -- demoted in round 6 (each 2-4x green) for the round-6 additions
+    #    and the seven stale-evidence promotions above.
+    "q_source_mix",  # grouped mixture stats: q_jsd_mix keeps the family in-cap
+    "q_mix_temperature",  # mixture reweighting: q_jsd_mix keeps the family in-cap
+    "q_cluster_sizes",  # dedup-cluster stats: q_dedup_components keeps the family in-cap
+    "q_group_sample",  # stratified sampling: q_split_assign keeps the id-hash family in-cap
+    "q_decontaminate",  # external-membership mark: q_boilerplate keeps the membership_mark skeleton in-cap
+    "q_fuzzy_dedup",
+    "q_funnel",
+    "q_scd2",
+    "q_lm_perplexity",
+    "q_pack_sequences",
+    "q_vocab_coverage",
+    "q_embed_quantize",
+    "q_knn_join",
+    # -- earlier-round tail (redundant variants, each >=1x driver-green).
+    "q_approx_distinct",
+    "q_session_window",
+    "q_join_enrich",
+    "q_embed_dedup",
+    "q_text_tokens",
+    "q_ngram_jaccard",
+    "q_quantiles",
+    "q_repetition",
+    "q_collocations",
+    "q_lang_id",
+    "q_tfidf",
+    "q_quality_score",
+    "q_embed_stats",
+    "q_thread_closure",
+    "q_ann_lsh",
+    "q_simhash",
+    "q_multimodal_meta",
+    "q_count_distinct",
+    "q_hash_sample",
+    "q_window_frames",
+    "q_rollup",
+    "q_profile",
+    "q_asof_join",
+    "q_topk_per_group",
+    "q_token_bpe",
+    "q_canonicalize",
+    "q_ann_multiprobe",
+    "q_ntile",
+    "q_sim_topk",
+    "q_proj_alias",
+    "q_const_probe",
+    "q_json_ser",
+    "q_histogram",
+    "q_gap_fill",
+    "q_sliding_window",
+    "q_star_join",
+    "q_children_rollup",
+    "q_set_ops",
+    "q_pivot_status",
+    "q_zscore",
 ]
 
 # Which rounds gave each query a green CORRECTNESS row (hash_match, or

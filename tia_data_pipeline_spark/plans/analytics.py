@@ -936,3 +936,103 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             portable_round(F.col("dev_num").cast("double") / (F.col("n") * F.col("total")), 6),
         ).alias("cusum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mad_outliers — robust per-source outlier detection (median/MAD)
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_mad_outliers",
+    oracle=(
+        "WITH base AS (SELECT source, doc_id, n_chars AS x FROM documents "
+        "  WHERE n_chars IS NOT NULL), "
+        "r AS (SELECT source, doc_id, x, "
+        "  row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS rn, "
+        "  count(*) OVER (PARTITION BY source) AS n FROM base), "
+        "m AS (SELECT source, doc_id, x, n, "
+        "  max(CASE WHEN rn = (n + 1) // 2 THEN x END) "
+        "    OVER (PARTITION BY source) AS med FROM r), "
+        "d AS (SELECT source, doc_id, x, n, med, abs(x - med) AS dev FROM m), "
+        "r2 AS (SELECT source, doc_id, x, n, med, dev, "
+        "  row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn2 "
+        "  FROM d), "
+        "m2 AS (SELECT source, x, n, med, dev, "
+        "  max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END) "
+        "    OVER (PARTITION BY source) AS mad FROM r2) "
+        "SELECT source, max(n)::BIGINT AS n_docs, max(med)::BIGINT AS median, "
+        "  max(mad)::BIGINT AS mad, "
+        "  sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers "
+        "FROM m2 GROUP BY source"
+    ),
+    covers="robust per-group outlier stats (median / MAD, exact integer order statistics)",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source scale statistics over document lengths:
+    lower median, median absolute deviation, and the count of docs
+    beyond 3 MADs — the outlier report that survives the heavy-tailed
+    length distributions where mean/stddev clipping fails.
+
+    Exactness: both medians are exact integer ORDER-STATISTIC PICKS
+    (row_number with doc_id tiebreak, element at rank ``(n+1) div 2``
+    — integer division, identical truncation on both engines for
+    positive n), never an interpolated aggregate, so every output
+    column is a bigint and hash-stable. NULL n_chars rows are filtered
+    identically on both sides BEFORE ranking (order stats filter NULL
+    measurements — the q_gini rule).
+
+    Scale shape: every step — both rank windows, both median
+    broadcasts (max-over-partition), and the final aggregate — shares
+    ONE hash partitioning on source: a single exchange for the whole
+    query regardless of corpus size (the sessionize discipline);
+    per-source row counts bound window memory, and sources are the
+    natural unit of curation skew (a giant source is the caller's cue
+    to sub-shard)."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", F.col("n_chars").alias("x"))
+        .filter(F.col("x").isNotNull())
+    )
+    ws = Window.partitionBy("source")
+    w1 = ws.orderBy("x", "doc_id")
+    r = base.select(
+        "source",
+        "doc_id",
+        "x",
+        F.row_number().over(w1).alias("rn"),
+        F.count("*").over(ws).alias("n"),
+    )
+    m = r.select(
+        "source",
+        "doc_id",
+        "x",
+        "n",
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("x")))
+        .over(ws)
+        .alias("med"),
+    )
+    d = m.select(
+        "source", "doc_id", "x", "n", "med", F.abs(F.col("x") - F.col("med")).alias("dev")
+    )
+    w2 = ws.orderBy("dev", "doc_id")
+    r2 = d.select(
+        "source", "doc_id", "n", "med", "dev", F.row_number().over(w2).alias("rn2")
+    )
+    m2 = r2.select(
+        "source",
+        "n",
+        "med",
+        "dev",
+        F.max(F.when(F.col("rn2") == F.expr("(n + 1) div 2"), F.col("dev")))
+        .over(ws)
+        .alias("mad"),
+    )
+    return m2.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("med").cast("bigint").alias("median"),
+        F.max("mad").cast("bigint").alias("mad"),
+        F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+    )

@@ -1278,3 +1278,184 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").alias("total_tokens"),
         F.when((F.col("sx") > 0) & (F.col("n") > 1), TX.portable_round(gini, 6)).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_burstiness — per-term dispersion (variance-to-mean ratio) of the
+# most frequent tokens
+# ---------------------------------------------------------------------------
+
+_BURST_K = 20  # report the top-K corpus tokens
+
+
+@contract_query(
+    "q_burstiness",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest({tk}) AS token FROM documents), "
+        "n AS (SELECT count(*)::BIGINT AS nd FROM documents), "
+        "dc AS (SELECT doc_id, token, count(*)::BIGINT AS c "
+        "  FROM tok GROUP BY doc_id, token), "
+        "ts AS (SELECT token, count(*)::BIGINT AS df, sum(c)::BIGINT AS c_tot, "
+        "  sum(c::HUGEINT * c) AS sq FROM dc GROUP BY token) "
+        "SELECT token, c_tot, df, "
+        "  {vmr} AS vmr "
+        "FROM ts CROSS JOIN n "
+        f"ORDER BY c_tot DESC, token ASC LIMIT {_BURST_K}"
+    ).format(
+        tk=_DOC_TOKENS_SQL,
+        vmr=TX.portable_round_sql(
+            "(n.nd * ts.sq - c_tot::HUGEINT * c_tot)::DOUBLE / (n.nd * c_tot)", 6
+        ),
+    ),
+    covers="corpus-health stats (term burstiness: variance-to-mean dispersion of top tokens)",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) of the per-document
+    counts of the corpus's top-20 tokens, zero-count documents
+    included — the burstiness report that separates function words
+    (VMR ≈ 1, Poisson-like) from topical/boilerplate terms (VMR ≫ 1,
+    concentrated in few docs): a high-VMR high-frequency term is
+    template spam, the signal mixture weighting wants surfaced.
+
+    Exactness: VMR = (N·Σc² − (Σc)²) / (N·Σc) with all moments exact
+    integers — per-term squares promote to decimal BEFORE multiplying
+    and accumulate as decimal(38,0) (a group's Σc² is unbounded even
+    though each c² fits — the zscore rule; DuckDB's HUGEINT matches),
+    one double division at the end, 6-dp rounded. No logs — nothing to
+    wobble cross-engine.
+
+    Scale shape: (doc, token) partial-aggregated map-side before its
+    exchange, then the (token) moment aggregate collapses to the
+    vocabulary; top-k is TakeOrderedAndProject (per-partition heads,
+    never a vocabulary sort); N rides in as a broadcast scalar.
+    Bare-token explode → fan=False per the fan rule."""
+    docs = _docs(spark, sf_dir, fan=False)
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    n = docs.agg(F.count("*").cast("bigint").alias("nd"))
+    dc = tok.groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("c"))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    ts = dc.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("c_tot"),
+        F.sum((dec("c") * dec("c")).cast("decimal(38,0)")).alias("sq"),
+    )
+    out = ts.crossJoin(F.broadcast(n)).select(
+        "token",
+        "c_tot",
+        "df",
+        TX.portable_round(
+            (F.col("nd") * F.col("sq") - dec("c_tot") * dec("c_tot")).cast("double")
+            / (F.col("nd") * F.col("c_tot")),
+            6,
+        ).alias("vmr"),
+    )
+    return out.orderBy(F.col("c_tot").desc(), F.col("token").asc()).limit(_BURST_K)
+
+
+# ---------------------------------------------------------------------------
+# q_zipf_fit — Zipf law fit of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_R = 1000  # fit over the top-R frequency ranks
+
+
+@contract_query(
+    "q_zipf_fit",
+    oracle=(
+        "WITH tok AS (SELECT unnest({tk}) AS token FROM documents), "
+        "vc AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token), "
+        "v AS (SELECT count(*)::BIGINT AS vocab, sum(c)::BIGINT AS total_tokens, "
+        "  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax FROM vc), "
+        "top AS (SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS r "
+        f"  FROM vc ORDER BY c DESC, token ASC LIMIT {_ZIPF_R}), "
+        "xy AS (SELECT floor(ln(r) * 1000000000.0 + 0.5)::BIGINT AS x, "
+        "  floor(ln(c) * 1000000000.0 + 0.5)::BIGINT AS y FROM top), "
+        "s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, "
+        "  sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx FROM xy) "
+        "SELECT v.vocab, v.total_tokens, v.hapax, s.n AS n_ranks, "
+        "  {slope} AS zipf_slope, {icept} AS intercept_nats "
+        "FROM s CROSS JOIN v"
+    ).format(
+        tk=_DOC_TOKENS_SQL,
+        slope=TX.portable_round_sql(
+            "(s.n * s.sxy - s.sx::HUGEINT * s.sy)::DOUBLE "
+            "/ (s.n * s.sxx - s.sx::HUGEINT * s.sx)::DOUBLE",
+            6,
+        ),
+        icept=TX.portable_round_sql(
+            "(s.sy * s.sxx - s.sx::HUGEINT * s.sxy)::DOUBLE "
+            "/ (s.n * s.sxx - s.sx::HUGEINT * s.sx)::DOUBLE / 1000000000.0",
+            6,
+        ),
+    ),
+    covers="corpus-health stats (Zipf-law fit: log-log OLS slope over frequency ranks)",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token frequency distribution: OLS
+    slope of ln(freq) on ln(rank) over the top-1000 ranks, plus
+    vocabulary size, hapax-legomenon count and total token mass — the
+    one-row lexical-health report (a natural corpus sits near slope
+    ≈ −1; template/synthetic text bends it).
+
+    Exactness: rank and frequency are integers, so both regression
+    coordinates are logs of INTEGER args integered to nano-nats
+    (pre-floor values ≤ ln(1e6)·1e9 ≈ 1.4e10, ±1-unit cross-engine
+    wobble per the fuzz pin); the OLS normal equations use exact
+    integer cross-products (decimal promotion BEFORE multiplying, the
+    moment rule) and the slope's numerator/denominator difference is
+    computed in exact decimal — cancellation costs nothing — with one
+    double division at the end per output. Rank ties broken by token
+    on both engines, so the top-R cut is deterministic.
+
+    Scale shape: one (token) aggregate collapses the corpus to its
+    vocabulary; the rank cut is TakeOrderedAndProject (per-partition
+    heads, never a vocabulary sort); the rank window then runs over R
+    rows only; the vocab-level scalars ride in as a broadcast. The
+    vocab aggregate feeds two consumers — AQE reuses the exchange."""
+    docs = _docs(spark, sf_dir, fan=False)
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    vc = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
+    v = vc.agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("hapax"),
+    )
+    top = (
+        vc.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(_ZIPF_R)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("token").asc()))
+            .alias("r"),
+        )
+    )
+    nano = 1_000_000_000.0
+    xy = top.select(
+        F.floor(F.log(F.col("r").cast("double")) * nano + 0.5).cast("bigint").alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * nano + 0.5).cast("bigint").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((dec("x") * dec("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((dec("x") * dec("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    den = (F.col("n") * F.col("sxx") - dec("sx") * dec("sx")).cast("double")
+    return s.crossJoin(F.broadcast(v)).select(
+        "vocab",
+        "total_tokens",
+        "hapax",
+        F.col("n").alias("n_ranks"),
+        TX.portable_round(
+            (F.col("n") * F.col("sxy") - dec("sx") * dec("sy")).cast("double") / den, 6
+        ).alias("zipf_slope"),
+        TX.portable_round(
+            (F.col("sy") * F.col("sxx") - dec("sx") * F.col("sxy")).cast("double")
+            / den
+            / F.lit(nano),
+            6,
+        ).alias("intercept_nats"),
+    )

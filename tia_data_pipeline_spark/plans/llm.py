@@ -327,6 +327,47 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONT_THRESHOLD = 0.6
+_CONT_RND_A = TX.portable_round_sql("shared::DOUBLE / sa.n_sh", 6)
+_CONT_RND_B = TX.portable_round_sql("shared::DOUBLE / sb.n_sh", 6)
+
+
+@contract_query(
+    "q_containment",
+    oracle=(
+        "WITH shing AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ') "
+        "  FOR i IN range(1, greatest(len(tk) - 2, 0) + 1)])) AS sh "
+        f"  FROM (SELECT doc_id, {_DOC_TOKENS_SQL} AS tk FROM documents)), "
+        "rare AS (SELECT doc_id, sh FROM shing WHERE sh IN ("
+        "  SELECT sh FROM shing GROUP BY sh HAVING count(*) <= 20)), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id), "
+        "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared "
+        "  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+        "  GROUP BY a.doc_id, b.doc_id) "
+        f"SELECT id_a, id_b, shared, {_CONT_RND_A} AS cont_a, {_CONT_RND_B} AS cont_b "
+        "FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        f"WHERE greatest({_CONT_RND_A}, {_CONT_RND_B}) >= {_CONT_THRESHOLD}"
+    ),
+    covers="ext-fuzzy-dedup (asymmetric shingle containment: sub-document duplication)",
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs |A∩B|/|A| ≥ 0.6 (either side) on
+    word-3-gram shingles — the sub-document contamination signal
+    Jaccard structurally misses: a quote fully contained in a much
+    larger page scores containment ≈ 1 but Jaccard ≈ |quote|/|page|.
+    Same single-pass inverted-index plan as q_ngram_jaccard (df-capped,
+    in-expression pair expansion, no self-join); 6-dp rounding applied
+    before the threshold compare on both engines."""
+    return DD.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=_CONT_THRESHOLD,
+        max_df=20,
+    )
+
+
 @contract_query(
     "q_simhash",
     oracle=DD.simhash_oracle_sql("documents", f"list_distinct({_DOC_TOKENS_SQL})", "doc_id"),
@@ -528,6 +569,59 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups in tests/test_dedup.py)."""
     return DD.minhash_near_duplicates(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5,
+        portable=True,
+    )
+
+
+# -- q_substring_dedup parameters (operator defaults, non-vacuous at
+#    sf0.001 AND sf0.01: 27 / 25 pairs on the driver corpus)
+_SSD_K = 32  # char k-mer length
+_SSD_MOD = 16  # content-defined 1/mod sampling (shift-invariant)
+_SSD_MAX_DF = 20  # hot k-mer cap
+_SSD_MIN_SHARED = 2  # >= this many shared sampled k-mers
+_SSD_MD5I = DD.md5_int_sql(f"substr(text, i, {_SSD_K})")
+
+
+@contract_query(
+    "q_substring_dedup",
+    oracle=(
+        "WITH pos AS (SELECT doc_id, text, "
+        f"  unnest(range(1, greatest(length(text) - {_SSD_K - 1}, 0) + 1)) AS i "
+        "  FROM documents), "
+        f"hs0 AS (SELECT doc_id, {_SSD_MD5I} AS h FROM pos), "
+        f"hs AS (SELECT DISTINCT doc_id, h FROM hs0 WHERE h % {_SSD_MOD} = 0), "
+        "buck AS (SELECT h FROM hs GROUP BY h "
+        f"  HAVING count(*) BETWEEN 2 AND {_SSD_MAX_DF}), "
+        "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "    count(*)::BIGINT AS shared "
+        "  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id "
+        "  WHERE a.h IN (SELECT h FROM buck) "
+        "  GROUP BY a.doc_id, b.doc_id) "
+        f"SELECT id_a, id_b, shared FROM pr WHERE shared >= {_SSD_MIN_SHARED}"
+    ),
+    covers="ext-fuzzy-dedup (substring-level overlap: sampled char k-mer pairs)",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing long verbatim character runs — the
+    contamination/plagiarism signal word-shingle Jaccard misses when
+    the shared block is a small fraction of each document (license
+    blocks, quoted passages, copy-pasted boilerplate). 32-char k-mers,
+    content-defined 1/16 sampling (hash-mod, so a one-char insertion
+    upstream cannot desynchronize the sample set), ≥2 shared samples
+    ≈ a ≥64-char verbatim run. PORTABLE md5-digit hash path so the
+    pair set hash-matches the DuckDB oracle (the q_fuzzy_dedup
+    discipline); production default stays xxhash64. The oracle states
+    the same inverted index as a self-join — the Spark side never
+    self-joins (bucket-capped in-expression pair expansion, pinned in
+    tests/test_plans.py)."""
+    return DD.substring_overlap_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=_SSD_K,
+        mod=_SSD_MOD,
+        max_df=_SSD_MAX_DF,
+        min_shared=_SSD_MIN_SHARED,
         portable=True,
     )
 
@@ -1118,3 +1212,45 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.portable_round(F.col("score_n") / F.lit(1_000_000_000.0), 6).alias("score"),
     )
     return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# q_dup_graph_degree — degree distribution of the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_dup_graph_degree",
+    oracle=(
+        "WITH pairs AS (" + _NGRAM_PAIRS_SQL + "), "
+        "ends AS (SELECT id_a AS node FROM pairs "
+        "  UNION ALL SELECT id_b AS node FROM pairs), "
+        "deg AS (SELECT node, count(*)::BIGINT AS degree FROM ends GROUP BY node) "
+        "SELECT degree, count(*)::BIGINT AS n_nodes "
+        "FROM deg GROUP BY degree"
+    ),
+    covers="ext-fuzzy-dedup / graph analytics (degree distribution of the duplicate graph)",
+)
+def q_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the exact n-gram Jaccard duplicate graph
+    (same pair parameters as q_ngram_jaccard) — the dedup-health
+    histogram that distinguishes isolated pair dupes (degree 1) from
+    template hubs (high degree = one page near-duplicating dozens,
+    the signal that a cluster cap or boilerplate strip is needed
+    before transitive dedup).
+
+    Scale shape: the pair pipeline is the single-pass inverted index
+    (no self-join, pinned by the q_ngram_jaccard family tests); both
+    endpoints leave it through ONE explode of a two-element array (no
+    double execution of the pair subtree via union), then two
+    vocabulary-scale aggregates whose input is |pairs| rows — tiny
+    relative to the corpus by construction. Output is |distinct
+    degrees| rows of pure bigints; nothing to round."""
+    pairs = DD.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.4, max_df=20
+    )
+    ends = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("node")
+    )
+    deg = ends.groupBy("node").agg(F.count("*").cast("bigint").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_nodes"))
