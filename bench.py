@@ -83,12 +83,17 @@ def main() -> None:
         "value": total,
     }
     line = json.dumps(payload, separators=(",", ":"))
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
-        "w",
-    ) as fh:
-        fh.write(line + "\n")
     print(line)
+    try:  # secondary self-contained copy; never let it block the headline
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+            ),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        print(f"bench: BENCH_local.json not written: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

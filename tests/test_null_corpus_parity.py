@@ -398,6 +398,38 @@ def test_doc_query_parity_on_adversarial_text(
 
 
 @pytest.fixture(scope="module")
+def degenerate_sf(spark, tmp_path_factory):
+    """Every document is the SAME single token — vocabulary collapses
+    to one type, every rank/df/variance denominator hits its floor.
+    Caught: q_zipf_fit's OLS denominator n·Σx²−(Σx)² = 0 at one rank
+    (Spark portable_round floored NaN to 0.0 where DuckDB kept NaN)."""
+    sf = str(tmp_path_factory.mktemp("degenerate") / "sf")
+    spark.createDataFrame(
+        [(i, "alpha", "en", f"src{i % 2}", 5) for i in range(1, 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def degenerate_duck(degenerate_sf):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{degenerate_sf}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _doc_only_queries())
+def test_doc_query_parity_on_degenerate_corpus(
+    spark, degenerate_sf, degenerate_duck, name
+):
+    q = plans.REGISTRY[name]
+    assert_parity(q.build(spark, degenerate_sf), degenerate_duck.sql(q.oracle), name)
+
+
+@pytest.fixture(scope="module")
 def empty_sf(spark, tmp_path_factory):
     """Every table present but EMPTY — the classic first-run /
     filtered-to-nothing edge. Caught: DuckDB synthesizes the rollup /

@@ -1373,7 +1373,10 @@ _ZIPF_R = 1000  # fit over the top-R frequency ranks
         "s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, "
         "  sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx FROM xy) "
         "SELECT v.vocab, v.total_tokens, v.hapax, s.n AS n_ranks, "
-        "  {slope} AS zipf_slope, {icept} AS intercept_nats "
+        "  CASE WHEN s.n * s.sxx - s.sx::HUGEINT * s.sx > 0 THEN {slope} END "
+        "    AS zipf_slope, "
+        "  CASE WHEN s.n * s.sxx - s.sx::HUGEINT * s.sx > 0 THEN {icept} END "
+        "    AS intercept_nats "
         "FROM s CROSS JOIN v"
     ).format(
         tk=_DOC_TOKENS_SQL,
@@ -1443,19 +1446,31 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((dec("x") * dec("y")).cast("decimal(38,0)")).alias("sxy"),
         F.sum((dec("x") * dec("x")).cast("decimal(38,0)")).alias("sxx"),
     )
-    den = (F.col("n") * F.col("sxx") - dec("sx") * dec("sx")).cast("double")
+    # den = n·Σx² − (Σx)² ≥ 0 (Cauchy–Schwarz); it is 0 when n == 1 (a
+    # single-token vocabulary), where the fit is undefined: NULL the
+    # slope/intercept on BOTH sides (guarded in exact decimal, before
+    # the lone double division — the ratio-denominator rule).
+    den_exact = F.col("n") * F.col("sxx") - dec("sx") * dec("sx")
+    den = den_exact.cast("double")
+    guarded = lambda e: F.when(den_exact > 0, e)  # noqa: E731
     return s.crossJoin(F.broadcast(v)).select(
         "vocab",
         "total_tokens",
         "hapax",
         F.col("n").alias("n_ranks"),
-        TX.portable_round(
-            (F.col("n") * F.col("sxy") - dec("sx") * dec("sy")).cast("double") / den, 6
+        guarded(
+            TX.portable_round(
+                (F.col("n") * F.col("sxy") - dec("sx") * dec("sy")).cast("double")
+                / den,
+                6,
+            )
         ).alias("zipf_slope"),
-        TX.portable_round(
-            (F.col("sy") * F.col("sxx") - dec("sx") * F.col("sxy")).cast("double")
-            / den
-            / F.lit(nano),
-            6,
+        guarded(
+            TX.portable_round(
+                (F.col("sy") * F.col("sxx") - dec("sx") * F.col("sxy")).cast("double")
+                / den
+                / F.lit(nano),
+                6,
+            )
         ).alias("intercept_nats"),
     )

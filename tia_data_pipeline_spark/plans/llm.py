@@ -20,23 +20,33 @@ from tia_data_pipeline_spark.plans.contract import contract_query
 
 _DOC_TOKENS_SQL = TX.tokens_sql("text")
 
-# Exact word-3-gram Jaccard pairs (threshold 0.4, document-frequency
-# cap 20) — shared by q_ngram_jaccard (pairs as the result) and
-# q_dedup_components (pairs as the edge list of the cluster graph).
-_NGRAM_PAIRS_SQL = (
-    "WITH shing AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ') "
+# Word-3-gram shingle universe with document-frequency cap 20:
+# shing (distinct shingles per doc) → rare (df-capped) → sizes
+# (per-doc shingle counts). ONE definition, used by every shingle
+# oracle (q_ngram_jaccard / q_dedup_components via _NGRAM_PAIRS_SQL,
+# q_containment) so the oracles can never drift onto different
+# shingle universes than the Spark _shingle_overlap_frames skeleton.
+_SHINGLE_RARE_SIZES_SQL = (
+    "shing AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ') "
     "  FOR i IN range(1, greatest(len(tk) - 2, 0) + 1)])) AS sh "
     "  FROM (SELECT doc_id, {t} AS tk FROM documents)), "
     "rare AS (SELECT doc_id, sh FROM shing WHERE sh IN ("
     "  SELECT sh FROM shing GROUP BY sh HAVING count(*) <= 20)), "
-    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id)"
+).format(t=_DOC_TOKENS_SQL)
+
+# Exact word-3-gram Jaccard pairs (threshold 0.4, document-frequency
+# cap 20) — shared by q_ngram_jaccard (pairs as the result) and
+# q_dedup_components (pairs as the edge list of the cluster graph).
+_NGRAM_PAIRS_SQL = (
+    f"WITH {_SHINGLE_RARE_SIZES_SQL}, "
     "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared "
     "  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id "
     "  GROUP BY a.doc_id, b.doc_id) "
     f"SELECT id_a, id_b, {TX.portable_round_sql('shared / (sa.n_sh + sb.n_sh - shared)', 6)} AS jaccard "
     "FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
     f"WHERE {TX.portable_round_sql('shared / (sa.n_sh + sb.n_sh - shared)', 6)} >= 0.4"
-).format(t=_DOC_TOKENS_SQL)
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str, *, fan: bool = True) -> DataFrame:
@@ -335,12 +345,7 @@ _CONT_RND_B = TX.portable_round_sql("shared::DOUBLE / sb.n_sh", 6)
 @contract_query(
     "q_containment",
     oracle=(
-        "WITH shing AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ') "
-        "  FOR i IN range(1, greatest(len(tk) - 2, 0) + 1)])) AS sh "
-        f"  FROM (SELECT doc_id, {_DOC_TOKENS_SQL} AS tk FROM documents)), "
-        "rare AS (SELECT doc_id, sh FROM shing WHERE sh IN ("
-        "  SELECT sh FROM shing GROUP BY sh HAVING count(*) <= 20)), "
-        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id), "
+        f"WITH {_SHINGLE_RARE_SIZES_SQL}, "
         "shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared "
         "  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id "
         "  GROUP BY a.doc_id, b.doc_id) "
