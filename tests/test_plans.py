@@ -131,6 +131,14 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
+    # demoted in round 6 for the second batch (benford/cooccur/ewma/
+    # interarrival/rfm/triangles), each with an in-cap family cover:
+    "q_pagerank": "q_dedup_components",  # iterative graph propagation
+    "q_winsorize": "q_mad_outliers",  # order-stat robust trimming
+    "q_ols_trend": "q_zipf_fit",  # exact-moment OLS normal equations
+    "q_autocorr": "q_ewma",  # daily-series diagnostics
+    "q_changepoint": "q_ewma",  # daily-series diagnostics
+    "q_edit_distance": "q_containment",  # fuzzy-dedup pair verify
     # demoted in round 6 (each 2-4x driver-green) for q_substring_dedup
     # and the seven stale-evidence promotions:
     "q_source_mix": "q_jsd_mix",
@@ -163,7 +171,7 @@ TAIL_COVERED_BY = {
     "q_text_tokens": "q_gopher_quality",
     # demoted in round 5 (4x green) for q_bm25 / q_winsorize:
     "q_ngram_jaccard": "q_dedup_components",
-    "q_quantiles": "q_winsorize",
+    "q_quantiles": "q_mad_outliers",
     # demoted in round 5 (1x green) for q_ols_trend / q_gini / q_autocorr:
     "q_repetition": "q_gopher_quality",
     "q_collocations": "q_token_entropy",
@@ -172,7 +180,7 @@ TAIL_COVERED_BY = {
     "q_proj_alias": "q_ts_normalize",
     "q_const_probe": "q_data_quality",
     "q_json_ser": "q_feature_hash",
-    "q_histogram": "q_winsorize",
+    "q_histogram": "q_mad_outliers",
     "q_gap_fill": "q_daily_window",
     "q_sliding_window": "q_daily_window",
     "q_star_join": "q_revenue_by_segment",
@@ -192,7 +200,7 @@ TAIL_COVERED_BY = {
     # cluster-sizes):
     "q_lang_id": "q_gopher_quality",
     "q_tfidf": "q_token_entropy",
-    "q_simhash": "q_edit_distance",  # simhash buckets feed the in-cap Levenshtein verify
+    "q_simhash": "q_substring_dedup",  # fingerprint-sketch dedup surface
     "q_multimodal_meta": "q_resize_meta",
     "q_count_distinct": "q_agg_count",
     # demoted late round 4 for the third curation batch (group sample /
@@ -643,3 +651,61 @@ def test_gini_window_and_agg_share_partitioning(spark):
     p = plan_of(spark, "q_gini")
     assert p.count("hashpartitioning(source") == 1
     assert "Generate" not in p
+
+
+def test_benford_pruned_scan_and_broadcasts(spark):
+    """q_benford must read ONLY o_totalprice from orders (the digit
+    derives from cents), and both the 9-row expectation table and the
+    one-row total must arrive as broadcasts — no shuffle join on a
+    9-row side."""
+    p = plan_of(spark, "q_benford")
+    assert "ReadSchema: struct<o_totalprice:double>" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_ewma_equijoin_no_range_expansion(spark):
+    """The trailing window must be the exploded-offset EQUI-join on the
+    row index, never a range join: no BroadcastNestedLoopJoin (the
+    physical shape a BETWEEN join would take) anywhere in the plan."""
+    p = plan_of(spark, "q_ewma")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_interarrival_pruned_scan(spark):
+    """The gap pipeline reads only (ts, user_id, event_id); the
+    percentile grid work happens after the corpus collapses."""
+    p = plan_of(spark, "q_interarrival")
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp,user_id:bigint>" in p
+
+
+def test_rfm_pruned_scan_single_corpus_aggregate(spark):
+    """q_rfm reads only (o_custkey, o_totalprice, o_orderdate) and
+    collapses orders to customers in ONE corpus-sized aggregate; the
+    three quartile pipelines and the segment rollup run on collapsed
+    grids, with thresholds re-entering as broadcasts (no shuffle join
+    back onto customers)."""
+    p = plan_of(spark, "q_rfm")
+    assert (
+        "ReadSchema: struct<o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp>"
+        in p
+    )
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_triangles_edge_list_persisted_once(spark):
+    """The corpus-sized inverted-index pair pipeline must materialize
+    ONCE: all four edge-list consumers (three triangle-join scans + the
+    degree census) read the cached edges."""
+    p = plan_of(spark, "q_triangles")
+    assert p.count("InMemoryTableScan") >= 4
+    # and the underlying InMemoryRelation exists exactly once as a cache
+    assert "InMemoryRelation" in p
+
+
+def test_cooccur_lift_single_user_partitioning(spark):
+    """The pair join self-joins the collapsed (user, type) set on
+    user_id; per-type counts and the user total re-enter as broadcasts
+    (no shuffle join on a |types|-row side)."""
+    p = plan_of(spark, "q_cooccur_lift")
+    assert "BroadcastHashJoin" in p

@@ -28,6 +28,15 @@ from tia_data_pipeline_spark.plans.contract import REGISTRY, oracle_sql, queries
 DRIVER_ROW_CAP = 50
 
 CONTRACT_ORDER = [
+    # -- round-6 second batch (never driver-seen): Benford first-digit
+    #    conformance, co-occurrence lift, dyadic EWMA, inter-arrival
+    #    order stats, RFM quartile segmentation, triangle census.
+    "q_benford",
+    "q_cooccur_lift",
+    "q_ewma",
+    "q_interarrival",
+    "q_rfm",
+    "q_triangles",
     # -- round-6 additions (never driver-seen): slots before everything
     #    else per the never-verified-first policy.
     "q_substring_dedup",
@@ -48,22 +57,18 @@ CONTRACT_ORDER = [
     "q_doc_fingerprint",
     "q_scan_project",
     "q_word_freq",
-    # -- round-5 additions, all ten green r5: integer PageRank, KS drift,
-    #    JSD mixture divergence, tokenizer fertility, BM25, winsorized
-    #    stats, OLS trend, Gini, lag-1 autocorrelation, CUSUM changepoint.
-    #    Kept in-cap once more: q_gini/q_ks_drift changed this round (NULL
-    #    preconditions) and q_bm25 dropped its raw nano-nat column, so a
-    #    fresh driver row re-verifies the changed form.
-    "q_pagerank",
+    # -- round-5 additions kept in-cap: each CHANGED this round so a
+    #    fresh driver row re-verifies the changed form (q_gini/q_ks_drift
+    #    NULL preconditions, q_bm25's dropped nano-nat column) or anchors
+    #    a family (q_jsd_mix covers two tail variants, q_tok_fertility
+    #    covers q_token_bpe). The five unchanged 1x-green r5 singles
+    #    (pagerank/winsorize/ols_trend/autocorr/changepoint) demote with
+    #    in-cap family covers to fund the second round-6 batch.
     "q_ks_drift",
     "q_jsd_mix",
     "q_tok_fertility",
     "q_bm25",
-    "q_winsorize",
-    "q_ols_trend",
     "q_gini",
-    "q_autocorr",
-    "q_changepoint",
     # -- retained r4/r5 families (2x green; q_pii_redact and q_boilerplate
     #    changed this round - fresh rows re-verify) and the relational/
     #    windows tier (operator representatives and flagship).
@@ -76,7 +81,6 @@ CONTRACT_ORDER = [
     "q_ann_recall",
     "q_boilerplate",
     "q_token_entropy",
-    "q_edit_distance",
     "q_daily_window",
     "q_self_join",
     "q_exists_guard",
@@ -97,6 +101,15 @@ CONTRACT_ORDER = [
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
+    # -- demoted in round 6 for the second batch (five unchanged 1x-green
+    #    r5 singles + the 2x-green Levenshtein verify; each family keeps
+    #    an in-cap representative per TAIL_COVERED_BY):
+    "q_pagerank",
+    "q_winsorize",
+    "q_ols_trend",
+    "q_autocorr",
+    "q_changepoint",
+    "q_edit_distance",
     # -- demoted in round 6 (each 2-4x green) for the round-6 additions
     #    and the seven stale-evidence promotions above.
     "q_source_mix",  # grouped mixture stats: q_jsd_mix keeps the family in-cap

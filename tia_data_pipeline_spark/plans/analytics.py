@@ -1036,3 +1036,512 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_benford — first-digit distribution of order amounts vs Benford's law
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) to 6 dp as LITERALS on both sides: ln/log10 of even
+# fixed args is 1-ulp divergent cross-engine (the fuzz-pinned JVM vs
+# libm wobble), so the expected frequencies are pinned constants, not
+# computed logs.
+_BENFORD = [
+    (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+    (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+    (9, 0.045757),
+]
+
+
+@contract_query(
+    "q_benford",
+    oracle=(
+        "WITH c AS (SELECT round(CASE WHEN isfinite(o_totalprice) "
+        "  THEN o_totalprice END * 100)::BIGINT AS cents FROM orders), "
+        "d AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit "
+        "  FROM c WHERE cents > 0), "
+        "g AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY digit), "
+        "t AS (SELECT sum(n_obs)::BIGINT AS n_total FROM g), "
+        "b (digit, benford_freq) AS (VALUES "
+        + ", ".join(f"({d}::BIGINT, {p}::DOUBLE)" for d, p in _BENFORD)
+        + ") "
+        "SELECT g.digit, g.n_obs, t.n_total, "
+        f"  {portable_round_sql('g.n_obs::DOUBLE / t.n_total', 6)} AS obs_freq, "
+        "  b.benford_freq, "
+        f"  {portable_round_sql('g.n_obs::DOUBLE / t.n_total - b.benford_freq', 6)} AS dev "
+        "FROM g JOIN b ON b.digit = g.digit CROSS JOIN t"
+    ),
+    covers="data-quality diagnostics (extension: Benford first-digit conformance)",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order amounts: the observed
+    first-significant-digit distribution against log10(1 + 1/d) — the
+    classic fabricated-data / unit-mix-up detector for financial
+    columns (synthetic or truncated amounts bend the curve).
+
+    Exactness: amounts become integer CENTS (finite-guarded before the
+    ANSI round), the first digit is a SUBSTRING of the bigint's decimal
+    render (identical on both engines; no log10/power on doubles whose
+    boundary wobble could flip a digit), counts are bigint, and the
+    expected frequencies are pinned 6-dp literals. One double division
+    per output row.
+
+    Scale shape: one map-side-combined (digit) aggregate collapses the
+    table to ≤9 rows; the total and the 9-row expectation table ride
+    in as broadcasts."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(finite_value(F.col("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    d = o.filter(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
+    t = g.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    b = spark.createDataFrame(_BENFORD, "digit bigint, benford_freq double")
+    obs = F.col("n_obs").cast("double") / F.col("n_total")
+    return (
+        g.join(F.broadcast(b), "digit")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_obs",
+            "n_total",
+            portable_round(obs, 6).alias("obs_freq"),
+            "benford_freq",
+            portable_round(obs - F.col("benford_freq"), 6).alias("dev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cooccur_lift — event-type co-occurrence lift across users
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_cooccur_lift",
+    oracle=(
+        "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events "
+        "  WHERE user_id IS NOT NULL AND event_type IS NOT NULL), "
+        "n AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM ut), "
+        "c AS (SELECT event_type, count(*)::BIGINT AS n_type FROM ut GROUP BY event_type), "
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "  count(*)::BIGINT AS n_both FROM ut a JOIN ut b "
+        "  ON a.user_id = b.user_id AND a.event_type < b.event_type "
+        "  GROUP BY a.event_type, b.event_type) "
+        "SELECT p.type_a, p.type_b, p.n_both, ca.n_type AS n_a, cb.n_type AS n_b, "
+        f"  {portable_round_sql('(n.n_users::HUGEINT * p.n_both)::DOUBLE / (ca.n_type::HUGEINT * cb.n_type)::DOUBLE', 6)} AS lift, "
+        f"  {portable_round_sql('p.n_both::DOUBLE / n.n_users', 6)} AS support "
+        "FROM p JOIN c ca ON ca.event_type = p.type_a "
+        "JOIN c cb ON cb.event_type = p.type_b CROSS JOIN n"
+    ),
+    covers="behavioral analytics (extension: market-basket co-occurrence lift)",
+)
+def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise event-type co-occurrence across users with LIFT
+    n·|A∩B| / (|A|·|B|) and support — the market-basket association
+    measure (lift > 1: users doing A are disproportionately likely to
+    also do B).
+
+    Exactness: everything up to the output is distinct-set COUNTS
+    (NULL user/type rows filtered on both sides); the lift's cross
+    products promote to decimal/HUGEINT BEFORE multiplying (user counts
+    square past 2^62 at warehouse scale), then one double division.
+    Denominators are structurally ≥ 1: every pair endpoint exists in
+    the per-type counts by construction.
+
+    Scale shape: the corpus collapses to distinct (user, type) rows in
+    one aggregate; the pair join self-joins THAT set on user_id (one
+    hash partitioning shared by both sides, per-user fan-out bounded by
+    the type alphabet, not the event volume); per-type counts and the
+    user total join as broadcasts."""
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    n = ut.agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    c = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_type"))
+    a, bb = ut.alias("a"), ut.alias("b")
+    p = (
+        a.join(
+            bb,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(19,0)")  # noqa: E731
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b"))
+    lift = (dec("n_users") * dec("n_both")).cast("decimal(38,0)").cast("double") / (
+        dec("n_a") * dec("n_b")
+    ).cast("decimal(38,0)").cast("double")
+    return (
+        p.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            portable_round(lift, 6).alias("lift"),
+            portable_round(F.col("n_both").cast("double") / F.col("n_users"), 6).alias(
+                "support"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ewma — exact dyadic EWMA of the daily event volume
+# ---------------------------------------------------------------------------
+
+_EWMA_SPAN = 16  # trailing window length; weights 2^0 .. 2^15
+
+
+@contract_query(
+    "q_ewma",
+    oracle=(
+        "WITH d AS (SELECT date_trunc('day', ts::TIMESTAMP) AS day, "
+        "  count(*)::BIGINT AS x FROM events WHERE ts IS NOT NULL GROUP BY day), "
+        "o AS (SELECT day, x, row_number() OVER (ORDER BY day) AS r FROM d), "
+        "w AS (SELECT a.day, a.x, count(*)::BIGINT AS n_window, "
+        f"  sum(b.x::HUGEINT * (1::BIGINT << ({_EWMA_SPAN - 1} - (a.r - b.r)))) AS num, "
+        f"  sum(1::BIGINT << ({_EWMA_SPAN - 1} - (a.r - b.r)))::BIGINT AS den "
+        f"  FROM o a JOIN o b ON b.r BETWEEN a.r - {_EWMA_SPAN - 1} AND a.r "
+        "  GROUP BY a.day, a.x) "
+        "SELECT day, x AS daily_count, n_window, "
+        f"  {portable_round_sql('num::DOUBLE / den', 6)} AS ewma FROM w"
+    ),
+    covers="time-series diagnostics (extension: exact dyadic EWMA smoothing)",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event count
+    with decay 1/2 over a trailing 16-row window — the smoothed volume
+    curve monitoring dashboards plot next to q_ols_trend's drift and
+    q_changepoint's shift day.
+
+    Exactness: the weights are POWERS OF TWO (2^0 oldest … 2^15 the
+    current day), so numerator and denominator are exact integers —
+    dyadic decay makes EWMA hash-portable where an α^k double power
+    never is. Per-term products promote to decimal/HUGEINT before the
+    sum (daily counts × 2^15 approach 2^62 at warehouse volume); the
+    partial-window head normalizes by the truncated weight sum
+    (den = 2^16 − 2^(16−m) for m available rows). One double division
+    per output row.
+
+    Scale shape: the corpus collapses to the |days| grid in one
+    map-side-combined aggregate; the trailing window is an EQUI-join —
+    each grid row explodes its 16 offsets and joins back on the row
+    index (no range-join expansion, no single-partition running
+    window); output is |days| rows."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    o = d.select("day", "x", F.row_number().over(Window.orderBy("day")).alias("r"))
+    pow2 = F.array(*[F.lit(1 << k).cast("long") for k in range(_EWMA_SPAN)])
+    probe = o.select(
+        "day",
+        "x",
+        "r",
+        F.explode(F.sequence(F.lit(0), F.lit(_EWMA_SPAN - 1))).alias("j"),
+    ).select(
+        "day",
+        "x",
+        (F.col("r") - F.col("j")).alias("rb"),
+        # weight 2^(SPAN-1-j): element_at is 1-based → index SPAN - j
+        F.element_at(pow2, (F.lit(_EWMA_SPAN) - F.col("j")).cast("int")).alias("wt"),
+    )
+    base = o.select(F.col("r").alias("rb"), F.col("x").alias("xb"))
+    dec = lambda c_: F.col(c_).cast("decimal(19,0)")  # noqa: E731
+    w = (
+        probe.join(base, "rb")
+        .groupBy("day", "x")
+        .agg(
+            F.count("*").cast("bigint").alias("n_window"),
+            F.sum((dec("xb") * dec("wt")).cast("decimal(38,0)")).alias("num"),
+            F.sum("wt").cast("bigint").alias("den"),
+        )
+    )
+    return w.select(
+        "day",
+        F.col("x").alias("daily_count"),
+        "n_window",
+        portable_round(F.col("num").cast("double") / F.col("den"), 6).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_interarrival — per-user inter-event gap distribution
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_interarrival",
+    oracle=(
+        "WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id "
+        "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+        "g AS (SELECT us - lag(us) OVER (PARTITION BY user_id "
+        "  ORDER BY us, event_id) AS gap_us FROM e), "
+        "s AS (SELECT gap_us // 1000000 AS gap_s FROM g WHERE gap_us IS NOT NULL), "
+        "grid AS (SELECT gap_s, count(*)::BIGINT AS cnt FROM s GROUP BY gap_s), "
+        "t AS (SELECT sum(cnt)::BIGINT AS n, sum(gap_s::HUGEINT * cnt) AS total_s, "
+        "  max(gap_s)::BIGINT AS max_gap FROM grid), "
+        "c AS (SELECT gap_s, sum(cnt) OVER (ORDER BY gap_s)::BIGINT AS cum FROM grid), "
+        "p AS (SELECT min(CASE WHEN 2 * c.cum >= t.n THEN c.gap_s END)::BIGINT AS p50, "
+        "  min(CASE WHEN 10 * c.cum >= 9 * t.n THEN c.gap_s END)::BIGINT AS p90 "
+        "  FROM c CROSS JOIN t) "
+        "SELECT t.n AS n_gaps, "
+        f"  CASE WHEN t.n > 0 THEN {portable_round_sql('t.total_s::DOUBLE / t.n', 6)} END "
+        "    AS mean_gap_s, "
+        "  p.p50 AS p50_gap_s, p.p90 AS p90_gap_s, t.max_gap AS max_gap_s "
+        "FROM t CROSS JOIN p"
+    ),
+    covers="behavioral analytics (extension: inter-arrival gap order statistics)",
+)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user inter-event gaps: count, mean, exact
+    nearest-rank p50/p90 and max gap in whole seconds — the
+    session-timeout calibration report (where should q_session_window's
+    gap threshold sit?) and a bot-vs-human cadence signal.
+
+    Exactness: gaps are µs-integer differences of consecutive events
+    per user (NULL user/ts filtered on both sides; ties broken by
+    event_id), floored to seconds by // on a NON-NEGATIVE value (so
+    truncation ≡ floor); the percentile picks are integer
+    cross-multiplied ranks over the collapsed gap grid (2·cum ≥ n ⇔
+    cum ≥ ⌈n/2⌉ — no double ever touches a rank); the mean's product
+    sum promotes to decimal/HUGEINT before multiplying. Empty input
+    yields one all-NULL row on both engines (SUM over nothing).
+
+    Scale shape: the lag runs under one (user_id) hash partitioning;
+    gaps then collapse to the distinct-seconds grid in a
+    map-side-combined aggregate, and only that grid (bounded by the
+    gap value range, not the corpus) crosses the single-partition
+    cumulative window — the q_ks_drift caveat; scalars broadcast."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+        )
+    )
+    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.select((F.col("us") - F.lag("us").over(wu)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    s = g.select(F.expr("gap_us div 1000000").alias("gap_s"))
+    grid = s.groupBy("gap_s").agg(F.count("*").cast("bigint").alias("cnt"))
+    dec = lambda c_: F.col(c_).cast("decimal(19,0)")  # noqa: E731
+    t = grid.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum((dec("gap_s") * dec("cnt")).cast("decimal(38,0)")).alias("total_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap"),
+    )
+    c = grid.select(
+        "gap_s",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("gap_s").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("cum"),
+    )
+    p = c.crossJoin(F.broadcast(t)).agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("gap_s")))
+        .cast("bigint")
+        .alias("p50"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("gap_s")))
+        .cast("bigint")
+        .alias("p90"),
+    )
+    return t.crossJoin(F.broadcast(p)).select(
+        F.col("n").alias("n_gaps"),
+        F.when(
+            F.col("n") > 0,
+            portable_round(F.col("total_s").cast("double") / F.col("n"), 6),
+        ).alias("mean_gap_s"),
+        F.col("p50").alias("p50_gap_s"),
+        F.col("p90").alias("p90_gap_s"),
+        F.col("max_gap").alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rfm — recency/frequency/monetary quartile segmentation of customers
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _rfm_quartile_sql(dim: str, pfx: str) -> str:
+    """Grid-based exact quartile thresholds for one RFM dimension:
+    nearest-rank q1/q2/q3 via integer cross-multiplied ranks over the
+    collapsed distinct-value grid (4·cum ≥ k·n ⇔ cum ≥ ⌈k·n/4⌉)."""
+    return (
+        f"{pfx}g AS (SELECT {dim} AS v, count(*)::BIGINT AS cnt FROM c2 GROUP BY {dim}), "
+        f"{pfx}c AS (SELECT v, sum(cnt) OVER (ORDER BY v)::BIGINT AS cum FROM {pfx}g), "
+        f"{pfx}q AS (SELECT min(CASE WHEN 4 * cum >= n THEN v END)::BIGINT AS q1, "
+        "  min(CASE WHEN 2 * cum >= n THEN v END)::BIGINT AS q2, "
+        "  min(CASE WHEN 4 * cum >= 3 * n THEN v END)::BIGINT AS q3 "
+        f"  FROM {pfx}c CROSS JOIN gstats)"
+    )
+
+
+def _rfm_band_sql(dim: str, pfx: str) -> str:
+    return (
+        f"1 + CASE WHEN {dim} > {pfx}q.q1 THEN 1 ELSE 0 END "
+        f"+ CASE WHEN {dim} > {pfx}q.q2 THEN 1 ELSE 0 END "
+        f"+ CASE WHEN {dim} > {pfx}q.q3 THEN 1 ELSE 0 END"
+    )
+
+
+@contract_query(
+    "q_rfm",
+    oracle=(
+        "WITH o AS (SELECT o_custkey, epoch_us(o_orderdate::TIMESTAMP) AS us, "
+        "  round(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END * 100)::BIGINT "
+        "    AS cents FROM orders "
+        "  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL), "
+        "cust AS (SELECT o_custkey, max(us) AS mx, count(*)::BIGINT AS f, "
+        "  coalesce(sum(cents), 0)::BIGINT AS m FROM o GROUP BY o_custkey), "
+        "gstats AS (SELECT max(mx) AS gmx, count(*)::BIGINT AS n FROM cust), "
+        f"c2 AS (SELECT ((gstats.gmx - cust.mx) // {_DAY_US})::BIGINT AS r_days, f, m "
+        "  FROM cust CROSS JOIN gstats), "
+        + _rfm_quartile_sql("r_days", "r") + ", "
+        + _rfm_quartile_sql("f", "f") + ", "
+        + _rfm_quartile_sql("m", "m") + ", "
+        "scored AS (SELECT m, "
+        f"  5 - ({_rfm_band_sql('r_days', 'r')}) AS r_score, "
+        f"  {_rfm_band_sql('f', 'f')} AS f_score, "
+        f"  {_rfm_band_sql('m', 'm')} AS m_score "
+        "  FROM c2 CROSS JOIN rq CROSS JOIN fq CROSS JOIN mq) "
+        "SELECT (r_score * 100 + f_score * 10 + m_score)::BIGINT AS segment, "
+        "  count(*)::BIGINT AS n_customers, "
+        f"  {portable_round_sql('sum(m::HUGEINT)::DOUBLE / count(*) / 100.0', 6)} "
+        "    AS avg_monetary "
+        "FROM scored GROUP BY segment"
+    ),
+    covers="behavioral analytics (extension: RFM quartile segmentation)",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer scored 1–4 on Recency (days
+    since last order, 4 = most recent), Frequency (order count) and
+    Monetary (total cents) by exact quartile thresholds, rolled up to
+    segment code r·100 + f·10 + m with size and average spend — the
+    classic CRM cohort cut (444 = champions, 111 = churned).
+
+    Exactness: recency is a NON-NEGATIVE µs difference from the global
+    latest order (so // ≡ floor), monetary is finite-guarded integer
+    cents (all-NaN customers coalesce to 0); quartile thresholds are
+    nearest-rank picks via integer cross-multiplied ranks over each
+    dimension's collapsed grid, and scores are threshold-exceedance
+    counts — ties land in ONE band by value, deterministic under any
+    partitioning, where ntile() would split ties by arbitrary row
+    order. Only the final per-segment average touches a double.
+
+    Scale shape: one (custkey) aggregate collapses orders to customers;
+    each quartile pipeline aggregates THAT to its distinct-value grid
+    (recency bounded by the day range, frequency by the max order
+    count; the monetary grid is customer-scale — the q_ks_drift
+    single-partition caveat applies to its cumulative window only);
+    thresholds and the global scalars rejoin as one-row broadcasts, and
+    the segment rollup is a ≤64-group map-side-combined aggregate."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            F.expr("unix_micros(o_orderdate)").alias("us"),
+            F.round(finite_value(F.col("o_totalprice")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.max("us").alias("mx"),
+        F.count("*").cast("bigint").alias("f"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("m"),
+    )
+    gstats = cust.agg(
+        F.max("mx").alias("gmx"), F.count("*").cast("bigint").alias("n")
+    )
+    c2 = cust.crossJoin(F.broadcast(gstats)).select(
+        F.expr(f"(gmx - mx) div {_DAY_US}").cast("bigint").alias("r_days"),
+        "f",
+        "m",
+    )
+
+    def quartiles(col: str, pfx: str) -> DataFrame:
+        g = c2.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+        cum = g.select(
+            "v",
+            F.sum("cnt")
+            .over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .cast("bigint")
+            .alias("cum"),
+        )
+        return cum.crossJoin(F.broadcast(gstats.select("n"))).agg(
+            F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("v")))
+            .cast("bigint")
+            .alias(f"{pfx}1"),
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("v")))
+            .cast("bigint")
+            .alias(f"{pfx}2"),
+            F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("v")))
+            .cast("bigint")
+            .alias(f"{pfx}3"),
+        )
+
+    def band(col: str, pfx: str):
+        return (
+            F.lit(1)
+            + F.when(F.col(col) > F.col(f"{pfx}1"), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(f"{pfx}2"), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(f"{pfx}3"), 1).otherwise(0)
+        )
+
+    scored = (
+        c2.crossJoin(F.broadcast(quartiles("r_days", "rq")))
+        .crossJoin(F.broadcast(quartiles("f", "fq")))
+        .crossJoin(F.broadcast(quartiles("m", "mq")))
+        .select(
+            "m",
+            (F.lit(5) - band("r_days", "rq")).alias("r_score"),
+            band("f", "fq").alias("f_score"),
+            band("m", "mq").alias("m_score"),
+        )
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(19,0)")  # noqa: E731
+    return scored.groupBy(
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("bigint")
+        .alias("segment")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        portable_round(
+            F.sum(dec("m").cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+            / 100.0,
+            6,
+        ).alias("avg_monetary"),
+    )
