@@ -88,6 +88,17 @@ def finite_value_sql(expr: str) -> str:
     return f"CASE WHEN isfinite({expr}) THEN {expr} END"
 
 
+def dec19(col: str | Column) -> Column:
+    """Promote an integer column to decimal(19,0) BEFORE multiplying —
+    the moment rule (CLAUDE.md): per-term products in sums of
+    squares/cross-products overflow int64 even when the inputs fit, so
+    promotion must happen before the multiply, with the SUM accumulated
+    as decimal(38,0). DuckDB twin: ``x::HUGEINT`` (bit-exact match for
+    integer args). ONE definition so the precision can't drift per
+    call site."""
+    return (F.col(col) if isinstance(col, str) else col).cast("decimal(19,0)")
+
+
 def strip_ws(col: Column) -> Column:
     """Strip leading/trailing ASCII whitespace (regex trim; ``F.trim``
     only strips 0x20 so it cannot reproduce ``str.split()``)."""

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tia_data_pipeline_spark.functions.text import (
+    dec19,
     finite_value,
     finite_value_sql,
     portable_round,
@@ -54,7 +55,7 @@ def zscore(
     # large high-valued group. Decimal(38) gives the same exact-integer
     # accumulation DuckDB's HUGEINT does; the final cast to double
     # rounds the identical integer on both engines.
-    sq = (cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")).cast("decimal(38,0)")
+    sq = (dec19(cents) * dec19(cents)).cast("decimal(38,0)")
     s2 = F.sum(sq).over(w).cast("double")
     mean = s1 / n
     var = (s2 - s1 * s1 / n) / (n - 1)

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from tia_data_pipeline_spark.catalog import load_table
 from tia_data_pipeline_spark.functions.text import (
+    dec19,
     finite_value,
     finite_value_sql,
     portable_round,
@@ -766,13 +767,12 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         (F.col("xs") - F.min("xs").over(w)).alias("x"),
     )
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     g = r.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("cents").cast("bigint").alias("sy"),
-        F.sum((dec("x") * dec("cents")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((dec("x") * dec("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((dec19("x") * dec19("cents")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((dec19("x") * dec19("x")).cast("decimal(38,0)")).alias("sxx"),
     )
     nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
     sxyd, sxxd = (F.col(c).cast("double") for c in ("sxy", "sxx"))
@@ -840,14 +840,13 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = daily.select("day", "x", F.lead("x").over(wd).alias("y")).filter(
         F.col("y").isNotNull()
     )
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     g = q.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum((dec("x") * dec("y")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((dec("x") * dec("x")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((dec("y") * dec("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((dec19("x") * dec19("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((dec19("x") * dec19("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((dec19("y") * dec19("y")).cast("decimal(38,0)")).alias("syy"),
     )
     nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
     sxyd, sxxd, syyd = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
@@ -1056,8 +1055,8 @@ _BENFORD = [
 @contract_query(
     "q_benford",
     oracle=(
-        "WITH c AS (SELECT round(CASE WHEN isfinite(o_totalprice) "
-        "  THEN o_totalprice END * 100)::BIGINT AS cents FROM orders), "
+        "WITH c AS (SELECT "
+        f"round({finite_value_sql('o_totalprice')} * 100)::BIGINT AS cents FROM orders), "
         "d AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit "
         "  FROM c WHERE cents > 0), "
         "g AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY digit), "
@@ -1176,11 +1175,10 @@ def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_both"))
     )
-    dec = lambda c_: F.col(c_).cast("decimal(19,0)")  # noqa: E731
     ca = c.select(F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a"))
     cb = c.select(F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b"))
-    lift = (dec("n_users") * dec("n_both")).cast("decimal(38,0)").cast("double") / (
-        dec("n_a") * dec("n_b")
+    lift = (dec19("n_users") * dec19("n_both")).cast("decimal(38,0)").cast("double") / (
+        dec19("n_a") * dec19("n_b")
     ).cast("decimal(38,0)").cast("double")
     return (
         p.join(F.broadcast(ca), "type_a")
@@ -1262,13 +1260,12 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(pow2, (F.lit(_EWMA_SPAN) - F.col("j")).cast("int")).alias("wt"),
     )
     base = o.select(F.col("r").alias("rb"), F.col("x").alias("xb"))
-    dec = lambda c_: F.col(c_).cast("decimal(19,0)")  # noqa: E731
     w = (
         probe.join(base, "rb")
         .groupBy("day", "x")
         .agg(
             F.count("*").cast("bigint").alias("n_window"),
-            F.sum((dec("xb") * dec("wt")).cast("decimal(38,0)")).alias("num"),
+            F.sum((dec19("xb") * dec19("wt")).cast("decimal(38,0)")).alias("num"),
             F.sum("wt").cast("bigint").alias("den"),
         )
     )
@@ -1343,10 +1340,9 @@ def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = g.select(F.expr("gap_us div 1000000").alias("gap_s"))
     grid = s.groupBy("gap_s").agg(F.count("*").cast("bigint").alias("cnt"))
-    dec = lambda c_: F.col(c_).cast("decimal(19,0)")  # noqa: E731
     t = grid.agg(
         F.sum("cnt").cast("bigint").alias("n"),
-        F.sum((dec("gap_s") * dec("cnt")).cast("decimal(38,0)")).alias("total_s"),
+        F.sum((dec19("gap_s") * dec19("cnt")).cast("decimal(38,0)")).alias("total_s"),
         F.max("gap_s").cast("bigint").alias("max_gap"),
     )
     c = grid.select(
@@ -1413,7 +1409,7 @@ def _rfm_band_sql(dim: str, pfx: str) -> str:
     "q_rfm",
     oracle=(
         "WITH o AS (SELECT o_custkey, epoch_us(o_orderdate::TIMESTAMP) AS us, "
-        "  round(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END * 100)::BIGINT "
+        f"  round({finite_value_sql('o_totalprice')} * 100)::BIGINT "
         "    AS cents FROM orders "
         "  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL), "
         "cust AS (SELECT o_custkey, max(us) AS mx, count(*)::BIGINT AS f, "
@@ -1531,7 +1527,6 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             band("m", "mq").alias("m_score"),
         )
     )
-    dec = lambda c_: F.col(c_).cast("decimal(19,0)")  # noqa: E731
     return scored.groupBy(
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
         .cast("bigint")
@@ -1539,7 +1534,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").cast("bigint").alias("n_customers"),
         portable_round(
-            F.sum(dec("m").cast("decimal(38,0)")).cast("double")
+            F.sum(dec19("m").cast("decimal(38,0)")).cast("double")
             / F.count("*")
             / 100.0,
             6,

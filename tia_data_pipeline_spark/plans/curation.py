@@ -1261,14 +1261,13 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.partitionBy("source").orderBy("x", "doc_id")
     r = per.select("source", "x", F.row_number().over(wr).alias("rn"))
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     g = r.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         # decimal(38,0), not bigint: the SUM of rank-weighted terms
         # grows ~n^2·avg(x)/2 — unbounded even though each term fits
         # (the CLAUDE.md zscore rule); DuckDB's HUGEINT matches exactly
-        F.sum((dec("rn") * dec("x")).cast("decimal(38,0)")).alias("swx"),
+        F.sum((TX.dec19("rn") * TX.dec19("x")).cast("decimal(38,0)")).alias("swx"),
     )
     nd, sxd, swxd = (F.col(c).cast("double") for c in ("n", "sx", "swx"))
     gini = (2.0 * swxd - (nd + 1.0) * sxd) / (nd * sxd)
@@ -1333,18 +1332,17 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
     n = docs.agg(F.count("*").cast("bigint").alias("nd"))
     dc = tok.groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("c"))
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     ts = dc.groupBy("token").agg(
         F.count("*").cast("bigint").alias("df"),
         F.sum("c").cast("bigint").alias("c_tot"),
-        F.sum((dec("c") * dec("c")).cast("decimal(38,0)")).alias("sq"),
+        F.sum((TX.dec19("c") * TX.dec19("c")).cast("decimal(38,0)")).alias("sq"),
     )
     out = ts.crossJoin(F.broadcast(n)).select(
         "token",
         "c_tot",
         "df",
         TX.portable_round(
-            (F.col("nd") * F.col("sq") - dec("c_tot") * dec("c_tot")).cast("double")
+            (F.col("nd") * F.col("sq") - TX.dec19("c_tot") * TX.dec19("c_tot")).cast("double")
             / (F.col("nd") * F.col("c_tot")),
             6,
         ).alias("vmr"),
@@ -1438,19 +1436,18 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.log(F.col("r").cast("double")) * nano + 0.5).cast("bigint").alias("x"),
         F.floor(F.log(F.col("c").cast("double")) * nano + 0.5).cast("bigint").alias("y"),
     )
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     s = xy.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum((dec("x") * dec("y")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((dec("x") * dec("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((TX.dec19("x") * TX.dec19("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((TX.dec19("x") * TX.dec19("x")).cast("decimal(38,0)")).alias("sxx"),
     )
     # den = n·Σx² − (Σx)² ≥ 0 (Cauchy–Schwarz); it is 0 when n == 1 (a
     # single-token vocabulary), where the fit is undefined: NULL the
     # slope/intercept on BOTH sides (guarded in exact decimal, before
     # the lone double division — the ratio-denominator rule).
-    den_exact = F.col("n") * F.col("sxx") - dec("sx") * dec("sx")
+    den_exact = F.col("n") * F.col("sxx") - TX.dec19("sx") * TX.dec19("sx")
     den = den_exact.cast("double")
     guarded = lambda e: F.when(den_exact > 0, e)  # noqa: E731
     return s.crossJoin(F.broadcast(v)).select(
@@ -1460,14 +1457,14 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_ranks"),
         guarded(
             TX.portable_round(
-                (F.col("n") * F.col("sxy") - dec("sx") * dec("sy")).cast("double")
+                (F.col("n") * F.col("sxy") - TX.dec19("sx") * TX.dec19("sy")).cast("double")
                 / den,
                 6,
             )
         ).alias("zipf_slope"),
         guarded(
             TX.portable_round(
-                (F.col("sy") * F.col("sxx") - dec("sx") * F.col("sxy")).cast("double")
+                (F.col("sy") * F.col("sxx") - TX.dec19("sx") * F.col("sxy")).cast("double")
                 / den
                 / F.lit(nano),
                 6,
