@@ -39,9 +39,11 @@ TIMED_RUNS = 3
 
 
 def run_once(df) -> float:
-    t0 = time.time()
+    # monotonic: a backwards wall-clock step would fabricate a falsely
+    # small duration that min-of-N then permanently selects
+    t0 = time.monotonic()
     df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    return time.monotonic() - t0
 
 
 def main() -> None:
@@ -58,11 +60,11 @@ def main() -> None:
             # build() inside the try: an analysis-time failure in one
             # query must record -1.0, not abort the whole bench run.
             df = q.build(spark, sf_dir)
-            budget_t0 = time.time()
+            budget_t0 = time.monotonic()
             run_once(df)  # warm-up (also JIT + parquet footer cache)
             times = []
             while len(times) < TIMED_RUNS and (
-                not times or time.time() - budget_t0 < PER_QUERY_BUDGET_SEC
+                not times or time.monotonic() - budget_t0 < PER_QUERY_BUDGET_SEC
             ):
                 times.append(run_once(df))
             results[name] = round(min(times), 3)
@@ -74,12 +76,18 @@ def main() -> None:
     # "value" LAST and compact separators: the driver tail-captures
     # stdout, so front-clipping on a long line must lose query entries,
     # never the headline. A full copy goes to BENCH_local.json.
+    failed = sorted(n for n, t in results.items() if t < 0)
+    # failures must be LOUD in the tail-captured artifact: a silently
+    # excluded query would make the headline total SMALLER (look
+    # faster); the short trailing keys survive any front-clipping
     payload = {
         "metric": "total_query_wall_sec",
         "unit": "sec",
         "queries": results,
         "sf": sf,
         "n_queries": len(results),
+        "failed": failed,
+        "n_failed": len(failed),
         "value": total,
     }
     line = json.dumps(payload, separators=(",", ":"))

@@ -55,7 +55,12 @@ def main() -> int:
                 assert_parity(df, con.sql(oracles[name]), name)
                 status = "OK"
             else:
-                n = df.count()
+                # collect(), NOT count(): count() column-prunes every
+                # computed projection, so a per-row ANSI fault (divide
+                # by zero, cast overflow, NaN->BIGINT) in an output
+                # column would never execute here yet abort in the
+                # driver when it materializes values.
+                n = len(df.collect())
                 status = f"OK(rows-only n={n})"
         except Exception as exc:  # noqa: BLE001
             status = f"FAIL: {exc}"

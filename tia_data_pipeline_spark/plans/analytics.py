@@ -1208,7 +1208,7 @@ _EWMA_SPAN = 16  # trailing window length; weights 2^0 .. 2^15
 @contract_query(
     "q_ewma",
     oracle=(
-        "WITH d AS (SELECT date_trunc('day', ts::TIMESTAMP) AS day, "
+        "WITH d AS (SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day, "
         "  count(*)::BIGINT AS x FROM events WHERE ts IS NOT NULL GROUP BY day), "
         "o AS (SELECT day, x, row_number() OVER (ORDER BY day) AS r FROM d), "
         "w AS (SELECT a.day, a.x, count(*)::BIGINT AS n_window, "
