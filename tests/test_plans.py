@@ -135,6 +135,7 @@ TAIL_COVERED_BY = {
     # interarrival/rfm/triangles), each with an in-cap family cover:
     "q_pagerank": "q_dedup_components",  # iterative graph propagation
     "q_winsorize": "q_mad_outliers",  # order-stat robust trimming
+    "q_tok_fertility": "q_token_entropy",  # token-distribution stats
     "q_ols_trend": "q_zipf_fit",  # exact-moment OLS normal equations
     "q_autocorr": "q_ewma",  # daily-series diagnostics
     "q_changepoint": "q_ewma",  # daily-series diagnostics
@@ -155,7 +156,7 @@ TAIL_COVERED_BY = {
     "q_embed_quantize": "q_ann_recall",
     "q_knn_join": "q_knn_bucketed",
     "q_topk_per_group": "q_topk_latest",
-    "q_token_bpe": "q_tok_fertility",  # same bpe_token_count surface
+    "q_token_bpe": "q_token_entropy",  # token-counting surface
     "q_canonicalize": "q_gopher_quality",
     "q_ann_multiprobe": "q_ann_recall",
     "q_ntile": "q_topk_latest",

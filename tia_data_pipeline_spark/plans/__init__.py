@@ -37,6 +37,7 @@ CONTRACT_ORDER = [
     "q_interarrival",
     "q_rfm",
     "q_triangles",
+    "q_quality_linear",
     # -- round-6 additions (never driver-seen): slots before everything
     #    else per the never-verified-first policy.
     "q_substring_dedup",
@@ -60,13 +61,12 @@ CONTRACT_ORDER = [
     # -- round-5 additions kept in-cap: each CHANGED this round so a
     #    fresh driver row re-verifies the changed form (q_gini/q_ks_drift
     #    NULL preconditions, q_bm25's dropped nano-nat column) or anchors
-    #    a family (q_jsd_mix covers two tail variants, q_tok_fertility
-    #    covers q_token_bpe). The five unchanged 1x-green r5 singles
-    #    (pagerank/winsorize/ols_trend/autocorr/changepoint) demote with
-    #    in-cap family covers to fund the second round-6 batch.
+    #    a family (q_jsd_mix covers two tail variants). The five unchanged
+    #    1x-green r5 singles (pagerank/winsorize/ols_trend/autocorr/
+    #    changepoint) and q_tok_fertility demote with in-cap family
+    #    covers to fund the second round-6 batch + q_quality_linear.
     "q_ks_drift",
     "q_jsd_mix",
-    "q_tok_fertility",
     "q_bm25",
     "q_gini",
     # -- retained r4/r5 families (2x green; q_pii_redact and q_boilerplate
@@ -105,6 +105,7 @@ CONTRACT_ORDER = [
     #    r5 singles + the 2x-green Levenshtein verify; each family keeps
     #    an in-cap representative per TAIL_COVERED_BY):
     "q_pagerank",
+    "q_tok_fertility",
     "q_winsorize",
     "q_ols_trend",
     "q_autocorr",

@@ -1352,3 +1352,86 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_linear — linear classifier inference for document quality
+# ---------------------------------------------------------------------------
+
+# Fixed bag-of-words weight table in INTEGER micro-units (the shipped
+# artifact of a fasttext-style quality classifier: a linear model over
+# token counts). Positive: function words that mark natural prose;
+# negative: promo/boilerplate markers. The weights are pinned literals
+# so inference is pure integer arithmetic — hash-stable with no
+# exp/sigmoid whose cross-engine 1-ulp wobble could flip a score.
+_QL_BIAS = -250_000
+_QL_PER_TOKEN = 1_500  # length prior per token
+_QL_WEIGHTS = [
+    ("the", 90_000), ("and", 70_000), ("of", 60_000), ("to", 50_000),
+    ("in", 45_000), ("is", 40_000), ("that", 35_000), ("with", 30_000),
+    ("click", -220_000), ("subscribe", -240_000), ("buy", -180_000),
+    ("free", -160_000), ("offer", -150_000), ("www", -200_000),
+    ("http", -120_000), ("cookie", -130_000), ("login", -110_000),
+    ("copyright", -90_000),
+]
+
+
+@contract_query(
+    "q_quality_linear",
+    oracle=(
+        "WITH w (token, wt) AS (VALUES "
+        + ", ".join(f"('{t}', {w}::BIGINT)" for t, w in _QL_WEIGHTS)
+        + "), "
+        f"tok AS (SELECT doc_id, unnest({_DOC_TOKENS_SQL}) AS token FROM documents), "
+        "s AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens, "
+        "  coalesce(sum(w.wt), 0)::BIGINT AS w_sum "
+        "  FROM tok LEFT JOIN w ON w.token = tok.token GROUP BY tok.doc_id) "
+        f"SELECT doc_id, n_tokens, "
+        f"  ({_QL_BIAS} + {_QL_PER_TOKEN} * n_tokens + w_sum)::BIGINT AS logit_micro, "
+        f"  CASE WHEN {_QL_BIAS} + {_QL_PER_TOKEN} * n_tokens + w_sum > 0 "
+        "    THEN 'keep' ELSE 'drop' END AS label "
+        "FROM s"
+    ),
+    covers="ext-text-analysis (linear classifier inference: fasttext-style quality filter)",
+)
+def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier INFERENCE over the corpus: a fasttext-style
+    linear model (bag-of-words weights + length prior + bias, the
+    shipped artifact of a trained quality filter) scored per document
+    with a keep/drop decision — the model-based stage that follows the
+    heuristic tiers (q_gopher_quality, q_quality_score) in a real
+    curation pipeline.
+
+    Exactness: weights are pinned INTEGER micro-units, so the logit is
+    exact bigint arithmetic end to end — no exp/sigmoid (1-ulp
+    divergent cross-engine) ever runs; the keep/drop threshold
+    compares integers. Documents with NULL/empty text produce no token
+    rows and drop out identically on both engines (unnest(NULL) ≡
+    explode(NULL)).
+
+    Scale shape: one token explode feeding a map-side-combined
+    (doc_id) aggregate (the bare-token rule: no fan_out — the
+    aggregate's exchange already parallelizes); the 18-row weight
+    table joins as a BROADCAST onto the exploded stream before the
+    aggregate, so weighting adds zero shuffles. At cluster scale the
+    weight table is the model artifact shipped to every executor —
+    exactly how a linear scorer deploys."""
+    w = spark.createDataFrame(_QL_WEIGHTS, "token string, wt bigint")
+    tok = _docs(spark, sf_dir, fan=False).select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    s = (
+        tok.join(F.broadcast(w), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.sum("wt"), F.lit(0)).cast("bigint").alias("w_sum"),
+        )
+    )
+    logit = F.lit(_QL_BIAS) + F.lit(_QL_PER_TOKEN) * F.col("n_tokens") + F.col("w_sum")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        logit.cast("bigint").alias("logit_micro"),
+        F.when(logit > 0, "keep").otherwise("drop").alias("label"),
+    )
