@@ -188,3 +188,18 @@ def test_pagerank_shuffle_state_path_matches_broadcast(spark):
         for r in pagerank_integer(edges, "src", "dst", small_rank_state=False).collect()
     }
     assert a == b and len(a) == 23
+
+
+def test_thread_closure_raises_past_max_depth(spark):
+    """A chain deeper than max_depth must RAISE, not silently truncate:
+    the contract oracle is an unbounded recursive CTE, so a silent cap
+    would drop rows the oracle returns."""
+    import pytest
+
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 9)]  # 8-deep chain
+    df = spark.createDataFrame(rows, "cid bigint, parent bigint")
+    with pytest.raises(RuntimeError, match="max_depth"):
+        thread_closure(df, "cid", "parent", max_depth=5)
+    # and the same forest resolves fully under an adequate budget
+    out = thread_closure(df, "cid", "parent", max_depth=8)
+    assert out.count() == 9

@@ -132,3 +132,32 @@ def test_merge_upsert_null_key_converges(spark):
     # and re-merging converges (no growth)
     again = merge_upsert_plan(incoming, merged, ["id"])
     assert again.count() == 2
+
+
+def test_scd2_merge_dedups_batch_and_drops_null_eff(spark):
+    """Within-batch key dups collapse to the LATEST eff (a retry
+    overlap must not close the same version twice or open two
+    concurrent versions), and NULL-eff update rows are dropped (an
+    event-time merge cannot act at an unknown time)."""
+    from datetime import datetime
+
+    from tia_data_pipeline_spark.operators.incremental import scd2_merge
+
+    t0 = datetime(2020, 1, 1)
+    e1, e2 = datetime(2020, 6, 1), datetime(2020, 7, 1)
+    cur = spark.createDataFrame(
+        [(1, "a", t0), (2, "b", t0)], "k bigint, v string, valid_from timestamp"
+    )
+    upd = spark.createDataFrame(
+        [(1, "a1", e1), (1, "a2", e2), (2, "ignored", None)],
+        "k bigint, v string, eff timestamp",
+    )
+    rows = {
+        (r["k"], r["v"]): (r["valid_from"], r["valid_to"])
+        for r in scd2_merge(cur, upd, keys=["k"], attrs=["v"], eff_col="eff").collect()
+    }
+    assert rows == {
+        (1, "a"): (t0, e2),  # closed ONCE, at the winning (latest) eff
+        (1, "a2"): (e2, None),  # one open version, the latest
+        (2, "b"): (t0, None),  # NULL-eff update dropped → untouched
+    }

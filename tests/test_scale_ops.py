@@ -312,3 +312,31 @@ def test_fan_out_many_tiny_files_still_widens(spark, tmp_path):
         assert "RoundRobinPartitioning" in _explain(fan_out(df))
     finally:
         SC._FAN_OUT_STAT_SAMPLE = old
+
+
+def test_salted_join_rejects_non_large_preserving_how(spark):
+    """right/full outer would emit phantom null-extended rows for the
+    small-side salt replicas the large side never drew — rejected."""
+    import pytest
+
+    from tia_data_pipeline_spark.operators.scale import salted_join
+
+    large = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    small = spark.createDataFrame([(1, "d")], "k bigint, d string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="large-side-preserving"):
+            salted_join(large, small, ["k"], how=how)
+    assert salted_join(large, small, ["k"], how="left").count() == 1
+
+
+def test_row_salt_skips_map_columns(spark):
+    """xxhash64 over a map column fails planning; the salt must hash
+    the remaining columns instead of erroring."""
+    from tia_data_pipeline_spark.operators.scale import salted_group_count
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (1, {"b": 2}), (2, {"c": 3})],
+        "k bigint, meta map<string,int>",
+    )
+    out = {r["k"]: r["count"] for r in salted_group_count(df, ["k"]).collect()}
+    assert out == {1: 2, 2: 1}

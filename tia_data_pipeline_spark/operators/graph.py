@@ -44,15 +44,26 @@ def thread_closure(
     count doubles as both the termination test and the trigger that
     materializes that level's (non-eager) checkpoint, so there is no
     separate ``isEmpty`` round-trip. Checkpointing keeps the per-level
-    lineage flat (plan size would otherwise grow geometrically with
-    depth). By default levels pin to executor-local storage
+    lineage flat (plan size would otherwise grow with depth). By
+    default every level pins to executor-local storage
     (``localCheckpoint`` — fast, but lost on executor death, and there
     is no lineage left to recompute from); for deep hierarchies on a
-    real cluster pass ``checkpoint_dir`` (HDFS/S3) and every
-    ``checkpoint_every``-th level is written to reliable storage
-    instead, bounding recomputation after a failure to at most that
-    many levels. Comment threads are tens of levels deep at most, so
-    the default suits the reference workload.
+    real cluster pass ``checkpoint_dir`` (HDFS/S3): every
+    ``checkpoint_every``-th level is then written to reliable storage
+    and the levels BETWEEN reliable points keep their lineage (no
+    localCheckpoint — a local checkpoint would truncate lineage to
+    unreplicated executor blocks and void the recovery guarantee), so
+    a failure recomputes at most ``checkpoint_every`` levels from the
+    last reliable point. Comment threads are tens of levels deep at
+    most, so the default suits the reference workload.
+
+    A frontier still non-empty at ``max_depth`` RAISES instead of
+    silently truncating (the contract oracle is an UNBOUNDED recursive
+    CTE — a silent cap would drop the deeper rows it returns); raise
+    the budget for deeper forests. Cycles are unaffected: a pure cycle
+    has no root ancestor, never enters the frontier, and drops out
+    exactly as the recursive CTE drops it — the loop still terminates
+    on the empty frontier below the cap.
     """
     spark = df.sparkSession
     if checkpoint_dir is not None:
@@ -65,7 +76,10 @@ def thread_closure(
 
     levels = [roots]
     frontier = roots
-    for level in range(1, max_depth + 1):
+    # one iteration PAST the cap: the extra expansion is the overflow
+    # probe — a forest exactly max_depth deep leaves a non-empty final
+    # frontier that is fully resolved; only nodes BELOW the cap raise
+    for level in range(1, max_depth + 2):
         # rename frontier cols: children and frontier share lineage on
         # the first iteration (both from `nodes`) and Spark rejects the
         # ambiguous self-join otherwise
@@ -77,12 +91,26 @@ def thread_closure(
             F.col("_froot").alias("root_id"),
             (F.col("_fdepth") + 1).alias("depth"),
         )
-        reliable = checkpoint_dir is not None and level % checkpoint_every == 0
-        nxt = nxt.checkpoint(eager=False) if reliable else nxt.localCheckpoint(eager=False)
+        if checkpoint_dir is not None:
+            if level % checkpoint_every == 0:
+                nxt = nxt.checkpoint(eager=False)
+            # between reliable points: keep lineage (recovery chains
+            # from the last reliable checkpoint)
+        else:
+            nxt = nxt.localCheckpoint(eager=False)
         if nxt.count() == 0:  # materializes the checkpoint + terminates
+            frontier = None
             break
+        if level > max_depth:
+            raise RuntimeError(
+                f"thread_closure: nodes exist below max_depth={max_depth} — "
+                "they would be silently dropped while the recursive-CTE "
+                "oracle returns them; raise max_depth"
+            )
         levels.append(nxt)
         frontier = nxt
+    if frontier is not None:
+        raise AssertionError("unreachable: probe level must break or raise")
     out = reduce(lambda a, b: a.unionByName(b), levels)
     return out.select(F.col("_id").alias(id_col), "root_id", "depth")
 
@@ -126,9 +154,13 @@ def connected_components(
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
     )
-    # closed neighborhood: each node is its own neighbor
+    # closed neighborhood: each node is its own neighbor. The edge
+    # relation is loop-invariant — persist so each round's join reads
+    # the materialized set instead of re-running the source scan +
+    # symmetrize + distinct shuffle every iteration (the pagerank
+    # e_deg discipline; lifecycle ContextCleaner-bounded).
     nodes = sym.select("u").distinct()
-    sym = sym.union(nodes.select(F.col("u"), F.col("u").alias("v")))
+    sym = sym.union(nodes.select(F.col("u"), F.col("u").alias("v"))).persist()
     labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("component"))
     for _ in range(max_iter):
         # propagate: node's new label = min(label of every neighbor)
@@ -174,7 +206,14 @@ def dedup_components(
     ``docs`` is a filtered subset (quality/language gates applied
     AFTER pair generation) the component's labeling minimum may be a
     filtered-out document; keying survival on the label would then
-    silently drop the whole cluster."""
+    silently drop the whole cluster.
+
+    NULL-id precondition (stated, per the NULL-invariant): a NULL
+    ``id_col`` row yields NULL component and NULL (tri-state)
+    ``is_kept`` — identically to the recursive-CTE oracle — so BOTH
+    ``filter(is_kept)`` and ``filter(~is_kept)`` drop it. Filter NULL
+    ids upstream if they can occur; doc ids are the table key in every
+    declared pipeline."""
     comp = connected_components(pairs, src_col=pair_a, dst_col=pair_b)
     out = (
         docs.select(F.col(id_col))
@@ -219,8 +258,10 @@ def connected_components_twophase(
     component rooted at its minimum — rounds grow with log(diameter),
     so the default budget covers astronomically deep graphs. Per round:
     two grouped mins + joins over the CURRENT edge list (which only
-    shrinks toward one edge per non-root node), one localCheckpoint,
-    one action for the fixed-point test. Like
+    shrinks toward one edge per non-root node), one localCheckpoint materialized by a count
+    that doubles as the cheap half of the fixed-point test
+    (equal-cardinality DISTINCT sets + one empty exceptAll direction ⇔
+    equality; a count mismatch skips the exceptAll). Like
     :func:`connected_components`, exhausting ``max_iter`` raises rather
     than returning partial components; semantics equivalence between
     the two algorithms is property-tested on random graphs.
@@ -235,6 +276,7 @@ def connected_components_twophase(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    n_cur: int | None = None
     for _ in range(max_iter):
         # -- large-star: sym neighborhoods; larger neighbors -> closed-nbhd min
         sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -261,11 +303,17 @@ def connected_components_twophase(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        changed = (
-            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
-        )
-        cur = nxt
-        if changed == 0:
+        # fixed-point test in ONE heavy job: both sides are DISTINCT
+        # sets, so equal counts + one empty set-difference direction ⇔
+        # equality; the count also triggers the checkpoint
+        # materialization, and a count mismatch short-circuits the
+        # exceptAll entirely (the common changed-round case).
+        n_nxt = nxt.count()
+        if n_cur is None:
+            n_cur = cur.count()
+        unchanged = n_nxt == n_cur and nxt.exceptAll(cur).limit(1).count() == 0
+        cur, n_cur = nxt, n_nxt
+        if unchanged:
             labels = cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
             return (
                 all_nodes.join(labels, "node", "left")

@@ -150,12 +150,39 @@ def scd2_merge(
     current side is pruned to open rows before the join (pass it
     pre-filtered), and the join inherits AQE broadcast when a snapshot
     is small.
+
+    Preconditions stated (the merge-family discipline):
+
+    - ``updates`` is KEY-DEDUPED here before the join — the LATEST
+      ``eff_col`` per key wins, ties broken by the sortable attr
+      columns (two snapshot extracts unioned, or a retry overlap,
+      would otherwise fan the one open row into N joined rows: the
+      same old version closed N times plus N simultaneously-open
+      versions).
+    - rows whose ``eff_col`` is NULL are dropped from ``updates``: an
+      event-time merge cannot close or open a version at an unknown
+      time (a NULL ``valid_to`` on the closed leg would masquerade as
+      a second OPEN row). Event-time ops filter NULL ts, per the
+      engine-wide invariant.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     keys, attrs = list(keys), list(attrs)
     if not keys or not attrs:
         raise ValueError("scd2_merge requires non-empty keys and attrs")
+    updates = updates.filter(F.col(eff_col).isNotNull())
+    sortable_attrs = [
+        a for a in attrs if "map<" not in dict(updates.dtypes).get(a, "")
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(eff_col).desc(), *[F.col(a) for a in sortable_attrs]
+    )
+    updates = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     cur = current.select(
         *[F.col(k).alias(f"_ck_{k}") for k in keys],
         *[F.col(a).alias(f"_ca_{a}") for a in attrs],

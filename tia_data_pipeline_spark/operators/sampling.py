@@ -32,9 +32,18 @@ def hash_bucket_sql(id_col: str) -> str:
 
 
 def hash_sample(df: DataFrame, id_col: str, keep_buckets: int) -> DataFrame:
-    """Deterministic ≈ keep_buckets/16 sample keyed on the id hash."""
+    """Deterministic ≈ keep_buckets/16 sample keyed on the id hash.
+
+    NULL-id precondition (stated): ``md5(NULL)`` is NULL, so a NULL id
+    hashes to a NULL bucket and the ``< keep_buckets`` predicate drops
+    the row at EVERY rate below 16 — NULL-id rows are never sampled in,
+    identically in the DuckDB oracle form. ``keep_buckets == 16``
+    short-circuits to the whole frame (no filter), so "keep all" really
+    keeps all, NULL ids included."""
     if not 0 <= keep_buckets <= _BUCKETS:
         raise ValueError("keep_buckets must be in [0, 16]")
+    if keep_buckets == _BUCKETS:
+        return df
     return df.filter(hash_bucket(id_col) < keep_buckets)
 
 
@@ -43,7 +52,14 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling: ``rates`` maps stratum value
     → buckets kept (n/16). The downsample-the-majority-class shape of
-    training-data curation, reproducible run to run."""
+    training-data curation, reproducible run to run.
+
+    NULL-id precondition (stated): a NULL ``id_col`` buckets to NULL
+    and fails every ``< threshold`` comparison — NULL-id rows are
+    dropped even in a rate-16 ("keep all of this class") stratum,
+    identically in the SQL oracle form below (no short-circuit here:
+    the threshold is per-row, and the filter must stay symmetric with
+    the oracle). Filter or repair NULL ids upstream if they can occur."""
     threshold = F.lit(default)
     for value, keep in rates.items():
         threshold = F.when(F.col(strata_col) == value, F.lit(keep)).otherwise(threshold)

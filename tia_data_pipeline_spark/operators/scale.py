@@ -146,8 +146,15 @@ def _row_salt(df: DataFrame, n_salt: int):
     that are bit-for-bit identical share a salt, so the spread bound is
     the distinct-row count per hot key, not the row count; for
     aggregate inputs with a duplicate-heavy hot key, pre-count
-    duplicates first (a cheap exact groupBy on the full row)."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)).cast("int")
+    duplicates first (a cheap exact groupBy on the full row).
+
+    Map-typed columns are excluded from the hash — xxhash64 over a map
+    fails planning (unorderable/unhashable since Spark 3; the
+    merge_upsert sort-exclusion rule applied to hashing)."""
+    hashable = [c for c, t in df.dtypes if "map<" not in t]
+    if not hashable:
+        raise ValueError("_row_salt: no hashable (non-map) columns to salt on")
+    return F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salt)).cast("int")
 
 
 def write_bucketed(
@@ -181,7 +188,22 @@ def salted_join(
     join key becomes (keys…, salt). A key owning 50% of the rows now
     lands on n_salt tasks instead of one. Cost: small side is read
     n_salt× (it must still be far smaller than the large side — if it
-    broadcasts, just broadcast instead)."""
+    broadcasts, just broadcast instead).
+
+    Only large-side-preserving join types are valid: each large row
+    carries ONE salt while the small side is replicated across ALL
+    n_salt values, so any right/full-outer flavor would emit up to
+    n_salt−1 phantom null-extended rows per small-side key (the
+    replicas the large side never drew). Rejected explicitly rather
+    than silently mis-joined."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "cross",
+               "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not large-side-preserving; the "
+            "replicated small side would emit phantom rows (use inner/left/"
+            "left_semi/left_anti, or salt the other side)"
+        )
     keys = list(keys)
     salted_large = large.withColumn(SALT_COL, _row_salt(large, n_salt))
     salted_small = small.crossJoin(
