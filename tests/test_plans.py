@@ -131,11 +131,17 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
+    # demoted in round 6 for the third batch (markov/pareto_abc/
+    # mutual_info/stickiness), each with an in-cap family cover:
+    "q_gopher_quality": "q_quality_linear",  # doc quality scoring
+    "q_token_entropy": "q_word_count",  # token-distribution stats
+    "q_cohort_retention": "q_stickiness",  # monthly engagement cohorts
+    "q_data_quality": "q_benford",  # data-quality diagnostics
     # demoted in round 6 for the second batch (benford/cooccur/ewma/
     # interarrival/rfm/triangles), each with an in-cap family cover:
     "q_pagerank": "q_dedup_components",  # iterative graph propagation
     "q_winsorize": "q_mad_outliers",  # order-stat robust trimming
-    "q_tok_fertility": "q_token_entropy",  # token-distribution stats
+    "q_tok_fertility": "q_word_count",  # token-distribution stats
     "q_ols_trend": "q_zipf_fit",  # exact-moment OLS normal equations
     "q_autocorr": "q_ewma",  # daily-series diagnostics
     "q_changepoint": "q_ewma",  # daily-series diagnostics
@@ -148,16 +154,16 @@ TAIL_COVERED_BY = {
     "q_group_sample": "q_split_assign",
     "q_decontaminate": "q_boilerplate",
     "q_fuzzy_dedup": "q_dedup_components",
-    "q_funnel": "q_cohort_retention",
+    "q_funnel": "q_markov",  # ordered-event sequence analytics
     "q_scd2": "q_merge_upsert",
-    "q_lm_perplexity": "q_token_entropy",
+    "q_lm_perplexity": "q_bm25",  # ln-family integered scoring
     "q_pack_sequences": "q_chunking",
-    "q_vocab_coverage": "q_token_entropy",
+    "q_vocab_coverage": "q_word_count",
     "q_embed_quantize": "q_ann_recall",
     "q_knn_join": "q_knn_bucketed",
     "q_topk_per_group": "q_topk_latest",
-    "q_token_bpe": "q_token_entropy",  # token-counting surface
-    "q_canonicalize": "q_gopher_quality",
+    "q_token_bpe": "q_word_count",  # token-counting surface
+    "q_canonicalize": "q_pii_redact",  # text-transform surface
     "q_ann_multiprobe": "q_ann_recall",
     "q_ntile": "q_topk_latest",
     "q_sim_topk": "q_knn_bucketed",
@@ -169,17 +175,17 @@ TAIL_COVERED_BY = {
     "q_session_window": "q_daily_window",
     "q_join_enrich": "q_revenue_by_segment",
     "q_embed_dedup": "q_knn_bucketed",
-    "q_text_tokens": "q_gopher_quality",
+    "q_text_tokens": "q_word_count",
     # demoted in round 5 (4x green) for q_bm25 / q_winsorize:
     "q_ngram_jaccard": "q_dedup_components",
     "q_quantiles": "q_mad_outliers",
     # demoted in round 5 (1x green) for q_ols_trend / q_gini / q_autocorr:
-    "q_repetition": "q_gopher_quality",
-    "q_collocations": "q_token_entropy",
+    "q_repetition": "q_quality_linear",
+    "q_collocations": "q_cooccur_lift",  # co-occurrence/PMI family
     # demoted in round 4 (each 2x/3x driver-green) to verify the ten
     # round-3 tail queries that had zero driver rows:
     "q_proj_alias": "q_ts_normalize",
-    "q_const_probe": "q_data_quality",
+    "q_const_probe": "q_benford",
     "q_json_ser": "q_feature_hash",
     "q_histogram": "q_mad_outliers",
     "q_gap_fill": "q_daily_window",
@@ -188,25 +194,25 @@ TAIL_COVERED_BY = {
     "q_children_rollup": "q_agg_count",
     "q_set_ops": "q_dedup_batch",
     "q_pivot_status": "q_agg_count",
-    "q_zscore": "q_cohort_retention",
+    "q_zscore": "q_mad_outliers",  # robust per-group stats
     # demoted in round 4 (each 3x driver-green) to make room for the
     # curation tier:
     "q_hash_sample": "q_split_assign",
-    "q_window_frames": "q_cohort_retention",
+    "q_window_frames": "q_daily_window",
     "q_rollup": "q_agg_count",
-    "q_profile": "q_data_quality",
+    "q_profile": "q_benford",
     "q_asof_join": "q_range_join",
     # demoted late round 4 (each 3x driver-green) to make room for the
     # second curation batch (packing/boilerplate/entropy/temperature/
     # cluster-sizes):
-    "q_lang_id": "q_gopher_quality",
-    "q_tfidf": "q_token_entropy",
+    "q_lang_id": "q_quality_linear",
+    "q_tfidf": "q_bm25",  # lexical term weighting
     "q_simhash": "q_substring_dedup",  # fingerprint-sketch dedup surface
     "q_multimodal_meta": "q_resize_meta",
     "q_count_distinct": "q_agg_count",
     # demoted late round 4 for the third curation batch (group sample /
     # vocab coverage / edit distance / LM perplexity):
-    "q_quality_score": "q_gopher_quality",
+    "q_quality_score": "q_quality_linear",
     "q_embed_stats": "q_ann_recall",
     "q_thread_closure": "q_dedup_components",
     "q_ann_lsh": "q_ann_recall",
@@ -722,3 +728,42 @@ def test_cooccur_lift_single_user_partitioning(spark):
     # BOTH per-type count joins must broadcast (dropping either one
     # regresses a |types|-row side to a shuffle join)
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_markov_lag_partitioned_by_user_and_pruned_scan(spark):
+    """The transition lag must ride a (user_id) hash partitioning —
+    never a global-order window — and the events scan must prune to
+    the four columns the query reads."""
+    p = plan_of(spark, "q_markov")
+    assert "hashpartitioning(user_id" in p
+    assert (
+        "ReadSchema: struct<event_id:bigint,ts:timestamp,user_id:bigint,event_type:string>"
+        in p
+    )
+
+
+def test_pareto_abc_prefix_sum_is_bucket_partitioned(spark):
+    """The customer-scale cumulative window must be partitioned by the
+    revenue bucket (the distributed two-level prefix sum); only the
+    bucket GRID (bounded by the revenue range) and one-row scalars may
+    cross a SinglePartition exchange."""
+    p = plan_of(spark, "q_pareto_abc")
+    assert "hashpartitioning(bucket" in p
+    assert p.count("Exchange SinglePartition") <= 2
+    assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" in p
+
+
+def test_mutual_info_grid_joins_broadcast(spark):
+    """Marginals and scalars join the cell grid as broadcasts (no
+    shuffle join on the tiny grids), off a two-column pruned scan."""
+    p = plan_of(spark, "q_mutual_info")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "ReadSchema: struct<o_orderstatus:string,o_orderpriority:string>" in p
+
+
+def test_stickiness_pruned_scan_no_global_window(spark):
+    """Both monthly views are plain aggregates (no window at all) over
+    a three-column pruned events scan."""
+    p = plan_of(spark, "q_stickiness")
+    assert "Window" not in p
+    assert "ReadSchema: struct<ts:timestamp,user_id:bigint,event_type:string>" in p

@@ -28,6 +28,14 @@ from tia_data_pipeline_spark.plans.contract import REGISTRY, oracle_sql, queries
 DRIVER_ROW_CAP = 50
 
 CONTRACT_ORDER = [
+    # -- round-6 third batch (never driver-seen): Markov transition
+    #    matrix, Pareto/ABC cumulative share, categorical mutual
+    #    information, DAU/MAU stickiness. Four 2x-green r4/r5 singles
+    #    demote with in-cap family covers (see TAIL_COVERED_BY).
+    "q_markov",
+    "q_pareto_abc",
+    "q_mutual_info",
+    "q_stickiness",
     # -- round-6 second batch (never driver-seen): Benford first-digit
     #    conformance, co-occurrence lift, dyadic EWMA, inter-arrival
     #    order stats, RFM quartile segmentation, triangle census.
@@ -72,15 +80,11 @@ CONTRACT_ORDER = [
     # -- retained r4/r5 families (2x green; q_pii_redact and q_boilerplate
     #    changed this round - fresh rows re-verify) and the relational/
     #    windows tier (operator representatives and flagship).
-    "q_gopher_quality",
     "q_pii_redact",
-    "q_cohort_retention",
     "q_feature_hash",
-    "q_data_quality",
     "q_split_assign",
     "q_ann_recall",
     "q_boilerplate",
-    "q_token_entropy",
     "q_daily_window",
     "q_self_join",
     "q_exists_guard",
@@ -101,6 +105,14 @@ CONTRACT_ORDER = [
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
+    # -- demoted in round 6 for the third batch (each 2x driver-green
+    #    r4+r5; quality scoring stays in-cap via q_quality_linear /
+    #    q_pii_redact, diagnostics via q_benford, behavioral via
+    #    q_rfm / q_stickiness, token stats via q_word_count / q_bm25):
+    "q_gopher_quality",
+    "q_token_entropy",
+    "q_cohort_retention",
+    "q_data_quality",
     # -- demoted in round 6 for the second batch (five unchanged 1x-green
     #    r5 singles + the 2x-green Levenshtein verify; each family keeps
     #    an in-cap representative per TAIL_COVERED_BY):

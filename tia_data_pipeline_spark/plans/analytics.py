@@ -1540,3 +1540,406 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_monetary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_markov — first-order event-type transition matrix
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_markov",
+    oracle=(
+        "WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id, "
+        "  event_type FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "  AND event_type IS NOT NULL AND event_id IS NOT NULL), "
+        "tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id "
+        "  ORDER BY us, event_id, event_type) AS from_type, "
+        "  event_type AS to_type FROM e), "
+        "g AS (SELECT from_type, to_type, count(*)::BIGINT AS n_trans FROM tr "
+        "  WHERE from_type IS NOT NULL GROUP BY from_type, to_type), "
+        "f AS (SELECT from_type, sum(n_trans)::BIGINT AS n_from FROM g "
+        "  GROUP BY from_type) "
+        "SELECT g.from_type, g.to_type, g.n_trans, f.n_from, "
+        f"  {portable_round_sql('g.n_trans::DOUBLE / f.n_from', 6)} AS prob "
+        "FROM g JOIN f ON f.from_type = g.from_type"
+    ),
+    covers="behavioral analytics (extension: first-order Markov transition matrix)",
+)
+def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over per-user event sequences: for each
+    (from_type, to_type) pair of CONSECUTIVE events of one user, the
+    transition count and row-normalized probability — the next-action
+    model behind funnel drop-off prediction and bot-cadence detection
+    (a bot's transition matrix is near-deterministic, a human's is
+    diffuse).
+
+    Exactness: sequences order by (event-time µs, event_id, event_type)
+    — the full tiebreak makes the lag deterministic under any
+    partitioning, and rows tying on the complete key are identical in
+    the only column the transition reads, so even their arbitrary
+    relative order cannot change the output. NULL user/ts/type/id rows
+    are filtered on BOTH sides (event-time op, per the NULL invariant);
+    transition counts are bigint and the probability is one double
+    division n_trans/n_from with n_from ≥ n_trans ≥ 1 by construction.
+
+    Scale shape: ONE (user_id) hash partitioning carries the lag; the
+    transition stream then collapses map-side to the |types|² grid;
+    n_from is a second tiny aggregate OF that grid (AQE reuses the
+    exchange) and joins back as a broadcast."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+            "event_type",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id", "event_type")
+    tr = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    )
+    g = (
+        tr.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n_trans"))
+    )
+    f = g.groupBy("from_type").agg(F.sum("n_trans").cast("bigint").alias("n_from"))
+    return g.join(F.broadcast(f), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "n_from",
+        portable_round(F.col("n_trans").cast("double") / F.col("n_from"), 6).alias(
+            "prob"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pareto_abc — cumulative revenue-share ABC classification of customers
+# ---------------------------------------------------------------------------
+
+# coarse prefix-sum bucket: integer cents DIV 10^6 = one bucket per
+# $10k of customer revenue (bounded by the revenue range, not the
+# customer count)
+_ABC_BUCKET_CENTS = 1_000_000
+
+
+@contract_query(
+    "q_pareto_abc",
+    oracle=(
+        "WITH o AS (SELECT o_custkey, "
+        f"  round({finite_value_sql('o_totalprice')} * 100)::BIGINT AS cents "
+        "  FROM orders WHERE o_custkey IS NOT NULL), "
+        "cust AS (SELECT o_custkey, coalesce(sum(cents), 0)::BIGINT AS m "
+        "  FROM o GROUP BY o_custkey), "
+        "t AS (SELECT sum(m::HUGEINT) AS total FROM cust), "
+        "c AS (SELECT m, sum(m::HUGEINT) OVER "
+        "  (ORDER BY m DESC, o_custkey) AS cum FROM cust), "
+        "k AS (SELECT m, CASE WHEN cum * 5 <= total * 4 THEN 'A' "
+        "  WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END AS abc_class "
+        "  FROM c CROSS JOIN t) "
+        "SELECT abc_class, count(*)::BIGINT AS n_customers, "
+        "  sum(m)::BIGINT AS class_cents, "
+        "  CASE WHEN t.total <> 0 THEN "
+        f"  {portable_round_sql('sum(m::HUGEINT)::DOUBLE / t.total', 6)} END "
+        "    AS revenue_share "
+        "FROM k CROSS JOIN t GROUP BY abc_class, t.total"
+    ),
+    covers="data-quality diagnostics (extension: Pareto/ABC cumulative-share classification)",
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) analysis of customer revenue: customers sorted by
+    total spend descending, classified A while the running cumulative
+    share is ≤ 80 %, B while ≤ 95 %, C beyond — the classic
+    concentration cut ("which 20 % of customers carry 80 % of
+    revenue?") reported as per-class count, cents and share.
+
+    Exactness: revenue is finite-guarded integer cents summed exactly
+    (decimal accumulator); the class boundaries are integer
+    CROSS-MULTIPLIED comparisons (cum·5 ≤ total·4 ⇔ share ≤ 0.8 — no
+    double ever decides a class, so negative or zero totals stay
+    deterministic); the only doubles are the final per-class share,
+    guarded on total ≠ 0. Ordering ties break on custkey.
+
+    Scale shape: the running sum is a DISTRIBUTED two-level prefix sum,
+    not a single-partition window: customers bucket by cents DIV 10^6
+    (truncating division — monotone in m on both engines, so bucket
+    order ≡ revenue order), per-bucket totals form a grid bounded by
+    the revenue RANGE whose exclusive prefix runs in one tiny window,
+    and each customer's global cumulative = bucket offset + within-
+    bucket running sum under a (bucket)-partitioned window. The oracle
+    states the plain global window — semantically identical, and the
+    equivalence is exactly what the hash check verifies. Class rollup
+    is a 3-group map-side-combined aggregate; scalars broadcast."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select(
+            "o_custkey",
+            F.round(finite_value(F.col("o_totalprice")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("m")
+    )
+    cust = cust.withColumn("bucket", F.expr(f"m div {_ABC_BUCKET_CENTS}"))
+    bt = cust.groupBy("bucket").agg(
+        F.sum(dec19("m").cast("decimal(38,0)")).alias("bsum")
+    )
+    offw = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bt.select(
+        "bucket",
+        F.coalesce(F.sum("bsum").over(offw), F.lit(0).cast("decimal(38,0)")).alias(
+            "off"
+        ),
+    )
+    t = bt.agg(F.sum("bsum").alias("total"))
+    cw = Window.partitionBy("bucket").orderBy(
+        F.col("m").desc(), F.col("o_custkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    k = (
+        cust.join(F.broadcast(offs), "bucket")
+        .select(
+            "m",
+            (F.col("off") + F.sum(dec19("m").cast("decimal(38,0)")).over(cw)).alias(
+                "cum"
+            ),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "m",
+            "total",
+            F.when(F.col("cum") * 5 <= F.col("total") * 4, F.lit("A"))
+            .when(F.col("cum") * 20 <= F.col("total") * 19, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+    )
+    return (
+        k.groupBy("abc_class", "total")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("m").cast("bigint").alias("class_cents"),
+            F.sum(dec19("m").cast("decimal(38,0)")).alias("csum"),
+        )
+        .select(
+            "abc_class",
+            "n_customers",
+            "class_cents",
+            F.when(
+                F.col("total") != 0,
+                portable_round(
+                    F.col("csum").cast("double") / F.col("total").cast("double"), 6
+                ),
+            ).alias("revenue_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mutual_info — mutual information between two categorical attributes
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_mutual_info",
+    oracle=(
+        "WITH c AS (SELECT o_orderstatus AS status, o_orderpriority AS priority, "
+        "  count(*)::BIGINT AS n_obs FROM orders "
+        "  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL "
+        "  GROUP BY status, priority), "
+        "r AS (SELECT status, sum(n_obs)::BIGINT AS n_row FROM c GROUP BY status), "
+        "cl AS (SELECT priority, sum(n_obs)::BIGINT AS n_col FROM c GROUP BY priority), "
+        "t AS (SELECT sum(n_obs)::BIGINT AS n_total FROM c), "
+        "p AS (SELECT c.status, c.priority, n_obs, n_row, n_col, n_total, "
+        "  floor((ln(n_obs) + ln(n_total) - ln(n_row) - ln(n_col)) "
+        "    * 1000000000.0 + 0.5)::BIGINT AS pmi_n "
+        "  FROM c JOIN r ON r.status = c.status "
+        "  JOIN cl ON cl.priority = c.priority CROSS JOIN t), "
+        "mi AS (SELECT sum(n_obs::HUGEINT * pmi_n::HUGEINT) AS mi_num, "
+        "  max(n_total)::BIGINT AS nt FROM p) "
+        "SELECT status, priority, n_obs, n_row, n_col, n_total, "
+        f"  {portable_round_sql('pmi_n / 1000000000.0', 6)} AS pmi, "
+        f"  {portable_round_sql('mi.mi_num::DOUBLE / (1000000000.0 * mi.nt)', 6)} "
+        "    AS mi_nats "
+        "FROM p CROSS JOIN mi"
+    ),
+    covers="data-quality diagnostics (extension: categorical mutual information)",
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order status and priority: per-cell
+    pointwise MI (is this status/priority combination over- or
+    under-represented?) and the total MI in nats — the dependence
+    screen run before trusting two attributes as independent features
+    (MI ≈ 0) or flagging a leaking correlation.
+
+    Exactness: the ln-family discipline (CLAUDE.md): every log takes an
+    INTEGER argument ≥ 1 (cell, row, column, grand counts), each cell's
+    PMI integerizes to nano-nats in ONE floor(x·1e9 + 0.5), and the MI
+    numerator Σ n_obs·pmi_n promotes per-term to decimal/HUGEINT before
+    the sum. Outputs divide by 1e9 (·N for the total) before 6-dp
+    portable rounding, so the fuzz-pinned 1-ulp ln() wobble (±a few
+    nano-nats per term) vanishes; no raw nano-nat column is exposed.
+    Bound: n_obs·pmi_n ≲ N·ln(N)·1e9 — keep N ≲ 2e5·1e9/ln — the
+    double render of mi_num stays under 2^53 for N ≲ 10^5.5; beyond
+    that the decimal→double cast is correctly rounded identically on
+    both engines.
+
+    Scale shape: the corpus collapses to the |status|×|priority| cell
+    grid in one map-side-combined aggregate; marginals and the grand
+    total are tiny aggregates OF the grid (AQE exchange reuse) joined
+    back as broadcasts; the MI total is a one-row broadcast."""
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderstatus").isNotNull() & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    r = c.groupBy("status").agg(F.sum("n_obs").cast("bigint").alias("n_row"))
+    cl = c.groupBy("priority").agg(F.sum("n_obs").cast("bigint").alias("n_col"))
+    t = c.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    p = (
+        c.join(F.broadcast(r), "status")
+        .join(F.broadcast(cl), "priority")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "status",
+            "priority",
+            "n_obs",
+            "n_row",
+            "n_col",
+            "n_total",
+            F.floor(
+                (
+                    F.log(F.col("n_obs"))
+                    + F.log(F.col("n_total"))
+                    - F.log(F.col("n_row"))
+                    - F.log(F.col("n_col"))
+                )
+                * F.lit(1_000_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("pmi_n"),
+        )
+    )
+    mi = p.agg(
+        F.sum((dec19("n_obs") * dec19("pmi_n")).cast("decimal(38,0)")).alias("mi_num"),
+        F.max("n_total").cast("bigint").alias("nt"),
+    )
+    return p.crossJoin(F.broadcast(mi)).select(
+        "status",
+        "priority",
+        "n_obs",
+        "n_row",
+        "n_col",
+        "n_total",
+        portable_round(F.col("pmi_n") / F.lit(1_000_000_000.0), 6).alias("pmi"),
+        portable_round(
+            F.col("mi_num").cast("double") / (F.lit(1_000_000_000.0) * F.col("nt")), 6
+        ).alias("mi_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stickiness — DAU/MAU engagement ratio per event type and month
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_stickiness",
+    oracle=(
+        "WITH e AS (SELECT DISTINCT event_type, "
+        "  date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day, user_id "
+        "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "  AND event_type IS NOT NULL), "
+        "d AS (SELECT event_type, day, count(*)::BIGINT AS dau FROM e "
+        "  GROUP BY event_type, day), "
+        "m AS (SELECT event_type, date_trunc('month', day)::TIMESTAMP AS month, "
+        "  sum(dau)::BIGINT AS sum_dau, count(*)::BIGINT AS n_days FROM d "
+        "  GROUP BY event_type, month), "
+        "u AS (SELECT event_type, date_trunc('month', day)::TIMESTAMP AS month, "
+        "  count(DISTINCT user_id)::BIGINT AS mau FROM e GROUP BY event_type, month) "
+        "SELECT m.event_type, m.month, m.sum_dau, m.n_days, u.mau, "
+        f"  {portable_round_sql('m.sum_dau::DOUBLE / (m.n_days::HUGEINT * u.mau)', 6)} "
+        "    AS stickiness "
+        "FROM m JOIN u ON u.event_type = m.event_type AND u.month = m.month"
+    ),
+    covers="behavioral analytics (extension: DAU/MAU stickiness ratio)",
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (avg daily active users ÷ monthly active users) per
+    event type and month — the product-engagement headline (a
+    stickiness of 1 means every monthly user shows up every day; near
+    1/n_days, users touch the feature once a month).
+
+    Exactness: everything is exact distinct-set COUNTS off ONE
+    deduplicated (type, day, user) set: DAU per day, summed per month,
+    and MAU as the distinct-user count per month over the same set —
+    then a single double division sum_dau / (n_days·mau) whose
+    denominator is ≥ 1 by construction (a month group exists only with
+    ≥ 1 active day and user) and whose product promotes to
+    decimal/HUGEINT per the moment rule. NULL user/ts/type rows are
+    filtered identically on both sides; day/month truncation is
+    engine-identical including pre-1970 timestamps.
+
+    Scale shape: one distinct aggregate collapses the corpus to
+    (type, day, user); both monthly views derive from THAT set (DAU
+    path collapses again map-side to (type, day) then (type, month);
+    MAU is a two-phase distinct per (type, month)); the final join is
+    between two already-aggregated month grids (AQE broadcasts)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    d = e.groupBy("event_type", "day").agg(F.count("*").cast("bigint").alias("dau"))
+    m = d.groupBy(
+        "event_type", F.date_trunc("month", F.col("day")).alias("month")
+    ).agg(
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    u = e.groupBy(
+        "event_type", F.date_trunc("month", F.col("day")).alias("month")
+    ).agg(F.count_distinct("user_id").cast("bigint").alias("mau"))
+    return m.join(u, ["event_type", "month"]).select(
+        "event_type",
+        "month",
+        "sum_dau",
+        "n_days",
+        "mau",
+        portable_round(
+            F.col("sum_dau").cast("double")
+            / (dec19("n_days") * dec19("mau")).cast("double"),
+            6,
+        ).alias("stickiness"),
+    )
