@@ -1649,7 +1649,7 @@ _ABC_BUCKET_CENTS = 1_000_000
         "  WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END AS abc_class "
         "  FROM c CROSS JOIN t) "
         "SELECT abc_class, count(*)::BIGINT AS n_customers, "
-        "  sum(m)::BIGINT AS class_cents, "
+        "  sum(m::HUGEINT)::BIGINT AS class_cents, "
         "  CASE WHEN t.total <> 0 THEN "
         f"  {portable_round_sql('sum(m::HUGEINT)::DOUBLE / t.total', 6)} END "
         "    AS revenue_share "
@@ -1733,13 +1733,15 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.groupBy("abc_class", "total")
         .agg(
             F.count("*").cast("bigint").alias("n_customers"),
-            F.sum("m").cast("bigint").alias("class_cents"),
+            # ONE decimal accumulator feeds both outputs: the bigint
+            # render (overflow confined to this final cast, matching
+            # the oracle's ::BIGINT) and the share numerator
             F.sum(dec19("m").cast("decimal(38,0)")).alias("csum"),
         )
         .select(
             "abc_class",
             "n_customers",
-            "class_cents",
+            F.col("csum").cast("bigint").alias("class_cents"),
             F.when(
                 F.col("total") != 0,
                 portable_round(
@@ -1770,11 +1772,10 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    * 1000000000.0 + 0.5)::BIGINT AS pmi_n "
         "  FROM c JOIN r ON r.status = c.status "
         "  JOIN cl ON cl.priority = c.priority CROSS JOIN t), "
-        "mi AS (SELECT sum(n_obs::HUGEINT * pmi_n::HUGEINT) AS mi_num, "
-        "  max(n_total)::BIGINT AS nt FROM p) "
+        "mi AS (SELECT sum(n_obs::HUGEINT * pmi_n::HUGEINT) AS mi_num FROM p) "
         "SELECT status, priority, n_obs, n_row, n_col, n_total, "
         f"  {portable_round_sql('pmi_n / 1000000000.0', 6)} AS pmi, "
-        f"  {portable_round_sql('mi.mi_num::DOUBLE / (1000000000.0 * mi.nt)', 6)} "
+        f"  {portable_round_sql('mi.mi_num::DOUBLE / (1000000000.0 * n_total)', 6)} "
         "    AS mi_nats "
         "FROM p CROSS JOIN mi"
     ),
@@ -1844,7 +1845,6 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mi = p.agg(
         F.sum((dec19("n_obs") * dec19("pmi_n")).cast("decimal(38,0)")).alias("mi_num"),
-        F.max("n_total").cast("bigint").alias("nt"),
     )
     return p.crossJoin(F.broadcast(mi)).select(
         "status",
@@ -1854,8 +1854,11 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_col",
         "n_total",
         portable_round(F.col("pmi_n") / F.lit(1_000_000_000.0), 6).alias("pmi"),
+        # n_total rides on every row of p already — no separate scalar
         portable_round(
-            F.col("mi_num").cast("double") / (F.lit(1_000_000_000.0) * F.col("nt")), 6
+            F.col("mi_num").cast("double")
+            / (F.lit(1_000_000_000.0) * F.col("n_total")),
+            6,
         ).alias("mi_nats"),
     )
 
