@@ -131,6 +131,9 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
+    # demoted in round 6 for q_seasonality / q_rolling_actives:
+    "q_cube": "q_agg_count",  # grouping-set aggregate variant
+    "q_word_freq": "q_word_count",  # token-counting surface
     # demoted in round 6 for the third batch (markov/pareto_abc/
     # mutual_info/stickiness), each with an in-cap family cover:
     "q_gopher_quality": "q_quality_linear",  # doc quality scoring
@@ -767,3 +770,23 @@ def test_stickiness_pruned_scan_no_global_window(spark):
     p = plan_of(spark, "q_stickiness")
     assert "Window" not in p
     assert "ReadSchema: struct<ts:timestamp,user_id:bigint,event_type:string>" in p
+
+
+def test_seasonality_single_column_scan_no_window(spark):
+    """The weekday profile is pure aggregates over a ONE-column scan
+    (ts only); no window operator, no join except the scalar
+    broadcast."""
+    p = plan_of(spark, "q_seasonality")
+    assert "ReadSchema: struct<ts:timestamp>" in p
+    assert "Window" not in p and "SortMergeJoin" not in p
+
+
+def test_rolling_actives_broadcast_semi_over_collapsed_set(spark):
+    """The 7-day WAU fan-out runs on the collapsed (day, user) set
+    with the day grid broadcast into the semi-join — no sort-merge
+    join, no range/window operator over raw events, two-column pruned
+    scan."""
+    p = plan_of(spark, "q_rolling_actives")
+    assert "ReadSchema: struct<ts:timestamp,user_id:bigint>" in p
+    assert "BroadcastHashJoin LeftSemi" in p
+    assert "SortMergeJoin" not in p and "Window" not in p

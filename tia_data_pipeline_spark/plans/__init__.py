@@ -36,6 +36,8 @@ CONTRACT_ORDER = [
     "q_pareto_abc",
     "q_mutual_info",
     "q_stickiness",
+    "q_seasonality",
+    "q_rolling_actives",
     # -- round-6 second batch (never driver-seen): Benford first-digit
     #    conformance, co-occurrence lift, dyadic EWMA, inter-arrival
     #    order stats, RFM quartile segmentation, triangle census.
@@ -61,11 +63,9 @@ CONTRACT_ORDER = [
     #    keeps an in-cap representative; see TAIL_COVERED_BY).
     "q_knn_bucketed",
     "q_chunking",
-    "q_cube",
     "q_dedup_latest",
     "q_doc_fingerprint",
     "q_scan_project",
-    "q_word_freq",
     # -- round-5 additions kept in-cap: each CHANGED this round so a
     #    fresh driver row re-verifies the changed form (q_gini/q_ks_drift
     #    NULL preconditions, q_bm25's dropped nano-nat column) or anchors
@@ -105,6 +105,12 @@ CONTRACT_ORDER = [
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
+    # -- demoted in round 6 for q_seasonality / q_rolling_actives (both
+    #    1x-green r1 stale-evidence promotions from earlier this round;
+    #    five of the seven stale rotations stay in-cap, satisfying the
+    #    >=5-rotation ask, and each family keeps an in-cap cover):
+    "q_cube",
+    "q_word_freq",
     # -- demoted in round 6 for the third batch (each 2x driver-green
     #    r4+r5; quality scoring stays in-cap via q_quality_linear /
     #    q_pii_redact, diagnostics via q_benford, behavioral via

@@ -1946,3 +1946,158 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_seasonality — day-of-week event-volume profile vs uniform
+# ---------------------------------------------------------------------------
+
+# 1/7 to 6 dp as a LITERAL on both sides (the Benford discipline: no
+# computed constant whose engine rounding could differ)
+_UNIFORM_DOW = 0.142857
+
+
+@contract_query(
+    "q_seasonality",
+    oracle=(
+        "WITH e AS (SELECT epoch_us(ts::TIMESTAMP) AS us FROM events "
+        "  WHERE ts IS NOT NULL), "
+        "d AS (SELECT (us - ((us % {D}) + {D}) % {D}) // {D} AS ed FROM e), "
+        "g AS (SELECT ((ed + 3) % 7 + 7) % 7 AS dow, count(*)::BIGINT AS n_events "
+        "  FROM d GROUP BY dow), "
+        "t AS (SELECT sum(n_events)::BIGINT AS n_total FROM g) "
+        "SELECT g.dow, g.n_events, t.n_total, "
+        "  {share} AS share, "
+        "  {dev} AS dev "
+        "FROM g CROSS JOIN t".format(
+            D=86_400_000_000,
+            share=portable_round_sql("g.n_events::DOUBLE / t.n_total", 6),
+            dev=portable_round_sql(
+                f"g.n_events::DOUBLE / t.n_total - {_UNIFORM_DOW}", 6
+            ),
+        )
+    ),
+    covers="time-series diagnostics (extension: day-of-week seasonality profile)",
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week volume profile: event counts per weekday (0 =
+    Monday … 6 = Sunday) with the share and its deviation from the
+    uniform 1/7 — the load-seasonality fingerprint a capacity planner
+    and a bot-detector both read (organic traffic dips on weekends; a
+    uniform profile on human-facing events is itself a signal).
+
+    Exactness: the weekday comes from pure integer epoch-day
+    arithmetic — FLOOR division via the subtract-positive-modulus
+    idiom (q_sliding_window's negative-epoch rule: // and div truncate
+    identically but floors differ pre-1970, so the numerator is made
+    exactly divisible first), then ((ed + 3) mod 7 + 7) mod 7 anchors
+    1970-01-01 (a Thursday, ed = 0) to dow 3 on BOTH engines with a
+    non-negative result for negative epoch days. No calendar function
+    whose week-start convention could differ (Spark dayofweek is
+    1 = Sunday, DuckDB dow is 0 = Sunday — neither touches the plan).
+    The uniform expectation is a pinned 6-dp literal; counts are
+    bigint; two double divisions per output row.
+
+    Scale shape: one map-side-combined aggregate collapses the corpus
+    to ≤7 rows; the total re-enters as a one-row broadcast."""
+    D = 86_400_000_000
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(F.expr("unix_micros(ts)").alias("us"))
+    )
+    d = e.select(F.expr(f"(us - pmod(us, {D})) div {D}").alias("ed"))
+    g = d.groupBy(F.expr("pmod(ed + 3, 7)").alias("dow")).agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    t = g.agg(F.sum("n_events").cast("bigint").alias("n_total"))
+    share = F.col("n_events").cast("double") / F.col("n_total")
+    return g.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "n_events",
+        "n_total",
+        portable_round(share, 6).alias("share"),
+        portable_round(share - F.lit(_UNIFORM_DOW), 6).alias("dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_actives — 7-day rolling distinct active users per day
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_rolling_actives",
+    oracle=(
+        "WITH e AS (SELECT DISTINCT "
+        "  (epoch_us(ts::TIMESTAMP) - ((epoch_us(ts::TIMESTAMP) % {D}) + {D}) % {D}) "
+        "    // {D} AS ed, user_id "
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+        "a AS (SELECT DISTINCT ed FROM e), "
+        "p AS (SELECT e.ed + k.k AS anchor, e.user_id FROM e "
+        "  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS k) k), "
+        "w AS (SELECT p.anchor, count(DISTINCT p.user_id)::BIGINT AS wau "
+        "  FROM p JOIN a ON a.ed = p.anchor GROUP BY p.anchor), "
+        "d AS (SELECT ed, count(*)::BIGINT AS dau FROM e GROUP BY ed) "
+        "SELECT make_timestamp(d.ed * {D}) AS day, d.dau, w.wau, "
+        "  {ratio} AS dau_over_wau "
+        "FROM d JOIN w ON w.anchor = d.ed".format(
+            D=86_400_000_000,
+            ratio=portable_round_sql("d.dau::DOUBLE / w.wau", 6),
+        )
+    ),
+    covers="behavioral analytics (extension: exact 7-day rolling distinct actives)",
+)
+def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling weekly-active users (WAU) next to that
+    day's DAU for every OBSERVED day — the rolling engagement series
+    q_stickiness summarizes monthly, computed exactly (no HLL sketch)
+    and without any sliding range-window over raw events.
+
+    Exactness: days are integer epoch days (floor via the
+    subtract-positive-modulus idiom, pre-1970-safe); the corpus first
+    collapses to the DISTINCT (day, user) set, each of whose rows
+    fans out to the 7 anchors it is visible from — an EQUI-join on
+    integer day (the q_ewma trailing-window trick; a user active on
+    several days of one window still counts once via the distinct
+    aggregate). Anchors keep only observed days (semi-join against
+    the day set — no windows extrapolated past the data). wau ≥ dau
+    ≥ 1 by construction, so the ratio divides safely; day renders as
+    the µs-exact midnight timestamp on both engines.
+
+    Scale shape: everything downstream of the first distinct runs on
+    the collapsed (day, user) set — the 7× fan-out multiplies that
+    set, not the event volume; WAU is a two-phase distinct per
+    anchor under one (anchor) partitioning; DAU is a plain count of
+    the same set (exchange reuse); the day grid broadcasts into the
+    semi-join."""
+    D = 86_400_000_000
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.expr(f"(unix_micros(ts) - pmod(unix_micros(ts), {D})) div {D}").alias(
+                "ed"
+            ),
+            "user_id",
+        )
+        .distinct()
+    )
+    a = e.select("ed").distinct()
+    p = e.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "ed", "user_id"
+    ).select((F.col("ed") + F.col("k")).alias("anchor"), "user_id")
+    w = (
+        p.join(F.broadcast(a), p["anchor"] == a["ed"], "left_semi")
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    d = e.groupBy("ed").agg(F.count("*").cast("bigint").alias("dau"))
+    return d.join(w, d["ed"] == w["anchor"]).select(
+        F.expr(f"timestamp_micros(ed * {D})").alias("day"),
+        "dau",
+        "wau",
+        portable_round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "dau_over_wau"
+        ),
+    )
