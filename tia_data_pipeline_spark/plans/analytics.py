@@ -2069,8 +2069,8 @@ def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collapsed (day, user) set — the 7× fan-out multiplies that
     set, not the event volume; WAU is a two-phase distinct per
     anchor under one (anchor) partitioning; DAU is a plain count of
-    the same set (exchange reuse); the day grid broadcasts into the
-    semi-join."""
+    the same set; the observed-day grid (pruned from the DAU
+    aggregate) broadcasts into the semi-join."""
     D = 86_400_000_000
     e = (
         load_table(spark, sf_dir, "events")
@@ -2083,7 +2083,12 @@ def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a = e.select("ed").distinct()
+    d = e.groupBy("ed").agg(F.count("*").cast("bigint").alias("dau"))
+    # the observed-day grid derives from the DAU aggregate; Catalyst
+    # prunes the unused dau column, so this plans as a distinct-on-ed
+    # over the same collapsed set (equivalent cost, single source of
+    # truth for "observed day")
+    a = d.select("ed")
     p = e.select(
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "ed", "user_id"
     ).select((F.col("ed") + F.col("k")).alias("anchor"), "user_id")
@@ -2092,7 +2097,6 @@ def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("anchor")
         .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
     )
-    d = e.groupBy("ed").agg(F.count("*").cast("bigint").alias("dau"))
     return d.join(w, d["ed"] == w["anchor"]).select(
         F.expr(f"timestamp_micros(ed * {D})").alias("day"),
         "dau",
