@@ -131,6 +131,9 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
+    # demoted in round 6 for the fourth batch (q_skew_keys / q_anomaly):
+    "q_ann_recall": "q_knn_bucketed",  # ANN eval over the same index family
+    "q_dedup_components": "q_dup_graph_degree",  # dup-graph analytics
     # demoted in round 6 for q_seasonality / q_rolling_actives:
     "q_cube": "q_agg_count",  # grouping-set aggregate variant
     "q_word_freq": "q_word_count",  # token-counting surface
@@ -142,7 +145,7 @@ TAIL_COVERED_BY = {
     "q_data_quality": "q_benford",  # data-quality diagnostics
     # demoted in round 6 for the second batch (benford/cooccur/ewma/
     # interarrival/rfm/triangles), each with an in-cap family cover:
-    "q_pagerank": "q_dedup_components",  # iterative graph propagation
+    "q_pagerank": "q_dup_graph_degree",  # iterative graph propagation
     "q_winsorize": "q_mad_outliers",  # order-stat robust trimming
     "q_tok_fertility": "q_word_count",  # token-distribution stats
     "q_ols_trend": "q_zipf_fit",  # exact-moment OLS normal equations
@@ -153,21 +156,21 @@ TAIL_COVERED_BY = {
     # and the seven stale-evidence promotions:
     "q_source_mix": "q_jsd_mix",
     "q_mix_temperature": "q_jsd_mix",
-    "q_cluster_sizes": "q_dedup_components",
+    "q_cluster_sizes": "q_dup_graph_degree",
     "q_group_sample": "q_split_assign",
     "q_decontaminate": "q_boilerplate",
-    "q_fuzzy_dedup": "q_dedup_components",
+    "q_fuzzy_dedup": "q_dup_graph_degree",
     "q_funnel": "q_markov",  # ordered-event sequence analytics
     "q_scd2": "q_merge_upsert",
     "q_lm_perplexity": "q_bm25",  # ln-family integered scoring
     "q_pack_sequences": "q_chunking",
     "q_vocab_coverage": "q_word_count",
-    "q_embed_quantize": "q_ann_recall",
+    "q_embed_quantize": "q_knn_bucketed",
     "q_knn_join": "q_knn_bucketed",
     "q_topk_per_group": "q_topk_latest",
     "q_token_bpe": "q_word_count",  # token-counting surface
     "q_canonicalize": "q_pii_redact",  # text-transform surface
-    "q_ann_multiprobe": "q_ann_recall",
+    "q_ann_multiprobe": "q_knn_bucketed",
     "q_ntile": "q_topk_latest",
     "q_sim_topk": "q_knn_bucketed",
     # demoted in round 5: q_fuzzy_dedup's hash-checked oracle rotated
@@ -180,7 +183,7 @@ TAIL_COVERED_BY = {
     "q_embed_dedup": "q_knn_bucketed",
     "q_text_tokens": "q_word_count",
     # demoted in round 5 (4x green) for q_bm25 / q_winsorize:
-    "q_ngram_jaccard": "q_dedup_components",
+    "q_ngram_jaccard": "q_dup_graph_degree",
     "q_quantiles": "q_mad_outliers",
     # demoted in round 5 (1x green) for q_ols_trend / q_gini / q_autocorr:
     "q_repetition": "q_quality_linear",
@@ -216,9 +219,9 @@ TAIL_COVERED_BY = {
     # demoted late round 4 for the third curation batch (group sample /
     # vocab coverage / edit distance / LM perplexity):
     "q_quality_score": "q_quality_linear",
-    "q_embed_stats": "q_ann_recall",
-    "q_thread_closure": "q_dedup_components",
-    "q_ann_lsh": "q_ann_recall",
+    "q_embed_stats": "q_knn_bucketed",
+    "q_thread_closure": "q_dup_graph_degree",
+    "q_ann_lsh": "q_knn_bucketed",
 }
 
 
@@ -790,3 +793,25 @@ def test_rolling_actives_broadcast_semi_over_collapsed_set(spark):
     assert "ReadSchema: struct<ts:timestamp,user_id:bigint>" in p
     assert "BroadcastHashJoin LeftSemi" in p
     assert "SortMergeJoin" not in p and "Window" not in p
+
+
+def test_skew_keys_pruned_scan_topk_no_shuffle_join(spark):
+    """q_skew_keys reads ONLY user_id; the global top-10 must be
+    TakeOrderedAndProject (per-partition heaps, never a global sort of
+    the key census) and the scalar totals join as a broadcast — no
+    shuffle join anywhere."""
+    p = plan_of(spark, "q_skew_keys")
+    assert "ReadSchema: struct<user_id:bigint>" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_anomaly_equijoin_no_range_expansion(spark):
+    """q_anomaly's trailing window must be the exploded-offset
+    EQUI-join on the row index (the q_ewma shape): no
+    BroadcastNestedLoopJoin / CartesianProduct, and the scan reads
+    only ts."""
+    p = plan_of(spark, "q_anomaly")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "ReadSchema: struct<ts:timestamp>" in p

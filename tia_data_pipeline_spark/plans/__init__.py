@@ -28,6 +28,12 @@ from tia_data_pipeline_spark.plans.contract import REGISTRY, oracle_sql, queries
 DRIVER_ROW_CAP = 50
 
 CONTRACT_ORDER = [
+    # -- round-6 fourth batch (never driver-seen): join-key skew census,
+    #    rolling-median/MAD anomaly flags. q_ann_recall (2x green) and
+    #    q_dedup_components (3x green) demote with in-cap family covers
+    #    (q_knn_bucketed / q_dup_graph_degree; see TAIL_COVERED_BY).
+    "q_skew_keys",
+    "q_anomaly",
     # -- round-6 third batch (never driver-seen): Markov transition
     #    matrix, Pareto/ABC cumulative share, categorical mutual
     #    information, DAU/MAU stickiness. Four 2x-green r4/r5 singles
@@ -83,7 +89,6 @@ CONTRACT_ORDER = [
     "q_pii_redact",
     "q_feature_hash",
     "q_split_assign",
-    "q_ann_recall",
     "q_boilerplate",
     "q_daily_window",
     "q_self_join",
@@ -100,11 +105,15 @@ CONTRACT_ORDER = [
     "q_ts_normalize",
     "q_exact_dedup",
     "q_resize_meta",
-    "q_dedup_components",
     "q_range_join",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
+    # -- demoted in round 6 for the fourth batch (q_skew_keys /
+    #    q_anomaly): ANN eval stays in-cap via q_knn_bucketed, the
+    #    dup-graph family via q_dup_graph_degree / q_triangles:
+    "q_ann_recall",
+    "q_dedup_components",
     # -- demoted in round 6 for q_seasonality / q_rolling_actives (both
     #    1x-green r1 stale-evidence promotions from earlier this round;
     #    five of the seven stale rotations stay in-cap, satisfying the

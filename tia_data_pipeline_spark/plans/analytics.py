@@ -2105,3 +2105,175 @@ def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dau_over_wau"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_skew_keys — join-key skew census (the salting-decision diagnostic)
+# ---------------------------------------------------------------------------
+
+_SKEW_TOP = 10  # heavy hitters reported
+
+
+@contract_query(
+    "q_skew_keys",
+    oracle=(
+        "WITH k AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events "
+        "  WHERE user_id IS NOT NULL GROUP BY user_id), "
+        "t AS (SELECT sum(cnt)::BIGINT AS total_rows, "
+        "  count(*)::BIGINT AS n_keys FROM k), "
+        "r AS (SELECT user_id, cnt, row_number() OVER "
+        "  (ORDER BY cnt DESC, user_id) AS rnk FROM k) "
+        "SELECT r.rnk::BIGINT AS rnk, r.user_id, r.cnt, "
+        f"  {portable_round_sql('r.cnt::DOUBLE / t.total_rows', 6)} AS share, "
+        f"  {portable_round_sql('r.cnt::DOUBLE * t.n_keys / t.total_rows', 6)} "
+        "    AS x_mean, "
+        "  t.n_keys, t.total_rows "
+        f"FROM r CROSS JOIN t WHERE r.rnk <= {_SKEW_TOP}"
+    ),
+    covers="scale diagnostics (extension: join-key heavy-hitter census for salting decisions)",
+)
+def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter census of the fact-side join key: the top-10
+    user_ids by event count with their corpus share and
+    ratio-to-mean-key — the report that decides whether a key needs
+    salting (``operators.scale.salted_repartition``) or AQE skew
+    splitting before a big join, read BEFORE the join is written.
+
+    Exactness: counts are exact bigints off one partial→final
+    aggregate; share and x_mean are single IEEE double divisions of
+    exact integers (bit-identical cross-engine) under 6-dp portable
+    rounding; the top-10 is fully tiebroken (cnt DESC, user_id ASC
+    — user_id is unique in the key census).
+
+    Scale shape: the scan reads ONE column; the census is the only
+    corpus-sized exchange (map-side combine collapses to |keys|);
+    the global top-10 is TakeOrderedAndProject (per-partition heaps,
+    never a global sort or single-partition window) and the scalar
+    totals re-enter as a broadcast onto 10 rows."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    k = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    t = k.agg(
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    top = k.orderBy(F.col("cnt").desc(), "user_id").limit(_SKEW_TOP)
+    r = top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "user_id"))
+        .cast("bigint"),
+    )
+    return r.crossJoin(F.broadcast(t)).select(
+        "rnk",
+        "user_id",
+        "cnt",
+        portable_round(F.col("cnt").cast("double") / F.col("total_rows"), 6).alias(
+            "share"
+        ),
+        portable_round(
+            F.col("cnt").cast("double") * F.col("n_keys") / F.col("total_rows"), 6
+        ).alias("x_mean"),
+        "n_keys",
+        "total_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_anomaly — rolling-median/MAD point-anomaly flags on the daily series
+# ---------------------------------------------------------------------------
+
+_ANOM_WIN = 7  # trailing window length (rows of the daily grid)
+_ANOM_K = 3  # MAD multiplier for the anomaly threshold
+
+
+@contract_query(
+    "q_anomaly",
+    oracle=(
+        "WITH d AS (SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day, "
+        "  count(*)::BIGINT AS x FROM events WHERE ts IS NOT NULL GROUP BY day), "
+        "o AS (SELECT day, x, row_number() OVER (ORDER BY day) AS r FROM d), "
+        "w AS (SELECT a.day, a.x, list_sort(list(b.x)) AS arr "
+        f"  FROM o a JOIN o b ON b.r BETWEEN a.r - {_ANOM_WIN - 1} AND a.r "
+        f"  GROUP BY a.day, a.x HAVING count(*) = {_ANOM_WIN}), "
+        f"m AS (SELECT day, x, arr[{(_ANOM_WIN + 1) // 2}] AS med, arr FROM w), "
+        "s AS (SELECT day, x, med, "
+        "  list_sort(list_transform(arr, v -> abs(v - med)))"
+        f"    [{(_ANOM_WIN + 1) // 2}] AS mad FROM m) "
+        "SELECT day, x AS daily_count, med, mad, abs(x - med)::BIGINT AS dev, "
+        f"  (CASE WHEN abs(x - med) > {_ANOM_K} * mad THEN 1 ELSE 0 END)::BIGINT "
+        "    AS is_anomaly "
+        "FROM s"
+    ),
+    covers="time-series diagnostics (extension: rolling-median/MAD point-anomaly detection)",
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-median/MAD point-anomaly flags over the daily event
+    volume: each day with a full 7-row trailing window is scored
+    against the window's median; |x − med| > 3·MAD flags the day.
+    The robust complement to q_changepoint (CUSUM finds sustained
+    mean SHIFTS; this finds single-day spikes/outages the shift
+    statistic absorbs).
+
+    Exactness: the window is 7 exact bigint daily counts sorted
+    in-expression — median and MAD are element picks (index 4) from
+    7-element arrays, so every output is an exact integer; no
+    quantile interpolation, no doubles anywhere. EVERY full-window
+    day is emitted with a 0/1 flag (not only anomalies), so the
+    driver row can never be vacuously empty. The deviation array is
+    built from a plain column median (never an element_at captured
+    inside the lambda — the HOF re-evaluation rule).
+
+    Scale shape: identical to q_ewma — one map-side-combined
+    aggregate collapses the corpus to the |days| grid; the trailing
+    window is the exploded-offset EQUI-join on the row index (no
+    range join, no single-partition running window); everything
+    after the first aggregate is |days|-sized."""
+    mid = (_ANOM_WIN + 1) // 2
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    o = d.select("day", "x", F.row_number().over(Window.orderBy("day")).alias("r"))
+    probe = o.select(
+        "day",
+        "x",
+        "r",
+        F.explode(F.sequence(F.lit(0), F.lit(_ANOM_WIN - 1))).alias("j"),
+    ).select("day", "x", (F.col("r") - F.col("j")).alias("rb"))
+    base = o.select(F.col("r").alias("rb"), F.col("x").alias("xb"))
+    w = (
+        probe.join(base, "rb")
+        .groupBy("day", "x")
+        .agg(
+            F.sort_array(F.collect_list("xb")).alias("arr"),
+            F.count("*").alias("n_win"),
+        )
+        .filter(F.col("n_win") == _ANOM_WIN)
+    )
+    m = w.select("day", "x", "arr", F.element_at("arr", mid).alias("med"))
+    s = m.select(
+        "day",
+        "x",
+        "med",
+        F.element_at(
+            F.array_sort(F.transform("arr", lambda v: F.abs(v - F.col("med")))),
+            mid,
+        ).alias("mad"),
+    )
+    return s.select(
+        "day",
+        F.col("x").alias("daily_count"),
+        "med",
+        "mad",
+        F.abs(F.col("x") - F.col("med")).cast("bigint").alias("dev"),
+        F.when(
+            F.abs(F.col("x") - F.col("med")) > _ANOM_K * F.col("mad"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_anomaly"),
+    )
