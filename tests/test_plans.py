@@ -131,6 +131,12 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
+    # demoted in round 6 for the fifth batch (q_streaks / q_spearman /
+    # q_new_users / q_source_overlap), each with an in-cap op cover:
+    "q_antijoin_incr": "q_merge_upsert",  # eqNullSafe anti-join family
+    "q_semi_join": "q_exists_guard",  # semi-join / exists-guard rewrite pair
+    "q_dedup_batch": "q_exact_dedup",  # hash-dedup family
+    "q_filter_range": "q_scan_project",  # pushed-filter pruned scan
     # demoted in round 6 for the fourth batch (q_skew_keys / q_anomaly):
     "q_ann_recall": "q_knn_bucketed",  # ANN eval over the same index family
     "q_dedup_components": "q_dup_graph_degree",  # dup-graph analytics
@@ -198,7 +204,7 @@ TAIL_COVERED_BY = {
     "q_sliding_window": "q_daily_window",
     "q_star_join": "q_revenue_by_segment",
     "q_children_rollup": "q_agg_count",
-    "q_set_ops": "q_dedup_batch",
+    "q_set_ops": "q_exact_dedup",  # distinct-family (q_dedup_batch demoted r6)
     "q_pivot_status": "q_agg_count",
     "q_zscore": "q_mad_outliers",  # robust per-group stats
     # demoted in round 4 (each 3x driver-green) to make room for the
@@ -815,3 +821,47 @@ def test_anomaly_equijoin_no_range_expansion(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "ReadSchema: struct<ts:timestamp>" in p
+
+
+def test_streaks_pruned_scan_per_user_islands_topk(spark):
+    """q_streaks reads only (ts, user_id); the island window is
+    partitioned BY USER (never a global sort over the corpus) and the
+    global top-20 is TakeOrderedAndProject (per-partition heaps). The
+    only single-partition window is the final rank over <= 20 rows."""
+    p = plan_of(spark, "q_streaks")
+    assert "ReadSchema: struct<ts:timestamp,user_id:bigint>" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_spearman_windows_over_collapsed_grid(spark):
+    """q_spearman's ranking windows run on the collapsed day grid (one
+    grouped aggregate upstream), not on raw events, and the query has
+    no join at all — a pure aggregate -> window -> aggregate chain
+    over a two-column pruned scan."""
+    p = plan_of(spark, "q_spearman")
+    assert "ReadSchema: struct<ts:timestamp,user_id:bigint>" in p
+    assert "SortMergeJoin" not in p and "Join" not in p
+
+
+def test_new_users_broadcast_day_grid_join(spark):
+    """q_new_users joins two |days|-sized grids: the new-users side
+    must broadcast (statically — both sides are post-aggregate grids),
+    and the scan reads only (ts, user_id)."""
+    p = plan_of(spark, "q_new_users")
+    assert "ReadSchema: struct<ts:timestamp,user_id:bigint>" in p
+    assert "BroadcastHashJoin LeftOuter" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_source_overlap_broadcast_intersections_no_corpus_pairs(spark):
+    """q_source_overlap's post-vocabulary stages run on #sources-sized
+    grids: the intersection table joins back as an explicit broadcast
+    (never a corpus-scale shuffle join), and the one nested-loop join
+    is the deliberate #sources x #sources pair grid over per-source
+    aggregates. The scan reads only (text, source)."""
+    p = plan_of(spark, "q_source_overlap")
+    assert "ReadSchema: struct<text:string,source:string>" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin LeftOuter" in p
+    assert "CartesianProduct" not in p

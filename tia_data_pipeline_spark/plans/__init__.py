@@ -28,6 +28,15 @@ from tia_data_pipeline_spark.plans.contract import REGISTRY, oracle_sql, queries
 DRIVER_ROW_CAP = 50
 
 CONTRACT_ORDER = [
+    # -- round-6 fifth batch (never driver-seen): gaps-and-islands
+    #    streaks, Spearman rank correlation over the daily grid,
+    #    new-vs-returning growth accounting, cross-source vocabulary
+    #    overlap. Four 5x-green relational singles demote with in-cap
+    #    family covers (see TAIL_COVERED_BY).
+    "q_streaks",
+    "q_spearman",
+    "q_new_users",
+    "q_source_overlap",
     # -- round-6 fourth batch (never driver-seen): join-key skew census,
     #    rolling-median/MAD anomaly flags. q_ann_recall (2x green) and
     #    q_dedup_components (3x green) demote with in-cap family covers
@@ -94,13 +103,9 @@ CONTRACT_ORDER = [
     "q_self_join",
     "q_exists_guard",
     "q_revenue_by_segment",
-    "q_dedup_batch",
     "q_merge_upsert",
-    "q_antijoin_incr",
-    "q_semi_join",
     "q_agg_count",
     "q_topk_latest",
-    "q_filter_range",
     "q_word_count",
     "q_ts_normalize",
     "q_exact_dedup",
@@ -109,6 +114,15 @@ CONTRACT_ORDER = [
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
+    # -- demoted in round 6 for the fifth batch (q_streaks / q_spearman /
+    #    q_new_users / q_source_overlap): all 5x driver-green r1-r5;
+    #    the anti-join op stays in-cap via q_merge_upsert's eqNullSafe
+    #    anti-join, semi/exists via q_exists_guard, hash dedup via
+    #    q_exact_dedup, pushed-filter scans via q_scan_project:
+    "q_antijoin_incr",
+    "q_semi_join",
+    "q_dedup_batch",
+    "q_filter_range",
     # -- demoted in round 6 for the fourth batch (q_skew_keys /
     #    q_anomaly): ANN eval stays in-cap via q_knn_bucketed, the
     #    dup-graph family via q_dup_graph_degree / q_triangles:

@@ -2277,3 +2277,254 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_streaks — longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+_STREAK_TOP = 20  # users reported
+_DAY_US = 86_400_000_000
+
+
+@contract_query(
+    "q_streaks",
+    oracle=(
+        "WITH e AS (SELECT DISTINCT "
+        "  (epoch_us(ts::TIMESTAMP) - ((epoch_us(ts::TIMESTAMP) % {D}) + {D}) % {D}) "
+        "    // {D} AS ed, user_id "
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+        "i AS (SELECT user_id, ed, ed - row_number() OVER "
+        "  (PARTITION BY user_id ORDER BY ed) AS isl FROM e), "
+        "s AS (SELECT user_id, isl, count(*)::BIGINT AS len "
+        "  FROM i GROUP BY user_id, isl), "
+        "per AS (SELECT user_id, max(len)::BIGINT AS max_streak, "
+        "  sum(len)::BIGINT AS n_active_days, count(*)::BIGINT AS n_islands "
+        "  FROM s GROUP BY user_id), "
+        "r AS (SELECT user_id, max_streak, n_active_days, n_islands, "
+        "  row_number() OVER (ORDER BY max_streak DESC, user_id) AS rnk FROM per) "
+        "SELECT rnk::BIGINT AS rnk, user_id, max_streak, n_active_days, "
+        "  n_islands FROM r WHERE rnk <= {K}"
+    ).format(D=_DAY_US, K=_STREAK_TOP),
+    covers="behavioral analytics (extension: gaps-and-islands longest activity streak)",
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by longest consecutive-day activity streak — the
+    gaps-and-islands classic (engagement loops, habit metrics), with
+    each user's total active days and island count alongside.
+
+    Exactness: days are integer epoch days (floor via the
+    subtract-positive-modulus idiom, pre-1970-safe); the island key
+    ``ed − row_number()`` is constant exactly along a run of
+    consecutive days (distinctness first, so duplicate same-day events
+    can never split an island); every output is an exact bigint and
+    the top-20 is fully tiebroken (max_streak DESC, user_id ASC).
+
+    Scale shape: the corpus collapses to the DISTINCT (user, day) set
+    first; the island window partitions BY USER (parallel across the
+    cluster — never a global sort); two keyed exchanges total, both
+    over the collapsed set; the global top-20 is orderBy+limit
+    (TakeOrderedAndProject per-partition heaps) and the final rank
+    window runs on ≤20 rows."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.expr(
+                f"(unix_micros(ts) - pmod(unix_micros(ts), {_DAY_US})) div {_DAY_US}"
+            ).alias("ed"),
+            "user_id",
+        )
+        .distinct()
+    )
+    i = e.select(
+        "user_id",
+        "ed",
+        (
+            F.col("ed")
+            - F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ed"))
+            .cast("bigint")
+        ).alias("isl"),
+    )
+    s = i.groupBy("user_id", "isl").agg(F.count("*").cast("bigint").alias("len"))
+    per = s.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("max_streak"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count("*").cast("bigint").alias("n_islands"),
+    )
+    top = per.orderBy(F.col("max_streak").desc(), "user_id").limit(_STREAK_TOP)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("max_streak").desc(), "user_id"))
+        .cast("bigint")
+        .alias("rnk"),
+        "user_id",
+        "max_streak",
+        "n_active_days",
+        "n_islands",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_spearman — rank correlation of daily volume vs daily distinct users
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_spearman",
+    oracle=(
+        "WITH d AS (SELECT "
+        "  (epoch_us(ts::TIMESTAMP) - ((epoch_us(ts::TIMESTAMP) % {D}) + {D}) % {D}) "
+        "    // {D} AS ed, "
+        "  count(*)::BIGINT AS x, count(DISTINCT user_id)::BIGINT AS y "
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY ed), "
+        "r AS (SELECT row_number() OVER (ORDER BY x, ed) AS rx, "
+        "  row_number() OVER (ORDER BY y, ed) AS ry FROM d), "
+        "a AS (SELECT count(*)::BIGINT AS n_days, "
+        "  sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2 FROM r) "
+        "SELECT n_days, sum_d2, "
+        "  CASE WHEN n_days > 1 THEN {rho} END AS rho "
+        "FROM a"
+    ).format(
+        D=_DAY_US,
+        rho=portable_round_sql(
+            "1.0 - (6 * sum_d2)::DOUBLE / (n_days * (n_days * n_days - 1))", 6
+        ),
+    ),
+    covers="corpus-health statistics (extension: Spearman rank correlation, deterministic tiebreak)",
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily event volume and daily
+    distinct actives — does load track audience, or do few users drive
+    the spikes? Computed with a deterministic day tiebreak (rank by
+    (value, day)), so both rank sequences are permutations and the
+    classic 1 − 6Σd²/(n(n²−1)) identity is exact.
+
+    Exactness: both series are exact bigint counts off one grouped
+    aggregate; ranks are row_numbers with the day index as tiebreak
+    (no average-rank ties to approximate); Σd² is an exact bigint sum
+    (≤ (n³−n)/3, far under 2^53 for any day grid) and rho is ONE
+    double division of exact integers under 6-dp portable rounding,
+    NULL when fewer than two days exist.
+
+    Scale shape: the corpus collapses map-side to the |days| grid in
+    the first aggregate; the two ranking windows run over that
+    collapsed grid (bounded by the calendar span — the q_ks_drift
+    single-partition-over-collapsed-grid posture), and the final
+    reduction is a one-row aggregate."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(
+            F.expr(
+                f"(unix_micros(ts) - pmod(unix_micros(ts), {_DAY_US})) div {_DAY_US}"
+            ).alias("ed")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            F.count_distinct("user_id").cast("bigint").alias("y"),
+        )
+    )
+    r = d.select(
+        F.row_number().over(Window.orderBy("x", "ed")).cast("bigint").alias("rx"),
+        F.row_number().over(Window.orderBy("y", "ed")).cast("bigint").alias("ry"),
+    )
+    a = r.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("bigint")
+        .alias("sum_d2"),
+    )
+    return a.select(
+        "n_days",
+        "sum_d2",
+        F.when(
+            F.col("n_days") > 1,
+            portable_round(
+                F.lit(1.0)
+                - (F.lit(6) * F.col("sum_d2")).cast("double")
+                / (F.col("n_days") * (F.col("n_days") * F.col("n_days") - 1)),
+                6,
+            ),
+        ).alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_new_users — daily new-vs-returning split with cumulative reach
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_new_users",
+    oracle=(
+        "WITH e AS (SELECT DISTINCT "
+        "  (epoch_us(ts::TIMESTAMP) - ((epoch_us(ts::TIMESTAMP) % {D}) + {D}) % {D}) "
+        "    // {D} AS ed, user_id "
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+        "a AS (SELECT ed, count(*)::BIGINT AS dau FROM e GROUP BY ed), "
+        "f AS (SELECT user_id, min(ed) AS first_ed FROM e GROUP BY user_id), "
+        "nw AS (SELECT first_ed AS ed, count(*)::BIGINT AS n_new "
+        "  FROM f GROUP BY first_ed), "
+        "j AS (SELECT a.ed, a.dau, coalesce(nw.n_new, 0)::BIGINT AS n_new "
+        "  FROM a LEFT JOIN nw ON nw.ed = a.ed) "
+        "SELECT make_timestamp(ed * {D}) AS day, dau, n_new, "
+        "  (dau - n_new)::BIGINT AS n_returning, "
+        "  sum(n_new) OVER (ORDER BY ed ROWS BETWEEN UNBOUNDED PRECEDING "
+        "    AND CURRENT ROW)::BIGINT AS cum_users "
+        "FROM j"
+    ).format(D=_DAY_US),
+    covers="behavioral analytics (extension: daily new-vs-returning actives, cumulative reach)",
+)
+def q_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split into first-ever-seen (new) vs returning
+    users, with the cumulative distinct-user reach — the growth
+    accounting view (acquisition vs retention) every DAU chart hides.
+
+    Exactness: first-seen day is an exact min over the DISTINCT
+    (day, user) set; new/returning/cumulative are exact bigint counts
+    (cum_users is the running sum of n_new, which equals the distinct
+    users seen so far because each user contributes to exactly one
+    first day); day renders as the µs-exact midnight timestamp via
+    pre-1970-safe floor division.
+
+    Scale shape: everything derives from ONE collapsed distinct
+    (day, user) set: DAU is a count per day, first-seen a min per user
+    (two aggregates over the same exchange-reusable set); the
+    new-vs-active join is between two |days| grids (AQE broadcasts)
+    and the running sum is a single-partition window over the bounded
+    day grid (the q_ks_drift collapsed-grid posture)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.expr(
+                f"(unix_micros(ts) - pmod(unix_micros(ts), {_DAY_US})) div {_DAY_US}"
+            ).alias("ed"),
+            "user_id",
+        )
+        .distinct()
+    )
+    a = e.groupBy("ed").agg(F.count("*").cast("bigint").alias("dau"))
+    f = e.groupBy("user_id").agg(F.min("ed").alias("first_ed"))
+    nw = f.groupBy(F.col("first_ed").alias("ned")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    j = a.join(nw, a["ed"] == nw["ned"], "left").select(
+        "ed",
+        "dau",
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    return j.select(
+        F.expr(f"timestamp_micros(ed * {_DAY_US})").alias("day"),
+        "dau",
+        "n_new",
+        (F.col("dau") - F.col("n_new")).cast("bigint").alias("n_returning"),
+        F.sum("n_new")
+        .over(
+            Window.orderBy("ed").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint")
+        .alias("cum_users"),
+    )

@@ -1435,3 +1435,101 @@ def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.cast("bigint").alias("logit_micro"),
         F.when(logit > 0, "keep").otherwise("drop").alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_source_overlap — pairwise vocabulary Jaccard across document sources
+# ---------------------------------------------------------------------------
+
+
+@contract_query(
+    "q_source_overlap",
+    oracle=(
+        "WITH v AS (SELECT DISTINCT source, tok FROM "
+        "  (SELECT source, unnest({t}) AS tok FROM documents "
+        "   WHERE text IS NOT NULL AND source IS NOT NULL) u), "
+        "per AS (SELECT source, count(*)::BIGINT AS vocab FROM v GROUP BY source), "
+        "it AS (SELECT x.source AS src_a, y.source AS src_b, "
+        "  count(*)::BIGINT AS inter FROM v x JOIN v y "
+        "  ON x.tok = y.tok AND x.source < y.source "
+        "  GROUP BY x.source, y.source) "
+        "SELECT a.source AS src_a, b.source AS src_b, "
+        "  a.vocab AS va, b.vocab AS vb, "
+        "  coalesce(it.inter, 0)::BIGINT AS inter, "
+        "  {j} AS jaccard "
+        "FROM per a JOIN per b ON a.source < b.source "
+        "LEFT JOIN it ON it.src_a = a.source AND it.src_b = b.source"
+    ).format(
+        t=_DOC_TOKENS_SQL,
+        j=TX.portable_round_sql(
+            "coalesce(it.inter, 0)::DOUBLE / (a.vocab + b.vocab - coalesce(it.inter, 0))",
+            6,
+        ),
+    ),
+    covers="ext-text-analysis (extension: cross-source vocabulary overlap matrix)",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between document sources — the
+    corpus-mixture diagnostic that tells a curation pipeline which
+    sources are near-interchangeable (high overlap → dedup across
+    them matters) and which contribute unique vocabulary. The FULL
+    upper-triangle matrix is emitted, including zero-overlap pairs.
+
+    Exactness: vocabularies are DISTINCT (source, token) sets under
+    the pinned CPython-split tokenizer; sizes and intersections are
+    exact bigints; Jaccard is one double division whose denominator
+    |A∪B| = va + vb − inter ≥ max(va, vb) ≥ 1 because a source only
+    appears with a nonempty vocabulary. String pair ordering is
+    binary (src_a < src_b) on both engines.
+
+    Scale shape: the corpus collapses to the distinct (source, token)
+    vocabulary set once, then feeds three consumers (per-source
+    sizes, both sides of the per-token pair join — AQE reuses the
+    exchange); per-token pair expansion is bounded by #sources²
+    (beyond a handful of sources, swap in the MinHash estimator from
+    ``operators.dedup``); the final joins run on the |sources|² grid —
+    the intersection table is broadcast explicitly (≤ #sources² rows
+    by construction), so no stage after the vocabulary aggregate
+    shuffles anything corpus-sized."""
+    v = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    per = v.groupBy("source").agg(F.count("*").cast("bigint").alias("vocab"))
+    x, y = v.alias("x"), v.alias("y")
+    it = (
+        x.join(
+            y,
+            (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("isrc_a"), F.col("y.source").alias("isrc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    pa, pb = per.alias("a"), per.alias("b")
+    pairs = pa.join(pb, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.vocab").alias("va"),
+        F.col("b.vocab").alias("vb"),
+    )
+    out = pairs.join(
+        F.broadcast(it),
+        (pairs["src_a"] == it["isrc_a"]) & (pairs["src_b"] == it["isrc_b"]),
+        "left",
+    )
+    inter = F.coalesce(F.col("inter"), F.lit(0)).cast("bigint")
+    return out.select(
+        "src_a",
+        "src_b",
+        "va",
+        "vb",
+        inter.alias("inter"),
+        TX.portable_round(
+            inter.cast("double") / (F.col("va") + F.col("vb") - inter), 6
+        ).alias("jaccard"),
+    )
