@@ -41,6 +41,31 @@ def portable_round_sql(expr: str, n: int) -> str:
     return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
 
 
+DAY_US = 86_400_000_000  # one day in microseconds
+
+
+def epoch_day(col: str = "ts") -> Column:
+    """Integer epoch-day index of a timestamp column — FLOOR division,
+    pre-1970-safe. Spark ``div`` and DuckDB ``//`` both truncate toward
+    zero (CLAUDE.md truncating-division invariant), so the numerator is
+    made exactly divisible first via the subtract-positive-modulus
+    idiom; single-sourced here so no query re-types it with a plain
+    ``%`` slip that would diverge only on negative epochs. Twin of
+    :func:`epoch_day_sql`."""
+    return F.expr(
+        f"(unix_micros({col}) - pmod(unix_micros({col}), {DAY_US})) div {DAY_US}"
+    )
+
+
+def epoch_day_sql(col: str = "ts") -> str:
+    """DuckDB twin of :func:`epoch_day` (same floor semantics via the
+    subtract-positive-modulus idiom; ``epoch_us`` needs the explicit
+    TIMESTAMP cast because the raw parquet µs-NTZ column otherwise
+    loses the µs precision — see the events.ts invariant)."""
+    e = f"epoch_us({col}::TIMESTAMP)"
+    return f"(({e} - (({e} % {DAY_US}) + {DAY_US}) % {DAY_US}) // {DAY_US})"
+
+
 def money_sum(col: Column, count_expr: Column | None = None, decimals: int = 4) -> Column:
     """Exact distributed sum of a money-like double: per-row scale to
     integer units (deterministic — inputs are ≤ `decimals`-dp values,

@@ -156,7 +156,7 @@ CONTRACT_ORDER = [
     #    and the seven stale-evidence promotions above.
     "q_source_mix",  # grouped mixture stats: q_jsd_mix keeps the family in-cap
     "q_mix_temperature",  # mixture reweighting: q_jsd_mix keeps the family in-cap
-    "q_cluster_sizes",  # dedup-cluster stats: q_dedup_components keeps the family in-cap
+    "q_cluster_sizes",  # dedup-cluster stats: q_dup_graph_degree keeps the family in-cap (q_dedup_components demoted r6)
     "q_group_sample",  # stratified sampling: q_split_assign keeps the id-hash family in-cap
     "q_decontaminate",  # external-membership mark: q_boilerplate keeps the membership_mark skeleton in-cap
     "q_fuzzy_dedup",

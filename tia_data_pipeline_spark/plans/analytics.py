@@ -16,7 +16,10 @@ from pyspark.sql.window import Window
 
 from tia_data_pipeline_spark.catalog import load_table
 from tia_data_pipeline_spark.functions.text import (
+    DAY_US,
     dec19,
+    epoch_day,
+    epoch_day_sql,
     finite_value,
     finite_value_sql,
     portable_round,
@@ -1380,7 +1383,7 @@ def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_rfm — recency/frequency/monetary quartile segmentation of customers
 # ---------------------------------------------------------------------------
 
-_DAY_US = 86_400_000_000
+_DAY_US = DAY_US  # single source: functions.text.DAY_US
 
 
 def _rfm_quartile_sql(dim: str, pfx: str) -> str:
@@ -1960,9 +1963,7 @@ _UNIFORM_DOW = 0.142857
 @contract_query(
     "q_seasonality",
     oracle=(
-        "WITH e AS (SELECT epoch_us(ts::TIMESTAMP) AS us FROM events "
-        "  WHERE ts IS NOT NULL), "
-        "d AS (SELECT (us - ((us % {D}) + {D}) % {D}) // {D} AS ed FROM e), "
+        "WITH d AS (SELECT {ED} AS ed FROM events WHERE ts IS NOT NULL), "
         "g AS (SELECT ((ed + 3) % 7 + 7) % 7 AS dow, count(*)::BIGINT AS n_events "
         "  FROM d GROUP BY dow), "
         "t AS (SELECT sum(n_events)::BIGINT AS n_total FROM g) "
@@ -1970,7 +1971,7 @@ _UNIFORM_DOW = 0.142857
         "  {share} AS share, "
         "  {dev} AS dev "
         "FROM g CROSS JOIN t".format(
-            D=86_400_000_000,
+            ED=epoch_day_sql(),
             share=portable_round_sql("g.n_events::DOUBLE / t.n_total", 6),
             dev=portable_round_sql(
                 f"g.n_events::DOUBLE / t.n_total - {_UNIFORM_DOW}", 6
@@ -2000,13 +2001,11 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-side-combined aggregate collapses the corpus
     to ≤7 rows; the total re-enters as a one-row broadcast."""
-    D = 86_400_000_000
-    e = (
+    d = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
-        .select(F.expr("unix_micros(ts)").alias("us"))
+        .select(epoch_day().alias("ed"))
     )
-    d = e.select(F.expr(f"(us - pmod(us, {D})) div {D}").alias("ed"))
     g = d.groupBy(F.expr("pmod(ed + 3, 7)").alias("dow")).agg(
         F.count("*").cast("bigint").alias("n_events")
     )
@@ -2029,9 +2028,7 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_rolling_actives",
     oracle=(
-        "WITH e AS (SELECT DISTINCT "
-        "  (epoch_us(ts::TIMESTAMP) - ((epoch_us(ts::TIMESTAMP) % {D}) + {D}) % {D}) "
-        "    // {D} AS ed, user_id "
+        "WITH e AS (SELECT DISTINCT {ED} AS ed, user_id "
         "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
         "a AS (SELECT DISTINCT ed FROM e), "
         "p AS (SELECT e.ed + k.k AS anchor, e.user_id FROM e "
@@ -2042,7 +2039,8 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT make_timestamp(d.ed * {D}) AS day, d.dau, w.wau, "
         "  {ratio} AS dau_over_wau "
         "FROM d JOIN w ON w.anchor = d.ed".format(
-            D=86_400_000_000,
+            D=DAY_US,
+            ED=epoch_day_sql(),
             ratio=portable_round_sql("d.dau::DOUBLE / w.wau", 6),
         )
     ),
@@ -2071,16 +2069,10 @@ def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor under one (anchor) partitioning; DAU is a plain count of
     the same set; the observed-day grid (pruned from the DAU
     aggregate) broadcasts into the semi-join."""
-    D = 86_400_000_000
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
-        .select(
-            F.expr(f"(unix_micros(ts) - pmod(unix_micros(ts), {D})) div {D}").alias(
-                "ed"
-            ),
-            "user_id",
-        )
+        .select(epoch_day().alias("ed"), "user_id")
         .distinct()
     )
     d = e.groupBy("ed").agg(F.count("*").cast("bigint").alias("dau"))
@@ -2098,7 +2090,7 @@ def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
     )
     return d.join(w, d["ed"] == w["anchor"]).select(
-        F.expr(f"timestamp_micros(ed * {D})").alias("day"),
+        F.expr(f"timestamp_micros(ed * {_DAY_US})").alias("day"),
         "dau",
         "wau",
         portable_round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
@@ -2284,15 +2276,12 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STREAK_TOP = 20  # users reported
-_DAY_US = 86_400_000_000
 
 
 @contract_query(
     "q_streaks",
     oracle=(
-        "WITH e AS (SELECT DISTINCT "
-        "  (epoch_us(ts::TIMESTAMP) - ((epoch_us(ts::TIMESTAMP) % {D}) + {D}) % {D}) "
-        "    // {D} AS ed, user_id "
+        "WITH e AS (SELECT DISTINCT {ED} AS ed, user_id "
         "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
         "i AS (SELECT user_id, ed, ed - row_number() OVER "
         "  (PARTITION BY user_id ORDER BY ed) AS isl FROM e), "
@@ -2305,7 +2294,7 @@ _DAY_US = 86_400_000_000
         "  row_number() OVER (ORDER BY max_streak DESC, user_id) AS rnk FROM per) "
         "SELECT rnk::BIGINT AS rnk, user_id, max_streak, n_active_days, "
         "  n_islands FROM r WHERE rnk <= {K}"
-    ).format(D=_DAY_US, K=_STREAK_TOP),
+    ).format(ED=epoch_day_sql(), K=_STREAK_TOP),
     covers="behavioral analytics (extension: gaps-and-islands longest activity streak)",
 )
 def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2330,9 +2319,7 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select(
-            F.expr(
-                f"(unix_micros(ts) - pmod(unix_micros(ts), {_DAY_US})) div {_DAY_US}"
-            ).alias("ed"),
+            epoch_day().alias("ed"),
             "user_id",
         )
         .distinct()
@@ -2374,9 +2361,7 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_spearman",
     oracle=(
-        "WITH d AS (SELECT "
-        "  (epoch_us(ts::TIMESTAMP) - ((epoch_us(ts::TIMESTAMP) % {D}) + {D}) % {D}) "
-        "    // {D} AS ed, "
+        "WITH d AS (SELECT {ED} AS ed, "
         "  count(*)::BIGINT AS x, count(DISTINCT user_id)::BIGINT AS y "
         "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY ed), "
         "r AS (SELECT row_number() OVER (ORDER BY x, ed) AS rx, "
@@ -2387,7 +2372,7 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CASE WHEN n_days > 1 THEN {rho} END AS rho "
         "FROM a"
     ).format(
-        D=_DAY_US,
+        ED=epoch_day_sql(),
         rho=portable_round_sql(
             "1.0 - (6 * sum_d2)::DOUBLE / (n_days * (n_days * n_days - 1))", 6
         ),
@@ -2417,9 +2402,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .groupBy(
-            F.expr(
-                f"(unix_micros(ts) - pmod(unix_micros(ts), {_DAY_US})) div {_DAY_US}"
-            ).alias("ed")
+            epoch_day().alias("ed")
         )
         .agg(
             F.count("*").cast("bigint").alias("x"),
@@ -2459,9 +2442,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_new_users",
     oracle=(
-        "WITH e AS (SELECT DISTINCT "
-        "  (epoch_us(ts::TIMESTAMP) - ((epoch_us(ts::TIMESTAMP) % {D}) + {D}) % {D}) "
-        "    // {D} AS ed, user_id "
+        "WITH e AS (SELECT DISTINCT {ED} AS ed, user_id "
         "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
         "a AS (SELECT ed, count(*)::BIGINT AS dau FROM e GROUP BY ed), "
         "f AS (SELECT user_id, min(ed) AS first_ed FROM e GROUP BY user_id), "
@@ -2474,7 +2455,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  sum(n_new) OVER (ORDER BY ed ROWS BETWEEN UNBOUNDED PRECEDING "
         "    AND CURRENT ROW)::BIGINT AS cum_users "
         "FROM j"
-    ).format(D=_DAY_US),
+    ).format(D=_DAY_US, ED=epoch_day_sql()),
     covers="behavioral analytics (extension: daily new-vs-returning actives, cumulative reach)",
 )
 def q_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2499,9 +2480,7 @@ def q_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select(
-            F.expr(
-                f"(unix_micros(ts) - pmod(unix_micros(ts), {_DAY_US})) div {_DAY_US}"
-            ).alias("ed"),
+            epoch_day().alias("ed"),
             "user_id",
         )
         .distinct()
