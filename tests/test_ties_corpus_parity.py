@@ -1,0 +1,164 @@
+"""Tie-saturation robustness: every single-family contract query must
+stay engine-parity on a corpus where EVERY ranking measure collides.
+
+CLAUDE.md pins "tiebreak every row_number/limit", but the driver corpus
+has enough natural variance that an under-tiebroken rank can pass for
+rounds before two rows actually collide. These corpora make every
+metric tie by construction — identical texts, identical per-user
+activity patterns, identical timestamps across users, identical
+embedding vectors — so any rank, top-k boundary, or limit whose sort
+key is not a total order picks engine-dependent winners immediately.
+
+Structure mirrors tests/test_null_corpus_parity.py: one synthesized
+corpus per table family, swept over the registry slice so new queries
+inherit the check automatically.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import duckdb
+import pytest
+
+from tests.oracle import assert_parity
+from tia_data_pipeline_spark import plans
+
+from tia_data_pipeline_spark.catalog import TABLES as _ALL_TABLES
+
+
+def _family_queries(family: str):
+    others = set(_ALL_TABLES) - {family}
+    return [
+        name
+        for name, q in plans.REGISTRY.items()
+        if q.oracle is not None
+        and family in q.oracle
+        and not any(t in q.oracle for t in others)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# documents: 12 identical texts across 3 sources — every per-doc score,
+# per-source aggregate, shingle df, and quality metric ties.
+# ---------------------------------------------------------------------------
+
+_TIES_TEXT = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+)
+
+
+@pytest.fixture(scope="module")
+def ties_doc_sf(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("ties_docs") / "sf")
+    rows = [
+        (i, _TIES_TEXT, "en", f"src{i % 3}", len(_TIES_TEXT)) for i in range(1, 13)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def ties_doc_duck(ties_doc_sf):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{ties_doc_sf}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _family_queries("documents"))
+def test_doc_query_parity_on_ties_corpus(spark, ties_doc_sf, ties_doc_duck, name):
+    q = plans.REGISTRY[name]
+    assert_parity(q.build(spark, ties_doc_sf), ties_doc_duck.sql(q.oracle), name)
+
+
+# ---------------------------------------------------------------------------
+# events: 6 users with IDENTICAL activity — same timestamps (to the
+# microsecond), same counts, same types, same values, same day grid.
+# Every per-user metric, per-day aggregate, and "latest" pick ties.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ties_events_sf(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("ties_events") / "sf")
+    rows = []
+    eid = 0
+    for day in (1, 2, 3):
+        for hour in (9, 15):
+            for user in range(6):
+                rows.append(
+                    (
+                        eid,
+                        datetime(2024, 3, day, hour, 30),
+                        user,
+                        "view" if hour == 9 else "click",
+                        2.5,
+                        '{"k":1}',
+                    )
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def ties_events_duck(ties_events_sf):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{ties_events_sf}/events.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _family_queries("events"))
+def test_event_query_parity_on_ties_corpus(
+    spark, ties_events_sf, ties_events_duck, name
+):
+    q = plans.REGISTRY[name]
+    assert_parity(q.build(spark, ties_events_sf), ties_events_duck.sql(q.oracle), name)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: 16 IDENTICAL vectors — every pairwise similarity is the
+# same, so every kNN/ANN top-k boundary is pure tiebreak.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ties_emb_sf(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("ties_emb") / "sf")
+    vec = [(1.0 if i % 2 == 0 else -0.5) for i in range(64)]
+    rows = [(i, vec, i % 2) for i in range(16)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def ties_emb_duck(ties_emb_sf):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{ties_emb_sf}/embeddings.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _family_queries("embeddings"))
+def test_embedding_query_parity_on_ties_corpus(
+    spark, ties_emb_sf, ties_emb_duck, name
+):
+    q = plans.REGISTRY[name]
+    assert_parity(q.build(spark, ties_emb_sf), ties_emb_duck.sql(q.oracle), name)
