@@ -30,6 +30,27 @@ import decimal as _decimal
 import pyarrow as pa
 
 
+def family_queries(family: str) -> list[str]:
+    """Registry queries whose oracle touches ONLY the given table
+    (single-family coverage) — ONE implementation shared by the
+    hostile-corpus suites (null / ties / adversarial-text) so a
+    hardening of the family-match logic can never land in one sweep
+    and silently not another. The exclusion list derives from the one
+    catalog table registry so a new corpus table can never be
+    silently missed."""
+    from tia_data_pipeline_spark import plans
+    from tia_data_pipeline_spark.catalog import TABLES
+
+    others = set(TABLES) - {family}
+    return [
+        name
+        for name, q in plans.REGISTRY.items()
+        if q.oracle is not None
+        and family in q.oracle
+        and not any(t in q.oracle for t in others)
+    ]
+
+
 def create_duck_views(con, sf_dir: str) -> None:
     """Register every corpus table as a DuckDB view over its parquet —
     ONE implementation shared by conftest and scripts/drive_entry so

@@ -13,24 +13,9 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from tests.oracle import assert_parity
+from tests.oracle import assert_parity, family_queries as _family_queries
 from tia_data_pipeline_spark import plans
-
 from tia_data_pipeline_spark.catalog import TABLES as _ALL_TABLES
-
-
-def _family_queries(family: str):
-    """Queries whose oracle touches ONLY the given table (single-family
-    coverage); the exclusion list derives from the one catalog table
-    registry so a new corpus table can never be silently missed."""
-    others = set(_ALL_TABLES) - {family}
-    return [
-        name
-        for name, q in plans.REGISTRY.items()
-        if q.oracle is not None
-        and family in q.oracle
-        and not any(t in q.oracle for t in others)
-    ]
 
 
 def _doc_only_queries():

@@ -792,12 +792,14 @@ def test_seasonality_single_column_scan_no_window(spark):
 
 def test_rolling_actives_broadcast_semi_over_collapsed_set(spark):
     """The 7-day WAU fan-out runs on the collapsed (day, user) set
-    with the day grid broadcast into the semi-join — no sort-merge
-    join, no range/window operator over raw events, two-column pruned
-    scan."""
+    with the day grid broadcast into the semi-join and the final
+    DAU-WAU grid join hint-broadcast (scale-independent) — no
+    sort-merge join, no range/window operator over raw events,
+    two-column pruned scan."""
     p = plan_of(spark, "q_rolling_actives")
     assert "ReadSchema: struct<ts:timestamp,user_id:bigint>" in p
     assert "BroadcastHashJoin LeftSemi" in p
+    assert "BroadcastHashJoin Inner" in p
     assert "SortMergeJoin" not in p and "Window" not in p
 
 
@@ -846,8 +848,9 @@ def test_spearman_windows_over_collapsed_grid(spark):
 
 def test_new_users_broadcast_day_grid_join(spark):
     """q_new_users joins two |days|-sized grids: the new-users side
-    must broadcast (statically — both sides are post-aggregate grids),
-    and the scan reads only (ts, user_id)."""
+    broadcasts via an explicit hint (scale-independent — a static size
+    estimate would fall to SortMergeJoin once the child scan outgrows
+    the threshold), and the scan reads only (ts, user_id)."""
     p = plan_of(spark, "q_new_users")
     assert "ReadSchema: struct<ts:timestamp,user_id:bigint>" in p
     assert "BroadcastHashJoin LeftOuter" in p

@@ -6,8 +6,9 @@ has enough natural variance that an under-tiebroken rank can pass for
 rounds before two rows actually collide. These corpora make every
 metric tie by construction — identical texts, identical per-user
 activity patterns, identical timestamps across users, identical
-embedding vectors — so any rank, top-k boundary, or limit whose sort
-key is not a total order picks engine-dependent winners immediately.
+embedding vectors, constant measures across the relational star
+schema — so any rank, top-k boundary, or limit whose sort key is not
+a total order picks engine-dependent winners immediately.
 
 Structure mirrors tests/test_null_corpus_parity.py: one synthesized
 corpus per table family, swept over the registry slice so new queries
@@ -20,22 +21,11 @@ from datetime import datetime
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
-from tests.oracle import assert_parity
+from tests.oracle import assert_parity, family_queries as _family_queries
 from tia_data_pipeline_spark import plans
-
 from tia_data_pipeline_spark.catalog import TABLES as _ALL_TABLES
-
-
-def _family_queries(family: str):
-    others = set(_ALL_TABLES) - {family}
-    return [
-        name
-        for name, q in plans.REGISTRY.items()
-        if q.oracle is not None
-        and family in q.oracle
-        and not any(t in q.oracle for t in others)
-    ]
 
 
 # ---------------------------------------------------------------------------
@@ -162,3 +152,80 @@ def test_embedding_query_parity_on_ties_corpus(
 ):
     q = plans.REGISTRY[name]
     assert_parity(q.build(spark, ties_emb_sf), ties_emb_duck.sql(q.oracle), name)
+
+
+# ---------------------------------------------------------------------------
+# relational star schema: every measure, date, and status column is a
+# CONSTANT — every order total, line price, account balance, and ship
+# date collides, so any rank/top-k/limit over the star schema whose
+# sort key is not key-tiebroken picks engine-dependent winners.
+# Keys and FK structure stay intact (joins still resolve).
+# ---------------------------------------------------------------------------
+
+_REL_CONST = {
+    "orders": {
+        "o_orderstatus": "'O'",
+        "o_totalprice": "100000.0",
+        "o_orderdate": "TIMESTAMP '1995-06-15 00:00:00'",
+        "o_orderpriority": "'3-MEDIUM'",
+    },
+    "lineitem": {
+        "l_quantity": "25.0",
+        "l_extendedprice": "30000.0",
+        "l_discount": "0.05",
+        "l_tax": "0.04",
+        "l_returnflag": "'N'",
+        "l_linestatus": "'O'",
+        "l_shipdate": "TIMESTAMP '1995-07-01 00:00:00'",
+    },
+    "customer": {"c_acctbal": "5000.0", "c_mktsegment": "'BUILDING'"},
+    "supplier": {"s_acctbal": "5000.0"},
+    "part": {"p_size": "20", "p_retailprice": "1500.0"},
+}
+
+
+def _relational_queries():
+    rel = tuple(
+        t for t in _ALL_TABLES if t not in ("documents", "events", "embeddings")
+    )
+    return [
+        name
+        for name, q in plans.REGISTRY.items()
+        if q.oracle is not None and any(t in q.oracle for t in rel)
+    ]
+
+
+@pytest.fixture(scope="module")
+def ties_rel_sf(spark, tmp_path_factory):
+    from tests.conftest import SMOKE_SF
+    from tia_data_pipeline_spark.catalog import TABLES, load_table
+
+    sf = str(tmp_path_factory.mktemp("ties_rel") / "sf")
+    for t in TABLES:
+        df = load_table(spark, SMOKE_SF, t)
+        for col, const in _REL_CONST.get(t, {}).items():
+            df = df.withColumn(col, F.expr(f"CAST({const} AS {df.schema[col].dataType.simpleString()})"))
+        df.write.mode("overwrite").parquet(f"{sf}/{t}.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def ties_rel_duck(ties_rel_sf):
+    from tia_data_pipeline_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{ties_rel_sf}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", _relational_queries())
+def test_relational_query_parity_on_ties_corpus(spark, ties_rel_sf, ties_rel_duck, name):
+    """All-identical measures across the star schema: any rank/top-k
+    whose ORDER BY is not a total order (key tiebreak) diverges here
+    immediately — the q_topk_latest class CLAUDE.md pins."""
+    q = plans.REGISTRY[name]
+    assert_parity(q.build(spark, ties_rel_sf), ties_rel_duck.sql(q.oracle), name)

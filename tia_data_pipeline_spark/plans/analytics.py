@@ -2089,7 +2089,7 @@ def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("anchor")
         .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
     )
-    return d.join(w, d["ed"] == w["anchor"]).select(
+    return d.join(F.broadcast(w), d["ed"] == w["anchor"]).select(
         F.expr(f"timestamp_micros(ed * {_DAY_US})").alias("day"),
         "dau",
         "wau",
@@ -2473,7 +2473,7 @@ def q_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: everything derives from ONE collapsed distinct
     (day, user) set: DAU is a count per day, first-seen a min per user
     (two aggregates over the same exchange-reusable set); the
-    new-vs-active join is between two |days| grids (AQE broadcasts)
+    new-vs-active join is between two |days| grids (explicit broadcast)
     and the running sum is a single-partition window over the bounded
     day grid (the q_ks_drift collapsed-grid posture)."""
     e = (
@@ -2490,7 +2490,7 @@ def q_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     nw = f.groupBy(F.col("first_ed").alias("ned")).agg(
         F.count("*").cast("bigint").alias("n_new")
     )
-    j = a.join(nw, a["ed"] == nw["ned"], "left").select(
+    j = a.join(F.broadcast(nw), a["ed"] == nw["ned"], "left").select(
         "ed",
         "dau",
         F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
