@@ -61,8 +61,13 @@ def main() -> None:
             # query must record -1.0, not abort the whole bench run.
             df = q.build(spark, sf_dir)
             budget_t0 = time.monotonic()
-            run_once(df)  # warm-up (also JIT + parquet footer cache)
-            times = []
+            warm = run_once(df)  # warm-up (also JIT + parquet footer cache)
+            # A query so regressed that the warm-up alone blows the
+            # budget gets the warm-up recorded as its measurement —
+            # otherwise the warm-up plus the mandatory first timed run
+            # cost ~2x the regression regardless of the budget, and one
+            # pathological query starves the whole artifact.
+            times = [warm] if warm >= PER_QUERY_BUDGET_SEC else []
             while len(times) < TIMED_RUNS and (
                 not times or time.monotonic() - budget_t0 < PER_QUERY_BUDGET_SEC
             ):

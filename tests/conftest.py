@@ -6,7 +6,11 @@ import pytest
 from tia_data_pipeline_spark.catalog import TABLES, table_path
 from tia_data_pipeline_spark.session import get_spark
 
-SMOKE_SF = "/root/testdata/sf0.001"
+# Single source for the smoke-corpus location: the grading surface
+# declares it (and must stay self-contained), so tests import it —
+# entry() and the pytest suites can never silently validate against
+# different corpora.
+from __spark_entry__ import SMOKE_SF_DIR as SMOKE_SF  # noqa: E402
 
 
 @pytest.fixture(scope="session")

@@ -37,7 +37,13 @@ def family_queries(family: str) -> list[str]:
     hardening of the family-match logic can never land in one sweep
     and silently not another. The exclusion list derives from the one
     catalog table registry so a new corpus table can never be
-    silently missed."""
+    silently missed.
+
+    Table names match on identifier boundaries, not raw substrings: a
+    plain `t in sql` check silently drops true single-family queries
+    whose SQL merely contains another table name inside a function or
+    alias (`split_part` contains `part`; an `n_customers` alias
+    contains `customer`), starving them of hostile coverage."""
     from tia_data_pipeline_spark import plans
     from tia_data_pipeline_spark.catalog import TABLES
 
@@ -46,9 +52,17 @@ def family_queries(family: str) -> list[str]:
         name
         for name, q in plans.REGISTRY.items()
         if q.oracle is not None
-        and family in q.oracle
-        and not any(t in q.oracle for t in others)
+        and sql_mentions_table(family, q.oracle)
+        and not any(sql_mentions_table(t, q.oracle) for t in others)
     ]
+
+
+def sql_mentions_table(table: str, sql: str) -> bool:
+    """True when the SQL references the table name as a standalone
+    identifier (shared by family_queries and the relational sweeps)."""
+    import re
+
+    return re.search(rf"(?<![A-Za-z0-9_]){table}(?![A-Za-z0-9_])", sql) is not None
 
 
 def create_duck_views(con, sf_dir: str) -> None:

@@ -13,7 +13,11 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from tests.oracle import assert_parity, family_queries as _family_queries
+from tests.oracle import (
+    assert_parity,
+    family_queries as _family_queries,
+    sql_mentions_table,
+)
 from tia_data_pipeline_spark import plans
 from tia_data_pipeline_spark.catalog import TABLES as _ALL_TABLES
 
@@ -119,7 +123,8 @@ def _relational_queries():
     return [
         name
         for name, q in plans.REGISTRY.items()
-        if q.oracle is not None and any(t in q.oracle for t in _REL_TABLES)
+        if q.oracle is not None
+        and any(sql_mentions_table(t, q.oracle) for t in _REL_TABLES)
     ]
 
 

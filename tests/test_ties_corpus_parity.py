@@ -23,7 +23,11 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from tests.oracle import assert_parity, family_queries as _family_queries
+from tests.oracle import (
+    assert_parity,
+    family_queries as _family_queries,
+    sql_mentions_table,
+)
 from tia_data_pipeline_spark import plans
 from tia_data_pipeline_spark.catalog import TABLES as _ALL_TABLES
 
@@ -191,7 +195,8 @@ def _relational_queries():
     return [
         name
         for name, q in plans.REGISTRY.items()
-        if q.oracle is not None and any(t in q.oracle for t in rel)
+        if q.oracle is not None
+        and any(sql_mentions_table(t, q.oracle) for t in rel)
     ]
 
 
