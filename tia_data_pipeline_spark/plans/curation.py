@@ -1030,7 +1030,7 @@ _GA_EXPR = "TRY_CAST(substr(source, 4) AS INT) % 2 = 0"
         "  FROM k CROSS JOIN t) "
         "SELECT t.na AS n_a, t.nb AS n_b, m.ks_num, "
         f"  {TX.portable_round_sql('m.ks_num::DOUBLE / (t.na * t.nb)', 6)} AS ks "
-        "FROM m CROSS JOIN t"
+        "FROM m CROSS JOIN t WHERE t.na > 0 AND t.nb > 0"
     ),
     covers="training-data curation (two-sample KS distribution-drift statistic)",
 )
@@ -1083,13 +1083,20 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks_num")
         )
     )
-    return m.crossJoin(F.broadcast(tot)).select(
-        F.col("na").alias("n_a"),
-        F.col("nb").alias("n_b"),
-        "ks_num",
-        TX.portable_round(
-            F.col("ks_num").cast("double") / (F.col("na") * F.col("nb")), 6
-        ).alias("ks"),
+    # Two-sample precondition, stated on BOTH sides: with either
+    # sample empty the statistic is undefined (and na*nb = 0 aborts
+    # the ratio under ANSI) — emit no row, identically to the oracle.
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "ks_num",
+            TX.portable_round(
+                F.col("ks_num").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("ks"),
+        )
     )
 
 
@@ -1115,7 +1122,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       * a * 1000000000.0 + 0.5)::BIGINT ELSE 0 END AS term_a, "
         "  CASE WHEN b > 0 THEN floor((ln(2 * b * t.ta) - ln(a * t.tb + b * t.ta)) "
         "       * b * 1000000000.0 + 0.5)::BIGINT ELSE 0 END AS term_b "
-        "  FROM c CROSS JOIN t) "
+        "  FROM c CROSS JOIN t WHERE t.ta > 0 AND t.tb > 0) "
         "SELECT SUM(both_)::BIGINT AS n_vocab_both, "
         "  SUM(only_a)::BIGINT AS n_vocab_a_only, SUM(only_b)::BIGINT AS n_vocab_b_only, "
         "  t.ta AS n_tok_a, t.tb AS n_tok_b, "
@@ -1157,7 +1164,13 @@ def q_jsd_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = c.agg(
         F.sum("a").cast("bigint").alias("ta"), F.sum("b").cast("bigint").alias("tb")
     )
-    ct = c.crossJoin(F.broadcast(tot))
+    # Two-mixture precondition, stated on BOTH sides: with either
+    # snapshot's token total zero the divergence is undefined — DuckDB
+    # RAISES on the resulting ln(0) where Spark's log returns NULL, and
+    # the per-side ratio divides by zero. Emit no row.
+    ct = c.crossJoin(F.broadcast(tot)).filter(
+        (F.col("ta") > 0) & (F.col("tb") > 0)
+    )
     ln = F.log  # natural log on both engines
     term_a = F.when(
         F.col("a") > 0,
