@@ -245,6 +245,44 @@ def test_driver_cap_tail_is_redundant_coverage():
         assert covered_by in head, f"{q} claims coverage by {covered_by}, not in first 50"
 
 
+def test_every_oracle_query_reaches_a_hostile_sweep():
+    """Sweep-selection guard: the hostile-corpus suites promise that
+    new queries 'inherit the check automatically', so the SELECTION
+    logic itself needs a pin — a query that silently falls through
+    every family/relational sweep gets zero hostile coverage (exactly
+    what happened to q_lm_perplexity when family matching was a raw
+    substring test: 'split_part' contains 'part'). Every oracle query
+    must land in at least one single-family or relational sweep; the
+    only admissible exceptions are table-free probes, which the
+    all-query empty-tables and single-row sweeps still cover."""
+    from tests.oracle import family_queries, sql_mentions_table
+    from tia_data_pipeline_spark.catalog import TABLES
+
+    rel = [t for t in TABLES if t not in ("documents", "events", "embeddings")]
+    covered = set()
+    for fam in ("documents", "events", "embeddings"):
+        covered |= set(family_queries(fam))
+    covered |= {
+        n
+        for n, q in plans.REGISTRY.items()
+        if q.oracle is not None
+        and any(sql_mentions_table(t, q.oracle) for t in rel)
+    }
+    fall_through = {
+        n for n, q in plans.REGISTRY.items() if q.oracle is not None
+    } - covered
+    table_free = {
+        n
+        for n in fall_through
+        if not any(
+            sql_mentions_table(t, plans.REGISTRY[n].oracle) for t in TABLES
+        )
+    }
+    assert fall_through == table_free, (
+        f"queries with zero hostile-sweep coverage: {sorted(fall_through - table_free)}"
+    )
+
+
 def test_tail_entries_have_driver_history():
     """Policy guard (VERDICT r03 'What's wrong' #1): a query may only sit
     below the driver's 50-row cap if it ALREADY has at least one
