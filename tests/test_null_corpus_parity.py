@@ -142,9 +142,20 @@ def null_rel_sf(spark, tmp_path_factory):
             r = df.limit(1).collect()[0].asDict()
             extras = []
             if t == "orders":
+                from datetime import datetime
+
                 r2 = dict(r); r2["o_orderkey"] = 99999901; r2["o_orderdate"] = None
+                # NULL key INSIDE the q_scd2 snapshot windows: exercises
+                # the eqNullSafe merge legs non-vacuously (a NULL-key row
+                # outside the windows never reaches them)
                 r3 = dict(r); r3["o_orderkey"] = None
-                extras = [r2, r3]
+                r3["o_orderdate"] = datetime(1996, 1, 20)
+                # genuine FK violation: o_custkey with no parent — with a
+                # NULL c_custkey also present, a NOT IN oracle collapses
+                # to zero violations where the anti-join counts one
+                r4 = dict(r); r4["o_orderkey"] = 99999904
+                r4["o_custkey"] = 888888888
+                extras = [r2, r3, r4]
             elif t == "lineitem":
                 r2 = dict(r); r2["l_orderkey"] = 99999902; r2["l_suppkey"] = None
                 r3 = dict(r); r3["l_orderkey"] = None; r3["l_linenumber"] = 1

@@ -60,6 +60,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     # writer corpus, pinned for caller-provided sessions anyway)
     spark.conf.set("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
     spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+    # to_json must render NULL struct fields: Spark's default omits
+    # them ({"a":1}) where DuckDB's to_json(struct_pack(...)) keeps
+    # them ({"a":1,"b":null}) — divergent on any NULL field in a
+    # json-ser output (q_json_ser, q_children_rollup render path)
+    spark.conf.set("spark.sql.jsonGenerator.ignoreNullFields", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

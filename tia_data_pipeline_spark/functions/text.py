@@ -70,11 +70,14 @@ def money_sum(col: Column, count_expr: Column | None = None, decimals: int = 4) 
     """Exact distributed sum of a money-like double: per-row scale to
     integer units (deterministic — inputs are ≤ `decimals`-dp values,
     so ·10ⁿ lands within 1e-9 of an integer, never near .5), sum as
-    BIGINT (exact, order-independent), then one double division.
-    Immune to summation-order ulp drift AND to round() dialects."""
+    DECIMAL(38,0) (exact, order-independent, and matching DuckDB's
+    HUGEINT sum(BIGINT) accumulator — a bare bigint sum would abort
+    under ANSI past 2^63 where the oracle answers; the group-sum-is-
+    unbounded invariant), then one double division. Immune to
+    summation-order ulp drift AND to round() dialects."""
     scale = 10**decimals
     units = F.round(col * F.lit(scale)).cast("bigint")
-    total = F.sum(units).cast("double")
+    total = F.sum(units.cast("decimal(38,0)")).cast("double")
     if count_expr is not None:
         total = total / count_expr
     return total / F.lit(float(scale))

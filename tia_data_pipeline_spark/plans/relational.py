@@ -90,9 +90,13 @@ def q_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_merge_upsert",
     oracle=(
+        # o_orderkey IS NOT NULL: the merge target's PRIMARY KEY can
+        # never hold a NULL key (Derby/Postgres both reject it), so the
+        # PK-target precondition is stated identically on both sides
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
         "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
-        "AND o_orderdate < TIMESTAMP '1996-02-15'"
+        "AND o_orderdate < TIMESTAMP '1996-02-15' "
+        "AND o_orderkey IS NOT NULL"
     ),
     covers="snk-jdbc-upsert transactional MERGE (posts_pipeline.py:57, ON CONFLICT DO NOTHING)",
 )
@@ -122,9 +126,16 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
     def batch(lo: str, hi: str) -> DataFrame:
-        return orders.filter(
-            (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
-        ).select("o_orderkey", "o_custkey", "o_totalprice")
+        # NULL merge keys are excluded explicitly (the PK-target
+        # precondition in the oracle): a PRIMARY KEY column rejects
+        # NULL at INSERT on every JDBC dialect.
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+            )
+            .filter(F.col("o_orderkey").isNotNull())
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
 
     first = batch("1996-01-01", "1996-02-01")
     jdbc_ensure_table(spark, url, "merge_target", first.schema, ["o_orderkey"])
@@ -304,7 +315,7 @@ def q_thread_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_children_rollup",
     oracle=(
         "SELECT l_orderkey, to_json(list(l_linenumber ORDER BY l_linenumber)) AS children "
-        "FROM lineitem GROUP BY l_orderkey"
+        "FROM lineitem WHERE l_linenumber IS NOT NULL GROUP BY l_orderkey"
     ),
     covers="self-join-tree children roll-up (init_db_tables.sh:57) + json-ser",
 )
@@ -312,9 +323,12 @@ def q_children_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The comments.children JSON column as a computed roll-up: child
     ids collected per parent, sorted for determinism, serialized at the
     sink boundary (collect_list order is nondeterministic — sort_array
-    pins it on both engines)."""
+    pins it on both engines). NULL child ids are excluded explicitly on
+    BOTH sides: collect_list silently drops NULL elements where
+    DuckDB's list() keeps them as trailing nulls."""
     return (
         load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber").isNotNull())
         .groupBy("l_orderkey")
         .agg(F.to_json(F.sort_array(F.collect_list("l_linenumber"))).alias("children"))
     )
@@ -338,16 +352,23 @@ def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_topk_latest",
     oracle=(
         "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
-        "ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 30"
+        "ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC NULLS LAST LIMIT 30"
     ),
     covers="topk-latest (posts_pipeline.py:26, latest-30 page)",
 )
 def q_topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'30 latest posts' — TakeOrderedAndProject, no global sort.
-    o_orderkey tiebreak makes the k-boundary deterministic."""
+    o_orderkey tiebreak makes the k-boundary deterministic; NULL
+    placement is stated explicitly on BOTH sides (Spark ASC defaults
+    to NULLS FIRST where DuckDB defaults to NULLS LAST, so a NULL key
+    inside a date-tie group at the limit boundary would otherwise
+    select different rows)."""
     return (
         load_table(spark, sf_dir, "orders")
-        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .orderBy(
+            F.col("o_orderdate").desc_nulls_last(),
+            F.col("o_orderkey").asc_nulls_last(),
+        )
         .limit(30)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
@@ -406,21 +427,27 @@ def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_scd2",
     oracle=(
+        # The join is null-safe (IS NOT DISTINCT FROM) and presence
+        # derives from literal markers, matching scd2_merge's
+        # eqNullSafe join + _present flags: a NULL-key version row is
+        # genuinely present, so keying presence off the nullable
+        # o_orderkey would silently drop it from every leg.
         "WITH cur AS (SELECT o_orderkey, o_custkey, o_totalprice, "
-        "    o_orderdate::TIMESTAMP AS valid_from FROM orders "
+        "    o_orderdate::TIMESTAMP AS valid_from, 1 AS mc FROM orders "
         "  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'), "
         "upd AS (SELECT o_orderkey, o_custkey, "
         "    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END "
-        "      AS o_totalprice, TIMESTAMP '1996-03-01' AS eff FROM orders "
+        "      AS o_totalprice, TIMESTAMP '1996-03-01' AS eff, 1 AS mu FROM orders "
         "  WHERE o_orderdate >= TIMESTAMP '1996-01-15' AND o_orderdate < TIMESTAMP '1996-02-15'), "
         "j AS (SELECT cur.o_orderkey AS ck, upd.o_orderkey AS uk, "
         "    cur.o_custkey AS cc, upd.o_custkey AS uc, "
         "    cur.o_totalprice AS ct, upd.o_totalprice AS ut, "
         "    cur.valid_from AS cf, upd.eff AS ue, "
-        "    (cur.o_orderkey IS NOT NULL) AS pc, (upd.o_orderkey IS NOT NULL) AS pu, "
+        "    (cur.mc IS NOT NULL) AS pc, (upd.mu IS NOT NULL) AS pu, "
         "    (cur.o_custkey IS DISTINCT FROM upd.o_custkey "
         "     OR cur.o_totalprice IS DISTINCT FROM upd.o_totalprice) AS ch "
-        "  FROM cur FULL OUTER JOIN upd ON cur.o_orderkey = upd.o_orderkey) "
+        "  FROM cur FULL OUTER JOIN upd "
+        "  ON cur.o_orderkey IS NOT DISTINCT FROM upd.o_orderkey) "
         "SELECT ck AS o_orderkey, cc AS o_custkey, ct AS o_totalprice, cf AS valid_from, "
         "  NULL::TIMESTAMP AS valid_to FROM j WHERE pc AND (NOT pu OR NOT ch) "
         "UNION ALL SELECT ck, cc, ct, cf, ue FROM j WHERE pc AND pu AND ch "
@@ -475,9 +502,12 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "UNION ALL SELECT 'matches_o_orderpriority', (SELECT count(*) FROM orders "
         "  WHERE o_orderpriority IS NOT NULL "
         "  AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))::BIGINT, n_rows FROM n "
+        # NOT EXISTS, never NOT IN: one NULL c_custkey in the subquery
+        # would make NOT IN evaluate UNKNOWN for every row (0 reported
+        # violations) where the engine's anti-join counts correctly.
         "UNION ALL SELECT 'fk_o_custkey', (SELECT count(*) FROM orders "
-        "  WHERE o_custkey IS NOT NULL AND o_custkey NOT IN "
-        "  (SELECT c_custkey FROM customer))::BIGINT, n_rows FROM n "
+        "  WHERE o_custkey IS NOT NULL AND NOT EXISTS "
+        "  (SELECT 1 FROM customer WHERE c_custkey = o_custkey))::BIGINT, n_rows FROM n "
         "UNION ALL SELECT 'unique_o_orderkey', (SELECT coalesce(sum(c - 1), 0) FROM "
         "  (SELECT count(*) AS c FROM orders GROUP BY o_orderkey "
         "   HAVING count(*) > 1))::BIGINT, n_rows FROM n"

@@ -62,6 +62,9 @@ def get_spark(
         # apply. Also pinned per-session in catalog._ensure_session_confs
         # for caller-provided sessions.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # render NULL struct fields in to_json (DuckDB parity); also
+        # pinned per-session in catalog._ensure_session_confs
+        .config("spark.sql.jsonGenerator.ignoreNullFields", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     for k, v in (extra_conf or {}).items():
