@@ -159,7 +159,14 @@ def null_rel_sf(spark, tmp_path_factory):
             elif t == "lineitem":
                 r2 = dict(r); r2["l_orderkey"] = 99999902; r2["l_suppkey"] = None
                 r3 = dict(r); r3["l_orderkey"] = None; r3["l_linenumber"] = 1
-                extras = [r2, r3]
+                # JOINABLE hostile row: keeps the first order's key so it
+                # actually enters join/star/rollup paths (the orphan rows
+                # above never match), with a NULL supplier FK and NULL
+                # line number probing those queries' NULL handling
+                r4 = dict(r); r4["l_linenumber"] = 99
+                r4["l_suppkey"] = None; r4["l_partkey"] = None
+                r5 = dict(r); r5["l_linenumber"] = None
+                extras = [r2, r3, r4, r5]
             else:
                 r2 = dict(r); r2["c_custkey"] = None
                 extras = [r2]
