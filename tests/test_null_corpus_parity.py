@@ -217,6 +217,13 @@ def null_emb_sf(spark, tmp_path_factory):
         {"vec_id": 990001, "embedding": None, "label": 1},
         {"vec_id": 990002, "embedding": [0.0] * dim, "label": 2},
         {"vec_id": 990003, "embedding": base["embedding"], "label": None},
+        # the valid_vector precondition's three hazard shapes: an EMPTY
+        # vector (len division aborts ANSI), a NaN component (nano-unit
+        # floor()::BIGINT aborts both engines), and a NULL element
+        # (DuckDB list_dot_product RAISES where Spark's fold buckets 0)
+        {"vec_id": 990004, "embedding": [], "label": 1},
+        {"vec_id": 990005, "embedding": [float("nan")] + [0.5] * (dim - 1), "label": 2},
+        {"vec_id": 990006, "embedding": [None] + [0.5] * (dim - 1), "label": 1},
     ]
     emb.unionByName(spark.createDataFrame(extras, emb.schema)).write.parquet(
         f"{sf}/embeddings.parquet"

@@ -325,7 +325,10 @@ def test_knn_join_broadcast_probes_partial_topk(spark):
     p = plan_of(spark, "q_knn_join")
     assert "BroadcastNestedLoopJoin" in p
     assert p.count("WindowGroupLimit") >= 2
-    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]" in p
+    # the valid-vector precondition's IsNotNull(embedding) pushes to
+    # the scan alongside the probe-id range (the element-validity HOF
+    # itself is not pushable and evaluates post-scan)
+    assert "PushedFilters: [IsNotNull(vec_id), IsNotNull(embedding), LessThan(vec_id,5)]" in p
 
 
 def test_quantiles_folds_value_domain_not_rows(spark):

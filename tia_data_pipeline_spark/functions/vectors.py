@@ -39,6 +39,41 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom)
 
 
+def valid_vector(vec: Column) -> Column:
+    """The vector-measurement precondition, ONE definition for every
+    embedding contract query (twin: :func:`valid_vector_sql`): the
+    vector is non-NULL, non-empty, and every element is non-NULL and
+    finite. Required on BOTH sides because the engines fail
+    differently otherwise: DuckDB's ``list_dot_product`` RAISES on a
+    list containing NULL elements where Spark's fold propagates NULL;
+    an empty vector makes ``/ len(v)`` abort under ANSI where DuckDB
+    returns NULL; a NaN/Inf component reaching a nano-unit
+    ``floor(...)::BIGINT`` aborts both engines."""
+    v = _as_double(vec)
+    bad = lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))  # noqa: E731
+    return vec.isNotNull() & (F.size(v) > 0) & ~F.exists(v, bad)
+
+
+def valid_vector_sql(expr: str) -> str:
+    """DuckDB twin of :func:`valid_vector`."""
+    v = f"({expr})::DOUBLE[]"
+    return (
+        f"({expr}) IS NOT NULL AND len({v}) > 0 AND len(list_filter({v}, "
+        f"x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+    )
+
+
+def valid_embeddings(spark, sf_dir: str):
+    """The embeddings table behind the :func:`valid_vector`
+    precondition — the ONE loader every embedding contract query uses
+    (oracle twin: :data:`EMB_VALID_TABLE_SQL`)."""
+    from tia_data_pipeline_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "embeddings").filter(
+        valid_vector(F.col("embedding"))
+    )
+
+
 def dot_sql(a: str, b: str) -> str:
     """DuckDB fragment matching :func:`dot` (same summation order)."""
     return f"list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[])"
@@ -56,3 +91,11 @@ def cosine_sql(a: str, b: str) -> str:
         f"AND list_dot_product({bd}, {bd}) > 0 "
         f"THEN list_cosine_similarity({ad}, {bd}) END"
     )
+
+
+# Derived-table form of the valid-vector precondition for oracles:
+# substitute for a bare `embeddings` in FROM clauses, keeping the
+# site's alias (`FROM {E} embeddings`, `FROM {E} c`).
+EMB_VALID_TABLE_SQL = (
+    f"(SELECT * FROM embeddings WHERE {valid_vector_sql('embedding')})"
+)

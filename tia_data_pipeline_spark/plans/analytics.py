@@ -25,6 +25,10 @@ from tia_data_pipeline_spark.functions.text import (
     portable_round,
     portable_round_sql,
 )
+from tia_data_pipeline_spark.functions.vectors import (
+    EMB_VALID_TABLE_SQL as _E,
+    valid_embeddings,
+)
 from tia_data_pipeline_spark.operators.features import zscore, zscore_oracle_sql
 from tia_data_pipeline_spark.operators.scale import fan_out
 from tia_data_pipeline_spark.plans.contract import contract_query
@@ -418,7 +422,7 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH n AS (SELECT label, round(sqrt(list_reduce(list_prepend(0.0, "
         "  list_transform(embedding::DOUBLE[], x -> x * x)), (acc, x) -> acc + x)) "
-        "  * 1000000)::BIGINT AS norm_u FROM embeddings) "
+        f"  * 1000000)::BIGINT AS norm_u FROM {_E} embeddings) "
         "SELECT label, count(*) AS n_vecs, "
         "sum(norm_u)::DOUBLE / count(*) / 1000000.0 AS avg_norm "
         "FROM n GROUP BY label"
@@ -428,8 +432,10 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector count and mean L2 norm. The norm is folded
     left-to-right in double on both engines, scaled to integer
-    micro-units before the mean so the aggregate is order-independent."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    micro-units before the mean so the aggregate is order-independent.
+    Reads through the shared valid-vector precondition (a NaN/Inf
+    component reaching `round(...)::BIGINT` aborts under ANSI)."""
+    emb = valid_embeddings(spark, sf_dir)
     norm = F.sqrt(
         F.aggregate(
             F.col("embedding").cast("array<double>"),

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from tia_data_pipeline_spark.catalog import load_table
 from tia_data_pipeline_spark.functions import text as TX
-from tia_data_pipeline_spark.functions.vectors import cosine_sql, cosine_similarity
+from tia_data_pipeline_spark.functions.vectors import (
+    EMB_VALID_TABLE_SQL as _E,
+    cosine_sql,
+    cosine_similarity,
+    valid_embeddings,
+)
 from tia_data_pipeline_spark.operators import dedup as DD
 from tia_data_pipeline_spark.operators import sampling as SMP
 from tia_data_pipeline_spark.operators.dedup import (
@@ -42,7 +47,11 @@ from tia_data_pipeline_spark.plans.llm import _DOC_TOKENS_SQL, _PROJ, _bucket_sq
         "  FROM per GROUP BY source, lang), "
         "tot AS (SELECT sum(n_tokens)::DOUBLE AS total FROM grp) "
         "SELECT source, lang, n_docs, n_tokens, "
-        f"  {TX.portable_round_sql('n_tokens / total', 6)} AS token_share "
+        # total = 0 (every text empty/whitespace): share is undefined,
+        # NULL on both sides — an unguarded 0/0 aborts Spark under ANSI
+        # where DuckDB returns NULL
+        f"  CASE WHEN total > 0 THEN {TX.portable_round_sql('n_tokens / total', 6)} END "
+        "  AS token_share "
         "FROM grp CROSS JOIN tot"
     ).format(wc=TX.word_count_sql("text")),
     covers="training-data curation (mixture composition: per-source/lang token share)",
@@ -69,9 +78,10 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "n_tokens",
-        TX.portable_round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias(
-            "token_share"
-        ),
+        F.when(
+            F.col("total") > 0,
+            TX.portable_round(F.col("n_tokens").cast("double") / F.col("total"), 6),
+        ).alias("token_share"),
     )
 
 
@@ -248,7 +258,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH prepped AS (SELECT label, embedding::DOUBLE[] AS v, "
         "    greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) "
         "      / 127.0 AS s "
-        "  FROM embeddings), "
+        f"  FROM {_E} embeddings), "
         "q AS (SELECT label, "
         "  floor(list_reduce(list_prepend(0.0, "
         "     list_transform(v, x -> (x - floor(x / s + 0.5) * s) "
@@ -275,8 +285,11 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-form rounding, so the oracle matches bit-for-bit. The scale
     column is computed in a projection BEFORE the fold so the lambda
     captures a cheap column ref, not a re-evaluated array_max (HOF
-    bodies re-run captured subexpressions per element)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    bodies re-run captured subexpressions per element). Reads through
+    the shared valid-vector precondition: an EMPTY vector's `/ len(v)`
+    aborts under ANSI where DuckDB returns NULL, and a NaN/Inf
+    component reaching `floor(...)::BIGINT` aborts both engines."""
+    emb = valid_embeddings(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     prepped = emb.select(
         "label",
@@ -321,8 +334,12 @@ _PACK_SHARDS = 8  # independent packing streams
 @contract_query(
     "q_pack_sequences",
     oracle=(
+        # doc_id IS NOT NULL: the prefix sum orders by doc_id within a
+        # shard, and a NULL id shifts every strt divergently (Spark
+        # NULLS FIRST vs DuckDB NULLS LAST)
         "WITH d AS (SELECT doc_id, {wc} AS n_tok, "
-        f"  ({{bucket}}) % {_PACK_SHARDS} AS shard FROM documents), "
+        f"  ({{bucket}}) % {_PACK_SHARDS} AS shard FROM documents "
+        "  WHERE doc_id IS NOT NULL), "
         "s AS (SELECT shard, doc_id, n_tok, "
         "  coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id "
         "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt FROM d), "
@@ -350,8 +367,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(cluster width). Determinism comes free: shard is a pure function
     of doc_id and the within-shard order is doc_id, so the manifest is
     stable under repartitioning, retries, and engine swaps. Only
-    (doc_id, n_tok) shuffle — token counts, never text."""
-    docs = load_table(spark, sf_dir, "documents")
+    (doc_id, n_tok) shuffle — token counts, never text. NULL doc_ids
+    are excluded on BOTH sides: the within-shard order is doc_id, and
+    NULL placement diverges across engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     d = docs.select(
         "doc_id",
         TX.word_count(F.col("text")).alias("n_tok"),
@@ -407,8 +428,10 @@ _BP_MIN_DF = 2  # a shingle in >= this many docs is boilerplate
     covers="training-data curation (boilerplate phrase detection: corpus-frequent n-grams)",
 )
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate detection: word-5-grams appearing in >= 4 distinct
-    documents are navigation/footer/licence-style phrases; per document,
+    """Boilerplate detection: word-5-grams appearing in >= _BP_MIN_DF
+    distinct documents are navigation/footer/licence-style phrases
+    (df >= 2 for the contract query — see the constant's comment —
+    with the production threshold an operator parameter); per document,
     report the fraction of its distinct 5-grams that are boilerplate (a
     cleaner drops or strips docs above a threshold).
 
@@ -544,15 +567,21 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH per AS (SELECT source, {wc} AS n_tok FROM documents), "
         "grp AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens FROM per GROUP BY source), "
         "tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM grp), "
+        # total = 0 (all-empty corpus): every ratio is undefined — the
+        # guards state NULL on both sides (unguarded, Spark aborts
+        # under ANSI at the first division where DuckDB returns NULL)
         "w AS (SELECT source, n_tokens, total, "
-        "  floor(sqrt(n_tokens::DOUBLE / total) * 1000000000.0 + 0.5)::BIGINT AS w_u "
+        "  CASE WHEN total > 0 THEN "
+        "  floor(sqrt(n_tokens::DOUBLE / total) * 1000000000.0 + 0.5)::BIGINT END AS w_u "
         "  FROM grp CROSS JOIN tot), "
         "f AS (SELECT source, n_tokens, total, w_u, "
         "  sum(w_u) OVER ()::BIGINT AS tot_w FROM w) "
         "SELECT source, n_tokens, "
-        f"  {TX.portable_round_sql('n_tokens::DOUBLE / total', 6)} AS share, "
-        f"  {TX.portable_round_sql('w_u::DOUBLE / tot_w', 6)} AS temp_share, "
-        "  CASE WHEN n_tokens > 0 THEN "
+        f"  CASE WHEN total > 0 THEN {TX.portable_round_sql('n_tokens::DOUBLE / total', 6)} END "
+        "  AS share, "
+        f"  CASE WHEN tot_w > 0 THEN {TX.portable_round_sql('w_u::DOUBLE / tot_w', 6)} END "
+        "  AS temp_share, "
+        "  CASE WHEN n_tokens > 0 AND tot_w > 0 THEN "
         f"  {TX.portable_round_sql('(w_u::DOUBLE / tot_w) / (n_tokens::DOUBLE / total)', 4)} "
         "  END AS boost "
         "FROM f"
@@ -589,10 +618,14 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = grp.select(
         "source", "n_tokens", F.sum("n_tokens").over(everything).cast("bigint").alias("total")
     )
-    w_u = F.floor(
-        F.sqrt(F.col("n_tokens").cast("double") / F.col("total")) * 1_000_000_000.0
-        + F.lit(0.5)
-    ).cast("bigint")
+    w_u = F.when(
+        F.col("total") > 0,
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("total"))
+            * 1_000_000_000.0
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
     f = w.select("source", "n_tokens", "total", w_u.alias("w_u")).select(
         "source",
         "n_tokens",
@@ -605,12 +638,16 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "source",
         "n_tokens",
-        TX.portable_round(share, 6).alias("share"),
-        TX.portable_round(temp_share, 6).alias("temp_share"),
-        # a zero-token source has no defined boost (its share is 0):
-        # NULL on both engines instead of an ANSI divide-by-zero abort
+        # total/tot_w = 0 (all-empty corpus) and zero-token sources
+        # have undefined ratios: NULL on both engines instead of an
+        # ANSI divide-by-zero abort
+        F.when(F.col("total") > 0, TX.portable_round(share, 6)).alias("share"),
+        F.when(F.col("tot_w") > 0, TX.portable_round(temp_share, 6)).alias(
+            "temp_share"
+        ),
         F.when(
-            F.col("n_tokens") > 0, TX.portable_round(temp_share / share, 4)
+            (F.col("n_tokens") > 0) & (F.col("tot_w") > 0),
+            TX.portable_round(temp_share / share, 4),
         ).alias("boost"),
     )
 
@@ -655,7 +692,7 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ann_recall",
     oracle=(
         "WITH b AS (SELECT vec_id, embedding, "
-        f"  {{bucket}} AS bucket FROM embeddings), "
+        f"  {{bucket}} AS bucket FROM {{emb}} embeddings), "
         "probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec, bucket AS pbucket "
         f"  FROM b WHERE vec_id < {_N_PROBES}), "
         "scored AS (SELECT p.probe_id, c.vec_id, "
@@ -675,6 +712,7 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  {recall} AS recall "
         "FROM ranked GROUP BY probe_id"
     ).format(
+        emb=_E,
         bucket=_bucket_sql("embedding", _PROJ),
         score=TX.portable_round_sql(cosine_sql("c.embedding", "p.probe_vec"), 6),
         recall=TX.portable_round_sql(
@@ -701,7 +739,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the window's partitioning (no extra exchange; pinned).
     Reduce parallelism = n_probes, the knn_join caveat: evaluation
     batches are small by construction (a sample, not the corpus)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     bucket = _sign_bits(F.col("embedding"), _PROJ)
     probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
@@ -758,9 +796,13 @@ _GS_K = 20  # docs kept per language
 @contract_query(
     "q_group_sample",
     oracle=(
+        # doc_id IS NOT NULL: the rank orders on md5(doc_id), and a
+        # NULL id sorts FIRST on Spark / LAST on DuckDB — the sampled
+        # top-k membership would diverge (tiebreak-NULL invariant)
         "SELECT lang, doc_id, rnk FROM ("
         "  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
-        "    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk FROM documents) "
+        "    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk FROM documents "
+        "  WHERE doc_id IS NOT NULL) "
         f"WHERE rnk <= {_GS_K}"
     ),
     covers="training-data curation (exact-k per-group deterministic downsampling)",
@@ -776,8 +818,12 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: rank <= k over a hash order plans as WindowGroupLimit
     (pinned) — each map task forwards at most k rows per group to the
     exchange, so the shuffle carries O(groups x k), not the corpus.
-    Only (lang, doc_id) ever moves."""
-    docs = load_table(spark, sf_dir, "documents")
+    Only (lang, doc_id) ever moves. NULL doc_ids are excluded on BOTH
+    sides: the hash order is a function of the id, and a NULL id sorts
+    FIRST on Spark / LAST on DuckDB."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )

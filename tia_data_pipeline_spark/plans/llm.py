@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 
 from tia_data_pipeline_spark.catalog import load_table
 from tia_data_pipeline_spark.functions import text as TX
-from tia_data_pipeline_spark.functions.vectors import cosine_sql
+from tia_data_pipeline_spark.functions.vectors import (
+    EMB_VALID_TABLE_SQL as _E,
+    cosine_sql,
+    valid_embeddings,
+)
 from tia_data_pipeline_spark.operators import dedup as DD
 from tia_data_pipeline_spark.operators import sampling as SMP
 from tia_data_pipeline_spark.operators import similarity as SIM
@@ -216,17 +220,18 @@ def q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_sim_topk",
     oracle=(
-        "WITH probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0) "
+        f"WITH probe AS (SELECT embedding AS probe_vec FROM {_E} embeddings WHERE vec_id = 0) "
         f"SELECT vec_id, {TX.portable_round_sql(cosine_sql('embedding', 'probe_vec'), 6)} AS score "
-        "FROM embeddings, probe WHERE vec_id <> 0 "
+        f"FROM {_E} embeddings, probe WHERE vec_id <> 0 "
         "ORDER BY score DESC, vec_id ASC LIMIT 10"
     ),
     covers="ext-sim-topk (exact brute-force baseline)",
 )
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0 — broadcast probe,
-    TakeOrderedAndProject global top-k."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    TakeOrderedAndProject global top-k. Reads through the shared
+    valid-vector precondition (see functions.vectors.valid_vector)."""
+    emb = valid_embeddings(spark, sf_dir)
     probe = emb.filter(F.col("vec_id") == 0)
     return SIM.brute_force_top_k(emb.filter(F.col("vec_id") != 0), probe, k=10)
 
@@ -249,9 +254,9 @@ _PROJ = SIM.projection_matrix()
     oracle=(
         "WITH probe AS (SELECT embedding AS probe_vec, "
         f"{_bucket_sql('embedding', _PROJ)} AS probe_bucket "
-        "FROM embeddings WHERE vec_id = 0), "
-        "cand AS (SELECT vec_id, embedding, probe_vec FROM embeddings, probe "
-        "WHERE vec_id <> 0 AND embedding IS NOT NULL "
+        f"FROM {_E} embeddings WHERE vec_id = 0), "
+        f"cand AS (SELECT vec_id, embedding, probe_vec FROM {_E} embeddings, probe "
+        "WHERE vec_id <> 0 "
         f"AND {_bucket_sql('embedding', _PROJ)} = probe_bucket) "
         f"SELECT vec_id, {TX.portable_round_sql(cosine_sql('embedding', 'probe_vec'), 6)} AS score "
         "FROM cand ORDER BY score DESC, vec_id ASC LIMIT 10"
@@ -261,8 +266,11 @@ _PROJ = SIM.projection_matrix()
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection ANN: candidates share the probe's 8-bit
     bucket; exact cosine within. Fixed projection literals make the
-    approximation deterministic, so the oracle matches exactly."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    approximation deterministic, so the oracle matches exactly; both
+    sides read through the shared valid-vector precondition (a list
+    with NULL elements RAISES in DuckDB's list_dot_product where
+    Spark's fold buckets it to 0)."""
+    emb = valid_embeddings(spark, sf_dir)
     probe = emb.filter(F.col("vec_id") == 0)
     return SIM.lsh_top_k(emb.filter(F.col("vec_id") != 0), probe, k=10, proj=_PROJ)
 
@@ -272,9 +280,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH probe AS (SELECT embedding AS probe_vec, "
         f"{_bucket_sql('embedding', _PROJ)} AS probe_bucket "
-        "FROM embeddings WHERE vec_id = 0), "
-        "cand AS (SELECT vec_id, embedding, probe_vec FROM embeddings, probe "
-        "WHERE vec_id <> 0 AND embedding IS NOT NULL "
+        f"FROM {_E} embeddings WHERE vec_id = 0), "
+        f"cand AS (SELECT vec_id, embedding, probe_vec FROM {_E} embeddings, probe "
+        "WHERE vec_id <> 0 "
         f"AND {_bucket_sql('embedding', _PROJ)} IN "
         "(probe_bucket, " + ", ".join(f"xor(probe_bucket, {1 << i})" for i in range(len(_PROJ)))
         + ")) "
@@ -286,8 +294,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe ANN: the probe's bucket plus every Hamming-1
     neighbor (one flipped projection bit each) — ~9× candidates of
-    single-probe, recall close to exact on this corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    single-probe, recall close to exact on this corpus. Both sides
+    read through the shared valid-vector precondition."""
+    emb = valid_embeddings(spark, sf_dir)
     probe = emb.filter(F.col("vec_id") == 0)
     return SIM.lsh_top_k(
         emb.filter(F.col("vec_id") != 0), probe, k=10, proj=_PROJ, hamming_probe=1
@@ -305,8 +314,7 @@ _EMBED_DEDUP_TAU = 0.35  # the synthetic corpus is isotropic-random
     "q_embed_dedup",
     oracle=(
         "WITH b AS (SELECT vec_id, embedding, "
-        f"{_bucket_sql('embedding', _PROJ4)} AS bucket FROM embeddings "
-        "  WHERE embedding IS NOT NULL), "
+        f"{_bucket_sql('embedding', _PROJ4)} AS bucket FROM {_E} embeddings), "
         "pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, "
         f"  {TX.portable_round_sql(cosine_sql('a.embedding', 'b2.embedding'), 6)} AS score "
         "  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) "
@@ -320,7 +328,7 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing exactly; the Spark side expands pairs in-expression
     instead of self-joining the corpus."""
     return SIM.embedding_near_duplicates(
-        load_table(spark, sf_dir, "embeddings"), threshold=_EMBED_DEDUP_TAU, proj=_PROJ4
+        valid_embeddings(spark, sf_dir), threshold=_EMBED_DEDUP_TAU, proj=_PROJ4
     )
 
 
@@ -635,10 +643,10 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_knn_join",
     oracle=(
         "WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec "
-        "  FROM embeddings WHERE vec_id < 5), "
+        f"  FROM {_E} embeddings WHERE vec_id < 5), "
         "scored AS (SELECT p.probe_id, c.vec_id, "
         f"  {TX.portable_round_sql(cosine_sql('c.embedding', 'p.probe_vec'), 6)} AS score "
-        "  FROM embeddings c CROSS JOIN probes p) "
+        f"  FROM {_E} c CROSS JOIN probes p) "
         "SELECT probe_id, vec_id, score, rank FROM ("
         "  SELECT probe_id, vec_id, score, row_number() OVER ("
         "    PARTITION BY probe_id ORDER BY score DESC, vec_id ASC) AS rank FROM scored) "
@@ -653,7 +661,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WindowGroupLimit: each task keeps ≤ k rows per probe before the
     only shuffle). The retrieval shape of a real RAG/dedup pipeline,
     vs q_sim_topk's single probe."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
@@ -664,7 +672,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_knn_bucketed",
     oracle=(
         "WITH b AS (SELECT vec_id, embedding, "
-        f"{_bucket_sql('embedding', _PROJ)} AS bucket FROM embeddings), "
+        f"{_bucket_sql('embedding', _PROJ)} AS bucket FROM {_E} embeddings), "
         "probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec, bucket AS pbucket "
         "  FROM b WHERE vec_id < 8), "
         "cand AS (SELECT p.probe_id, c.vec_id, "
@@ -686,7 +694,7 @@ def q_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the bucket id (no broadcast, no cross product; pinned in
     tests/test_plans.py). Multi-probe Hamming-1 expansion on the probe
     side for recall; top-5 per probe via map-side-limited window."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
