@@ -43,6 +43,22 @@ def portable_round_sql(expr: str, n: int) -> str:
 
 DAY_US = 86_400_000_000  # one day in microseconds
 
+NANO = 1_000_000_000.0  # nano-unit integerization scale
+
+
+def nano_int(expr: Column) -> Column:
+    """``floor(expr · 1e9 + 0.5)::BIGINT`` — ONE definition of the
+    nano-unit integerization every ln-family/ratio query uses before
+    its order-independent sum (twin: :func:`nano_int_sql`).
+    Single-sourced like epoch_day/dec19 so a Spark side and its oracle
+    can never drift in scale or rounding form."""
+    return F.floor(expr * F.lit(NANO) + F.lit(0.5)).cast("bigint")
+
+
+def nano_int_sql(expr: str) -> str:
+    """DuckDB twin of :func:`nano_int`."""
+    return f"floor(({expr}) * 1000000000.0 + 0.5)::BIGINT"
+
 
 def epoch_day(col: str = "ts") -> Column:
     """Integer epoch-day index of a timestamp column — FLOOR division,

@@ -133,7 +133,7 @@ def bm25_search_indexed(
         .crossJoin(scal)
         .select(
             "doc_id",
-            F.floor(
+            TX.nano_int(
                 (
                     F.log(2 * (F.col("n_docs") - F.col("df")) + 1)
                     - F.log(2 * F.col("df") + 1)
@@ -146,11 +146,7 @@ def bm25_search_indexed(
                         + 9 * F.col("dl") * F.col("n_docs")
                     )
                 )
-                * F.lit(1_000_000_000.0)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("sc_n"),
+            ).alias("sc_n"),
         )
     )
     agg = sc.groupBy("doc_id").agg(

@@ -22,6 +22,8 @@ from tia_data_pipeline_spark.functions.text import (
     epoch_day_sql,
     finite_value,
     finite_value_sql,
+    nano_int,
+    nano_int_sql,
     portable_round,
     portable_round_sql,
 )
@@ -1777,8 +1779,7 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cl AS (SELECT priority, sum(n_obs)::BIGINT AS n_col FROM c GROUP BY priority), "
         "t AS (SELECT sum(n_obs)::BIGINT AS n_total FROM c), "
         "p AS (SELECT c.status, c.priority, n_obs, n_row, n_col, n_total, "
-        "  floor((ln(n_obs) + ln(n_total) - ln(n_row) - ln(n_col)) "
-        "    * 1000000000.0 + 0.5)::BIGINT AS pmi_n "
+        f"  {nano_int_sql('ln(n_obs) + ln(n_total) - ln(n_row) - ln(n_col)')} AS pmi_n "
         "  FROM c JOIN r ON r.status = c.status "
         "  JOIN cl ON cl.priority = c.priority CROSS JOIN t), "
         "mi AS (SELECT sum(n_obs::HUGEINT * pmi_n::HUGEINT) AS mi_num FROM p) "
@@ -1838,18 +1839,12 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_row",
             "n_col",
             "n_total",
-            F.floor(
-                (
-                    F.log(F.col("n_obs"))
-                    + F.log(F.col("n_total"))
-                    - F.log(F.col("n_row"))
-                    - F.log(F.col("n_col"))
-                )
-                * F.lit(1_000_000_000.0)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("pmi_n"),
+            nano_int(
+                F.log(F.col("n_obs"))
+                + F.log(F.col("n_total"))
+                - F.log(F.col("n_row"))
+                - F.log(F.col("n_col"))
+            ).alias("pmi_n"),
         )
     )
     mi = p.agg(

@@ -260,10 +260,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "      / 127.0 AS s "
         f"  FROM {_E} embeddings), "
         "q AS (SELECT label, "
-        "  floor(list_reduce(list_prepend(0.0, "
-        "     list_transform(v, x -> (x - floor(x / s + 0.5) * s) "
-        "                         * (x - floor(x / s + 0.5) * s))), "
-        "     (acc, x) -> acc + x) / len(v) * 1000000000.0 + 0.5)::BIGINT AS sqerr_n "
+        + TX.nano_int_sql(
+            "list_reduce(list_prepend(0.0, "
+            "list_transform(v, x -> (x - floor(x / s + 0.5) * s) "
+            "* (x - floor(x / s + 0.5) * s))), "
+            "(acc, x) -> acc + x) / len(v)"
+        )
+        + " AS sqerr_n "
         "  FROM prepped) "
         "SELECT label, count(*) AS n_vecs, "
         f"  {TX.portable_round_sql('sum(sqerr_n)::DOUBLE / count(*)', 3)} AS mean_sqerr_n "
@@ -303,7 +306,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqerr = F.aggregate(
         F.transform(F.col("v"), diff), F.lit(0.0), lambda acc, d: acc + d * d
     ) / F.size(F.col("v"))
-    sqerr_n = F.floor(sqerr * F.lit(1_000_000_000.0) + F.lit(0.5)).cast("bigint")
+    sqerr_n = TX.nano_int(sqerr)
     return (
         prepped.select("label", sqerr_n.alias("sqerr_n"))
         .groupBy("label")
@@ -504,7 +507,7 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH t AS (SELECT doc_id, lang, unnest({tk}) AS tok FROM documents), "
         "tc AS (SELECT doc_id, lang, tok, count(*) AS c FROM t GROUP BY doc_id, lang, tok), "
         "tu AS (SELECT doc_id, lang, c, "
-        "  floor(c * ln(c) * 1000000000.0 + 0.5)::BIGINT AS u FROM tc), "
+        f"  {TX.nano_int_sql('c * ln(c)')} AS u FROM tc), "
         "per AS (SELECT doc_id, lang, sum(c)::BIGINT AS n, sum(u)::BIGINT AS s "
         "  FROM tu GROUP BY doc_id, lang), "
         "h AS (SELECT lang, floor((ln(n) - (s / 1000000000.0) / n) * 1000000.0 "
@@ -534,9 +537,7 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("tok"))
     tc = t.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("c"))
-    u = F.floor(F.col("c") * F.log(F.col("c")) * 1_000_000_000.0 + F.lit(0.5)).cast(
-        "bigint"
-    )
+    u = TX.nano_int(F.col("c") * F.log(F.col("c")))
     per = tc.select("doc_id", "lang", "c", u.alias("u")).groupBy("doc_id", "lang").agg(
         F.sum("c").cast("bigint").alias("n"), F.sum("u").cast("bigint").alias("s")
     )
@@ -572,7 +573,7 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         # under ANSI at the first division where DuckDB returns NULL)
         "w AS (SELECT source, n_tokens, total, "
         "  CASE WHEN total > 0 THEN "
-        "  floor(sqrt(n_tokens::DOUBLE / total) * 1000000000.0 + 0.5)::BIGINT END AS w_u "
+        f"  {TX.nano_int_sql('sqrt(n_tokens::DOUBLE / total)')} END AS w_u "
         "  FROM grp CROSS JOIN tot), "
         "f AS (SELECT source, n_tokens, total, w_u, "
         "  sum(w_u) OVER ()::BIGINT AS tot_w FROM w) "
@@ -620,11 +621,7 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_u = F.when(
         F.col("total") > 0,
-        F.floor(
-            F.sqrt(F.col("n_tokens").cast("double") / F.col("total"))
-            * 1_000_000_000.0
-            + F.lit(0.5)
-        ).cast("bigint"),
+        TX.nano_int(F.sqrt(F.col("n_tokens").cast("double") / F.col("total"))),
     )
     f = w.select("source", "n_tokens", "total", w_u.alias("w_u")).select(
         "source",
@@ -993,7 +990,7 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bc AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg), "
         "cu AS (SELECT bg, cb, sum(cb) OVER (PARTITION BY split_part(bg, ' ', 1)) "
         "  AS cuv FROM bc), "
-        "u AS (SELECT bg, floor(-ln(cb::DOUBLE / cuv) * 1000000000.0 + 0.5)::BIGINT "
+        f"u AS (SELECT bg, {TX.nano_int_sql('-ln(cb::DOUBLE / cuv)')} "
         "  AS u FROM cu), "
         "per AS (SELECT doc_id, count(*) AS n_bigrams, sum(u)::BIGINT AS s "
         "  FROM bi JOIN u USING (bg) GROUP BY doc_id) "
@@ -1029,9 +1026,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = docs.select("doc_id", F.explode(bigrams).alias("bg"))
     bc = bi.groupBy("bg").agg(F.count("*").alias("cb"))
     cuv = F.sum("cb").over(Window.partitionBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1))))
-    u = F.floor(
-        -F.log(F.col("cb").cast("double") / F.col("cuv")) * 1_000_000_000.0 + F.lit(0.5)
-    ).cast("bigint")
+    u = TX.nano_int(-F.log(F.col("cb").cast("double") / F.col("cuv")))
     model = bc.select("bg", "cb", cuv.alias("cuv")).select("bg", u.alias("u"))
     per = (
         bi.join(model, "bg")
@@ -1164,10 +1159,12 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END AS both_, "
         "  CASE WHEN a > 0 AND b = 0 THEN 1 ELSE 0 END AS only_a, "
         "  CASE WHEN b > 0 AND a = 0 THEN 1 ELSE 0 END AS only_b, "
-        "  CASE WHEN a > 0 THEN floor((ln(2 * a * t.tb) - ln(a * t.tb + b * t.ta)) "
-        "       * a * 1000000000.0 + 0.5)::BIGINT ELSE 0 END AS term_a, "
-        "  CASE WHEN b > 0 THEN floor((ln(2 * b * t.ta) - ln(a * t.tb + b * t.ta)) "
-        "       * b * 1000000000.0 + 0.5)::BIGINT ELSE 0 END AS term_b "
+        "  CASE WHEN a > 0 THEN "
+        f"{TX.nano_int_sql('(ln(2 * a * t.tb) - ln(a * t.tb + b * t.ta)) * a')} "
+        "  ELSE 0 END AS term_a, "
+        "  CASE WHEN b > 0 THEN "
+        f"{TX.nano_int_sql('(ln(2 * b * t.ta) - ln(a * t.tb + b * t.ta)) * b')} "
+        "  ELSE 0 END AS term_b "
         "  FROM c CROSS JOIN t WHERE t.ta > 0 AND t.tb > 0) "
         "SELECT SUM(both_)::BIGINT AS n_vocab_both, "
         "  SUM(only_a)::BIGINT AS n_vocab_a_only, SUM(only_b)::BIGINT AS n_vocab_b_only, "
@@ -1220,21 +1217,17 @@ def q_jsd_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln = F.log  # natural log on both engines
     term_a = F.when(
         F.col("a") > 0,
-        F.floor(
+        TX.nano_int(
             (ln(2 * F.col("a") * F.col("tb")) - ln(F.col("a") * F.col("tb") + F.col("b") * F.col("ta")))
             * F.col("a")
-            * F.lit(1_000_000_000.0)
-            + F.lit(0.5)
-        ).cast("bigint"),
+        ),
     ).otherwise(F.lit(0).cast("bigint"))
     term_b = F.when(
         F.col("b") > 0,
-        F.floor(
+        TX.nano_int(
             (ln(2 * F.col("b") * F.col("ta")) - ln(F.col("a") * F.col("tb") + F.col("b") * F.col("ta")))
             * F.col("b")
-            * F.lit(1_000_000_000.0)
-            + F.lit(0.5)
-        ).cast("bigint"),
+        ),
     ).otherwise(F.lit(0).cast("bigint"))
     terms = ct.select(
         F.when((F.col("a") > 0) & (F.col("b") > 0), 1).otherwise(0).alias("both_"),
@@ -1425,8 +1418,8 @@ _ZIPF_R = 1000  # fit over the top-R frequency ranks
         "  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax FROM vc), "
         "top AS (SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS r "
         f"  FROM vc ORDER BY c DESC, token ASC LIMIT {_ZIPF_R}), "
-        "xy AS (SELECT floor(ln(r) * 1000000000.0 + 0.5)::BIGINT AS x, "
-        "  floor(ln(c) * 1000000000.0 + 0.5)::BIGINT AS y FROM top), "
+        f"xy AS (SELECT {TX.nano_int_sql('ln(r)')} AS x, "
+        f"  {TX.nano_int_sql('ln(c)')} AS y FROM top), "
         "s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, "
         "  sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx FROM xy) "
         "SELECT v.vocab, v.total_tokens, v.hapax, s.n AS n_ranks, "
@@ -1490,10 +1483,9 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r"),
         )
     )
-    nano = 1_000_000_000.0
     xy = top.select(
-        F.floor(F.log(F.col("r").cast("double")) * nano + 0.5).cast("bigint").alias("x"),
-        F.floor(F.log(F.col("c").cast("double")) * nano + 0.5).cast("bigint").alias("y"),
+        TX.nano_int(F.log(F.col("r").cast("double"))).alias("x"),
+        TX.nano_int(F.log(F.col("c").cast("double"))).alias("y"),
     )
     s = xy.agg(
         F.count("*").cast("bigint").alias("n"),
@@ -1525,7 +1517,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX.portable_round(
                 (F.col("sy") * F.col("sxx") - TX.dec19("sx") * F.col("sxy")).cast("double")
                 / den
-                / F.lit(nano),
+                / F.lit(TX.NANO),
                 6,
             )
         ).alias("intercept_nats"),

@@ -1138,9 +1138,11 @@ _BM25_K = 20  # result size
         "  WHERE tok IN ({terms}) GROUP BY doc_id, tok), "
         "df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok), "
         "sc AS (SELECT tf.doc_id, "
-        "  floor((ln(2 * (scal.n - df.df) + 1) - ln(2 * df.df + 1)) "
-        "    * ((22 * tf.tf * scal.t) / (10 * tf.tf * scal.t + 3 * scal.t + 9 * dl.dl * scal.n)) "
-        "    * 1000000000.0 + 0.5)::BIGINT AS sc_n "
+        + TX.nano_int_sql(
+            "(ln(2 * (scal.n - df.df) + 1) - ln(2 * df.df + 1)) "
+            "* ((22 * tf.tf * scal.t) / (10 * tf.tf * scal.t + 3 * scal.t + 9 * dl.dl * scal.n))"
+        )
+        + " AS sc_n "
         "  FROM tf JOIN df ON tf.tok = df.tok JOIN dl ON tf.doc_id = dl.doc_id "
         "  CROSS JOIN scal), "
         "agg AS (SELECT doc_id, count(*)::BIGINT AS n_terms, SUM(sc_n)::BIGINT AS score_n "
@@ -1199,7 +1201,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(scal))
         .select(
             "doc_id",
-            F.floor(
+            TX.nano_int(
                 (
                     F.log(2 * (F.col("n") - F.col("df")) + 1)
                     - F.log(2 * F.col("df") + 1)
@@ -1208,11 +1210,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (22 * F.col("tf") * F.col("t"))
                     / (10 * F.col("tf") * F.col("t") + 3 * F.col("t") + 9 * F.col("dl") * F.col("n"))
                 )
-                * F.lit(1_000_000_000.0)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("sc_n"),
+            ).alias("sc_n"),
         )
     )
     agg = sc.groupBy("doc_id").agg(
