@@ -77,9 +77,15 @@ def null_events_sf(spark, tmp_path_factory):
     for i in range(40):
         rows.append(
             (i, datetime(2024, 3, 1 + i % 5, 8 + i % 10, i % 60), i % 7,
-             ["view", "click", "purchase"][i % 3], float(i % 13) + 0.25, '{"k":1}')
+             ["view", "click", "purchase", "signup", "error"][i % 5],
+             float(i % 13) + 0.25, '{"k":1}')
         )
     rows += [
+        # a NULL-ts SIGNUP and an out-of-order purchase: exercises the
+        # as-of join's NULL-ts precondition non-vacuously (a corpus
+        # with no signup anchor makes every asof check vacuous)
+        (104, None, 5, "signup", 1.0, None),
+        (105, datetime(2024, 3, 3, 10, 0), 5, "purchase", 9.5, None),
         (100, datetime(2024, 3, 2, 9, 0), None, "view", 1.5, None),  # NULL user
         (101, datetime(2024, 3, 2, 9, 5), 3, None, 2.5, None),       # NULL type
         (102, datetime(2024, 3, 2, 9, 6), 3, "click", None, None),   # NULL value
@@ -275,7 +281,8 @@ def historic_events_sf(spark, tmp_path_factory):
         for k in range(5):
             rows.append(
                 (i, t.replace(minute=(t.minute + k) % 60), k % 3,
-                 ["view", "click", "purchase"][k % 3], float(k) + 0.25, None)
+                 ["view", "click", "purchase", "signup", "error"][k % 5],
+                 float(k) + 0.25, None)
             )
             i += 1
     spark.createDataFrame(

@@ -138,8 +138,13 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice "
         "FROM (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice, "
+        # tiebreak NULL placement stated explicitly: the key columns
+        # are nullable, and Spark ASC defaults NULLS FIRST where DuckDB
+        # defaults NULLS LAST — a tie straddling the rank-3 cutoff
+        # would otherwise emit different rows
         "  row_number() OVER (PARTITION BY l_returnflag, l_linestatus "
-        "  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) "
+        "  ORDER BY l_extendedprice DESC NULLS LAST, "
+        "    l_orderkey NULLS LAST, l_linenumber NULLS LAST) AS rn FROM lineitem) "
         "WHERE rn <= 3"
     ),
     covers="top-k per group (windowed topk-latest generalization)",
@@ -158,7 +163,9 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
-        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        F.col("l_extendedprice").desc_nulls_last(),
+        F.col("l_orderkey").asc_nulls_last(),
+        F.col("l_linenumber").asc_nulls_last(),
     )
     return (
         li.withColumn("rn", F.row_number().over(w))
@@ -186,7 +193,9 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one pass — Spark expands grouping sets map-side, so the input
     is scanned once, not once per level."""
     li = load_table(spark, sf_dir, "lineitem")
-    qcents = F.round(F.col("l_quantity") * 100).cast("bigint")
+    # decimal accumulator: the grand-total cents sum is unbounded (a
+    # bigint sum aborts only on Spark past 2^63; DuckDB sums HUGEINT)
+    qcents = F.round(F.col("l_quantity") * 100).cast("bigint").cast("decimal(38,0)")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_items"),
         (F.sum(qcents).cast("double") / 100.0).alias("sum_qty"),
@@ -271,22 +280,33 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_asof_join",
     oracle=(
+        # signup, not a 'login' type that exists in NO corpus: with a
+        # dead anchor the last_value/ordering logic is never exercised
+        # and every parity check passes vacuously. NULL ts/user are
+        # filtered on BOTH sides (event-time rule): the window ORDER BY
+        # ts places a NULL-ts row FIRST on Spark and LAST on DuckDB,
+        # flipping the as-of frame contents.
         "WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, "
-        "  CASE WHEN event_type = 'login' THEN ts::TIMESTAMP END AS login_ts FROM events), "
+        "  CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END AS signup_ts "
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
         "tagged AS (SELECT event_id, user_id, ts, event_type, "
-        "  last_value(login_ts IGNORE NULLS) OVER (PARTITION BY user_id "
-        "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS last_login_ts FROM e) "
-        "SELECT event_id, user_id, ts, last_login_ts FROM tagged "
+        "  last_value(signup_ts IGNORE NULLS) OVER (PARTITION BY user_id "
+        "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS last_signup_ts FROM e) "
+        "SELECT event_id, user_id, ts, last_signup_ts FROM tagged "
         "WHERE event_type = 'purchase'"
     ),
     covers="as-of join (extension; union-tag + last_value form)",
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join without a range join: for every purchase, the user's
-    most recent login at-or-before it. Union-tag form — one window
+    most recent signup at-or-before it. Union-tag form — one window
     pass over the merged stream instead of a per-row backward scan, so
-    cost is O(events log events) per key, not O(purchases × logins)."""
-    events = load_table(spark, sf_dir, "events")
+    cost is O(events log events) per key, not O(purchases × signups).
+    NULL ts/user filtered on both sides (NULL ORDER BY placement
+    diverges cross-engine)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -297,12 +317,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_type",
-        F.last(F.when(F.col("event_type") == "login", F.col("ts")), ignorenulls=True)
+        F.last(F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True)
         .over(w)
-        .alias("last_login_ts"),
+        .alias("last_signup_ts"),
     )
     return tagged.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "last_login_ts"
+        "event_id", "user_id", "ts", "last_signup_ts"
     )
 
 
@@ -346,10 +366,17 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_profile",
     oracle=(
+        # finite_value on the price measurement (the non-finite rule):
+        # a NaN reaching round(v*100)::BIGINT aborts BOTH engines; the
+        # row survives (n_rows), the value contributes nothing. The
+        # cents sum accumulates as decimal/HUGEINT (group sums are
+        # unbounded — a bigint accumulator aborts only on Spark).
         "SELECT count(*) AS n_rows, "
         "count(*) FILTER (WHERE o_totalprice IS NULL) AS n_null_price, "
-        "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, "
-        "(sum(round(o_totalprice * 100)::BIGINT)::DOUBLE / count(o_totalprice) / 100.0) "
+        f"min({finite_value_sql('o_totalprice')}) AS min_price, "
+        f"max({finite_value_sql('o_totalprice')}) AS max_price, "
+        f"(sum(round({finite_value_sql('o_totalprice')} * 100)::BIGINT)::DOUBLE "
+        f"  / count({finite_value_sql('o_totalprice')}) / 100.0) "
         "  AS mean_price, "
         "count(DISTINCT o_orderstatus) AS n_statuses, "
         "min(o_orderdate) AS first_order, max(o_orderdate) AS last_order "
@@ -360,15 +387,17 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profile — the data-quality gate of an ingest
     pipeline (all aggregates share a single scan; mean in exact
-    cents). At 100 TB this runs as one map-reduce over the table."""
+    cents, non-finite prices nullified per the measurement rule).
+    At 100 TB this runs as one map-reduce over the table."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    fv = finite_value(F.col("o_totalprice"))
+    cents = F.round(fv * 100).cast("bigint").cast("decimal(38,0)")
     return orders.agg(
         F.count("*").alias("n_rows"),
         F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("n_null_price"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
-        (F.sum(cents).cast("double") / F.count("o_totalprice") / 100.0).alias("mean_price"),
+        F.min(fv).alias("min_price"),
+        F.max(fv).alias("max_price"),
+        (F.sum(cents).cast("double") / F.count(fv) / 100.0).alias("mean_price"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
@@ -378,17 +407,23 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_ntile",
     oracle=(
+        # NULL prices are excluded on BOTH sides (order-stats rule): a
+        # NULL measurement in the quartile ORDER BY sorts FIRST on
+        # Spark and LAST on DuckDB, shifting every bucket boundary.
         "SELECT o_orderkey, o_totalprice, "
         "ntile(4) OVER (PARTITION BY o_orderpriority "
         "ORDER BY o_totalprice, o_orderkey) AS price_quartile "
-        "FROM orders"
+        "FROM orders WHERE o_totalprice IS NOT NULL"
     ),
     covers="ntile quantile bucketing (feature binning)",
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Price quartile per priority class — the feature-binning window;
-    full tiebreak (price, key) pins bucket boundaries."""
-    orders = load_table(spark, sf_dir, "orders")
+    full tiebreak (price, key) pins bucket boundaries; NULL prices
+    filtered on both sides (order stats filter NULL measurements)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return orders.select(
         "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("price_quartile")
@@ -445,7 +480,9 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x * x,
         )
     )
-    norm_u = F.round(norm * 1_000_000).cast("bigint")
+    # decimal accumulator (group sums are unbounded; DuckDB's BIGINT
+    # sum is already a HUGEINT accumulator)
+    norm_u = F.round(norm * 1_000_000).cast("bigint").cast("decimal(38,0)")
     return (
         emb.select("label", norm_u.alias("norm_u"))
         .groupBy("label")
@@ -725,9 +762,14 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @contract_query(
     "q_ols_trend",
     oracle=(
+        # both coordinates present, stated BEFORE the re-basing window:
+        # a NULL-ts or NULL/non-finite-value row would otherwise enter
+        # n (and the min-x base) while its moments are excluded, making
+        # the slope the OLS of no consistent population
         "WITH e AS (SELECT event_type, "
         "  epoch_us(ts::TIMESTAMP) // 1000000 AS xs, "
-        f"  {_CENTS} AS cents FROM events), "
+        f"  {_CENTS} AS cents FROM events "
+        f"  WHERE ts IS NOT NULL AND {_CENTS} IS NOT NULL), "
         "r AS (SELECT event_type, cents, "
         "  xs - min(xs) OVER (PARTITION BY event_type) AS x FROM e), "
         # x::HUGEINT before multiplying: the per-term PRODUCT itself
@@ -767,10 +809,15 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the per-group min-window and the moment aggregate
     share one (event_type) hash partitioning; output is |groups| rows."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("unix_micros(ts) div 1000000").alias("xs"),
-        F.round(finite_value(F.col("value")) * 100).cast("bigint").alias("cents"),
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 1000000").alias("xs"),
+            F.round(finite_value(F.col("value")) * 100).cast("bigint").alias("cents"),
+        )
+        .filter(F.col("cents").isNotNull())
     )
     w = Window.partitionBy("event_type")
     r = ev.select(
