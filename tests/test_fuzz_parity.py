@@ -334,7 +334,7 @@ def test_string_function_pairs_fuzz_vs_duckdb(spark):
         list("abcdefghij XYZ0123456789.,;:!?#…")
         + ["...", "\t", "\n", "\r\n", "\r", " ", " ", "　",
            "der ", "die ", "the ", "el ", "le ", "und ", "日本語", "漢字",
-           "a@b.co", "+1-555-123-4567", "192.168.0.1", "-", "--", "'", '"']
+           "a@b.co", "+1-555-123-4567", "192.168.0.1", "-", "--", "'", '"', "\u2029", "\u0085"]
     )
     cases = []
     for i in range(400):

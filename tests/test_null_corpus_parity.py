@@ -74,9 +74,11 @@ def null_events_sf(spark, tmp_path_factory):
 
     sf = str(tmp_path_factory.mktemp("null_events") / "sf")
     rows = []
+    # 10 distinct days (q_anomaly's 7-day full-window gate needs >= 7
+    # days or its output is vacuously empty on this corpus)
     for i in range(40):
         rows.append(
-            (i, datetime(2024, 3, 1 + i % 5, 8 + i % 10, i % 60), i % 7,
+            (i, datetime(2024, 3, 1 + i % 10, 8 + i % 10, i % 60), i % 7,
              ["view", "click", "purchase", "signup", "error"][i % 5],
              float(i % 13) + 0.25, '{"k":1}')
         )
@@ -86,6 +88,23 @@ def null_events_sf(spark, tmp_path_factory):
         # with no signup anchor makes every asof check vacuous)
         (104, None, 5, "signup", 1.0, None),
         (105, datetime(2024, 3, 3, 10, 0), 5, "purchase", 9.5, None),
+        # two timestamped signups BEFORE that purchase: the as-of
+        # anchor must resolve to the LATER one (a first_value or
+        # dropped tiebreak regression flips this row)
+        (106, datetime(2024, 3, 1, 8, 0), 5, "signup", 1.0, None),
+        (107, datetime(2024, 3, 2, 8, 0), 5, "signup", 1.0, None),
+        # an error within 15 min of user 3's rows 101/102 plus a
+        # NULL-ts neighbor: the range join's interval predicate must
+        # drop the NULL-ts row identically on both engines
+        (108, datetime(2024, 3, 2, 9, 10), 3, "error", 1.0, None),
+        (109, None, 3, "view", 1.0, None),
+        # in-window rows for q_gap_fill's hard-pinned 2024-01-02 spine,
+        # plus boundary rows one µs before / exactly at the cutoffs
+        (110, datetime(2024, 1, 2, 0, 30), 1, "view", 1.0, None),
+        (111, datetime(2024, 1, 2, 13, 5), 2, "click", 2.0, None),
+        (112, datetime(2024, 1, 2, 13, 45), 2, "view", 2.0, None),
+        (113, datetime(2024, 1, 1, 23, 59, 59, 999999), 1, "view", 1.0, None),
+        (114, datetime(2024, 1, 3, 0, 0), 1, "view", 1.0, None),
         (100, datetime(2024, 3, 2, 9, 0), None, "view", 1.5, None),  # NULL user
         (101, datetime(2024, 3, 2, 9, 5), 3, None, 2.5, None),       # NULL type
         (102, datetime(2024, 3, 2, 9, 6), 3, "click", None, None),   # NULL value
@@ -279,8 +298,12 @@ def historic_events_sf(spark, tmp_path_factory):
     i = 0
     for t in times:
         for k in range(5):
+            # user decoupled from type ((i + k) % 3, not k % 3): with
+            # type a function of user, no user ever crossed types and
+            # the funnel/as-of strict-ordering comparisons were never
+            # exercised over pre-1970 timestamps
             rows.append(
-                (i, t.replace(minute=(t.minute + k) % 60), k % 3,
+                (i, t.replace(minute=(t.minute + k) % 60), (i + k) % 3,
                  ["view", "click", "purchase", "signup", "error"][k % 5],
                  float(k) + 0.25, None)
             )
@@ -383,6 +406,7 @@ def adversarial_text_sf(spark, tmp_path_factory):
     alphabet = (
         list("abcdefghij XYZ0123456789.,;:!?#…")
         + ["...", "\t", "\n", "\r\n", "\r", " ", " ", "　",
+           " ", " ", " ", "",
            "der ", "die ", "the ", "el ", "le ", "und ", "日本語 ", "漢字 ",
            "a@b.co ", "+1-555-123-4567 ", "192.168.0.1 ", "-", "--", "'", '"']
     )

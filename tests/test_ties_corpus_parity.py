@@ -33,13 +33,19 @@ from tia_data_pipeline_spark.catalog import TABLES as _ALL_TABLES
 
 
 # ---------------------------------------------------------------------------
-# documents: 12 identical texts across 3 sources — every per-doc score,
-# per-source aggregate, shingle df, and quality metric ties.
+# documents: 25 identical texts across 3 sources — every per-doc score,
+# per-source aggregate, shingle df, and quality metric ties, and the
+# corpus is LARGER than every top-k cutoff so limits cut through ties.
 # ---------------------------------------------------------------------------
 
-_TIES_TEXT = (
-    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
-    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+# 110 distinct tokens, each appearing exactly twice, over 25 identical
+# docs: larger than every document top-k cutoff (vocab-coverage 100,
+# burstiness/collocations/BM25/group-sample 20), so LIMIT boundaries
+# cut THROUGH fully tied rows — a missing tiebreak picks
+# engine-dependent winners instead of returning the whole (sorted-
+# equal) set.
+_TIES_TEXT = " ".join(f"tok{i:03d}" for i in range(110)) + " " + " ".join(
+    f"tok{i:03d}" for i in range(110)
 )
 
 
@@ -47,7 +53,7 @@ _TIES_TEXT = (
 def ties_doc_sf(spark, tmp_path_factory):
     sf = str(tmp_path_factory.mktemp("ties_docs") / "sf")
     rows = [
-        (i, _TIES_TEXT, "en", f"src{i % 3}", len(_TIES_TEXT)) for i in range(1, 13)
+        (i, _TIES_TEXT, "en", f"src{i % 3}", len(_TIES_TEXT)) for i in range(1, 26)
     ]
     spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -83,15 +89,25 @@ def ties_events_sf(spark, tmp_path_factory):
     sf = str(tmp_path_factory.mktemp("ties_events") / "sf")
     rows = []
     eid = 0
+    # four identical daily slots per user: view/click plus signup and
+    # purchase/error anchors (a corpus with only view/click leaves the
+    # as-of, funnel-stage-3 and range-join tie-sensitive picks
+    # vacuously unexercised); per-user activity stays IDENTICAL so
+    # every tie is preserved
     for day in (1, 2, 3):
-        for hour in (9, 15):
+        for hour, etype in (
+            (9, "view"),
+            (15, "click"),
+            (18, "signup"),
+            (21, "purchase" if day % 2 == 1 else "error"),
+        ):
             for user in range(6):
                 rows.append(
                     (
                         eid,
                         datetime(2024, 3, day, hour, 30),
                         user,
-                        "view" if hour == 9 else "click",
+                        etype,
                         2.5,
                         '{"k":1}',
                     )
@@ -170,7 +186,12 @@ _REL_CONST = {
     "orders": {
         "o_orderstatus": "'O'",
         "o_totalprice": "100000.0",
-        "o_orderdate": "TIMESTAMP '1995-06-15 00:00:00'",
+        # INSIDE the 1996 windows every merge/incremental/flagship
+        # query filters on (1995-06-15 sat outside them all, running
+        # the whole family on zero rows — vacuous ties). A block of
+        # keys retargets to 1997 below so the >=1997 queries also see
+        # tied in-window rows.
+        "o_orderdate": "TIMESTAMP '1996-01-20 00:00:00'",
         "o_orderpriority": "'3-MEDIUM'",
     },
     "lineitem": {
@@ -210,6 +231,14 @@ def ties_rel_sf(spark, tmp_path_factory):
         df = load_table(spark, SMOKE_SF, t)
         for col, const in _REL_CONST.get(t, {}).items():
             df = df.withColumn(col, F.expr(f"CAST({const} AS {df.schema[col].dataType.simpleString()})"))
+        if t == "orders":
+            df = df.withColumn(
+                "o_orderdate",
+                F.when(
+                    F.col("o_orderkey") % 7 == 0,
+                    F.expr("TIMESTAMP '1997-03-01 00:00:00'"),
+                ).otherwise(F.col("o_orderdate")),
+            )
         df.write.mode("overwrite").parquet(f"{sf}/{t}.parquet")
     return sf
 
