@@ -85,3 +85,27 @@ def test_pandas_zscore_dirty_group_and_half_cents(spark):
     assert expr == pnd
     assert expr[3] is None and expr[4] is None  # dirty rows -> NULL z
     assert expr[1] is not None  # valid stats from the 2 clean rows
+
+
+def test_pandas_zscore_dirty_degenerate_group(spark):
+    """Round-6 review: a group that is BOTH degenerate (n <= 1 valid,
+    or zero variance) AND dirty (NULL/NaN rows) previously crashed the
+    pandas twin — the NULL output series was built with n valid values
+    against len(pdf) rows. Both forms must emit NULL for every row of
+    such groups, including the dirty rows."""
+    from tia_data_pipeline_spark.operators.features import zscore, zscore_pandas
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 0.5),            # single valid row + a NULL: n=1, len=2
+            (2, 1, None),
+            (3, 2, 1.0),            # zero-variance pair + a NaN: n=2, len=3
+            (4, 2, 1.0),
+            (5, 2, float("nan")),
+        ],
+        "event_id bigint, user_id bigint, value double",
+    )
+    expr = {r["event_id"]: r["zscore"] for r in zscore(df, "user_id", "value").collect()}
+    pnd = {r["event_id"]: r["zscore"] for r in zscore_pandas(df, "user_id", "value").collect()}
+    assert expr == pnd
+    assert all(v is None for v in expr.values())

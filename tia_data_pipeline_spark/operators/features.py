@@ -48,13 +48,13 @@ def zscore(
     # or NULL) value in the group, count(*) would divide the
     # NULL-skipping sums by too many rows and bias mean/variance
     n = F.count(cents).over(w)
-    s1 = F.sum(cents).over(w).cast("double")
-    # Σc² accumulates as DECIMAL, not BIGINT: each product stays under
-    # 2^62 (project invariant) but the group SUM is unbounded, and
-    # under ANSI mode a bigint overflow would kill the query on a
-    # large high-valued group. Decimal(38) gives the same exact-integer
-    # accumulation DuckDB's HUGEINT does; the final cast to double
-    # rounds the identical integer on both engines.
+    # BOTH sums accumulate as DECIMAL, not BIGINT: each term stays
+    # under the bound (project invariant) but the group SUM is
+    # unbounded, and under ANSI mode a bigint overflow would kill the
+    # query on a large high-valued group. Decimal(38) gives the same
+    # exact-integer accumulation DuckDB's HUGEINT does; the final cast
+    # to double rounds the identical integer on both engines.
+    s1 = F.sum(cents.cast("decimal(38,0)")).over(w).cast("double")
     sq = (dec19(cents) * dec19(cents)).cast("decimal(38,0)")
     s2 = F.sum(sq).over(w).cast("double")
     mean = s1 / n
@@ -125,7 +125,14 @@ def zscore_pandas(
         valid = cents.dropna()
         n = len(valid)
         if n > 1:
-            s1, s2 = float(valid.sum()), float((valid * valid).sum())
+            # exact integer moments via Python ints (arbitrary
+            # precision), ONE rounding to double at the end — float64
+            # partial sums would drift by ulps from the expression
+            # form's decimal/HUGEINT accumulation once cents² passes
+            # 2^53, and the two forms must agree exactly
+            ints = [int(v) for v in valid]
+            s1 = float(sum(ints))
+            s2 = float(sum(v * v for v in ints))
             var = (s2 - s1 * s1 / n) / (n - 1)
         else:
             var = 0.0
@@ -138,8 +145,10 @@ def zscore_pandas(
             # isNull=false and sorts above every number), and the
             # expression form emits NULL for degenerate groups — the
             # two forms must return the same value, not merely "both
-            # non-numbers"
-            z = pd.Series([None] * n, index=pdf.index, dtype="object")
+            # non-numbers". len(pdf), NOT n: a degenerate group that
+            # also holds NULL/non-finite rows has n < len(pdf), and a
+            # short values list crashes the Series constructor.
+            z = pd.Series([None] * len(pdf), index=pdf.index, dtype="object")
         out = pdf[list(id_cols) + [key_col, value_col]].copy()
         out["zscore"] = z
         return out

@@ -77,8 +77,14 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
         for i, r in enumerate(rules)
     ]
     counted = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    # escape backslashes BEFORE quotes: selectExpr parses string
+    # literals with backslash-escape semantics, so an unescaped
+    # "a\\tcheck" rule name would silently emit "a<TAB>check" and a
+    # gate keyed on the declared name would never match the row
     stack_args = ", ".join(
-        "'{name}', _r{i}".format(name=r.name.replace("'", "''"), i=i)
+        "'{name}', _r{i}".format(
+            name=r.name.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
         for i, r in enumerate(rules)
     )
     return counted.selectExpr(
