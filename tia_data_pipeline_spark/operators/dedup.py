@@ -38,6 +38,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One survivor per distinct content hash (lowest id wins).
 
     Group-by on the digest: map-side partial min, 32-byte shuffle keys.
+
+    NULL-text semantics (stated, identical to the SQL oracle): sha2 of
+    a NULL text is NULL, and ALL NULL-hash rows group together — every
+    document without text collapses to the single lowest-id survivor.
+    Callers that must preserve NULL-text rows as distinct documents
+    filter them out before deduping and union them back.
     """
     return (
         df.select(content_hash(F.col(text_col)).alias("content_hash"), F.col(id_col))
@@ -177,7 +183,15 @@ def minhash_signature_frame(
     reproducible in DuckDB, so the whole MinHash estimate becomes
     hash-checkable cross-engine (the declared `q_fuzzy_dedup` path);
     xxhash64 stays the production default (faster, JVM-native)."""
-    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    # NULL ids are excluded at the source: groupBy would otherwise
+    # MERGE every NULL-id document's shingles into one chimeric
+    # signature, and the in-expression pair ordering downstream would
+    # emit (id, NULL) pairs that every oracle's a.id < b.id drops
+    src = fan_out(
+        df.filter(F.col(id_col).isNotNull()).select(
+            F.col(id_col), F.col(text_col)
+        )
+    )
     x = (
         F.expr(md5_int_sql("_sh"))
         if portable
@@ -206,6 +220,7 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     seed: int = 42,
     portable: bool = False,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding.
 
@@ -249,7 +264,9 @@ def minhash_near_duplicates(
     # pairs in-expression. Hot buckets (degenerate near-identical
     # content) are capped — at scale an uncapped bucket is a quadratic
     # bomb; the cap is the same trade LSH banding already makes.
-    max_bucket = 1000
+    # max_bucket is a PARAMETER mirroring minhash_oracle_sql's, so a
+    # non-default oracle value can never silently diverge from a
+    # hardcoded operator literal.
     members = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list(F.struct("_id", "_sig")).alias("mem"))
@@ -379,6 +396,13 @@ def _shingle_overlap_frames(
     doc_sizes)``: per-pair shared-shingle counts (id_a < id_b) and the
     per-doc set size over the capped universe (df=1 shingles count)."""
     src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    # xxhash64 shingle ids on an oracle-checked path is a RECORDED
+    # exception to the portable-hashing rule: the oracle groups by the
+    # raw shingle STRING, so parity holds unless two distinct shingles
+    # collide in 64 bits (~|shingles|²/2^65 — ≲1e-9 at 100 TB shingle
+    # counts). md5_int_sql's 2^28 space is NOT a drop-in here (real
+    # collision rates at corpus vocabulary sizes); raw-string keys
+    # would shuffle full shingles instead of 8-byte ids.
     sh_ids = src.select(
         F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
     ).select("_id", F.xxhash64("s").alias("sh"))

@@ -84,10 +84,21 @@ def brute_force_top_k(
     """
     if probe.limit(2).count() > 1:
         raise ValueError("brute_force_top_k takes a ONE-row probe; use knn_join for batches")
-    p = F.broadcast(probe.select(F.col(vec_col).alias("_probe_vec")))
-    scored = corpus.crossJoin(p).select(
+    # norms precompute per ROW on each side (the file-wide rule):
+    # cosine_similarity would refold the probe's O(dim) norm once per
+    # corpus row; identical doubles, same denominators
+    p = F.broadcast(
+        probe.select(
+            F.col(vec_col).alias("_probe_vec"),
+            l2_norm(F.col(vec_col)).alias("_p_norm"),
+        )
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_c_norm"))
+    denom = F.col("_c_norm") * F.col("_p_norm")
+    score = F.when(denom > 0, dot(F.col(vec_col), F.col("_probe_vec")) / denom)
+    scored = c.crossJoin(p).select(
         F.col(id_col),
-        portable_round(cosine_similarity(F.col(vec_col), F.col("_probe_vec")), 6).alias("score"),
+        portable_round(score, 6).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -114,8 +125,13 @@ def embedding_near_duplicates(
     proj = proj if proj is not None else projection_matrix()
     # a row without a vector cannot be similar to anything — exclude it
     # explicitly (sign_bits of a NULL array would otherwise land NULL
-    # vectors together in bucket 0)
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    # vectors together in bucket 0). NULL ids are excluded too: the
+    # in-expression pair ordering would route a NULL-id comparison to
+    # the otherwise branch and emit (id, NULL) pairs that every
+    # oracle's `a.id < b.id` predicate drops (UNKNOWN).
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    )
     # Norms are precomputed per vector BEFORE pair expansion: cosine on
     # a pair then needs only the dot product, not 2 more O(dim) folds —
     # each vector's norm is computed once instead of once per pair.
@@ -162,13 +178,26 @@ def lsh_top_k(
     """
     proj = proj if proj is not None else projection_matrix()
     n_bits = len(proj)
-    # NULL vectors are never candidates (see embedding_near_duplicates)
-    bucketed = corpus.filter(F.col(vec_col).isNotNull()).withColumn(
-        "_bucket", _sign_bits(F.col(vec_col), proj)
+    # same one-row contract as brute_force_top_k: a multi-row probe
+    # would interleave scores and the global limit would mix probes'
+    # neighbor lists — raising beats silently returning garbage
+    if probe.limit(2).count() > 1:
+        raise ValueError("lsh_top_k takes a ONE-row probe; use knn_join_bucketed for batches")
+    if hamming_probe not in (0, 1):
+        # raising beats silently serving radius-1 recall (the
+        # knn_join_bucketed contract — the two operators must agree)
+        raise ValueError(f"hamming_probe must be 0 or 1, got {hamming_probe}")
+    # NULL vectors are never candidates (see embedding_near_duplicates);
+    # norms precompute per row (the file-wide rule)
+    bucketed = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .withColumn("_bucket", _sign_bits(F.col(vec_col), proj))
+        .withColumn("_c_norm", l2_norm(F.col(vec_col)))
     )
     probe_b = F.broadcast(
         probe.select(
             F.col(vec_col).alias("_probe_vec"),
+            l2_norm(F.col(vec_col)).alias("_p_norm"),
             _sign_bits(F.col(vec_col), proj).alias("_probe_bucket"),
         )
     )
@@ -180,9 +209,11 @@ def lsh_top_k(
         ]
         cond = F.col("_bucket").isin(*probed)
     cand = bucketed.join(probe_b, cond)
+    denom = F.col("_c_norm") * F.col("_p_norm")
+    score = F.when(denom > 0, dot(F.col(vec_col), F.col("_probe_vec")) / denom)
     scored = cand.select(
         F.col(id_col),
-        portable_round(cosine_similarity(F.col(vec_col), F.col("_probe_vec")), 6).alias("score"),
+        portable_round(score, 6).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -246,6 +277,10 @@ def ivf_top_k(
     across all queries; no oracle (k-means isn't cross-engine
     reproducible), so this is a rows-only / structurally-tested path.
     """
+    # same one-row contract as brute_force_top_k / lsh_top_k: a
+    # multi-row probe would interleave scores in the global limit
+    if probe.limit(2).count() > 1:
+        raise ValueError("ivf_top_k takes a ONE-row probe")
     # one fit/assign implementation: ivf_build_index (which also drops
     # the heavy _mlvec column — previously leaked through the join here)
     assigned, centers = ivf_build_index(
@@ -273,13 +308,19 @@ def ivf_top_k(
     probe_cells = F.slice(F.transform(order, lambda s: s["cell"]), 1, n_probe)
     probe_b = F.broadcast(
         probe.select(
-            F.col(vec_col).alias("_probe_vec"), probe_cells.alias("_probe_cells")
+            F.col(vec_col).alias("_probe_vec"),
+            l2_norm(F.col(vec_col)).alias("_p_norm"),
+            probe_cells.alias("_probe_cells"),
         )
     )
-    cand = assigned.join(probe_b, F.array_contains(F.col("_probe_cells"), F.col("_cell")))
+    cand = assigned.withColumn("_c_norm", l2_norm(F.col(vec_col))).join(
+        probe_b, F.array_contains(F.col("_probe_cells"), F.col("_cell"))
+    )
+    denom = F.col("_c_norm") * F.col("_p_norm")
+    score = F.when(denom > 0, dot(F.col(vec_col), F.col("_probe_vec")) / denom)
     scored = cand.select(
         F.col(id_col),
-        portable_round(cosine_similarity(F.col(vec_col), F.col("_probe_vec")), 6).alias("score"),
+        portable_round(score, 6).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -302,7 +343,10 @@ def ivf_build_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    with_vec = corpus.withColumn(
+    # NULL vectors are excluded before the ML boundary: a single NULL
+    # features row aborts KMeans.fit / model.transform, so one
+    # degenerate row would otherwise kill the whole index build
+    with_vec = corpus.filter(F.col(vec_col).isNotNull()).withColumn(
         "_mlvec", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     model = KMeans(k=n_lists, seed=seed, featuresCol="_mlvec", predictionCol="_cell").fit(
@@ -412,7 +456,10 @@ def knn_join_bucketed(
         )
     proj = proj if proj is not None else projection_matrix()
     n_bits = len(proj)
-    c = corpus.select(
+    # NULL vectors are never candidates (the file-wide rule): unfiltered
+    # they would all fold to sign bucket 0, pool as junk candidates for
+    # every probe near bucket 0, and surface NULL-score rank rows
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.col(vec_col).alias("_corpus_vec"),
         l2_norm(F.col(vec_col)).alias("_c_norm"),
@@ -484,7 +531,8 @@ def knn_join(
             l2_norm(F.col(vec_col)).alias("_p_norm"),
         )
     )
-    c = corpus.select(
+    # NULL vectors are never candidates (the file-wide rule)
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_c_norm")
     )
     denom = F.col("_c_norm") * F.col("_p_norm")

@@ -313,11 +313,16 @@ _EMBED_DEDUP_TAU = 0.35  # the synthetic corpus is isotropic-random
 @contract_query(
     "q_embed_dedup",
     oracle=(
+        # the hot-bucket cap is mirrored (HAVING count(*) <= 2000, the
+        # operator's max_bucket default): without it a degenerate
+        # bucket past the cap would emit pairs on the oracle side only
         "WITH b AS (SELECT vec_id, embedding, "
         f"{_bucket_sql('embedding', _PROJ4)} AS bucket FROM {_E} embeddings), "
+        "bc AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 2000), "
         "pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, "
         f"  {TX.portable_round_sql(cosine_sql('a.embedding', 'b2.embedding'), 6)} AS score "
-        "  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) "
+        "  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id "
+        "  JOIN bc ON bc.bucket = a.bucket) "
         f"SELECT id_a, id_b, score FROM pairs WHERE score >= {_EMBED_DEDUP_TAU}"
     ),
     covers="ext-exact-dedup family: embedding-cosine near-dup (LSH-bucketed)",
