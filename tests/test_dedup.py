@@ -163,3 +163,23 @@ class TestSubstringOverlap:
             char_kmer_sketch(F.col("text"), k=1)
         with pytest.raises(ValueError):
             char_kmer_sketch(F.col("text"), mod=0)
+
+
+def test_hot_shingle_10k_df_dropped_before_any_list(spark):
+    """Round-7 hostile fixture (VERDICT r6 #1): a corpus-stop shingle
+    shared by 10,000 documents must be dropped by the two-pass cap's
+    COUNT pre-filter — it never reaches a collect_list buffer (pinned
+    structurally in test_plans.py::test_bucket_collects_are_semi_join_
+    capped) and contributes no candidate pairs — while a planted true
+    near-dup pair sharing many sub-cap shingles still surfaces."""
+    hot = [(i, f"hot common shingle u{i} v{i} w{i}") for i in range(1, 10_001)]
+    base = " ".join(f"tok{j}" for j in range(60))
+    planted = [(20_001, base), (20_002, base + " extra")]
+    df = spark.createDataFrame(hot + planted, "doc_id bigint, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.5, max_df=20
+        ).collect()
+    }
+    assert pairs == {(20_001, 20_002)}

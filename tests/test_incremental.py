@@ -161,3 +161,68 @@ def test_scd2_merge_dedups_batch_and_drops_null_eff(spark):
         (1, "a2"): (e2, None),  # one open version, the latest
         (2, "b"): (t0, None),  # NULL-eff update dropped → untouched
     }
+
+
+def test_scd2_map_attr_tiebreak_deterministic(spark):
+    """Two update rows tying on key, eff_col and every sortable attr
+    but differing ONLY in a map-typed attr must pick the SAME winner on
+    every execution/partitioning (ADVICE r6): the to_json render of the
+    map attrs is the last-resort sort key."""
+    from pyspark.sql import types as T
+
+    from tia_data_pipeline_spark.operators.incremental import scd2_merge
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+            T.StructField("eff", T.TimestampType()),
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+        ]
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    cur = spark.createDataFrame([(1, "a", {"k": 1}, None, t0, None)], schema).select(
+        "id", "v", "m", "valid_from", "valid_to"
+    )
+    upd_rows = [
+        (1, "a", {"k": 2}, t1, None, None),
+        (1, "a", {"k": 3}, t1, None, None),
+    ]
+    winners = set()
+    for seed in range(3):
+        upd = (
+            spark.createDataFrame(
+                upd_rows if seed % 2 == 0 else list(reversed(upd_rows)), schema
+            )
+            .select("id", "v", "m", "eff")
+            .repartition(seed + 1)
+        )
+        out = scd2_merge(
+            cur, upd, keys=["id"], attrs=["v", "m"], eff_col="eff"
+        )
+        open_rows = [
+            r
+            for r in out.collect()
+            if r["valid_to"] is None and r["valid_from"] == t1
+        ]
+        assert len(open_rows) == 1
+        winners.add(tuple(sorted(open_rows[0]["m"].items())))
+    assert len(winners) == 1, f"nondeterministic map-attr winner: {winners}"
+
+
+def test_hash_sample_rate16_matches_sql_twin_on_null_ids(spark):
+    """hash_sample keeps NO NULL-id row at ANY rate — including 16 —
+    matching its declared SQL twin `hash_bucket < k` (ADVICE r6: the
+    old keep-all short-circuit kept NULL ids the oracle form drops)."""
+    from tia_data_pipeline_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "id bigint, v string"
+    )
+    got = hash_sample(df, "id", 16).collect()
+    assert sorted(r["v"] for r in got) == ["a", "b"]

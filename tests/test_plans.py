@@ -131,35 +131,43 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
-    # demoted in round 6 for the fifth batch (q_streaks / q_spearman /
-    # q_new_users / q_source_overlap), each with an in-cap op cover:
+    # demoted in round 7 to fund the seventeen promotions (two new
+    # queries, the q_approx_distinct reshape, six changed-semantics
+    # re-verifications, eight stale-evidence rotations), each with an
+    # in-cap family cover:
+    "q_agg_count": "q_cube",  # grouping-set aggregate family
+    "q_topk_latest": "q_topk_per_group",  # rank/limit family
+    "q_word_count": "q_word_freq",  # token-counting surface
+    "q_pii_redact": "q_canonicalize",  # regex text-transform surface
+    "q_feature_hash": "q_doc_fingerprint",  # portable doc-hash constructions
+    "q_gini": "q_pareto_abc",  # Lorenz/cumulative-share family
+    "q_ks_drift": "q_jsd_mix",  # two-sample distribution divergence
+    "q_spearman": "q_ols_trend",  # exact-moment correlation family
+    "q_seasonality": "q_ewma",  # daily-series diagnostics
+    "q_rolling_actives": "q_stickiness",  # engagement-window family
+    "q_cooccur_lift": "q_mutual_info",  # categorical association
+    "q_interarrival": "q_burstiness",  # event-timing order stats
+    "q_new_users": "q_stickiness",  # engagement accounting
+    "q_benford": "q_data_quality",  # data-quality diagnostics
+    "q_triangles": "q_dup_graph_degree",  # dup-graph analytics
+    "q_anomaly": "q_mad_outliers",  # rolling-median/MAD family
+    "q_zipf_fit": "q_ols_trend",  # exact-moment OLS normal equations
+    # demoted in round 6 (covers remapped where their target rotated):
     "q_antijoin_incr": "q_merge_upsert",  # eqNullSafe anti-join family
     "q_semi_join": "q_exists_guard",  # semi-join / exists-guard rewrite pair
     "q_dedup_batch": "q_exact_dedup",  # hash-dedup family
     "q_filter_range": "q_scan_project",  # pushed-filter pruned scan
-    # demoted in round 6 for the fourth batch (q_skew_keys / q_anomaly):
     "q_ann_recall": "q_knn_bucketed",  # ANN eval over the same index family
     "q_dedup_components": "q_dup_graph_degree",  # dup-graph analytics
-    # demoted in round 6 for q_seasonality / q_rolling_actives:
-    "q_cube": "q_agg_count",  # grouping-set aggregate variant
-    "q_word_freq": "q_word_count",  # token-counting surface
-    # demoted in round 6 for the third batch (markov/pareto_abc/
-    # mutual_info/stickiness), each with an in-cap family cover:
     "q_gopher_quality": "q_quality_linear",  # doc quality scoring
-    "q_token_entropy": "q_word_count",  # token-distribution stats
+    "q_token_entropy": "q_word_freq",  # token-distribution stats
     "q_cohort_retention": "q_stickiness",  # monthly engagement cohorts
-    "q_data_quality": "q_benford",  # data-quality diagnostics
-    # demoted in round 6 for the second batch (benford/cooccur/ewma/
-    # interarrival/rfm/triangles), each with an in-cap family cover:
     "q_pagerank": "q_dup_graph_degree",  # iterative graph propagation
     "q_winsorize": "q_mad_outliers",  # order-stat robust trimming
-    "q_tok_fertility": "q_word_count",  # token-distribution stats
-    "q_ols_trend": "q_zipf_fit",  # exact-moment OLS normal equations
+    "q_tok_fertility": "q_word_freq",  # token-distribution stats
     "q_autocorr": "q_ewma",  # daily-series diagnostics
     "q_changepoint": "q_ewma",  # daily-series diagnostics
     "q_edit_distance": "q_containment",  # fuzzy-dedup pair verify
-    # demoted in round 6 (each 2-4x driver-green) for q_substring_dedup
-    # and the seven stale-evidence promotions:
     "q_source_mix": "q_jsd_mix",
     "q_mix_temperature": "q_jsd_mix",
     "q_cluster_sizes": "q_dup_graph_degree",
@@ -167,53 +175,37 @@ TAIL_COVERED_BY = {
     "q_decontaminate": "q_boilerplate",
     "q_fuzzy_dedup": "q_dup_graph_degree",
     "q_funnel": "q_markov",  # ordered-event sequence analytics
-    "q_scd2": "q_merge_upsert",
     "q_lm_perplexity": "q_bm25",  # ln-family integered scoring
     "q_pack_sequences": "q_chunking",
-    "q_vocab_coverage": "q_word_count",
+    "q_vocab_coverage": "q_word_freq",
     "q_embed_quantize": "q_knn_bucketed",
     "q_knn_join": "q_knn_bucketed",
-    "q_topk_per_group": "q_topk_latest",
-    "q_token_bpe": "q_word_count",  # token-counting surface
-    "q_canonicalize": "q_pii_redact",  # text-transform surface
-    "q_ann_multiprobe": "q_knn_bucketed",
-    "q_ntile": "q_topk_latest",
-    "q_sim_topk": "q_knn_bucketed",
-    # demoted in round 5: q_fuzzy_dedup's hash-checked oracle rotated
-    # in-cap; the permanently-rows-only HLL++ sketch takes its tail slot.
-    "q_approx_distinct": "q_agg_count",
-    # demoted in round 5 (each 2-4x driver-green) for the four new
-    # operator families (pagerank / ks drift / jsd mix / fertility):
+    # demoted in round 5:
     "q_session_window": "q_daily_window",
     "q_join_enrich": "q_revenue_by_segment",
-    "q_embed_dedup": "q_knn_bucketed",
-    "q_text_tokens": "q_word_count",
-    # demoted in round 5 (4x green) for q_bm25 / q_winsorize:
+    "q_text_tokens": "q_word_freq",
     "q_ngram_jaccard": "q_dup_graph_degree",
     "q_quantiles": "q_mad_outliers",
-    # demoted in round 5 (1x green) for q_ols_trend / q_gini / q_autocorr:
     "q_repetition": "q_quality_linear",
-    "q_collocations": "q_cooccur_lift",  # co-occurrence/PMI family
+    "q_collocations": "q_mutual_info",  # association family (q_cooccur_lift demoted r7)
     # demoted in round 4 (each 2x/3x driver-green) to verify the ten
     # round-3 tail queries that had zero driver rows:
     "q_proj_alias": "q_ts_normalize",
-    "q_const_probe": "q_benford",
-    "q_json_ser": "q_feature_hash",
+    "q_const_probe": "q_data_quality",  # diagnostics (q_benford demoted r7)
+    "q_json_ser": "q_ts_normalize",  # row/scalar transform family
     "q_histogram": "q_mad_outliers",
     "q_gap_fill": "q_daily_window",
     "q_sliding_window": "q_daily_window",
     "q_star_join": "q_revenue_by_segment",
-    "q_children_rollup": "q_agg_count",
+    "q_children_rollup": "q_cube",  # grouping aggregates (q_agg_count demoted r7)
     "q_set_ops": "q_exact_dedup",  # distinct-family (q_dedup_batch demoted r6)
-    "q_pivot_status": "q_agg_count",
+    "q_pivot_status": "q_cube",
     "q_zscore": "q_mad_outliers",  # robust per-group stats
     # demoted in round 4 (each 3x driver-green) to make room for the
     # curation tier:
     "q_hash_sample": "q_split_assign",
     "q_window_frames": "q_daily_window",
-    "q_rollup": "q_agg_count",
-    "q_profile": "q_benford",
-    "q_asof_join": "q_range_join",
+    "q_rollup": "q_cube",  # grouping-set family
     # demoted late round 4 (each 3x driver-green) to make room for the
     # second curation batch (packing/boilerplate/entropy/temperature/
     # cluster-sizes):
@@ -221,7 +213,7 @@ TAIL_COVERED_BY = {
     "q_tfidf": "q_bm25",  # lexical term weighting
     "q_simhash": "q_substring_dedup",  # fingerprint-sketch dedup surface
     "q_multimodal_meta": "q_resize_meta",
-    "q_count_distinct": "q_agg_count",
+    "q_count_distinct": "q_approx_distinct",  # distinct-agg family
     # demoted late round 4 for the third curation batch (group sample /
     # vocab coverage / edit distance / LM perplexity):
     "q_quality_score": "q_quality_linear",
@@ -569,13 +561,15 @@ def test_edit_distance_no_self_join(spark):
     """Candidate pairs expand in-expression from capped bucket lists:
     no self-join (which re-plans the 32-vote simhash subtree per side —
     measured 3 redundant corpus scans and ~10x runtime), no sort-merge
-    join, no cartesian product; exactly two corpus scans (fingerprints
-    + prefixes)."""
+    join, no cartesian product; exactly three corpus scans
+    (fingerprints + prefixes + the two-pass cap's count leg, which
+    re-reads fingerprints so a hot bucket never reaches a list
+    buffer)."""
     import re
 
     p = plan_of(spark, "q_edit_distance")
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 3
 
 
 def test_mad_outliers_single_exchange(spark):
@@ -591,14 +585,17 @@ def test_substring_dedup_no_self_join_single_scan(spark):
     """The portable char-k-mer overlap query must generate candidate
     pairs by in-expression bucket expansion, never a corpus self-join
     (the oracle's formulation): no sort-merge join, no cartesian, and
-    exactly ONE corpus scan (positions explode from the single pruned
-    text scan; the 1/mod sampling filter runs before any exchange)."""
+    exactly TWO corpus scans — the pair leg plus the two-pass cap's
+    count leg (positions explode from the pruned text scan; the 1/mod
+    sampling filter runs before any exchange on both legs)."""
     import re
 
     p = plan_of(spark, "q_substring_dedup")
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    # 2 scans: the pair leg plus the two-pass cap's count leg (hot
+    # k-mers are dropped before any member list is materialized).
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
 
 
 def test_lm_perplexity_model_join_no_cartesian(spark):
@@ -766,11 +763,15 @@ def test_triangles_edge_list_persisted_once(spark):
     assert len(scans) == 4, f"expected 4 cached-edge scans, got {len(scans)}"
     # the corpus parquet scans live ONLY inside the one cached subtree
     # (they run once, at materialization) — an uncached consumer would
-    # add tree-level parquet scans beyond the pipeline's own three
+    # add tree-level parquet scans beyond the pipeline's own six: the
+    # shingle-index diamond prints per consumer (doc_sizes twice +
+    # shared once) and the round-7 two-pass df-cap gives each copy a
+    # count leg and a pair leg (2 scans each; AQE ReusedExchange
+    # dedups them at runtime)
     pq = [
         l for l in p.splitlines() if l.strip().startswith("(") and "Scan parquet" in l
     ]
-    assert len(pq) <= 3, f"corpus re-scanned outside the cache: {len(pq)} scans"
+    assert len(pq) <= 6, f"corpus re-scanned outside the cache: {len(pq)} scans"
 
 
 def test_cooccur_lift_single_user_partitioning(spark):
@@ -909,3 +910,44 @@ def test_source_overlap_broadcast_intersections_no_corpus_pairs(spark):
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin LeftOuter" in p
     assert "CartesianProduct" not in p
+
+
+# --- round-7: two-pass bucket caps ----------------------------------------
+
+# Every bucket-membership collect in the dedup/similarity family must
+# apply its size cap two-pass: count per key → semi-join survivors →
+# only then collect the member list. One-pass
+# `collect_list(...).filter(size(mem) <= cap)` materializes a hot
+# bucket (corpus-stop shingle, million-copy boilerplate LSH bucket) in
+# a single non-spillable aggregation buffer BEFORE the filter drops it
+# — single-task OOM at 100 TB. See operators/dedup.py::
+# capped_bucket_members.
+BUCKET_CAPPED_QUERIES = [
+    "q_fuzzy_dedup",
+    "q_ngram_jaccard",
+    "q_containment",
+    "q_substring_dedup",
+    "q_embed_dedup",
+    "q_edit_distance",
+]
+
+
+@pytest.mark.parametrize("name", BUCKET_CAPPED_QUERIES)
+def test_bucket_collects_are_semi_join_capped(spark, name):
+    from tests.conftest import SMOKE_SF
+
+    df = plans.REGISTRY[name].build(spark, SMOKE_SF)
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = lp.splitlines()
+    collect_idx = [
+        i for i, l in enumerate(lines) if "collect_list" in l or "collect_set" in l
+    ]
+    semi_idx = [i for i, l in enumerate(lines) if "LeftSemi" in l]
+    assert collect_idx, f"{name}: no member-list aggregate found in plan"
+    assert semi_idx, f"{name}: bucket cap lost its semi-join pre-filter"
+    # parents print before children in the logical tree: the cap's
+    # semi-join must sit BELOW the collect aggregate (i.e., later in
+    # the printed tree), so hot keys are dropped before the list forms
+    assert min(semi_idx) > min(collect_idx), (
+        f"{name}: semi-join is not below the member-list aggregate"
+    )

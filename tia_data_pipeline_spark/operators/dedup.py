@@ -144,6 +144,63 @@ def bucket_pairs(mem: Column, *, order_key: str | None = None) -> Column:
     )
 
 
+def capped_bucket_members(
+    keyed: DataFrame,
+    keys: str | list[str],
+    payload: Column | str,
+    *,
+    max_size: int,
+    min_size: int = 2,
+    distinct: bool = False,
+    mem_col: str = "mem",
+) -> DataFrame:
+    """Bucket-member lists with the size cap applied BEFORE any list is
+    materialized — the two-pass form of ``groupBy(key).agg(
+    collect_list(payload)).filter(size(mem) <= cap)``.
+
+    The one-pass form is a 100 TB scale-killer: ``collect_list``'s
+    aggregation buffer is an in-memory array that is NOT spillable, so
+    a corpus-stop shingle / million-copy boilerplate bucket
+    materializes millions of elements in a single task *before* the
+    size filter drops it — straggler at best, executor OOM at worst.
+    Two passes instead:
+
+    1. ``groupBy(keys).count()`` — 8-byte keys, map-side partial
+       combine, so even a corpus-stop key aggregates to one count per
+       input partition (no skew reaches the reduce side);
+    2. left-semi join the surviving keys (``min_size <= n <=
+       max_size``) back, THEN collect the member lists — a hot bucket's
+       rows never enter a list buffer anywhere in the plan.
+
+    Cost: the keyed lineage executes twice (count pass + collect pass)
+    and one extra key-only shuffle. Catalyst prunes the count pass to
+    the key columns, so heavy payloads (signatures, vectors) shuffle
+    once, exactly as before. Callers whose lineage is CPU-expensive
+    (simhash/minhash aggregates) pass the narrow *keyed* frame, not the
+    raw corpus, so the recomputed leg is the cheap tail of the plan.
+
+    ``distinct=True`` collects with set semantics (``collect_set``) and
+    sizes buckets by ``countDistinct(payload)`` to match.
+    """
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    payload_col = F.col(payload) if isinstance(payload, str) else payload
+    size_agg = (
+        F.countDistinct(payload_col) if distinct else F.count(F.lit(1))
+    ).alias("_bsz")
+    kept = (
+        keyed.groupBy(*key_cols)
+        .agg(size_agg)
+        .filter((F.col("_bsz") >= min_size) & (F.col("_bsz") <= max_size))
+        .select(*key_cols)
+    )
+    agg = F.collect_set(payload_col) if distinct else F.collect_list(payload_col)
+    return (
+        keyed.join(kept, on=key_cols, how="left_semi")
+        .groupBy(*key_cols)
+        .agg(agg.alias(mem_col))
+    )
+
+
 def minhash_signature(col: Column, k: int = 32, seed: int = 42, shingle_n: int = 3) -> Column:
     """k-component MinHash signature (array<bigint>) of a text column.
 
@@ -263,14 +320,15 @@ def minhash_near_duplicates(
     # whole signature lineage twice): group bucket members and expand
     # pairs in-expression. Hot buckets (degenerate near-identical
     # content) are capped — at scale an uncapped bucket is a quadratic
-    # bomb; the cap is the same trade LSH banding already makes.
+    # bomb; the cap is the same trade LSH banding already makes — and
+    # the cap is applied two-pass (count → semi-join → collect) so a
+    # million-copy boilerplate bucket never reaches a list buffer; the
+    # count pass prunes to (band, bucket), so signatures shuffle once.
     # max_bucket is a PARAMETER mirroring minhash_oracle_sql's, so a
     # non-default oracle value can never silently diverge from a
     # hardcoded operator literal.
-    members = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list(F.struct("_id", "_sig")).alias("mem"))
-        .filter((F.size("mem") >= 2) & (F.size("mem") <= max_bucket))
+    members = capped_bucket_members(
+        banded, ["band", "bucket"], F.struct("_id", "_sig"), max_size=max_bucket
     )
     pair_arr = bucket_pairs(F.col("mem"), order_key="_id")
     cand = (
@@ -406,9 +464,18 @@ def _shingle_overlap_frames(
     sh_ids = src.select(
         F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
     ).select("_id", F.xxhash64("s").alias("sh"))
-    grouped = (
-        sh_ids.groupBy("sh").agg(F.collect_list("_id").alias("mem")).filter(F.size("mem") <= max_df)
+    # Hot-shingle cap, two-pass (the capped_bucket_members discipline,
+    # inlined because doc_sizes needs the df=1 singletons the helper's
+    # min_size would drop): count document frequency over 8-byte keys
+    # first — a corpus-stop shingle partial-aggregates map-side and is
+    # dropped BEFORE any member list exists — then semi-join survivors
+    # back and collect. min_size stays 1 so `grouped` still carries the
+    # singleton shingles doc_sizes counts.
+    dfreq = sh_ids.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    surv = sh_ids.join(
+        dfreq.filter(F.col("_df") <= max_df).select("sh"), on="sh", how="left_semi"
     )
+    grouped = surv.groupBy("sh").agg(F.collect_list("_id").alias("mem"))
     doc_sizes = (
         grouped.select(F.explode("mem").alias("_id")).groupBy("_id").agg(F.count("*").alias("n_sh"))
     )
@@ -613,20 +680,13 @@ def substring_overlap_pairs(
             .select("_id", F.expr(md5_int_sql("_km")).alias("h"))
             .filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
         )
-        grouped = (
-            hs.groupBy("h")
-            .agg(F.collect_set("_id").alias("mem"))
-            .filter((F.size("mem") >= 2) & (F.size("mem") <= max_df))
-        )
+        grouped = capped_bucket_members(hs, "h", "_id", max_size=max_df, distinct=True)
     else:
         km = src.select(
             F.col(id_col).alias("_id"),
             F.explode(char_kmer_sketch(F.col(text_col), k=k, mod=mod)).alias("h"),
         )
-        grouped = (
-            km.groupBy("h").agg(F.collect_list("_id").alias("mem"))
-            .filter((F.size("mem") >= 2) & (F.size("mem") <= max_df))
-        )
+        grouped = capped_bucket_members(km, "h", "_id", max_size=max_df)
     pair_arr = bucket_pairs(F.col("mem"))
     return (
         grouped.select(F.explode(pair_arr).alias("p"))

@@ -155,10 +155,12 @@ def scd2_merge(
 
     - ``updates`` is KEY-DEDUPED here before the join — the LATEST
       ``eff_col`` per key wins, ties broken by the sortable attr
-      columns (two snapshot extracts unioned, or a retry overlap,
-      would otherwise fan the one open row into N joined rows: the
-      same old version closed N times plus N simultaneously-open
-      versions).
+      columns, then by a canonical ``to_json`` render of any
+      map-typed attrs (so even map-attr-only differences pick the
+      same winner on every retry/partitioning; two snapshot extracts
+      unioned, or a retry overlap, would otherwise fan the one open
+      row into N joined rows: the same old version closed N times
+      plus N simultaneously-open versions).
     - rows whose ``eff_col`` is NULL are dropped from ``updates``: an
       event-time merge cannot close or open a version at an unknown
       time (a NULL ``valid_to`` on the closed leg would masquerade as
@@ -175,8 +177,23 @@ def scd2_merge(
     sortable_attrs = [
         a for a in attrs if "map<" not in dict(updates.dtypes).get(a, "")
     ]
+    map_attrs = [a for a in attrs if a not in sortable_attrs]
+    # Map-typed attrs can't participate in the sort directly
+    # (unorderable since Spark 3), but they still need a deterministic
+    # LAST-RESORT tiebreak: two update rows tying on keys, eff_col and
+    # every sortable attr while differing only in a map attr would
+    # otherwise get an arbitrary row_number winner — the surviving
+    # version could differ across retries/partitionings, breaking the
+    # retry-idempotence this dedup exists for (ADVICE r6). to_json of
+    # the map attrs is a pure function of the row (entry order is part
+    # of the stored value), so ordering on the rendered string picks
+    # the same winner on every execution; rows identical under the
+    # render are identical versions, so either winner is the same row.
+    map_tiebreak = (
+        [F.to_json(F.struct(*[F.col(a) for a in map_attrs]))] if map_attrs else []
+    )
     w = Window.partitionBy(*keys).orderBy(
-        F.col(eff_col).desc(), *[F.col(a) for a in sortable_attrs]
+        F.col(eff_col).desc(), *[F.col(a) for a in sortable_attrs], *map_tiebreak
     )
     updates = (
         updates.withColumn("_rn", F.row_number().over(w))
@@ -205,7 +222,16 @@ def scd2_merge(
     in_upd = F.coalesce(F.col("_u_present"), F.lit(False))
     changed = None
     for a in attrs:
-        c = ~F.col(f"_ca_{a}").eqNullSafe(F.col(f"_ua_{a}"))
+        ca, ua = F.col(f"_ca_{a}"), F.col(f"_ua_{a}")
+        if a in map_attrs:
+            # `<=>` rejects MAP types outright (unorderable since
+            # Spark 3) — map attrs compare by their to_json render,
+            # the same canonical form as the dedup tiebreak above.
+            # Entry order is part of the render: two maps with the
+            # same entries stored in different order count as changed
+            # (a spurious version, never a missed one).
+            ca, ua = F.to_json(ca), F.to_json(ua)
+        c = ~ca.eqNullSafe(ua)
         changed = c if changed is None else (changed | c)
 
     def leg(sel: DataFrame, key_src: str, attr_src: str, vfrom, vto) -> DataFrame:

@@ -36,14 +36,14 @@ def hash_sample(df: DataFrame, id_col: str, keep_buckets: int) -> DataFrame:
 
     NULL-id precondition (stated): ``md5(NULL)`` is NULL, so a NULL id
     hashes to a NULL bucket and the ``< keep_buckets`` predicate drops
-    the row at EVERY rate below 16 — NULL-id rows are never sampled in,
-    identically in the DuckDB oracle form. ``keep_buckets == 16``
-    short-circuits to the whole frame (no filter), so "keep all" really
-    keeps all, NULL ids included."""
+    the row at EVERY rate — including 16 — identically in the DuckDB
+    oracle form (``hash_bucket < k``). There is deliberately NO
+    keep-all short-circuit (ADVICE r6): skipping the filter at rate 16
+    would keep NULL-id rows the declared SQL twin drops, an asymmetry
+    :func:`stratified_hash_sample` already avoids. Filter or repair
+    NULL ids upstream if "keep all" must include them."""
     if not 0 <= keep_buckets <= _BUCKETS:
         raise ValueError("keep_buckets must be in [0, 16]")
-    if keep_buckets == _BUCKETS:
-        return df
     return df.filter(hash_bucket(id_col) < keep_buckets)
 
 

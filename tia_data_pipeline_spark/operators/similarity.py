@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from tia_data_pipeline_spark.functions.text import portable_round
 from tia_data_pipeline_spark.functions.vectors import cosine_similarity, dot, l2_norm
-from tia_data_pipeline_spark.operators.dedup import bucket_pairs
+from tia_data_pipeline_spark.operators.dedup import bucket_pairs, capped_bucket_members
 
 # Deterministic projection matrix shared with the DuckDB oracle
 # (plans/llm.py embeds the same literals in the generated SQL).
@@ -141,10 +141,27 @@ def embedding_near_duplicates(
         l2_norm(F.col(vec_col)).alias("_norm"),
         _sign_bits(F.col(vec_col), proj).alias("_bucket"),
     )
-    members = (
-        bucketed.groupBy("_bucket")
-        .agg(F.collect_list(F.struct("_id", "_vec", "_norm")).alias("mem"))
-        .filter((F.size("mem") >= 2) & (F.size("mem") <= max_bucket))
+    return _bucketed_cosine_pairs(bucketed, threshold=threshold, max_bucket=max_bucket)
+
+
+def _bucketed_cosine_pairs(
+    bucketed: DataFrame, *, threshold: float, max_bucket: int
+) -> DataFrame:
+    """Shared tail of the bucketed cosine-pair family
+    (:func:`embedding_near_duplicates`, :func:`semantic_dedup_pairs`):
+    two-pass capped member lists → in-expression pair expansion →
+    exact cosine → threshold. Input contract: columns ``_id``, ``_vec``
+    (array<double>), ``_norm``, ``_bucket``; NULL ids/vectors already
+    excluded upstream.
+
+    Two-pass cap (capped_bucket_members): bucket sizes are counted
+    over the 8-byte bucket key FIRST and hot buckets dropped via
+    semi-join BEFORE any (id, vector, norm) list is materialized — a
+    mass-duplicated embedding cluster never reaches a collect_list
+    buffer (the count pass prunes to the key, so vectors shuffle
+    exactly once)."""
+    members = capped_bucket_members(
+        bucketed, "_bucket", F.struct("_id", "_vec", "_norm"), max_size=max_bucket
     )
     pair_arr = bucket_pairs(F.col("mem"), order_key="_id")
     denom = F.col("p.a._norm") * F.col("p.b._norm")
@@ -155,6 +172,79 @@ def embedding_near_duplicates(
         portable_round(score, 6).alias("score"),
     )
     return pairs.filter(F.col("score") >= threshold).dropDuplicates(["id_a", "id_b"])
+
+
+# Pinned deterministic centroids for the CONTRACT form of semantic
+# dedup (the oracle embeds the same literals; production callers pass
+# ivf_build_index centers instead). Same rounding discipline as
+# projection_matrix: 6-dp literals are the exact same doubles in the
+# Spark plan and the DuckDB SQL text.
+SEMANTIC_SEED = 7
+SEMANTIC_CELLS = 8
+
+
+def semantic_centroids(
+    k: int = SEMANTIC_CELLS, dim: int = EMBED_DIM, seed: int = SEMANTIC_SEED
+) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return [[round(float(v), 6) for v in row] for row in rng.randn(k, dim)]
+
+
+def nearest_centroid(vec: Column, centers: list[list[float]]) -> Column:
+    """Index of the nearest centroid — ``argmin_i (|v − c_i|², i)``,
+    ties to the lowest index, as ONE JVM-side expression.
+
+    Cross-engine discipline: |v−c|² expands to ``(v·v − 2·v·c) + c·c``
+    with c·c precomputed as a Python literal, so every term is either a
+    :func:`~tia_data_pipeline_spark.functions.vectors.dot` fold (fuzz-
+    pinned bit-identical to DuckDB ``list_dot_product``) or a shared
+    literal — the distances, and therefore the argmin comparisons, are
+    bit-for-bit reproducible in the oracle's SQL form (see
+    plans/llm.py::q_semantic_dedup)."""
+    dvv = dot(vec, vec)
+    entries = []
+    for i, c in enumerate(centers):
+        carr = F.array(*[F.lit(v) for v in c])
+        cc = F.lit(sum(x * x for x in c))
+        d = (dvv - 2.0 * dot(vec, carr)) + cc
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*entries))["i"]
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centers: list[list[float]] | None = None,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    max_cluster: int = 2000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest coarse-
+    quantizer centroid, then emit exact-cosine near-duplicate pairs ≥
+    ``threshold`` WITHIN each cluster — the intra-cluster restriction
+    is what makes semantic dedup tractable at 100 TB (candidate pairs
+    scale with Σ|cluster|², not |corpus|²).
+
+    ``centers=None`` uses the pinned deterministic centroids (the
+    oracle-checkable contract form); production passes the trained
+    :func:`ivf_build_index` centers — the operator is identical from
+    assignment onward. Same scale shape as
+    :func:`embedding_near_duplicates`: two-pass capped cluster
+    membership, in-expression pair expansion, never a corpus self-join.
+    NULL vectors/ids are excluded up front (the embed_dedup
+    discipline — a NULL vector is similar to nothing, and NULL ids
+    would emit pairs every ``id_a < id_b`` oracle drops as UNKNOWN)."""
+    centers = centers if centers is not None else semantic_centroids()
+    corpus = corpus.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+    bucketed = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        l2_norm(F.col(vec_col)).alias("_norm"),
+        nearest_centroid(F.col(vec_col), centers).alias("_bucket"),
+    )
+    return _bucketed_cosine_pairs(bucketed, threshold=threshold, max_bucket=max_cluster)
 
 
 def lsh_top_k(

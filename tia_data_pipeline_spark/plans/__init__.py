@@ -28,75 +28,65 @@ from tia_data_pipeline_spark.plans.contract import REGISTRY, oracle_sql, queries
 DRIVER_ROW_CAP = 50
 
 CONTRACT_ORDER = [
-    # -- round-6 fifth batch (never driver-seen): gaps-and-islands
-    #    streaks, Spearman rank correlation over the daily grid,
-    #    new-vs-returning growth accounting, cross-source vocabulary
-    #    overlap. Four 5x-green relational singles demote with in-cap
-    #    family covers (see TAIL_COVERED_BY).
+    # -- round-7 additions (never driver-seen): SemDeDup semantic
+    #    near-dup over pinned IVF centroids, one distributed BPE-merge
+    #    training iteration. Never-verified-first policy.
+    "q_semantic_dedup",
+    "q_bpe_train",
+    # -- round-7 reshape: q_approx_distinct now emits (n_exact,
+    #    within_bound) with a TRUE-stating oracle (VERDICT r6 #2) — the
+    #    registry's last never-hash-verified entry gets its first
+    #    hash-checkable driver row.
+    "q_approx_distinct",
+    # -- round-7 changed-semantics promotions: each of these tail
+    #    entries changed in round 6/7 after its last driver row
+    #    (q_embed_dedup: valid_vector read + the r7 ADVICE NULL-id
+    #    oracle fix; q_asof_join: anchor signup + NULL-ts filter — its
+    #    VALUES changed; q_profile: NULL preconditions + the r6 >2x
+    #    bench watch; q_ols_trend: NULL preconditions; q_scd2: oracle
+    #    rewrite + the r7 map-attr tiebreak; q_data_quality: oracle
+    #    rewrite), so the driver re-verifies the changed forms.
+    "q_embed_dedup",
+    "q_asof_join",
+    "q_profile",
+    "q_ols_trend",
+    "q_scd2",
+    "q_data_quality",
+    # -- round-7 stale-evidence promotions (VERDICT r6 #3): the eight
+    #    single-green r1/r2 tail entries with the stalest driver
+    #    evidence rotate in so evidence ages uniformly.
+    "q_cube",
+    "q_word_freq",
+    "q_canonicalize",
+    "q_token_bpe",
+    "q_topk_per_group",
+    "q_ann_multiprobe",
+    "q_ntile",
+    "q_sim_topk",
+    # -- round-6 batches retained in-cap (1x green r6 each, family
+    #    anchors and cover targets for the round-7 demotions).
     "q_streaks",
-    "q_spearman",
-    "q_new_users",
     "q_source_overlap",
-    # -- round-6 fourth batch (never driver-seen): join-key skew census,
-    #    rolling-median/MAD anomaly flags. q_ann_recall (2x green) and
-    #    q_dedup_components (3x green) demote with in-cap family covers
-    #    (q_knn_bucketed / q_dup_graph_degree; see TAIL_COVERED_BY).
     "q_skew_keys",
-    "q_anomaly",
-    # -- round-6 third batch (never driver-seen): Markov transition
-    #    matrix, Pareto/ABC cumulative share, categorical mutual
-    #    information, DAU/MAU stickiness. Four 2x-green r4/r5 singles
-    #    demote with in-cap family covers (see TAIL_COVERED_BY).
     "q_markov",
     "q_pareto_abc",
     "q_mutual_info",
     "q_stickiness",
-    "q_seasonality",
-    "q_rolling_actives",
-    # -- round-6 second batch (never driver-seen): Benford first-digit
-    #    conformance, co-occurrence lift, dyadic EWMA, inter-arrival
-    #    order stats, RFM quartile segmentation, triangle census.
-    "q_benford",
-    "q_cooccur_lift",
     "q_ewma",
-    "q_interarrival",
     "q_rfm",
-    "q_triangles",
     "q_quality_linear",
-    # -- round-6 additions (never driver-seen): slots before everything
-    #    else per the never-verified-first policy.
     "q_substring_dedup",
     "q_mad_outliers",
     "q_containment",
     "q_burstiness",
-    "q_zipf_fit",
     "q_dup_graph_degree",
-    # -- round-6 rotation (VERDICT r5 #7): single-green tail entries with
-    #    the STALEST driver evidence rotate in so evidence ages uniformly
-    #    (q_knn_bucketed/q_chunking last green r4; the rest r1). Eight
-    #    multi-green redundant variants demote in exchange (each family
-    #    keeps an in-cap representative; see TAIL_COVERED_BY).
     "q_knn_bucketed",
     "q_chunking",
     "q_dedup_latest",
     "q_doc_fingerprint",
     "q_scan_project",
-    # -- round-5 additions kept in-cap: each CHANGED this round so a
-    #    fresh driver row re-verifies the changed form (q_gini/q_ks_drift
-    #    NULL preconditions, q_bm25's dropped nano-nat column) or anchors
-    #    a family (q_jsd_mix covers two tail variants). The five unchanged
-    #    1x-green r5 singles (pagerank/winsorize/ols_trend/autocorr/
-    #    changepoint) and q_tok_fertility demote with in-cap family
-    #    covers to fund the second round-6 batch + q_quality_linear.
-    "q_ks_drift",
     "q_jsd_mix",
     "q_bm25",
-    "q_gini",
-    # -- retained r4/r5 families (2x green; q_pii_redact and q_boilerplate
-    #    changed this round - fresh rows re-verify) and the relational/
-    #    windows tier (operator representatives and flagship).
-    "q_pii_redact",
-    "q_feature_hash",
     "q_split_assign",
     "q_boilerplate",
     "q_daily_window",
@@ -104,9 +94,6 @@ CONTRACT_ORDER = [
     "q_exists_guard",
     "q_revenue_by_segment",
     "q_merge_upsert",
-    "q_agg_count",
-    "q_topk_latest",
-    "q_word_count",
     "q_ts_normalize",
     "q_exact_dedup",
     "q_resize_meta",
@@ -114,64 +101,59 @@ CONTRACT_ORDER = [
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
-    # -- demoted in round 6 for the fifth batch (q_streaks / q_spearman /
-    #    q_new_users / q_source_overlap): all 5x driver-green r1-r5;
-    #    the anti-join op stays in-cap via q_merge_upsert's eqNullSafe
-    #    anti-join, semi/exists via q_exists_guard, hash dedup via
-    #    q_exact_dedup, pushed-filter scans via q_scan_project:
+    # -- demoted in round 7 to fund the seventeen promotions above
+    #    (each 1-6x driver-green incl. r6; family covers in
+    #    TAIL_COVERED_BY): the heavily-verified relational singles and
+    #    the freshly-single-green round-6 diagnostics whose families
+    #    keep an in-cap representative.
+    "q_agg_count",
+    "q_topk_latest",
+    "q_word_count",
+    "q_pii_redact",
+    "q_feature_hash",
+    "q_gini",
+    "q_ks_drift",
+    "q_spearman",
+    "q_seasonality",
+    "q_rolling_actives",
+    "q_cooccur_lift",
+    "q_interarrival",
+    "q_new_users",
+    "q_benford",
+    "q_triangles",
+    "q_anomaly",
+    "q_zipf_fit",
+    # -- demoted in round 6 (covers unchanged):
     "q_antijoin_incr",
     "q_semi_join",
     "q_dedup_batch",
     "q_filter_range",
-    # -- demoted in round 6 for the fourth batch (q_skew_keys /
-    #    q_anomaly): ANN eval stays in-cap via q_knn_bucketed, the
-    #    dup-graph family via q_dup_graph_degree / q_triangles:
     "q_ann_recall",
     "q_dedup_components",
-    # -- demoted in round 6 for q_seasonality / q_rolling_actives (both
-    #    1x-green r1 stale-evidence promotions from earlier this round;
-    #    five of the seven stale rotations stay in-cap, satisfying the
-    #    >=5-rotation ask, and each family keeps an in-cap cover):
-    "q_cube",
-    "q_word_freq",
-    # -- demoted in round 6 for the third batch (each 2x driver-green
-    #    r4+r5; quality scoring stays in-cap via q_quality_linear /
-    #    q_pii_redact, diagnostics via q_benford, behavioral via
-    #    q_rfm / q_stickiness, token stats via q_word_count / q_bm25):
     "q_gopher_quality",
     "q_token_entropy",
     "q_cohort_retention",
-    "q_data_quality",
-    # -- demoted in round 6 for the second batch (five unchanged 1x-green
-    #    r5 singles + the 2x-green Levenshtein verify; each family keeps
-    #    an in-cap representative per TAIL_COVERED_BY):
     "q_pagerank",
     "q_tok_fertility",
     "q_winsorize",
-    "q_ols_trend",
     "q_autocorr",
     "q_changepoint",
     "q_edit_distance",
-    # -- demoted in round 6 (each 2-4x green) for the round-6 additions
-    #    and the seven stale-evidence promotions above.
     "q_source_mix",  # grouped mixture stats: q_jsd_mix keeps the family in-cap
     "q_mix_temperature",  # mixture reweighting: q_jsd_mix keeps the family in-cap
-    "q_cluster_sizes",  # dedup-cluster stats: q_dup_graph_degree keeps the family in-cap (q_dedup_components demoted r6)
+    "q_cluster_sizes",  # dedup-cluster stats: q_dup_graph_degree keeps the family in-cap
     "q_group_sample",  # stratified sampling: q_split_assign keeps the id-hash family in-cap
     "q_decontaminate",  # external-membership mark: q_boilerplate keeps the membership_mark skeleton in-cap
     "q_fuzzy_dedup",
     "q_funnel",
-    "q_scd2",
     "q_lm_perplexity",
     "q_pack_sequences",
     "q_vocab_coverage",
     "q_embed_quantize",
     "q_knn_join",
     # -- earlier-round tail (redundant variants, each >=1x driver-green).
-    "q_approx_distinct",
     "q_session_window",
     "q_join_enrich",
-    "q_embed_dedup",
     "q_text_tokens",
     "q_ngram_jaccard",
     "q_quantiles",
@@ -189,14 +171,6 @@ CONTRACT_ORDER = [
     "q_hash_sample",
     "q_window_frames",
     "q_rollup",
-    "q_profile",
-    "q_asof_join",
-    "q_topk_per_group",
-    "q_token_bpe",
-    "q_canonicalize",
-    "q_ann_multiprobe",
-    "q_ntile",
-    "q_sim_topk",
     "q_proj_alias",
     "q_const_probe",
     "q_json_ser",
@@ -215,102 +189,127 @@ CONTRACT_ORDER = [
 # at the repo root. Updated each round; the tail-policy test checks
 # every below-cap entry appears here.
 DRIVER_GREEN_HISTORY = {
-    "q_agg_count": [1, 2, 3, 4, 5],
+    "q_agg_count": [1, 2, 3, 4, 5, 6],
     "q_ann_lsh": [1, 2, 3],
     "q_ann_multiprobe": [1],
     "q_ann_recall": [4, 5],
+    "q_anomaly": [6],
     "q_antijoin_incr": [1, 2, 3, 4, 5],
     "q_approx_distinct": [3, 4],
     "q_asof_join": [1, 2, 3],
     "q_autocorr": [5],
-    "q_bm25": [5],
-    "q_boilerplate": [4, 5],
+    "q_benford": [6],
+    "q_bm25": [5, 6],
+    "q_boilerplate": [4, 5, 6],
+    "q_burstiness": [6],
     "q_canonicalize": [1],
     "q_changepoint": [5],
     "q_children_rollup": [1, 2, 3],
-    "q_chunking": [4],
+    "q_chunking": [4, 6],
     "q_cluster_sizes": [4, 5],
     "q_cohort_retention": [4, 5],
     "q_collocations": [4],
     "q_const_probe": [1, 2, 3],
+    "q_containment": [6],
+    "q_cooccur_lift": [6],
     "q_count_distinct": [1, 2, 3],
     "q_cube": [1],
-    "q_daily_window": [2, 3, 4, 5],
+    "q_daily_window": [2, 3, 4, 5, 6],
     "q_data_quality": [4, 5],
     "q_decontaminate": [4, 5],
     "q_dedup_batch": [1, 2, 3, 4, 5],
     "q_dedup_components": [3, 4, 5],
-    "q_dedup_latest": [1],
-    "q_doc_fingerprint": [1],
+    "q_dedup_latest": [1, 6],
+    "q_doc_fingerprint": [1, 6],
+    "q_dup_graph_degree": [6],
     "q_edit_distance": [4, 5],
     "q_embed_dedup": [1, 2, 3, 4],
     "q_embed_quantize": [4, 5],
     "q_embed_stats": [1, 2, 3],
-    "q_exact_dedup": [1, 2, 3, 4, 5],
-    "q_exists_guard": [2, 3, 4, 5],
-    "q_feature_hash": [4, 5],
+    "q_ewma": [6],
+    "q_exact_dedup": [1, 2, 3, 4, 5, 6],
+    "q_exists_guard": [2, 3, 4, 5, 6],
+    "q_feature_hash": [4, 5, 6],
     "q_filter_range": [1, 2, 3, 4, 5],
     "q_funnel": [4, 5],
     "q_fuzzy_dedup": [1, 2, 5],
     "q_gap_fill": [2, 3],
-    "q_gini": [5],
+    "q_gini": [5, 6],
     "q_gopher_quality": [4, 5],
     "q_group_sample": [4, 5],
     "q_hash_sample": [1, 2, 3],
     "q_histogram": [2, 3],
+    "q_interarrival": [6],
     "q_join_enrich": [1, 2, 3, 4],
-    "q_jsd_mix": [5],
+    "q_jsd_mix": [5, 6],
     "q_json_ser": [1, 2, 3],
-    "q_knn_bucketed": [4],
+    "q_knn_bucketed": [4, 6],
     "q_knn_join": [3, 4, 5],
-    "q_ks_drift": [5],
+    "q_ks_drift": [5, 6],
     "q_lang_id": [1, 2, 3],
     "q_lm_perplexity": [4, 5],
-    "q_merge_upsert": [2, 3, 4, 5],
+    "q_mad_outliers": [6],
+    "q_markov": [6],
+    "q_merge_upsert": [2, 3, 4, 5, 6],
     "q_mix_temperature": [4, 5],
     "q_multimodal_meta": [1, 2, 3],
+    "q_mutual_info": [6],
+    "q_new_users": [6],
     "q_ngram_jaccard": [1, 2, 3, 4],
     "q_ntile": [1, 2],
     "q_ols_trend": [5],
     "q_pack_sequences": [4, 5],
     "q_pagerank": [5],
-    "q_pii_redact": [4, 5],
+    "q_pareto_abc": [6],
+    "q_pii_redact": [4, 5, 6],
     "q_pivot_status": [1, 2, 3],
     "q_profile": [1, 2, 3],
     "q_proj_alias": [1, 2, 3],
+    "q_quality_linear": [6],
     "q_quality_score": [1, 2, 3],
     "q_quantiles": [1, 2, 3, 4],
-    "q_range_join": [1, 2, 3, 4, 5],
+    "q_range_join": [1, 2, 3, 4, 5, 6],
     "q_repetition": [4],
-    "q_resize_meta": [2, 3, 4, 5],
-    "q_revenue_by_segment": [1, 2, 3, 4, 5],
+    "q_resize_meta": [2, 3, 4, 5, 6],
+    "q_revenue_by_segment": [1, 2, 3, 4, 5, 6],
+    "q_rfm": [6],
+    "q_rolling_actives": [6],
     "q_rollup": [1, 2, 3],
-    "q_scan_project": [1],
+    "q_scan_project": [1, 6],
     "q_scd2": [4, 5],
-    "q_self_join": [2, 3, 4, 5],
+    "q_seasonality": [6],
+    "q_self_join": [2, 3, 4, 5, 6],
     "q_semi_join": [1, 2, 3, 4, 5],
     "q_session_window": [3, 4],
     "q_set_ops": [1, 2, 3],
     "q_sim_topk": [1, 2],
     "q_simhash": [1, 2, 3],
+    "q_skew_keys": [6],
     "q_sliding_window": [2, 3],
     "q_source_mix": [4, 5],
-    "q_split_assign": [4, 5],
+    "q_source_overlap": [6],
+    "q_spearman": [6],
+    "q_split_assign": [4, 5, 6],
     "q_star_join": [1, 2, 3],
+    "q_stickiness": [6],
+    "q_streaks": [6],
+    "q_substring_dedup": [6],
     "q_text_tokens": [1, 2, 3, 4],
     "q_tfidf": [1, 2, 3],
     "q_thread_closure": [1, 2, 3],
     "q_tok_fertility": [5],
     "q_token_bpe": [1],
     "q_token_entropy": [4, 5],
-    "q_topk_latest": [1, 2, 3, 4, 5],
+    "q_topk_latest": [1, 2, 3, 4, 5, 6],
     "q_topk_per_group": [1],
-    "q_ts_normalize": [1, 2, 3, 4, 5],
+    "q_triangles": [6],
+    "q_ts_normalize": [1, 2, 3, 4, 5, 6],
     "q_vocab_coverage": [4, 5],
     "q_window_frames": [1, 2, 3],
     "q_winsorize": [5],
-    "q_word_count": [1, 2, 3, 4, 5],
+    "q_word_count": [1, 2, 3, 4, 5, 6],
     "q_word_freq": [1],
+    "q_zipf_fit": [6],
     "q_zscore": [1, 2, 3],
 }
 

@@ -955,11 +955,22 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     s = DD.simhash(fan_out(docs.select("doc_id", "text")), "text", "doc_id")
     p = docs.select("doc_id", F.substring("text", 1, _ED_PREFIX).alias("pfx"))
-    j = s.join(p, "doc_id")
-    members = (
-        j.groupBy("simhash")
-        .agg(F.collect_list(F.struct("doc_id", "pfx")).alias("mem"))
-        .filter((F.size("mem") >= 2) & (F.size("mem") <= _ED_MAX_BUCKET))
+    # Two-pass cap (the capped_bucket_members discipline, inlined so the
+    # count pass runs on the fingerprint frame ALONE — before the prefix
+    # join, which is 1:1 on doc_id and so leaves bucket sizes unchanged):
+    # a mass-near-identical fingerprint is dropped via semi-join before
+    # any (doc_id, pfx) list buffer exists. The CPU-heavy 32-vote leg
+    # does execute twice (count + pair legs), the 100 TB trade; the
+    # cheap prefix scan stays single.
+    kept = (
+        s.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= _ED_MAX_BUCKET))
+        .select("simhash")
+    )
+    j = s.join(kept, "simhash", "left_semi").join(p, "doc_id")
+    members = j.groupBy("simhash").agg(
+        F.collect_list(F.struct("doc_id", "pfx")).alias("mem")
     )
     pair_arr = DD.bucket_pairs(F.col("mem"), order_key="doc_id")
     pr = members.select(F.explode(pair_arr).alias("p")).select(

@@ -129,6 +129,57 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_bpe_train",
+    oracle=(
+        "WITH tk AS (SELECT unnest({t}) AS w FROM documents), "
+        "vocab AS (SELECT w, count(*)::BIGINT AS wc FROM tk GROUP BY w), "
+        "pos AS (SELECT w, wc, unnest(range(1, len(w))) AS i FROM vocab), "
+        "pc AS (SELECT substring(w, i, 1) AS left_sym, "
+        "  substring(w, i + 1, 1) AS right_sym, sum(wc)::BIGINT AS pair_count "
+        "  FROM pos GROUP BY left_sym, right_sym) "
+        "SELECT left_sym, right_sym, pair_count FROM pc "
+        "ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 20"
+    ).format(t=_DOC_TOKENS_SQL),
+    covers="ext-text-analysis (distributed BPE tokenizer-training merge step)",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic BPE-training merge iteration — the tokenizer-
+    TRAINING counterpart of q_token_bpe's inference: adjacent character-
+    pair frequencies over the corpus, weighted by word frequency; row 1
+    (highest count, lexicographic (left, right) tiebreak — both sides
+    UTF-8 byte order) is the merge the iteration would adopt, and the
+    top 20 hash-check the whole candidate frontier.
+
+    Scale shape: the corpus-sized leg is ONE bare-token explode into a
+    vocab aggregate (fan=False per the pinned fan_out decision rule —
+    the aggregate's exchange already parallelizes); pair assembly then
+    runs on the VOCAB (|distinct words|, not |tokens|) via the
+    slice+arrays_zip idiom, each pair weighted by the word's count —
+    exactly how distributed BPE trainers avoid re-scanning the corpus
+    per iteration. Integer counts end-to-end: hash-portable, no
+    rounding anywhere."""
+    docs = _docs(spark, sf_dir, fan=False)
+    vocab = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    cs = F.split(F.col("w"), "")
+    m = F.size(cs) - 1
+    pair_arr = F.transform(
+        F.arrays_zip(F.slice(cs, 1, m), F.slice(cs, 2, m)),
+        lambda s: F.struct(s["0"].alias("l"), s["1"].alias("r")),
+    )
+    pairs = vocab.select(F.explode(pair_arr).alias("p"), "wc")
+    pc = pairs.groupBy(
+        F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+    ).agg(F.sum("wc").cast("bigint").alias("pair_count"))
+    return pc.orderBy(
+        F.col("pair_count").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()
+    ).limit(20)
+
+
+@contract_query(
     "q_lang_id",
     oracle=f"SELECT doc_id, {TX.lang_id_sql('text')} AS lang_pred FROM documents",
     covers="ext-text-analysis (language-ID heuristic)",
@@ -315,9 +366,15 @@ _EMBED_DEDUP_TAU = 0.35  # the synthetic corpus is isotropic-random
     oracle=(
         # the hot-bucket cap is mirrored (HAVING count(*) <= 2000, the
         # operator's max_bucket default): without it a degenerate
-        # bucket past the cap would emit pairs on the oracle side only
+        # bucket past the cap would emit pairs on the oracle side only.
+        # NULL vec_ids are excluded HERE, before bc's census — the
+        # operator filters NULL ids before bucketing, so a bucket at
+        # exactly the cap must count the same membership on both sides
+        # (ADVICE r6: a NULL-id row plus 2000 real rows would otherwise
+        # be kept by Spark but dropped by the oracle)
         "WITH b AS (SELECT vec_id, embedding, "
-        f"{_bucket_sql('embedding', _PROJ4)} AS bucket FROM {_E} embeddings), "
+        f"{_bucket_sql('embedding', _PROJ4)} AS bucket FROM {_E} embeddings "
+        "WHERE vec_id IS NOT NULL), "
         "bc AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 2000), "
         "pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, "
         f"  {TX.portable_round_sql(cosine_sql('a.embedding', 'b2.embedding'), 6)} AS score "
@@ -334,6 +391,78 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of self-joining the corpus."""
     return SIM.embedding_near_duplicates(
         valid_embeddings(spark, sf_dir), threshold=_EMBED_DEDUP_TAU, proj=_PROJ4
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_semantic_dedup — SemDeDup-style intra-cluster cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+_SEM_CENTERS = SIM.semantic_centroids()
+_SEM_TAU = 0.35  # same rationale as _EMBED_DEDUP_TAU: the synthetic
+# corpus is isotropic-random, so a production τ≈0.95 would be vacuous.
+
+
+def _center_dist_sql(vec_expr: str, c: list[float]) -> str:
+    """|v − c|² as ``(v·v − 2·v·c) + c·c`` — every term a
+    list_dot_product (fuzz-pinned bit-identical to the Spark `dot`
+    fold) or a shared Python literal, mirroring
+    operators.similarity.nearest_centroid exactly."""
+    lits = ", ".join(repr(v) for v in c)
+    cc = repr(sum(x * x for x in c))
+    return (
+        f"((list_dot_product(({vec_expr})::DOUBLE[], ({vec_expr})::DOUBLE[]) "
+        f"- 2.0 * list_dot_product(({vec_expr})::DOUBLE[], [{lits}]::DOUBLE[])) + {cc})"
+    )
+
+
+def _argmin_cell_sql(k: int) -> str:
+    """CASE-chain argmin over precomputed d0..d{k-1} columns with the
+    lexicographic (distance, index) tiebreak — index i wins iff
+    strictly closer than every EARLIER center and at least as close as
+    every LATER one, exactly `array_min(array(struct(d, i)))`."""
+    whens = []
+    for i in range(k):
+        conds = [f"(d{i} < d{j})" for j in range(i)] + [
+            f"(d{i} <= d{j})" for j in range(i + 1, k)
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {i}")
+    return "(CASE " + " ".join(whens[: k - 1]) + f" ELSE {k - 1} END)"
+
+
+@contract_query(
+    "q_semantic_dedup",
+    oracle=(
+        # Distances compute ONCE in b0; the cell argmin, the hot-cluster
+        # cap (HAVING count(*) <= 2000 mirroring max_cluster) and the
+        # NULL-id exclusion all follow the q_embed_dedup discipline.
+        "WITH b0 AS (SELECT vec_id, embedding, "
+        + ", ".join(
+            f"{_center_dist_sql('embedding', c)} AS d{i}"
+            for i, c in enumerate(_SEM_CENTERS)
+        )
+        + f" FROM {_E} embeddings WHERE vec_id IS NOT NULL), "
+        f"b AS (SELECT vec_id, embedding, "
+        f"{_argmin_cell_sql(len(_SEM_CENTERS))} AS cell FROM b0), "
+        "bc AS (SELECT cell FROM b GROUP BY cell HAVING count(*) <= 2000), "
+        "pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, "
+        f"  {TX.portable_round_sql(cosine_sql('a.embedding', 'b2.embedding'), 6)} AS score "
+        "  FROM b a JOIN b b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id "
+        "  JOIN bc ON bc.cell = a.cell) "
+        f"SELECT id_a, id_b, score FROM pairs WHERE score >= {_SEM_TAU}"
+    ),
+    covers="ext-exact-dedup family: SemDeDup semantic near-dup (IVF-clustered cosine)",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup: nearest pinned
+    centroid per embedding, exact cosine pairs ≥ τ within each cluster
+    — candidate pairs scale with Σ|cluster|², never |corpus|². The
+    centroid assignment is bit-reproducible in DuckDB (distances are
+    dot-product folds + shared literals), so the oracle replays the
+    exact clustering; production swaps in trained ivf_build_index
+    centers with identical semantics."""
+    return SIM.semantic_dedup_pairs(
+        valid_embeddings(spark, sf_dir), _SEM_CENTERS, threshold=_SEM_TAU
     )
 
 
@@ -469,8 +598,18 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @contract_query(
     "q_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines — error bound is
-    # pinned instead by tests/test_features.py::test_approx_distinct_error_bound
+    oracle=(
+        # The sketch itself has no cross-engine twin (DuckDB's
+        # approx_count_distinct is a different sketch), so the CONTRACT
+        # is the estimate's error bound: Spark emits the exact count
+        # alongside `within_bound` = |est − exact| ≤ 15% (3·rsd) of
+        # exact, integer-arithmetic so an all-NULL group (exact = 0,
+        # est = 0 → 0 ≤ 0) never divides; the oracle states the exact
+        # count and TRUE. A drifting sketch breaks the value hash.
+        "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact, "
+        "count(*)::BIGINT AS n_events, TRUE AS within_bound "
+        "FROM events GROUP BY event_type"
+    ),
     covers="distinct aggregation, sketch scale path (approx_count_distinct)",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,18 +623,31 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     slower than exact countDistinct (0.29s), because precision p≥14
     registers defeat the sketch's purpose at this update rate. The
     sketch only pays for its error when its update/merge path is
-    cheaper than the exact expand — which 0.05 is. Error bound pinned
-    by tests/test_features.py; no cross-engine oracle exists because
-    DuckDB's approx_count_distinct uses a different sketch."""
-    return (
+    cheaper than the exact expand — which 0.05 is.
+
+    Oracle contract (round 7): the frame carries BOTH the sketch
+    estimate and the exact distinct count and hash-checks
+    ``within_bound`` — |est − exact|·100 ≤ 15·exact, all bigint (no
+    ANSI division hazard on empty/all-NULL groups). The exact leg
+    exists for the check; the sketch leg is the operator under test
+    (its local error-bound is additionally pinned across scales by
+    tests/test_features.py::test_approx_distinct_error_bound)."""
+    est = F.approx_count_distinct("user_id", rsd=0.05)
+    exact = F.countDistinct("user_id").cast("bigint")
+    agg = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.05).alias("n_users_approx"),
-            F.count("*").alias("n_events"),
+            est.alias("_est"),
+            exact.alias("n_exact"),
+            F.count("*").cast("bigint").alias("n_events"),
         )
-        .orderBy("event_type")
     )
+    bound = (
+        F.abs(F.col("_est") - F.col("n_exact")) * F.lit(100)
+        <= F.lit(15) * F.col("n_exact")
+    )
+    return agg.select("event_type", "n_exact", "n_events", bound.alias("within_bound"))
 
 
 @contract_query(
