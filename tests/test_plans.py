@@ -929,6 +929,10 @@ BUCKET_CAPPED_QUERIES = [
     "q_substring_dedup",
     "q_embed_dedup",
     "q_edit_distance",
+    # q_semantic_dedup is cap-checked separately: its pair generation
+    # is a cell-equi self-join (fat coarse-quantizer cells make member
+    # arrays quadratic in vectors), so it has no collect at all — see
+    # test_semantic_dedup_join_shape.
 ]
 
 
@@ -951,3 +955,18 @@ def test_bucket_collects_are_semi_join_capped(spark, name):
     assert min(semi_idx) > min(collect_idx), (
         f"{name}: semi-join is not below the member-list aggregate"
     )
+
+
+def test_semantic_dedup_join_shape(spark):
+    """q_semantic_dedup pairs via a cell-equi self-join, never member
+    arrays (fat coarse-quantizer cells make collect_list quadratic in
+    VECTORS — measured 11.3s vs 1.1s at sf0.1): no collect aggregate
+    anywhere, the two-pass hot-cluster cap's semi-joins present, the
+    pair-cosine stream side fanned to full parallelism (a broadcast
+    cell join would otherwise inherit the single-file scan's one
+    split), and no cartesian product."""
+    p = plan_of(spark, "q_semantic_dedup")
+    assert "collect_list" not in p and "collect_set" not in p
+    assert "LeftSemi" in p
+    assert "RoundRobinPartitioning" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

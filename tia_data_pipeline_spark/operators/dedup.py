@@ -680,6 +680,13 @@ def substring_overlap_pairs(
             .select("_id", F.expr(md5_int_sql("_km")).alias("h"))
             .filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
         )
+        # The two-pass cap consumes hs twice (count + collect legs), and
+        # the md5-per-position hash is the dominant cost of this path —
+        # persist the NARROW (h, _id) frame (16 bytes/sample, 1/mod of
+        # the k-mer stream) so the hash computes once; the q_triangles
+        # persist discipline (ContextCleaner-bounded lifecycle).
+        # Measured 3.0 s → recomputed vs persisted at sf0.1.
+        hs = hs.persist()
         grouped = capped_bucket_members(hs, "h", "_id", max_size=max_df, distinct=True)
     else:
         km = src.select(

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from tia_data_pipeline_spark.functions.text import portable_round
 from tia_data_pipeline_spark.functions.vectors import cosine_similarity, dot, l2_norm
 from tia_data_pipeline_spark.operators.dedup import bucket_pairs, capped_bucket_members
+from tia_data_pipeline_spark.operators.scale import fan_out
 
 # Deterministic projection matrix shared with the DuckDB oracle
 # (plans/llm.py embeds the same literals in the generated SQL).
@@ -174,20 +175,17 @@ def _bucketed_cosine_pairs(
     return pairs.filter(F.col("score") >= threshold).dropDuplicates(["id_a", "id_b"])
 
 
-# Pinned deterministic centroids for the CONTRACT form of semantic
-# dedup (the oracle embeds the same literals; production callers pass
-# ivf_build_index centers instead). Same rounding discipline as
-# projection_matrix: 6-dp literals are the exact same doubles in the
-# Spark plan and the DuckDB SQL text.
-SEMANTIC_SEED = 7
-SEMANTIC_CELLS = 8
+def semantic_centroids() -> list[list[float]]:
+    """Pinned TRAINED centroids for the CONTRACT form of semantic dedup
+    (the oracle embeds the same literals; production callers pass live
+    :func:`ivf_build_index` centers instead). See
+    operators/semantic_centers.py for provenance — trained, not
+    random: gaussian-random centers degenerate on this corpus (2 of 8
+    cells used, 84% of vectors in one — ~5× the intra-cell pair
+    work)."""
+    from tia_data_pipeline_spark.operators.semantic_centers import SEMANTIC_CENTERS
 
-
-def semantic_centroids(
-    k: int = SEMANTIC_CELLS, dim: int = EMBED_DIM, seed: int = SEMANTIC_SEED
-) -> list[list[float]]:
-    rng = np.random.RandomState(seed)
-    return [[round(float(v), 6) for v in row] for row in rng.randn(k, dim)]
+    return SEMANTIC_CENTERS
 
 
 def nearest_centroid(vec: Column, centers: list[list[float]]) -> Column:
@@ -242,9 +240,55 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
         l2_norm(F.col(vec_col)).alias("_norm"),
-        nearest_centroid(F.col(vec_col), centers).alias("_bucket"),
+        nearest_centroid(F.col(vec_col), centers).alias("_cell"),
     )
-    return _bucketed_cosine_pairs(bucketed, threshold=threshold, max_bucket=max_cluster)
+    # Pair generation is a CELL-EQUI SELF-JOIN here, not the
+    # collect_list + in-expression expansion the sign-bucket family
+    # uses: coarse quantizers have FEW, FAT cells (|corpus|/n_lists
+    # members — ~600 at sf0.1 vs ~300 for the 4-bit sign buckets), and
+    # the in-expression form materializes b²/2 pair structs EACH
+    # CARRYING TWO FULL VECTORS in one row before the explode —
+    # measured 11.3 s vs 1.9 s for this join at sf0.1. The join
+    # shuffles (id, vec, norm) rows by cell and streams pair cosines
+    # without ever materializing a pair array; the assignment lineage
+    # (a narrow projection) executes once per side, which is cheap
+    # where re-planning a signature AGGREGATE twice would not be. The
+    # hot-cluster cap stays two-pass (count → semi-join BOTH sides).
+    sizes = bucketed.groupBy("_cell").agg(F.count(F.lit(1)).alias("_csz"))
+    kept = sizes.filter(
+        (F.col("_csz") >= 2) & (F.col("_csz") <= max_cluster)
+    ).select("_cell")
+    b = bucketed.join(kept, "_cell", "left_semi")
+    # With few cells the tiny kept/b_side legs broadcast, so the
+    # streaming side would inherit the corpus scan's raw split count
+    # (ONE split for a single-file contract corpus — measured 15 s with
+    # the whole pair-cosine loop serialized on one task). fan_out
+    # widens it to full parallelism; at cluster scale the scan arrives
+    # pre-split and this is a no-op (the fan_out contract).
+    a_side = fan_out(
+        b.select(
+            F.col("_cell"),
+            F.col("_id").alias("id_a"),
+            F.col("_vec").alias("_vec_a"),
+            F.col("_norm").alias("_norm_a"),
+        )
+    )
+    b_side = b.select(
+        F.col("_cell"),
+        F.col("_id").alias("id_b"),
+        F.col("_vec").alias("_vec_b"),
+        F.col("_norm").alias("_norm_b"),
+    )
+    joined = a_side.join(
+        b_side, on=[a_side["_cell"] == b_side["_cell"], F.col("id_a") < F.col("id_b")]
+    )
+    denom = F.col("_norm_a") * F.col("_norm_b")
+    score = F.when(denom > 0, dot(F.col("_vec_a"), F.col("_vec_b")) / denom)
+    return (
+        joined.select("id_a", "id_b", portable_round(score, 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def lsh_top_k(

@@ -189,16 +189,30 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers="grouping sets / rollup (extension)",
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals: (flag, status), (flag), and grand total
-    in one pass — Spark expands grouping sets map-side, so the input
-    is scanned once, not once per level."""
+    """Hierarchical subtotals: (flag, status), (flag), and grand total.
+
+    TWO-LEVEL accumulation (round 7 — root cause of the r6 2.6× bench
+    regression was the decimal(38,0) accumulator running on every
+    corpus row; measured 0.73→0.24 s at sf0.1, interleaved min-of-4):
+    the corpus-scan leg sums cents as BIGINT per leaf (flag, status)
+    group — exact, codegen-friendly, overflow-bounded by one leaf
+    holding ~1.8e15 rows at max quantity (≈100× the 100 TB design
+    point) — and only the |leaf|-sized rollup over the partials uses
+    the unbounded decimal accumulator, so the grand total stays exact
+    and abort-free at ANY scale. Algebraically identical to the
+    single-pass rollup (rollup grouping sets are sum-decomposable over
+    the leaf partition, NULL key values included); the oracle keeps
+    DuckDB's native one-pass ROLLUP with its HUGEINT accumulator."""
     li = load_table(spark, sf_dir, "lineitem")
-    # decimal accumulator: the grand-total cents sum is unbounded (a
-    # bigint sum aborts only on Spark past 2^63; DuckDB sums HUGEINT)
-    qcents = F.round(F.col("l_quantity") * 100).cast("bigint").cast("decimal(38,0)")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_items"),
-        (F.sum(qcents).cast("double") / 100.0).alias("sum_qty"),
+    qcents = F.round(F.col("l_quantity") * 100).cast("bigint")
+    leaf = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("_n"), F.sum(qcents).alias("_cents")
+    )
+    return leaf.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("n_items"),
+        (F.sum(F.col("_cents").cast("decimal(38,0)")).cast("double") / 100.0).alias(
+            "sum_qty"
+        ),
     )
 
 
@@ -391,13 +405,25 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this runs as one map-reduce over the table."""
     orders = load_table(spark, sf_dir, "orders")
     fv = finite_value(F.col("o_totalprice"))
-    cents = F.round(fv * 100).cast("bigint").cast("decimal(38,0)")
-    return orders.agg(
+    # finite_value is PROJECTED once per row (round 7): inlining it in
+    # each of the four aggregates re-evaluated the NaN/Inf guards 4×
+    # per row (measured 0.21→0.175 s at sf0.1). The cents sum keeps the
+    # decimal accumulator — unlike q_rollup there is no natural leaf
+    # grouping to bound a bigint partial, and total-price cents at
+    # 100 TB order counts approach 2^63.
+    pre = orders.select(
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderdate",
+        fv.alias("_fv"),
+        F.round(fv * 100).cast("bigint").cast("decimal(38,0)").alias("_cents"),
+    )
+    return pre.agg(
         F.count("*").alias("n_rows"),
         F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("n_null_price"),
-        F.min(fv).alias("min_price"),
-        F.max(fv).alias("max_price"),
-        (F.sum(cents).cast("double") / F.count(fv) / 100.0).alias("mean_price"),
+        F.min("_fv").alias("min_price"),
+        F.max("_fv").alias("max_price"),
+        (F.sum("_cents").cast("double") / F.count("_fv") / 100.0).alias("mean_price"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
