@@ -12,13 +12,16 @@ materialization through the `noop` sink — measures compute + shuffle,
 not driver-side collect.
 
 Prints ONE JSON line:
-  {"metric": "total_query_wall_sec", "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1, "value": N}
-("value" AFTER the queries map: the driver's tail-capture window
-truncated the r4/r5 artifacts from the FRONT of the line as the
-registry grew, losing the headline — trailing placement means any
-future clipping eats query entries, not the total) and writes the
-same JSON to BENCH_local.json so a self-contained copy always exists.
+  {"metric": "total_query_wall_sec", "unit": "sec", "queries_order":
+   "asc_time...", "queries": {name: sec, ...}, "sf": 0.1,
+   "failed": [...], "value": N}
+("value" and the failure keys AFTER the queries map, and the queries
+map sorted ASCENDING by time: the driver keeps only the LAST 2000
+chars of stdout, so front-clipping eats the fastest entries, never
+the headline or the slowest queries). The complete line is written to
+BENCH_local.json on every run and to BENCH_protocol.json at protocol
+scale only (sf0.1 — an sf-overridden sanity run can't clobber the
+committed judge-readable artifact).
 """
 
 from __future__ import annotations

@@ -30,10 +30,23 @@ def main() -> None:
     emb = valid_embeddings(spark, SF_DIR).filter(F.col("vec_id").isNotNull())
     _, centers = SIM.ivf_build_index(emb, n_lists=8, seed=42)
     rounded = [[round(float(x), 6) for x in c] for c in centers]
-    for i, c in enumerate(rounded):
-        print(f"center {i}: [{', '.join(repr(v) for v in c[:4])}, ...]")
-    print("\nPaste into operators/semantic_centers.py (or diff against it):")
-    print(repr(rounded)[:200], "...")
+    from tia_data_pipeline_spark.operators.semantic_centers import SEMANTIC_CENTERS
+
+    if rounded == SEMANTIC_CENTERS:
+        print("OK: regenerated centers match the committed literals bit-for-bit")
+        return
+    out = "/tmp/semantic_centers_regenerated.py"
+    with open(out, "w") as fh:
+        fh.write("SEMANTIC_CENTERS = [\n")
+        for c in rounded:
+            fh.write("    [\n")
+            for i in range(0, len(c), 6):
+                fh.write("        " + ", ".join(repr(v) for v in c[i : i + 6]) + ",\n")
+            fh.write("    ],\n")
+        fh.write("]\n")
+    print(f"MISMATCH: full regenerated literals written to {out}")
+    print("Diff against operators/semantic_centers.py; adopting them is a")
+    print("CONTRACT change (re-run the parity suites).")
 
 
 if __name__ == "__main__":

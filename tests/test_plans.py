@@ -569,7 +569,10 @@ def test_edit_distance_no_self_join(spark):
 
     p = plan_of(spark, "q_edit_distance")
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 3
+    # 2 scans: the cached fingerprint subtree (printed once; the
+    # two-pass cap's count + pair legs both read the cache) + prefixes
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+    assert "InMemoryTableScan" in p  # the persisted 16-byte simhash frame
 
 
 def test_mad_outliers_single_exchange(spark):
@@ -584,18 +587,21 @@ def test_mad_outliers_single_exchange(spark):
 def test_substring_dedup_no_self_join_single_scan(spark):
     """The portable char-k-mer overlap query must generate candidate
     pairs by in-expression bucket expansion, never a corpus self-join
-    (the oracle's formulation): no sort-merge join, no cartesian, and
-    exactly TWO corpus scans — the pair leg plus the two-pass cap's
-    count leg (positions explode from the pruned text scan; the 1/mod
-    sampling filter runs before any exchange on both legs)."""
+    (the oracle's formulation): no sort-merge join, no cartesian, ONE
+    corpus scan feeding the persisted (h, id) sample frame, and both
+    two-pass-cap legs reading the cache (positions explode from the
+    pruned text scan; the 1/mod sampling filter runs before any
+    exchange)."""
     import re
 
     p = plan_of(spark, "q_substring_dedup")
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    # 2 scans: the pair leg plus the two-pass cap's count leg (hot
-    # k-mers are dropped before any member list is materialized).
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+    # ONE corpus scan: the md5-per-position sample frame persists, so
+    # the two-pass cap's count leg and the pair leg both read the
+    # cache instead of re-hashing the corpus.
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "InMemoryTableScan" in p
 
 
 def test_lm_perplexity_model_join_no_cartesian(spark):
@@ -753,21 +759,21 @@ def test_rfm_pruned_scan_single_corpus_aggregate(spark):
 def test_triangles_edge_list_persisted_once(spark):
     """The corpus-sized inverted-index pair pipeline must materialize
     ONCE: all four edge-list consumers (three triangle-join scans + the
-    degree census) read the cached edges."""
+    degree census) read the cached edges. Since round 7 the shingle
+    pipeline additionally persists its own narrow (id, shingle-hash)
+    frame for the two-pass df-cap, so the cached-edge subtree contains
+    nested InMemoryTableScans — the outer four are a floor, and the
+    parquet-scan ceiling drops to the cached subtree's own copies."""
     p = plan_of(spark, "q_triangles")
     scans = [
         l
         for l in p.splitlines()
         if l.strip().startswith("(") and "InMemoryTableScan" in l
     ]
-    assert len(scans) == 4, f"expected 4 cached-edge scans, got {len(scans)}"
-    # the corpus parquet scans live ONLY inside the one cached subtree
-    # (they run once, at materialization) — an uncached consumer would
-    # add tree-level parquet scans beyond the pipeline's own six: the
-    # shingle-index diamond prints per consumer (doc_sizes twice +
-    # shared once) and the round-7 two-pass df-cap gives each copy a
-    # count leg and a pair leg (2 scans each; AQE ReusedExchange
-    # dedups them at runtime)
+    assert len(scans) >= 4, f"expected >=4 cached scans, got {len(scans)}"
+    # the corpus parquet scans live ONLY inside cached subtrees (they
+    # run once, at materialization) — an uncached consumer would add
+    # tree-level parquet scans
     pq = [
         l for l in p.splitlines() if l.strip().startswith("(") and "Scan parquet" in l
     ]

@@ -322,11 +322,15 @@ def minhash_near_duplicates(
     # content) are capped — at scale an uncapped bucket is a quadratic
     # bomb; the cap is the same trade LSH banding already makes — and
     # the cap is applied two-pass (count → semi-join → collect) so a
-    # million-copy boilerplate bucket never reaches a list buffer; the
-    # count pass prunes to (band, bucket), so signatures shuffle once.
+    # million-copy boilerplate bucket never reaches a list buffer. The
+    # banded frame persists first: the (band, bucket) keys derive from
+    # _sig, so the count leg would otherwise re-execute the whole
+    # minhash-signature aggregate (k·8 bytes/doc cached — exactly the
+    # signature table a production LSH pipeline materializes).
     # max_bucket is a PARAMETER mirroring minhash_oracle_sql's, so a
     # non-default oracle value can never silently diverge from a
     # hardcoded operator literal.
+    banded = banded.persist()
     members = capped_bucket_members(
         banded, ["band", "bucket"], F.struct("_id", "_sig"), max_size=max_bucket
     )
@@ -470,7 +474,10 @@ def _shingle_overlap_frames(
     # first — a corpus-stop shingle partial-aggregates map-side and is
     # dropped BEFORE any member list exists — then semi-join survivors
     # back and collect. min_size stays 1 so `grouped` still carries the
-    # singleton shingles doc_sizes counts.
+    # singleton shingles doc_sizes counts. The narrow (16-byte) keyed
+    # frame persists so the CPU-heavy shingle-zip + hash leg computes
+    # once, not once per pass (the substring/q_triangles discipline).
+    sh_ids = sh_ids.persist()
     dfreq = sh_ids.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     surv = sh_ids.join(
         dfreq.filter(F.col("_df") <= max_df).select("sh"), on="sh", how="left_semi"

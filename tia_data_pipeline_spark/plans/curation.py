@@ -959,9 +959,10 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count pass runs on the fingerprint frame ALONE — before the prefix
     # join, which is 1:1 on doc_id and so leaves bucket sizes unchanged):
     # a mass-near-identical fingerprint is dropped via semi-join before
-    # any (doc_id, pfx) list buffer exists. The CPU-heavy 32-vote leg
-    # does execute twice (count + pair legs), the 100 TB trade; the
-    # cheap prefix scan stays single.
+    # any (doc_id, pfx) list buffer exists. The 16-byte fingerprint
+    # frame persists so the CPU-heavy 32-vote aggregate computes once
+    # for the count + pair legs (the signature-table discipline).
+    s = s.persist()
     kept = (
         s.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("_bsz"))
