@@ -108,3 +108,33 @@ def test_pandas_zscore_dirty_degenerate_group(spark):
     pnd = {r["event_id"]: r["zscore"] for r in zscore_pandas(df, "user_id", "value").collect()}
     assert expr == pnd
     assert all(v is None for v in expr.values())
+
+
+def test_pandas_zscore_decimal_value_column(spark):
+    """Review r7: the pandas twin derives the VALUE column's output
+    type from the input schema (a decimal-typed money column used to
+    hit a hardcoded `double` field and fail the Arrow conversion) and
+    uses math.sqrt, not var**0.5, for the denominator (the 1-ulp
+    twin-parity hazard class)."""
+    from decimal import Decimal
+
+    from tia_data_pipeline_spark.operators.features import zscore, zscore_pandas
+
+    rows = [
+        (1, "a", Decimal("10.00")),
+        (2, "a", Decimal("12.50")),
+        (3, "a", Decimal("14.00")),
+        (4, "b", Decimal("5.25")),
+        (5, "b", Decimal("5.75")),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, k string, v decimal(18,2)"
+    )
+    expr_out = {
+        r["event_id"]: r["zscore"] for r in zscore(df, "k", "v").collect()
+    }
+    pd_out = {
+        r["event_id"]: r["zscore"] for r in zscore_pandas(df, "k", "v").collect()
+    }
+    assert expr_out == pd_out
+    assert zscore_pandas(df, "k", "v").schema["v"].dataType.simpleString() == "decimal(18,2)"

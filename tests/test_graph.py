@@ -203,3 +203,26 @@ def test_thread_closure_raises_past_max_depth(spark):
     # and the same forest resolves fully under an adequate budget
     out = thread_closure(df, "cid", "parent", max_depth=8)
     assert out.count() == 9
+
+
+def test_components_null_endpoints_identical_across_variants(spark):
+    """Review r7: both components operators state the same NULL-endpoint
+    precondition — an edge with a NULL endpoint is dropped, so the two
+    property-tested-equivalent algorithms return the SAME row set on
+    hostile input (label propagation used to silently lose the NULL
+    node while the twophase rewrite emitted a (NULL, NULL) row)."""
+    from tia_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 5), (7, None), (None, None), (3, 3)],
+        "id_a bigint, id_b bigint",
+    )
+    a = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    b = {
+        (r["node"], r["component"])
+        for r in connected_components_twophase(edges).collect()
+    }
+    assert a == b == {(1, 1), (2, 1), (3, 3)}

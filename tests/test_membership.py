@@ -273,3 +273,31 @@ def test_semi_and_anti_join_verbs_exact(spark, docs, tmp_path):
         r["doc_id"] for r in exact_anti.collect()
     )
     assert semi.count() + anti.count() == docs.count()
+
+
+def test_membership_mark_reserved_looking_stream_columns_survive(spark, docs):
+    """Review r7: the bloom path's temp columns are uuid-suffixed — a
+    stream that already carries `_possible` / `_b0_pos` columns passes
+    through both strategies unchanged (fixed temp names used to
+    clobber them, making the two strategies return different schemas
+    for the same input)."""
+    from pyspark.sql import functions as F
+
+    from tia_data_pipeline_spark.operators.membership import membership_mark
+
+    stream = docs.select(
+        F.col("doc_id").alias("k"),
+        F.lit("keepme").alias("_possible"),
+        F.lit(7).alias("_b0_pos"),
+    )
+    members = docs.select(F.col("doc_id")).filter(F.col("doc_id") % 3 == 0)
+    out = {}
+    for strategy in ("broadcast", "bloom"):
+        got = membership_mark(
+            stream, "k", members, "doc_id", strategy=strategy
+        ).collect()
+        assert all(r["_possible"] == "keepme" and r["_b0_pos"] == 7 for r in got)
+        out[strategy] = sorted(
+            (r["k"], r["_possible"], r["_b0_pos"], r["hit"]) for r in got
+        )
+    assert out["broadcast"] == out["bloom"]

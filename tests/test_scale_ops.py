@@ -340,3 +340,27 @@ def test_row_salt_skips_map_columns(spark):
     )
     out = {r["k"]: r["count"] for r in salted_group_count(df, ["k"]).collect()}
     assert out == {1: 2, 2: 1}
+
+
+def test_fan_out_widens_unsplittable_gzip(spark, tmp_path):
+    """Review r7: a whole-file-compressed input is ONE read task no
+    matter its byte size — the byte-based skip must not mistake a big
+    .json.gz for a wide scan (splittable-bytes estimate would skip the
+    widening and serialize the downstream projection on one core)."""
+    import gzip
+    import json as _json
+
+    from tia_data_pipeline_spark.operators.scale import (
+        _estimated_scan_splits,
+        fan_out,
+    )
+
+    path = tmp_path / "docs.json.gz"
+    with gzip.open(path, "wt") as fh:
+        for i in range(1000):
+            fh.write(_json.dumps({"id": i, "text": "x" * 200}) + "\n")
+    df = spark.read.json(str(path))
+    est = _estimated_scan_splits(df, df.inputFiles())
+    assert est == 1  # one unsplittable file = one split, whatever its size
+    wide = fan_out(df)
+    assert wide.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism

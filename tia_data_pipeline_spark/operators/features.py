@@ -105,9 +105,18 @@ def zscore_pandas(
     # would make any string/other-typed key fail at Arrow conversion,
     # an undeclared precondition the expression form doesn't have
     in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    # value_col keeps its INPUT type too: per_group passes the original
+    # values through untouched, so declaring `double` would crash the
+    # Arrow conversion (or silently retype) for a decimal-typed money
+    # column the expression form handles — same undeclared-precondition
+    # class as hardcoded key types.
     out_schema = ", ".join(
         [f"{c} {in_types[c]}" for c in id_cols]
-        + [f"{key_col} {in_types[key_col]}", f"{value_col} double", "zscore double"]
+        + [
+            f"{key_col} {in_types[key_col]}",
+            f"{value_col} {in_types[value_col]}",
+            "zscore double",
+        ]
     )
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -137,7 +146,12 @@ def zscore_pandas(
         else:
             var = 0.0
         if n > 1 and var > 0:
-            z = (cents - s1 / n) / var**0.5
+            import math
+
+            # math.sqrt (correctly rounded, = JVM Math.sqrt) — NOT
+            # var**0.5: libm pow(x, 0.5) isn't guaranteed correctly
+            # rounded everywhere, the 1-ulp twin-parity hazard class
+            z = (cents - s1 / n) / math.sqrt(var)
             z = np.floor(z * scale + 0.5) / scale
             z = pd.Series(z, index=pdf.index, dtype="object").where(cents.notna(), None)
         else:

@@ -93,7 +93,16 @@ def thread_closure(
         )
         if checkpoint_dir is not None:
             if level % checkpoint_every == 0:
-                nxt = nxt.checkpoint(eager=False)
+                # persist BEFORE a reliable checkpoint: without it,
+                # writing the checkpoint files launches a second job
+                # that re-executes the level's whole lineage since the
+                # previous reliable point (ReliableRDDCheckpointData
+                # recomputes unpersisted RDDs) — the count() below
+                # would otherwise no longer be the only action paying
+                # the level's joins. Lifecycle is ContextCleaner-
+                # bounded, and the checkpointed data supersedes the
+                # cache for recovery.
+                nxt = nxt.persist().checkpoint(eager=False)
             # between reliable points: keep lineage (recovery chains
             # from the last reliable checkpoint)
         else:
@@ -149,6 +158,14 @@ def connected_components(
     budget — rounds cost O(|E|) each — or pre-shrink diameter with a
     large-star/small-star contraction pass if a corpus ever hits this.
     """
+    # NULL-endpoint precondition (stated, shared with the twophase
+    # variant so the property-tested equivalence holds on hostile
+    # inputs too): an edge with a NULL endpoint is not an edge — NULL
+    # never equi-joins, so label propagation would silently drop the
+    # row where the twophase rewrite would emit a (NULL, NULL)
+    # component. Filter explicitly; callers with NULL-id docs exclude
+    # them before pair generation (the dedup-family discipline).
+    edges = edges.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
@@ -266,6 +283,12 @@ def connected_components_twophase(
     than returning partial components; semantics equivalence between
     the two algorithms is property-tested on random graphs.
     """
+    # NULL-endpoint precondition — identical to connected_components'
+    # (stated on both variants so their property-tested equivalence
+    # holds on hostile inputs): without it this variant would emit a
+    # (NULL, NULL) row via all_nodes where label propagation silently
+    # drops the node.
+    edges = edges.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
     all_nodes = (
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))

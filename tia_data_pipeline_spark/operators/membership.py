@@ -126,30 +126,41 @@ def bloom_prefilter(
     ZERO keyed exchanges (pinned in tests/test_membership.py)."""
     if m_bits < 64 or m_bits % 64:
         raise ValueError("m_bits must be a positive multiple of 64")
+    # uuid-suffixed temp prefix (the write_zordered discipline): fixed
+    # names like _b0_pos would silently clobber same-named stream
+    # columns, making the bloom and broadcast strategies return
+    # different rows for the same input
+    import uuid as _uuid
+
+    tok = _uuid.uuid4().hex[:8]
     out = df
     key = F.col(key_col)
     for i, pos in enumerate(_positions(key, m_bits, k_hashes)):
         b = bloom.select(
-            F.col("idx").alias(f"_b{i}_idx"), F.col("bits").alias(f"_b{i}_bits")
+            F.col("idx").alias(f"_b{tok}{i}_idx"), F.col("bits").alias(f"_b{tok}{i}_bits")
         )
         out = (
-            out.withColumn(f"_b{i}_pos", pos)
+            out.withColumn(f"_b{tok}{i}_pos", pos)
             .join(
                 F.broadcast(b),
-                (F.col(f"_b{i}_pos") / 64).cast("int") == F.col(f"_b{i}_idx"),
+                (F.col(f"_b{tok}{i}_pos") / 64).cast("int") == F.col(f"_b{tok}{i}_idx"),
                 "left",
             )
             .filter(
-                F.coalesce(F.col(f"_b{i}_bits"), F.lit(0).cast("bigint")).bitwiseAND(
+                F.coalesce(F.col(f"_b{tok}{i}_bits"), F.lit(0).cast("bigint")).bitwiseAND(
                     F.expr(
-                        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(_b{i}_pos, 64) AS INT))"
+                        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(_b{tok}{i}_pos, 64) AS INT))"
                     )
                 )
                 != 0
             )
         )
     return out.drop(
-        *[c for i in range(k_hashes) for c in (f"_b{i}_idx", f"_b{i}_bits", f"_b{i}_pos")]
+        *[
+            c
+            for i in range(k_hashes)
+            for c in (f"_b{tok}{i}_idx", f"_b{tok}{i}_bits", f"_b{tok}{i}_pos")
+        ]
     )
 
 
@@ -171,22 +182,26 @@ def bloom_mark(
     Same materialization note as bloom_prefilter applies."""
     if m_bits < 64 or m_bits % 64:
         raise ValueError("m_bits must be a positive multiple of 64")
+    # uuid-suffixed temp prefix — see bloom_prefilter
+    import uuid as _uuid
+
+    tok = _uuid.uuid4().hex[:8]
     out = df
     key = F.col(key_col)
     tests = []
     for i, pos in enumerate(_positions(key, m_bits, k_hashes)):
         b = bloom.select(
-            F.col("idx").alias(f"_b{i}_idx"), F.col("bits").alias(f"_b{i}_bits")
+            F.col("idx").alias(f"_b{tok}{i}_idx"), F.col("bits").alias(f"_b{tok}{i}_bits")
         )
-        out = out.withColumn(f"_b{i}_pos", pos).join(
+        out = out.withColumn(f"_b{tok}{i}_pos", pos).join(
             F.broadcast(b),
-            (F.col(f"_b{i}_pos") / 64).cast("int") == F.col(f"_b{i}_idx"),
+            (F.col(f"_b{tok}{i}_pos") / 64).cast("int") == F.col(f"_b{tok}{i}_idx"),
             "left",
         )
         tests.append(
-            F.coalesce(F.col(f"_b{i}_bits"), F.lit(0).cast("bigint")).bitwiseAND(
+            F.coalesce(F.col(f"_b{tok}{i}_bits"), F.lit(0).cast("bigint")).bitwiseAND(
                 F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(_b{i}_pos, 64) AS INT))"
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(_b{tok}{i}_pos, 64) AS INT))"
                 )
             )
             != 0
@@ -195,7 +210,11 @@ def bloom_mark(
     for t in tests[1:]:
         flag = flag & t
     return out.withColumn(flag_col, flag).drop(
-        *[c for i in range(k_hashes) for c in (f"_b{i}_idx", f"_b{i}_bits", f"_b{i}_pos")]
+        *[
+            c
+            for i in range(k_hashes)
+            for c in (f"_b{tok}{i}_idx", f"_b{tok}{i}_bits", f"_b{tok}{i}_pos")
+        ]
     )
 
 
@@ -280,11 +299,23 @@ def membership_mark(
         # a parquet-materialized filter via ``bloom=`` instead.
         bloom = bloom.persist()
         bloom.count()
+    import uuid as _uuid
+
+    flag = f"_possible_{_uuid.uuid4().hex[:8]}"  # collision-proof temp name
     marked = bloom_mark(
-        stream, key_col, bloom, m_bits=m_bits, k_hashes=k_hashes, flag_col="_possible"
+        stream, key_col, bloom, m_bits=m_bits, k_hashes=k_hashes, flag_col=flag
     )
-    sliver = marked.filter(F.col("_possible")).drop("_possible")
-    absent = marked.filter(~F.col("_possible")).drop("_possible")
+    # The sliver/absent split consumes `marked` twice, so the bloom
+    # path SCANS AND PROBES THE STREAM TWICE (no exchange exists on the
+    # probe side for AQE to reuse — the probes are all broadcasts).
+    # Deliberate trade, stated: scanning twice costs two narrow passes,
+    # while the one-pass alternative (left-join the WHOLE stream
+    # against the member set) shuffles every stream row on the key —
+    # at the member cardinalities that select this path, two scans are
+    # far cheaper than one corpus-wide keyed exchange. Callers that
+    # can afford materialization persist the stream before calling.
+    sliver = marked.filter(F.col(flag)).drop(flag)
+    absent = marked.filter(~F.col(flag)).drop(flag)
     # shuffle_hash, never broadcast: the whole point of this path is a
     # member set beyond broadcast reach (plan-pinned in
     # tests/test_membership.py::test_membership_mark_bloom_path_never_broadcasts_members)

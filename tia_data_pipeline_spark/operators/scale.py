@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "_salt"
@@ -70,23 +70,37 @@ def estimated_relation_bytes(df: DataFrame) -> int | None:
     return _sampled_total_bytes(df.sparkSession, files)
 
 
+# File suffixes Hadoop cannot split: one such file = ONE read task no
+# matter its size. (bz2 IS splittable; parquet-internal snappy/zstd
+# pages don't surface here — this list is about WHOLE-FILE codecs on
+# text/json/csv scans.)
+_UNSPLITTABLE_SUFFIXES = (".gz", ".zst", ".zstd", ".lz4", ".snappy", ".deflate", ".zip")
+
+
 def _estimated_scan_splits(df: DataFrame, files: list[str]) -> int | None:
     """Approximate how many read partitions the file scan yields:
-    ``ceil(total_bytes / maxPartitionBytes)``. Splittable-parquet large
-    files divide at the split size and tiny files bin-pack toward it,
-    so total/split-size tracks the reader's behavior from both sides
-    (open-cost padding ignored — it only *raises* the real count).
-    Returns None when any lookup fails (caller falls back to the
-    file-count heuristic)."""
+    ``ceil(splittable_bytes / maxPartitionBytes) + n_unsplittable``.
+    Splittable-parquet large files divide at the split size and tiny
+    files bin-pack toward it, so total/split-size tracks the reader's
+    behavior from both sides (open-cost padding ignored — it only
+    *raises* the real count). Whole-file-compressed inputs (gzip json/
+    csv etc.) contribute ONE split each regardless of size — a 10 GB
+    .json.gz otherwise estimates ~80 splits and fan_out would skip the
+    widening for a scan that actually arrives on one core (exactly the
+    serialization fan_out exists to prevent). Returns None when any
+    lookup fails (caller falls back to the file-count heuristic)."""
     spark = df.sparkSession
     try:
         max_bytes = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
     except Exception:  # noqa: BLE001 — unparseable conf: heuristic fallback
         return None
-    total = _sampled_total_bytes(spark, files)
+    unsplittable = [f for f in files if f.lower().endswith(_UNSPLITTABLE_SUFFIXES)]
+    splittable = [f for f in files if not f.lower().endswith(_UNSPLITTABLE_SUFFIXES)]
+    total = _sampled_total_bytes(spark, splittable) if splittable else 0
     if total is None:
         return None
-    return max(1, -(-total // max_bytes))  # ceil
+    est_split = -(-total // max_bytes) if total else 0  # ceil
+    return max(1, est_split + len(unsplittable))
 
 
 _BYTE_SUFFIXES = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
