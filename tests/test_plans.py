@@ -136,6 +136,7 @@ TAIL_COVERED_BY = {
     # re-verifications, eight stale-evidence rotations), each with an
     # in-cap family cover:
     "q_agg_count": "q_cube",  # grouping-set aggregate family
+    "q_range_join": "q_asof_join",  # interval/event-time join family
     "q_topk_latest": "q_topk_per_group",  # rank/limit family
     "q_word_count": "q_word_freq",  # token-counting surface
     "q_pii_redact": "q_canonicalize",  # regex text-transform surface

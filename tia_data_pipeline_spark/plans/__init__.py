@@ -33,6 +33,7 @@ CONTRACT_ORDER = [
     #    training iteration. Never-verified-first policy.
     "q_semantic_dedup",
     "q_bpe_train",
+    "q_dsir_weights",
     # -- round-7 reshape: q_approx_distinct now emits (n_exact,
     #    within_bound) with a TRUE-stating oracle (VERDICT r6 #2) — the
     #    registry's last never-hash-verified entry gets its first
@@ -97,7 +98,6 @@ CONTRACT_ORDER = [
     "q_ts_normalize",
     "q_exact_dedup",
     "q_resize_meta",
-    "q_range_join",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
@@ -107,6 +107,7 @@ CONTRACT_ORDER = [
     #    the freshly-single-green round-6 diagnostics whose families
     #    keep an in-cap representative.
     "q_agg_count",
+    "q_range_join",  # interval-join family: q_asof_join promoted in-cap
     "q_topk_latest",
     "q_word_count",
     "q_pii_redact",

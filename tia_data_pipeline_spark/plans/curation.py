@@ -1534,3 +1534,128 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("intercept_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dsir_weights — hashed-n-gram importance weights (DSIR data selection)
+# ---------------------------------------------------------------------------
+
+# 256 hashed unigram features: two md5 hex digits, the engine-portable
+# construction shared with q_feature_hash / hash_sample / SimHash.
+# Valid verbatim in BOTH Spark SQL and DuckDB over a column named tok.
+_DSIR_BUCKET_SQL = (
+    "((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 + "
+    "(instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1))"
+)
+_DSIR_B = 256  # feature-space size (add-|B| smoothing in the totals)
+
+
+@contract_query(
+    "q_dsir_weights",
+    oracle=(
+        "WITH tk AS (SELECT doc_id, lang, unnest({t}) AS tok FROM documents), "
+        f"dbc AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b, "
+        "  count(*)::BIGINT AS c FROM tk GROUP BY doc_id, lang, b), "
+        "cr AS (SELECT b, sum(c)::BIGINT AS cr FROM dbc GROUP BY b), "
+        "ct AS (SELECT b, sum(c)::BIGINT AS ct FROM dbc WHERE lang = 'en' GROUP BY b), "
+        "w AS (SELECT cr.b, "
+        f"  {TX.nano_int_sql('ln(coalesce(ct.ct, 0) + 1)')} "
+        f"  - {TX.nano_int_sql('ln(cr.cr + 1)')} AS wb "
+        "  FROM cr LEFT JOIN ct ON ct.b = cr.b), "
+        "tot AS (SELECT (SELECT coalesce(sum(cr), 0)::BIGINT FROM cr) AS r_tot, "
+        "  (SELECT coalesce(sum(ct), 0)::BIGINT FROM ct) AS t_tot), "
+        f"off AS (SELECT {TX.nano_int_sql(f'ln(r_tot + {_DSIR_B})')} "
+        f"  - {TX.nano_int_sql(f'ln(t_tot + {_DSIR_B})')} AS ob FROM tot), "
+        "per AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, "
+        "  sum(c::HUGEINT * wb) AS s FROM dbc JOIN w ON w.b = dbc.b GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, "
+        + TX.portable_round_sql(
+            "(s + n_tokens::HUGEINT * ob)::DOUBLE / 1000000000.0 / n_tokens", 6
+        )
+        + " AS logweight_tok FROM per, off"
+    ).format(t=_DOC_TOKENS_SQL),
+    covers="ext-curation: DSIR hashed-n-gram importance weights (data selection toward a target domain)",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    via Importance Resampling): per-document average log importance
+    weight of the raw corpus toward a target domain (here lang='en'),
+    under a hashed-unigram bag-of-features model with add-one
+    smoothing — the standard cheap data-selection signal before
+    pre-training (resample raw docs ∝ exp(weight)).
+
+    weight(doc)/token = (Σ_b c_b·[ln(ct_b+1) − ln(cr_b+1)]
+                        + n_tok·[ln(R+|B|) − ln(T+|B|)]) / n_tok
+
+    Arithmetic discipline: all ln arguments are INTEGERS (counts + 1,
+    totals + 256 — the nano-nat rule); each term integerizes via
+    nano_int before the order-independent sum; per-term products
+    promote to decimal/HUGEINT BEFORE multiplying; ONE double division
+    by 1e9·n_tokens, then the 6-dp portable round (the ln-family
+    wobble-safety shape). n_tokens ≥ 1 by construction (docs with no
+    tokens emit no feature rows and therefore no weight row — stated
+    on both sides), so the ratio never aborts; NULL langs count into
+    the raw corpus and not the target, identically on both engines.
+
+    Scale shape: ONE corpus scan and ONE (doc, bucket) exchange
+    (fan=False — bare-token explode into a grouped aggregate); the raw
+    and target feature tables, the weight table, and the scalar offset
+    all derive from the 256-row aggregates, and the weight table joins
+    back by an explicit broadcast — nothing corpus-sized shuffles
+    twice at any SF."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    dbc = (
+        tok.select("doc_id", "lang", F.expr(_DSIR_BUCKET_SQL).alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # persisted: cr/ct/per all consume dbc, and their differing
+        # pushed filters/prunings defeat AQE exchange reuse (verified 0
+        # ReusedExchange) — without the cache the corpus tokenize+md5
+        # leg executes once per consumer. dbc is the hashed-feature
+        # table (4 int columns, ≤256 rows/doc — ~1000× smaller than
+        # text), the artifact a production DSIR pass materializes
+        # anyway; ContextCleaner-bounded lifecycle.
+        .persist()
+    )
+    cr = dbc.groupBy("b").agg(F.sum("c").cast("bigint").alias("cr"))
+    ct = (
+        dbc.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("c").cast("bigint").alias("ct"))
+    )
+    w = cr.join(ct, "b", "left").select(
+        "b",
+        (
+            TX.nano_int(F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)))
+            - TX.nano_int(F.log(F.col("cr") + F.lit(1)))
+        ).alias("wb"),
+    )
+    tot = cr.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("bigint").alias("r_tot")).crossJoin(
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("t_tot"))
+    )
+    off = tot.select(
+        (
+            TX.nano_int(F.log(F.col("r_tot") + F.lit(_DSIR_B)))
+            - TX.nano_int(F.log(F.col("t_tot") + F.lit(_DSIR_B)))
+        ).alias("ob")
+    )
+    per = (
+        dbc.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum((TX.dec19("c") * TX.dec19("wb")).cast("decimal(38,0)")).alias("s"),
+        )
+    )
+    return per.crossJoin(F.broadcast(off)).select(
+        "doc_id",
+        "n_tokens",
+        TX.portable_round(
+            (F.col("s") + TX.dec19("n_tokens") * TX.dec19("ob")).cast("double")
+            / F.lit(1000000000.0)
+            / F.col("n_tokens"),
+            6,
+        ).alias("logweight_tok"),
+    )
