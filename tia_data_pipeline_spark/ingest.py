@@ -43,6 +43,15 @@ def normalize_records(
     One projection; every op is a Catalyst expression, so the whole
     normalization is a single codegen'd map stage regardless of width.
     """
+    # bare-session rule (CLAUDE.md): json_serialize_nested's byte-level
+    # contract needs jsonGenerator.ignoreNullFields=false, but the REST
+    # pipelines never traverse catalog.load_table where it is otherwise
+    # pinned — a caller-provided session (Spark's getOrCreate ignores
+    # builder confs on a pre-existing session) would silently omit NULL
+    # struct fields and break the reference-byte parity.
+    from tia_data_pipeline_spark.catalog import _ensure_session_confs
+
+    _ensure_session_confs(df.sparkSession)
     cols: list = []
     for field in df.schema.fields:
         c: F.Column = json_serialize_nested(df.schema, field.name)

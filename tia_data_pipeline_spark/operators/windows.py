@@ -95,7 +95,15 @@ def sessionize(
     # precondition is an explicit filter both the oracle and the
     # streaming form state identically
     events = events.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
-    w_order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # tiebreak NULL placement stated (the nullable-sort-key rule): a
+    # NULL tiebreak within a ts-tie sorts FIRST on Spark and LAST on
+    # DuckDB. Today the divergence is output-invariant (tied rows land
+    # in the same session either way), but any future per-row output
+    # (first/last event per session) would silently diverge — pin the
+    # order now, mirrored as NULLS LAST in the oracle text.
+    w_order = Window.partitionBy(key_col).orderBy(
+        ts_col, F.col(tiebreak_col).asc_nulls_last()
+    )
     gap_us = gap_minutes * 60 * 1_000_000
     ts_instant = F.col(ts_col).cast("timestamp")
     us = F.unix_micros(ts_instant)

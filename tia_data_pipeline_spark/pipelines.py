@@ -179,6 +179,13 @@ def comments_pipeline(
         (F.col(date_col) >= F.lit(window_start)) & (F.col(date_col) < F.lit(window_end))
     ).select(F.col(post_key).alias("post_id"))
     fetched = keyed_fanout_source(window_posts, "post_id", fetcher, schema)
+    # persist before forking to_insert/manifest: both outputs derive
+    # from this frame, and an unpersisted fan-out re-executes every
+    # per-post REST GET per consumer — 2× API load, and the two actions
+    # could observe DIFFERENT responses (a comment added between them
+    # puts a post in the manifest whose rows are absent from the insert
+    # set). ContextCleaner-bounded lifecycle.
+    fetched = fetched.persist()
     # the fan-out's driving-key helper column is not part of the sink
     # contract (the record's own `post` field carries it — the
     # reference's load inserts exactly the DDL columns); keep it only
@@ -288,12 +295,20 @@ def rollup_daily_incremental(
     Property-tested: sequential batches ≡ one batch
     (tests/test_pipelines.py).
     """
-    from pyspark.sql import functions as F
-
     from tia_data_pipeline_spark.operators.windows import daily_window
     from tia_data_pipeline_spark.sources.lakehouse import merge_upsert_table
 
-    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    # try_to_timestamp, not cast: ts_col is a PARSE PATH when callers
+    # pass string timestamps (normalize_records passes non-19-char API
+    # garbage through untouched), and an ANSI cast would abort the
+    # whole rollup on one malformed value — the bad row becomes a NULL
+    # day, which the date_trunc grouping carries like any NULL ts.
+    ts_typed = (
+        F.try_to_timestamp(F.col(ts_col))
+        if dict(new_batch.dtypes).get(ts_col) == "string"
+        else F.col(ts_col).cast("timestamp")
+    )
+    day = F.date_trunc("day", ts_typed)
     affected_days = new_batch.select(day.alias("_day")).distinct()
     dirty = events.join(
         F.broadcast(affected_days), day.eqNullSafe(F.col("_day")), "left_semi"

@@ -90,7 +90,15 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ts_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Render events.ts in the API's bare-ISO form, then apply the
-    reference's 19-char T→space rewrite."""
+    reference's 19-char T→space rewrite.
+
+    Stated domain bound (review r7): the Spark side rewrites T→space
+    only for EXACTLY-19-char renders (the reference's guard), while
+    the oracle's strftime always emits the space — a year ≥ 10000
+    renders 20 chars and would diverge. No such timestamp exists in
+    any corpus or hostile sweep (pre-1970 is the stressed direction);
+    if a far-future dimension is ever added, the sweep must carry the
+    19-char guard on the oracle side too."""
     events = load_table(spark, sf_dir, "events")
     iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
     return events.select(

@@ -142,10 +142,10 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  SELECT user_id, event_id, ts, "
         "    CASE WHEN lag(ts) OVER w IS NULL "
         "         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap} THEN 1 ELSE 0 END AS new_s "
-        "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST)), "
         "sess AS ("
         "  SELECT user_id, ts, "
-        "    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST "
         "       ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id "
         "  FROM flagged) "
         "SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, "

@@ -29,6 +29,7 @@ import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tia_data_pipeline_spark.operators.incremental import incremental_append
@@ -262,7 +263,17 @@ def jdbc_merge_upsert(
     """
     cols = list(incoming.columns)
     staging = f"{table}_stg_{uuid.uuid4().hex[:12]}"
-    batch = incoming.dropDuplicates(list(keys))
+    # PK-targeted merges exclude NULL keys explicitly (the merge-family
+    # rule): every JDBC dialect rejects a NULL PK insert, and the
+    # failure is NOT in _RETRYABLE_SQLSTATES — one bad record (e.g. a
+    # PERMISSIVE-parse NULL id) would otherwise wedge the merge (and a
+    # replaying stream) permanently. Dropped rows are data-quality
+    # rejects, same as the reference's PK violation would be.
+    key_ok = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        key_ok = c if key_ok is None else (key_ok & c)
+    batch = incoming.filter(key_ok).dropDuplicates(list(keys))
     writer = (
         batch.write.format("jdbc")
         .option("url", url)
@@ -325,8 +336,14 @@ def jdbc_upsert_append(
     batch, anti-join the target's key projection, append with JDBC
     batch inserts. Exactly-once requires a transactional target
     (Delta MERGE); this is the at-least-once-with-idempotent-retry
-    form the reference itself provides."""
-    to_insert = incremental_append(incoming, existing, keys)
+    form the reference itself provides. NULL-key rows are excluded
+    before the append (the PK-merge rule — a NULL PK insert fails
+    non-retryably on every dialect)."""
+    key_ok = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        key_ok = c if key_ok is None else (key_ok & c)
+    to_insert = incremental_append(incoming.filter(key_ok), existing, keys)
     writer = (
         to_insert.write.format("jdbc")
         .option("url", url)
