@@ -369,3 +369,114 @@ def test_string_function_pairs_fuzz_vs_duckdb(spark):
         assert not bad, f"{name}: {len(bad)} mismatches, first: " + repr(
             (cases[bad[0]][1], got[bad[0]], duck[bad[0]])
         )
+
+
+def test_nearest_centroid_argmin_fuzz_vs_duckdb(spark):
+    """Round-7 portable construction: q_semantic_dedup's cell
+    assignment — |v−c|² expanded as (v·v − 2·v·c) + c·c with every term
+    a dot-product fold (bit-identical to list_dot_product) or a shared
+    literal, argmin with the lexicographic (distance, index) tiebreak.
+    Fuzzed over random vectors INCLUDING near-tie geometry (vectors
+    sampled close to centroid midpoints) — the cell index must match
+    DuckDB's CASE-chain form exactly on every row."""
+    import random
+
+    from tia_data_pipeline_spark.operators.similarity import (
+        nearest_centroid,
+        semantic_centroids,
+    )
+
+    centers = semantic_centroids()
+    dim = len(centers[0])
+    rng = random.Random(77)
+    rows = []
+    for i in range(300):
+        if i % 3 == 0:
+            # midpoint stress: halfway between two random centers plus
+            # tiny jitter — maximizes near-tie argmin comparisons
+            a, b = rng.sample(range(len(centers)), 2)
+            v = [
+                (centers[a][j] + centers[b][j]) / 2 + rng.uniform(-1e-9, 1e-9)
+                for j in range(dim)
+            ]
+        else:
+            v = [round(rng.uniform(-3, 3), 6) for _ in range(dim)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "i int, v array<double>")
+    got = {
+        r["i"]: r["cell"]
+        for r in df.select(
+            "i", nearest_centroid(F.col("v"), centers).alias("cell")
+        ).collect()
+    }
+    ds = []
+    for c in centers:
+        lits = ", ".join(repr(x) for x in c)
+        cc = repr(sum(x * x for x in c))
+        ds.append(
+            f"((list_dot_product(v::DOUBLE[], v::DOUBLE[]) - 2.0 * "
+            f"list_dot_product(v::DOUBLE[], [{lits}]::DOUBLE[])) + {cc})"
+        )
+    k = len(ds)
+    whens = []
+    for i in range(k):
+        conds = [f"(d{i} < d{j})" for j in range(i)] + [
+            f"(d{i} <= d{j})" for j in range(i + 1, k)
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {i}")
+    case = "(CASE " + " ".join(whens[: k - 1]) + f" ELSE {k - 1} END)"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, v DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dcols = ", ".join(f"{d} AS d{i}" for i, d in enumerate(ds))
+    duck = dict(
+        con.sql(f"SELECT i, {case} FROM (SELECT i, {dcols} FROM t)").fetchall()
+    )
+    assert got == duck
+
+
+def test_dsir_bucket_and_bpe_pairs_fuzz_vs_duckdb(spark):
+    """Round-7 portable constructions, fuzzed on adversarial-unicode
+    tokens: (a) the 2-md5-digit 256-bucket feature hash
+    (q_dsir_weights) and (b) the character-pair extraction of
+    q_bpe_train (Spark split(w,'') zip vs DuckDB substring over
+    range(1, len)) — codepoint-aligned on BMP and astral input."""
+    import random
+
+    from tia_data_pipeline_spark.plans.curation import _DSIR_BUCKET_SQL
+
+    rng = random.Random(99)
+    pool = list("abcdefghijklmnopqrstuvwxyz") + [
+        "\u00e9", "\u00df", "\u65e5", "\u672c", "\u8a9e",
+        "\u03a9", "\u00c0", "\U0001d518", "\U0001f600",
+    ]
+    words = []
+    for i in range(300):
+        ln = rng.randrange(1, 8)
+        words.append((i, "".join(rng.choice(pool) for _ in range(ln))))
+    df = spark.createDataFrame(words, "i int, tok string")
+    got_b = {
+        r["i"]: r["b"] for r in df.selectExpr("i", f"{_DSIR_BUCKET_SQL} AS b").collect()
+    }
+    cs = F.split(F.col("tok"), "")
+    m = F.size(cs) - 1
+    pair_arr = F.transform(
+        F.arrays_zip(F.slice(cs, 1, m), F.slice(cs, 2, m)),
+        lambda s: F.array(s["0"], s["1"]),
+    )
+    got_p = {
+        r["i"]: r["p"]
+        for r in df.select("i", F.to_json(pair_arr).alias("p")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, tok VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", words)
+    duck_b = dict(con.sql(f"SELECT i, {_DSIR_BUCKET_SQL} FROM t").fetchall())
+    duck_p = dict(
+        con.sql(
+            "SELECT i, to_json([[substring(tok, i2, 1), "
+            "substring(tok, i2 + 1, 1)] FOR i2 IN range(1, len(tok))]) FROM t"
+        ).fetchall()
+    )
+    assert got_b == duck_b
+    assert got_p == duck_p

@@ -934,12 +934,12 @@ BUCKET_CAPPED_QUERIES = [
     "q_ngram_jaccard",
     "q_containment",
     "q_substring_dedup",
-    "q_embed_dedup",
     "q_edit_distance",
-    # q_semantic_dedup is cap-checked separately: its pair generation
-    # is a cell-equi self-join (fat coarse-quantizer cells make member
-    # arrays quadratic in vectors), so it has no collect at all — see
-    # test_semantic_dedup_join_shape.
+    # q_semantic_dedup / q_embed_dedup are cap-checked separately:
+    # VECTOR-payload buckets pair via a cell-equi self-join (member
+    # arrays carrying two full vectors per pair are quadratic in
+    # vector bytes — measured 17x at an 8x corpus), so they have no
+    # collect at all — see test_vector_pair_join_shape.
 ]
 
 
@@ -964,15 +964,18 @@ def test_bucket_collects_are_semi_join_capped(spark, name):
     )
 
 
-def test_semantic_dedup_join_shape(spark):
-    """q_semantic_dedup pairs via a cell-equi self-join, never member
-    arrays (fat coarse-quantizer cells make collect_list quadratic in
-    VECTORS — measured 11.3s vs 1.1s at sf0.1): no collect aggregate
-    anywhere, the two-pass hot-cluster cap's semi-joins present, the
-    pair-cosine stream side fanned to full parallelism (a broadcast
-    cell join would otherwise inherit the single-file scan's one
-    split), and no cartesian product."""
-    p = plan_of(spark, "q_semantic_dedup")
+@pytest.mark.parametrize("name", ["q_semantic_dedup", "q_embed_dedup"])
+def test_vector_pair_join_shape(spark, name):
+    """Vector-payload bucket queries pair via a cell-equi self-join,
+    never member arrays (a collect_list pair expansion carries two
+    full vectors per pair struct — quadratic in vector bytes; measured
+    11.3s vs 1.1s at sf0.1 for semantic, 17x at an 8x-duplicated
+    corpus for embed): no collect aggregate anywhere, the two-pass
+    hot-cluster cap's semi-joins present, the pair-cosine stream side
+    fanned to full parallelism (a broadcast cell join would otherwise
+    inherit the single-file scan's one split), and no cartesian
+    product."""
+    p = plan_of(spark, name)
     assert "collect_list" not in p and "collect_set" not in p
     assert "LeftSemi" in p
     assert "RoundRobinPartitioning" in p

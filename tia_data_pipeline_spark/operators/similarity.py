@@ -142,37 +142,66 @@ def embedding_near_duplicates(
         l2_norm(F.col(vec_col)).alias("_norm"),
         _sign_bits(F.col(vec_col), proj).alias("_bucket"),
     )
-    return _bucketed_cosine_pairs(bucketed, threshold=threshold, max_bucket=max_bucket)
+    return _cell_equi_cosine_pairs(bucketed, threshold=threshold, max_bucket=max_bucket)
 
 
-def _bucketed_cosine_pairs(
+def _cell_equi_cosine_pairs(
     bucketed: DataFrame, *, threshold: float, max_bucket: int
 ) -> DataFrame:
     """Shared tail of the bucketed cosine-pair family
     (:func:`embedding_near_duplicates`, :func:`semantic_dedup_pairs`):
-    two-pass capped member lists → in-expression pair expansion →
-    exact cosine → threshold. Input contract: columns ``_id``, ``_vec``
+    two-pass capped buckets → CELL-EQUI SELF-JOIN pair stream → exact
+    cosine → threshold. Input contract: columns ``_id``, ``_vec``
     (array<double>), ``_norm``, ``_bucket``; NULL ids/vectors already
     excluded upstream.
 
-    Two-pass cap (capped_bucket_members): bucket sizes are counted
-    over the 8-byte bucket key FIRST and hot buckets dropped via
-    semi-join BEFORE any (id, vector, norm) list is materialized — a
-    mass-duplicated embedding cluster never reaches a collect_list
-    buffer (the count pass prunes to the key, so vectors shuffle
-    exactly once)."""
-    members = capped_bucket_members(
-        bucketed, "_bucket", F.struct("_id", "_vec", "_norm"), max_size=max_bucket
+    Pair generation is a join, NOT the collect_list + in-expression
+    expansion the scalar-payload dedup family uses: vector buckets run
+    ~10²-10³ members even under healthy projections, and the
+    in-expression form materializes b²/2 pair structs EACH CARRYING
+    TWO FULL VECTORS inside one row before the explode — measured 17×
+    at an 8×-duplicated sf0.1 (≈8M pairs × 128 doubles in 16 rows)
+    and 11.3 s→1.1 s for the semantic variant at plain sf0.1. The join
+    shuffles (id, vec, norm) rows by bucket and streams pair cosines
+    row-at-a-time; the assignment lineage (a narrow projection)
+    executes once per side, which is cheap where re-planning a
+    signature AGGREGATE twice would not be.
+
+    Hot-bucket cap stays two-pass (count over the 8-byte key →
+    semi-join BOTH sides), so a mass-duplicated cluster never reaches
+    the join at all; the stream side fans out because with few cells
+    the tiny build side broadcasts and the probe would otherwise
+    inherit a single-file scan's one split."""
+    sizes = bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+    kept = sizes.filter(
+        (F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)
+    ).select("_bucket")
+    b = bucketed.join(kept, "_bucket", "left_semi")
+    a_side = fan_out(
+        b.select(
+            F.col("_bucket"),
+            F.col("_id").alias("id_a"),
+            F.col("_vec").alias("_vec_a"),
+            F.col("_norm").alias("_norm_a"),
+        )
     )
-    pair_arr = bucket_pairs(F.col("mem"), order_key="_id")
-    denom = F.col("p.a._norm") * F.col("p.b._norm")
-    score = F.when(denom > 0, dot(F.col("p.a._vec"), F.col("p.b._vec")) / denom)
-    pairs = members.select(F.explode(pair_arr).alias("p")).select(
-        F.col("p.a._id").alias("id_a"),
-        F.col("p.b._id").alias("id_b"),
-        portable_round(score, 6).alias("score"),
+    b_side = b.select(
+        F.col("_bucket"),
+        F.col("_id").alias("id_b"),
+        F.col("_vec").alias("_vec_b"),
+        F.col("_norm").alias("_norm_b"),
     )
-    return pairs.filter(F.col("score") >= threshold).dropDuplicates(["id_a", "id_b"])
+    joined = a_side.join(
+        b_side,
+        on=[a_side["_bucket"] == b_side["_bucket"], F.col("id_a") < F.col("id_b")],
+    )
+    denom = F.col("_norm_a") * F.col("_norm_b")
+    score = F.when(denom > 0, dot(F.col("_vec_a"), F.col("_vec_b")) / denom)
+    return (
+        joined.select("id_a", "id_b", portable_round(score, 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def semantic_centroids() -> list[list[float]]:
@@ -240,54 +269,10 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
         l2_norm(F.col(vec_col)).alias("_norm"),
-        nearest_centroid(F.col(vec_col), centers).alias("_cell"),
+        nearest_centroid(F.col(vec_col), centers).alias("_bucket"),
     )
-    # Pair generation is a CELL-EQUI SELF-JOIN here, not the
-    # collect_list + in-expression expansion the sign-bucket family
-    # uses: coarse quantizers have FEW, FAT cells (|corpus|/n_lists
-    # members — ~600 at sf0.1 vs ~300 for the 4-bit sign buckets), and
-    # the in-expression form materializes b²/2 pair structs EACH
-    # CARRYING TWO FULL VECTORS in one row before the explode —
-    # measured 11.3 s vs 1.9 s for this join at sf0.1. The join
-    # shuffles (id, vec, norm) rows by cell and streams pair cosines
-    # without ever materializing a pair array; the assignment lineage
-    # (a narrow projection) executes once per side, which is cheap
-    # where re-planning a signature AGGREGATE twice would not be. The
-    # hot-cluster cap stays two-pass (count → semi-join BOTH sides).
-    sizes = bucketed.groupBy("_cell").agg(F.count(F.lit(1)).alias("_csz"))
-    kept = sizes.filter(
-        (F.col("_csz") >= 2) & (F.col("_csz") <= max_cluster)
-    ).select("_cell")
-    b = bucketed.join(kept, "_cell", "left_semi")
-    # With few cells the tiny kept/b_side legs broadcast, so the
-    # streaming side would inherit the corpus scan's raw split count
-    # (ONE split for a single-file contract corpus — measured 15 s with
-    # the whole pair-cosine loop serialized on one task). fan_out
-    # widens it to full parallelism; at cluster scale the scan arrives
-    # pre-split and this is a no-op (the fan_out contract).
-    a_side = fan_out(
-        b.select(
-            F.col("_cell"),
-            F.col("_id").alias("id_a"),
-            F.col("_vec").alias("_vec_a"),
-            F.col("_norm").alias("_norm_a"),
-        )
-    )
-    b_side = b.select(
-        F.col("_cell"),
-        F.col("_id").alias("id_b"),
-        F.col("_vec").alias("_vec_b"),
-        F.col("_norm").alias("_norm_b"),
-    )
-    joined = a_side.join(
-        b_side, on=[a_side["_cell"] == b_side["_cell"], F.col("id_a") < F.col("id_b")]
-    )
-    denom = F.col("_norm_a") * F.col("_norm_b")
-    score = F.when(denom > 0, dot(F.col("_vec_a"), F.col("_vec_b")) / denom)
-    return (
-        joined.select("id_a", "id_b", portable_round(score, 6).alias("score"))
-        .filter(F.col("score") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
+    return _cell_equi_cosine_pairs(
+        bucketed, threshold=threshold, max_bucket=max_cluster
     )
 
 
