@@ -474,10 +474,15 @@ def _shingle_overlap_frames(
     # first — a corpus-stop shingle partial-aggregates map-side and is
     # dropped BEFORE any member list exists — then semi-join survivors
     # back and collect. min_size stays 1 so `grouped` still carries the
-    # singleton shingles doc_sizes counts. The narrow (16-byte) keyed
-    # frame persists so the CPU-heavy shingle-zip + hash leg computes
-    # once, not once per pass (the substring/q_triangles discipline).
-    sh_ids = sh_ids.persist()
+    # singleton shingles doc_sizes counts. Deliberately NOT persisted
+    # (unlike the substring md5 / minhash-signature frames): the
+    # shingle-zip + xxhash64 derivation is cheap enough that the cache
+    # round-trip LOSES to recompute — interleaved A/B at sf0.1,
+    # min-of-4: persist 1.94 s vs recompute 1.30 s (persist breaks the
+    # scan→explode→partial-agg codegen stage and pays materialization
+    # both ways). The persist rule is: cache the keyed frame only when
+    # key DERIVATION dominates (md5-per-position 3.0→0.79 s, simhash
+    # votes, minhash signatures), never for plain explode+hash.
     dfreq = sh_ids.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     surv = sh_ids.join(
         dfreq.filter(F.col("_df") <= max_df).select("sh"), on="sh", how="left_semi"
