@@ -68,7 +68,35 @@ def main() -> None:
     )
     train = clean.filter(F.col("doc_id") % 17 != 0).join(contaminated, "doc_id", "left_anti")
 
-    # 4. shard with a token budget; the manifest is the loader's index
+    # 4. semantic dedup (SemDeDup): drop the lower-id member of every
+    #    intra-cluster cosine near-dup pair — exact dedup caught byte
+    #    copies, this catches paraphrase-level redundancy. Centers are
+    #    the pinned trained quantizer; production re-trains via
+    #    ivf_build_index on its own corpus.
+    from tia_data_pipeline_spark.functions.vectors import valid_embeddings
+    from tia_data_pipeline_spark.operators.similarity import semantic_dedup_pairs
+
+    n_decon = train.count()
+    emb = valid_embeddings(spark, sf_dir)
+    sem_pairs = semantic_dedup_pairs(emb, threshold=0.35)
+    sem_drop = sem_pairs.select(F.col("id_a").alias("doc_id")).distinct()
+    train = train.join(sem_drop, "doc_id", "left_anti")
+    n_sem = train.count()
+
+    # 5. data selection (DSIR): keep docs whose hashed-unigram
+    #    importance weight toward the lang='en' target clears a
+    #    threshold — resampling-by-weight is the production form; a
+    #    cutoff keeps the example deterministic.
+    from tia_data_pipeline_spark.plans.curation import q_dsir_weights
+
+    weights = q_dsir_weights(spark, sf_dir).select("doc_id", "logweight_tok")
+    train = (
+        train.join(weights, "doc_id", "left")
+        .filter(F.coalesce(F.col("logweight_tok"), F.lit(0.0)) >= -0.5)
+        .drop("logweight_tok")
+    )
+
+    # 6. shard with a token budget; the manifest is the loader's index
     manifest = write_training_shards(
         train,
         f"{out_dir}/data",
@@ -79,7 +107,10 @@ def main() -> None:
     )
 
     n_train = train.count()
-    print(f"corpus {n0} -> gated+deduped {clean.count()} -> train {n_train}")
+    print(
+        f"corpus {n0} -> gated+deduped {clean.count()} -> decontaminated "
+        f"{n_decon} -> semantic-deduped {n_sem} -> DSIR-selected {n_train}"
+    )
     print(f"shards at {out_dir}/data:")
     manifest.show(truncate=False)
 
