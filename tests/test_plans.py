@@ -980,3 +980,32 @@ def test_vector_pair_join_shape(spark, name):
     assert "LeftSemi" in p
     assert "RoundRobinPartitioning" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_dsir_weights_cached_feature_table_broadcast_weights(spark):
+    """q_dsir_weights materializes the (doc, bucket, count) feature
+    table ONCE (persisted — its three consumers' differing pushed
+    filters defeat exchange reuse) and joins the 256-row weight table
+    back by broadcast; the 1-row scalar offset enters as the accepted
+    broadcast cross join. The corpus scan reads only (doc_id, text,
+    lang)."""
+    p = plan_of(spark, "q_dsir_weights")
+    assert "InMemoryTableScan" in p  # persisted feature table
+    assert "BroadcastHashJoin Inner" in p  # weight table join
+    assert "SortMergeJoin" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in p
+
+
+def test_bpe_train_vocab_side_pair_assembly(spark):
+    """q_bpe_train's corpus-sized leg is ONE bare-token explode into
+    the vocab aggregate (fan=False per the pinned rule); char-pair
+    assembly runs on the VOCAB, so exactly one corpus scan, no joins
+    anywhere, and the global top-20 is TakeOrderedAndProject (partial
+    heaps, never a total sort)."""
+    import re
+
+    p = plan_of(spark, "q_bpe_train")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "ReadSchema: struct<text:string>" in p
