@@ -160,3 +160,57 @@ def test_projection_bits_scale_rule():
     assert projection_bits_for(1_000_000, 1000) == 10
     assert projection_bits_for(10**9, 1000) == 20    # 100 TB-ish corpus
     assert projection_bits_for(10, 1000) == 1        # floor at 1 bit
+
+
+def test_semantic_dedup_planted_pairs_null_and_cap(spark):
+    """Round-7 operator semantics, independent of the contract oracle:
+    (a) two near-identical vectors land in the same cell and pair above
+    threshold while an orthogonal vector never pairs; (b) NULL
+    vector / NULL id rows are excluded up front; (c) a cluster past
+    max_cluster is dropped whole by the two-pass cap (no pairs from
+    it), while smaller clusters still emit."""
+    import random
+
+    from tia_data_pipeline_spark.operators.similarity import (
+        semantic_centroids,
+        semantic_dedup_pairs,
+    )
+
+    centers = semantic_centroids()
+    dim = len(centers[0])
+    rng = random.Random(5)
+    base = [round(rng.uniform(-1, 1), 6) for _ in range(dim)]
+    near = list(base)
+    near[0] += 1e-6
+    ortho = [0.0] * dim
+    ortho[1] = 1.0  # cosine vs base ~0, never >= 0.9
+    rows = [
+        (1, base),
+        (2, near),
+        (3, ortho),
+        (4, None),  # NULL vector
+        (None, base),  # NULL id
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(df, centers, threshold=0.9).collect()
+    }
+    assert pairs == {(1, 2)}
+    # cap: 60 copies of base (one cluster of 60) with max_cluster=50 ->
+    # the hot cluster contributes nothing; a separate 2-member cluster
+    # around another center still pairs
+    c7 = [round(v, 6) for v in centers[7]]
+    c7b = list(c7)
+    c7b[0] += 1e-6
+    hot = [(100 + i, base) for i in range(60)]
+    df2 = spark.createDataFrame(
+        hot + [(1, c7), (2, c7b)], "vec_id bigint, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            df2, centers, threshold=0.9, max_cluster=50
+        ).collect()
+    }
+    assert got == {(1, 2)}
