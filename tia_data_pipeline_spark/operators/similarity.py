@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 
 from tia_data_pipeline_spark.functions.text import portable_round
 from tia_data_pipeline_spark.functions.vectors import cosine_similarity, dot, l2_norm
-from tia_data_pipeline_spark.operators.dedup import bucket_pairs, capped_bucket_members
 from tia_data_pipeline_spark.operators.scale import fan_out
 
 # Deterministic projection matrix shared with the DuckDB oracle
