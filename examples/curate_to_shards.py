@@ -68,18 +68,24 @@ def main() -> None:
     )
     train = clean.filter(F.col("doc_id") % 17 != 0).join(contaminated, "doc_id", "left_anti")
 
-    # 4. semantic dedup (SemDeDup): drop the lower-id member of every
-    #    intra-cluster cosine near-dup pair — exact dedup caught byte
-    #    copies, this catches paraphrase-level redundancy. Centers are
-    #    the pinned trained quantizer; production re-trains via
-    #    ivf_build_index on its own corpus.
+    # 4. semantic dedup (SemDeDup): cluster the near-dup PAIRS into
+    #    components (pairwise dropping under-collapses chains — A~B,
+    #    B~C keeps both B and C) and keep the LOWEST id per component,
+    #    the same survivor convention as exact_dedup. Exact dedup
+    #    caught byte copies; this catches paraphrase-level redundancy.
+    #    Centers are the pinned trained quantizer; production re-trains
+    #    via ivf_build_index on its own corpus.
     from tia_data_pipeline_spark.functions.vectors import valid_embeddings
+    from tia_data_pipeline_spark.operators.graph import connected_components
     from tia_data_pipeline_spark.operators.similarity import semantic_dedup_pairs
 
     n_decon = train.count()
     emb = valid_embeddings(spark, sf_dir)
     sem_pairs = semantic_dedup_pairs(emb, threshold=0.35)
-    sem_drop = sem_pairs.select(F.col("id_a").alias("doc_id")).distinct()
+    comps = connected_components(sem_pairs)
+    sem_drop = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
     train = train.join(sem_drop, "doc_id", "left_anti")
     n_sem = train.count()
 

@@ -283,3 +283,28 @@ def test_rollup_daily_incremental_converges_to_batch(spark, tmp_path):
     assert set(got) == touched
     for d in touched:
         assert got[d] == expect[d]
+
+
+def test_rollup_daily_incremental_tolerates_malformed_string_ts(spark, tmp_path):
+    """Review r7 (live-repro'd): a malformed string timestamp must not
+    ANSI-abort the rollup — the first hardening parsed only the
+    affected-day expression, and the bad row still reached
+    daily_window's F.window over the raw string, where Spark's
+    implicit cast raised CAST_INVALID_INPUT. The typed column now
+    replaces ts_col in BOTH frames; the malformed row becomes a NULL
+    ts and is dropped by daily_window's stated precondition."""
+    from tia_data_pipeline_spark.pipelines import rollup_daily_incremental
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-02 10:00:00", 1.0),
+            (2, "2024-01-02 11:30:00", 2.0),
+            (3, "not-a-date", 3.0),
+        ],
+        "event_id bigint, ts string, value double",
+    )
+    out = str(tmp_path / "rollup")
+    rollup_daily_incremental(spark, events, events, out)
+    got = spark.read.parquet(out)
+    rows = {str(r["day"]): r["n_events"] for r in got.collect()}
+    assert rows == {"2024-01-02 00:00:00": 2}

@@ -400,6 +400,13 @@ NO_FAN_OUT_EXPECTED = {
     "q_feature_hash",
     "q_simhash",
     "q_vocab_coverage",
+    # round-7: q_dsir_weights' per-token md5 bucket is the q_simhash
+    # borderline case — measured NEUTRAL (interleaved min-of-4 at
+    # sf0.1: fan 0.463 vs no-fan 0.497 on the isolated dbc→cr leg), so
+    # it stays unfanned per the rule; q_bpe_train is a bare-token
+    # explode into the vocab aggregate (the canonical no-fan shape).
+    "q_dsir_weights",
+    "q_bpe_train",
 }
 
 
@@ -760,21 +767,21 @@ def test_rfm_pruned_scan_single_corpus_aggregate(spark):
 def test_triangles_edge_list_persisted_once(spark):
     """The corpus-sized inverted-index pair pipeline must materialize
     ONCE: all four edge-list consumers (three triangle-join scans + the
-    degree census) read the cached edges. Since round 7 the shingle
-    pipeline additionally persists its own narrow (id, shingle-hash)
-    frame for the two-pass df-cap, so the cached-edge subtree contains
-    nested InMemoryTableScans — the outer four are a floor, and the
-    parquet-scan ceiling drops to the cached subtree's own copies."""
+    degree census) read the cached edges — exactly four
+    InMemoryTableScans (the shingle frame itself is deliberately NOT
+    persisted: recompute measured cheaper, see
+    _shingle_overlap_frames). The cached subtree's own parquet scans
+    print per internal consumer (doc_sizes twice + shared once, each
+    with the two-pass cap's count leg + pair leg = up to 6; AQE
+    ReusedExchange dedups at runtime); an UNCACHED edge consumer would
+    push the count past both bounds."""
     p = plan_of(spark, "q_triangles")
     scans = [
         l
         for l in p.splitlines()
         if l.strip().startswith("(") and "InMemoryTableScan" in l
     ]
-    assert len(scans) >= 4, f"expected >=4 cached scans, got {len(scans)}"
-    # the corpus parquet scans live ONLY inside cached subtrees (they
-    # run once, at materialization) — an uncached consumer would add
-    # tree-level parquet scans
+    assert len(scans) == 4, f"expected 4 cached-edge scans, got {len(scans)}"
     pq = [
         l for l in p.splitlines() if l.strip().startswith("(") and "Scan parquet" in l
     ]

@@ -696,7 +696,10 @@ def substring_overlap_pairs(
         # the md5-per-position hash is the dominant cost of this path —
         # persist the NARROW (h, _id) frame (16 bytes/sample, 1/mod of
         # the k-mer stream) so the hash computes once; the q_triangles
-        # persist discipline (ContextCleaner-bounded lifecycle).
+        # persist discipline. Cache lifecycle: CacheManager holds it
+        # until unpersist or session end (per-process driver/bench
+        # sessions discard at exit; MEMORY_AND_DISK evicts under
+        # pressure).
         # Measured 3.0 s → recomputed vs persisted at sf0.1.
         hs = hs.persist()
         grouped = capped_bucket_members(hs, "h", "_id", max_size=max_df, distinct=True)

@@ -91,6 +91,7 @@ def thread_closure(
             F.col("_froot").alias("root_id"),
             (F.col("_fdepth") + 1).alias("depth"),
         )
+        cached = None
         if checkpoint_dir is not None:
             if level % checkpoint_every == 0:
                 # persist BEFORE a reliable checkpoint: without it,
@@ -99,15 +100,23 @@ def thread_closure(
                 # previous reliable point (ReliableRDDCheckpointData
                 # recomputes unpersisted RDDs) — the count() below
                 # would otherwise no longer be the only action paying
-                # the level's joins. Lifecycle is ContextCleaner-
-                # bounded, and the checkpointed data supersedes the
-                # cache for recovery.
-                nxt = nxt.persist().checkpoint(eager=False)
+                # the level's joins. The cache is SCAFFOLDING for the
+                # checkpoint write only: it is unpersisted right after
+                # the count materializes the files (CacheManager holds
+                # persists until explicit unpersist — a deep forest
+                # would otherwise keep ~depth/checkpoint_every cached
+                # frames alive for the whole session), and later reads
+                # of this level come from the checkpoint data.
+                cached = nxt.persist()
+                nxt = cached.checkpoint(eager=False)
             # between reliable points: keep lineage (recovery chains
             # from the last reliable checkpoint)
         else:
             nxt = nxt.localCheckpoint(eager=False)
-        if nxt.count() == 0:  # materializes the checkpoint + terminates
+        n_level = nxt.count()  # materializes the checkpoint
+        if cached is not None:
+            cached.unpersist()
+        if n_level == 0:
             frontier = None
             break
         if level > max_depth:
@@ -175,7 +184,11 @@ def connected_components(
     # relation is loop-invariant — persist so each round's join reads
     # the materialized set instead of re-running the source scan +
     # symmetrize + distinct shuffle every iteration (the pagerank
-    # e_deg discipline; lifecycle ContextCleaner-bounded).
+    # e_deg discipline). Unpersisted on the success path: the returned
+    # labels derive from a localCheckpoint, so the cache is loop
+    # scaffolding only (CacheManager holds persists until explicit
+    # unpersist — returning without one would leak the edge set for
+    # the session).
     nodes = sym.select("u").distinct()
     sym = sym.union(nodes.select(F.col("u"), F.col("u").alias("v"))).persist()
     labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("component"))
@@ -196,6 +209,7 @@ def connected_components(
             "node", F.least("component", "new_component").alias("component")
         )
         if n_changed == 0:
+            sym.unpersist()
             return labels
     raise RuntimeError(
         f"connected_components did not converge within max_iter={max_iter} rounds; "
@@ -412,9 +426,12 @@ def _pagerank_loop(
     hint = F.broadcast if small_rank_state else (lambda df: df)
     e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")).distinct()
     deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
-    # persisted for the loop; lifecycle is ContextCleaner-bounded (the
-    # cached blocks release once the returned plan is garbage-collected
-    # — same convention as membership_mark's word table)
+    # persisted for the loop. The returned plan's LAST iteration still
+    # reads these caches, so they cannot be unpersisted here; they live
+    # until the caller's session ends or clears the cache (CacheManager
+    # holds persists until explicit unpersist) — acceptable for the
+    # per-process driver/bench runs, and a long-lived service should
+    # clearCache between graphs.
     e_deg = e.join(deg, "_src").persist()
     nodes = (
         e.select(F.col("_src").alias("node"))

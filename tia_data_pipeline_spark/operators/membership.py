@@ -291,12 +291,12 @@ def membership_mark(
         # materialize: the probe references the word table k times and
         # exchange reuse does not collapse alias-projected copies of an
         # unmaterialized aggregate (see bloom_prefilter docstring).
-        # Lifecycle: the cached blocks live as long as the returned
-        # plan holds the reference — Spark's ContextCleaner unpersists
-        # them once the result is garbage-collected — so a loop that
-        # drops its results does not accumulate word tables; a
-        # long-lived service that keeps many results alive should pass
-        # a parquet-materialized filter via ``bloom=`` instead.
+        # Lifecycle: the CacheManager holds the cache until explicit
+        # unpersist or session end (it does NOT release on GC of the
+        # result), so a loop over many member sets accumulates word
+        # tables — tiny (<= m/64 rows) but unbounded; a long-lived
+        # service should pass a parquet-materialized filter via
+        # ``bloom=`` instead, which takes this path out entirely.
         bloom = bloom.persist()
         bloom.count()
     import uuid as _uuid

@@ -116,12 +116,15 @@ def embedding_near_duplicates(
     sign-projection bucket, exact cosine within, keep pairs ≥ threshold.
     Returns (id_a, id_b, score), id_a < id_b.
 
-    Same scale shape as MinHash banding: bucket membership lists are
-    grouped once and pairs expand in-expression — the corpus is never
-    self-joined, and a degenerate bucket (mass-duplicated embeddings)
-    is capped rather than quadratically exploded. Recall is tuned by
-    the projection bit count (fewer bits → bigger buckets → higher
-    recall, more compute)."""
+    Pair generation is a bucket-equi self-join of the narrow
+    (id, vec, norm, bucket) projection (see
+    :func:`_cell_equi_cosine_pairs` — vector-payload member arrays are
+    quadratic in vector BYTES, unlike the scalar dedup family's
+    in-expression expansion); a degenerate bucket (mass-duplicated
+    embeddings) is dropped by the two-pass cap rather than
+    quadratically exploded. Recall is tuned by the projection bit
+    count (fewer bits → bigger buckets → higher recall, more
+    compute)."""
     proj = proj if proj is not None else projection_matrix()
     # a row without a vector cannot be similar to anything — exclude it
     # explicitly (sign_bits of a NULL array would otherwise land NULL
@@ -258,10 +261,12 @@ def semantic_dedup_pairs(
     :func:`ivf_build_index` centers — the operator is identical from
     assignment onward. Same scale shape as
     :func:`embedding_near_duplicates`: two-pass capped cluster
-    membership, in-expression pair expansion, never a corpus self-join.
-    NULL vectors/ids are excluded up front (the embed_dedup
-    discipline — a NULL vector is similar to nothing, and NULL ids
-    would emit pairs every ``id_a < id_b`` oracle drops as UNKNOWN)."""
+    membership, then a cell-equi self-join pair stream (see
+    :func:`_cell_equi_cosine_pairs` — member arrays would be quadratic
+    in vector bytes). NULL vectors/ids are excluded up front (the
+    embed_dedup discipline — a NULL vector is similar to nothing, and
+    NULL ids would emit pairs every ``id_a < id_b`` oracle drops as
+    UNKNOWN)."""
     centers = centers if centers is not None else semantic_centroids()
     corpus = corpus.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
     bucketed = corpus.select(

@@ -184,7 +184,9 @@ def comments_pipeline(
     # per-post REST GET per consumer — 2× API load, and the two actions
     # could observe DIFFERENT responses (a comment added between them
     # puts a post in the manifest whose rows are absent from the insert
-    # set). ContextCleaner-bounded lifecycle.
+    # set). Cache lifecycle: CacheManager holds it until unpersist or
+    # session end — a long-lived driver looping windows should
+    # unpersist the returned frames (or clearCache) between runs.
     fetched = fetched.persist()
     # the fan-out's driving-key helper column is not part of the sink
     # contract (the record's own `post` field carries it — the
@@ -301,14 +303,22 @@ def rollup_daily_incremental(
     # try_to_timestamp, not cast: ts_col is a PARSE PATH when callers
     # pass string timestamps (normalize_records passes non-19-char API
     # garbage through untouched), and an ANSI cast would abort the
-    # whole rollup on one malformed value — the bad row becomes a NULL
-    # day, which the date_trunc grouping carries like any NULL ts.
-    ts_typed = (
-        F.try_to_timestamp(F.col(ts_col))
-        if dict(new_batch.dtypes).get(ts_col) == "string"
-        else F.col(ts_col).cast("timestamp")
-    )
-    day = F.date_trunc("day", ts_typed)
+    # whole rollup on one malformed value. The conversion is applied
+    # PER FRAME and the typed column replaces ts_col in BOTH frames
+    # before anything else touches it — the first fix parsed only the
+    # affected-day expression, and the malformed row (NULL day via
+    # eqNullSafe) still reached daily_window's F.window over the raw
+    # string, where Spark's implicit ANSI cast aborted anyway
+    # (review r7, live repro). A malformed ts becomes a NULL
+    # timestamp, which daily_window's stated NULL-ts precondition
+    # then drops.
+    def _typed(df: DataFrame) -> DataFrame:
+        if dict(df.dtypes).get(ts_col) == "string":
+            return df.withColumn(ts_col, F.try_to_timestamp(F.col(ts_col)))
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+    events, new_batch = _typed(events), _typed(new_batch)
+    day = F.date_trunc("day", F.col(ts_col))
     affected_days = new_batch.select(day.alias("_day")).distinct()
     dirty = events.join(
         F.broadcast(affected_days), day.eqNullSafe(F.col("_day")), "left_semi"

@@ -1616,7 +1616,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         # leg executes once per consumer. dbc is the hashed-feature
         # table (4 int columns, ≤256 rows/doc — ~1000× smaller than
         # text), the artifact a production DSIR pass materializes
-        # anyway; ContextCleaner-bounded lifecycle.
+        # anyway. Cache lifecycle: CacheManager holds it until unpersist
+        # or session end — fine for per-process driver/bench runs;
+        # long-lived services should clearCache between corpora.
         .persist()
     )
     cr = dbc.groupBy("b").agg(F.sum("c").cast("bigint").alias("cr"))

@@ -387,8 +387,10 @@ _EMBED_DEDUP_TAU = 0.35  # the synthetic corpus is isotropic-random
 def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: same sign-projection bucket, cosine ≥ τ.
     Deterministic (fixed projections) so the oracle reproduces the
-    bucketing exactly; the Spark side expands pairs in-expression
-    instead of self-joining the corpus."""
+    bucketing exactly; the Spark side pairs via a bucket-equi self-join
+    of the narrow (id, vec, norm, bucket) projection with a two-pass
+    hot-bucket cap (vector-payload member arrays would be quadratic in
+    vector bytes — _cell_equi_cosine_pairs)."""
     return SIM.embedding_near_duplicates(
         valid_embeddings(spark, sf_dir), threshold=_EMBED_DEDUP_TAU, proj=_PROJ4
     )
@@ -1479,8 +1481,10 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-cap) but its producing pipeline is a full corpus pass; persist
     # so the four consumers (three triangle-join scans + the degree
     # explode) hit InMemoryTableScan instead of re-running the
-    # inverted index — measured 2.6 s -> 0.98 s at sf0.1. Lifecycle is
-    # ContextCleaner-bounded (the q_pagerank discipline, graph.py).
+    # inverted index — measured 2.6 s -> 0.98 s at sf0.1. Cache lifecycle: held by the
+    # CacheManager until unpersist or session end — the per-process
+    # driver/bench sessions discard it at exit (MEMORY_AND_DISK evicts
+    # under pressure).
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).persist()
     deg = (
         e.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("v"))
