@@ -1,0 +1,138 @@
+"""Pin the bench protocol (VERDICT r7 #6).
+
+The protocol changed twice in round 7 (9e4afbc -> eaaaecb) with only
+commit messages recording which semantics the artifact carries; these
+tests make the protocol itself a versioned invariant:
+
+  * clearCache runs BEFORE build (ADVICE r7: persist() registers plans
+    in the CacheManager at build() time, so clearing after build wipes
+    the query's own build-time persists and the recorded min becomes a
+    re-derivation metric, 2-10x slower and incomparable across rounds)
+  * 1 warm-up + min of <= TIMED_RUNS timed runs under the per-query
+    budget; the warm-up is recorded for derivation-cost audit
+  * stdout payload: queries ascending by time, value last, failures
+    loud; protocol payload: full names + {min, warm, n} per query
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+class _Log(list):
+    pass
+
+
+class _FakeWriter:
+    def __init__(self, log):
+        self._log = log
+
+    def format(self, _fmt):
+        return self
+
+    def mode(self, _mode):
+        return self
+
+    def save(self):
+        self._log.append("run")
+
+
+class _FakeDF:
+    def __init__(self, log):
+        self._log = log
+
+    @property
+    def write(self):
+        return _FakeWriter(self._log)
+
+
+class _FakeCatalog:
+    def __init__(self, log):
+        self._log = log
+
+    def clearCache(self):
+        self._log.append("clear")
+
+
+class _FakeSpark:
+    def __init__(self, log):
+        self.catalog = _FakeCatalog(log)
+
+
+class _FakeQuery:
+    def __init__(self, log):
+        self._log = log
+
+    def build(self, spark, sf_dir):
+        self._log.append("build")
+        return _FakeDF(self._log)
+
+
+def test_clear_cache_precedes_build_and_run_counts():
+    log = _Log()
+    res = bench.bench_query(_FakeSpark(log), _FakeQuery(log), "/nonexistent")
+    # isolation clear first, THEN build (so build-time persists survive),
+    # then exactly 1 warm-up + TIMED_RUNS timed runs (fake runs are ~0s,
+    # far under budget)
+    assert log[:2] == ["clear", "build"]
+    assert log[2:] == ["run"] * (1 + bench.TIMED_RUNS)
+    assert res["n"] == bench.TIMED_RUNS
+    assert res["min"] >= 0 and res["warm"] >= 0
+
+
+def test_budget_clamp_records_blown_warmup(monkeypatch):
+    # a warm-up that alone exceeds the budget is recorded as the
+    # measurement; no further timed runs beyond the mandatory ones
+    monkeypatch.setattr(bench, "PER_QUERY_BUDGET_SEC", 0.0)
+    log = _Log()
+    slow = iter([1.0, 999.0, 999.5, 1000.0, 1000.5])
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(slow))
+    res = bench.bench_query(_FakeSpark(log), _FakeQuery(log), "/nonexistent")
+    # warm-up = 999.0 - 1.0 (wait: first monotonic is budget_t0)...
+    # run sequence: budget_t0=1.0; warm run t0=999.0, end=999.5 -> 0.5s
+    # >= budget 0 -> seeded into times; loop condition: times non-empty
+    # and elapsed over budget -> stop. Exactly one run.
+    assert log.count("run") == 1
+    assert res["n"] == 1
+    assert res["min"] == res["warm"]
+
+
+def test_stdout_payload_shape():
+    results = {
+        "q_fast": {"min": 0.123, "warm": 0.456, "n": 3},
+        "q_slow": {"min": 2.5, "warm": 9.0, "n": 3},
+        "q_dead": {"min": -1.0, "warm": -1.0, "n": 0},
+    }
+    stdout_payload, protocol_payload = bench.make_payloads(results, 0.1)
+    # ascending by time, q_ prefix stripped, sub-second rows 2dp
+    assert list(stdout_payload["queries"]) == ["dead", "fast", "slow"]
+    assert stdout_payload["queries"]["fast"] == 0.12
+    assert stdout_payload["queries"]["slow"] == 2.5
+    # value last so it survives the 2000-char tail clip
+    assert list(stdout_payload)[-1] == "value"
+    assert stdout_payload["failed"] == ["q_dead"]
+    assert stdout_payload["n_failed"] == 1
+    # failed queries excluded from the headline total (and flagged)
+    assert stdout_payload["value"] == 2.623
+    # protocol artifact keeps FULL names and the warm-up audit column
+    assert set(protocol_payload["queries"]) == set(results)
+    assert protocol_payload["queries"]["q_slow"]["warm"] == 9.0
+    assert protocol_payload["value"] == stdout_payload["value"]
+
+
+def test_tail_line_fits_driver_window():
+    # 125+ queries must leave the slow half visible in a 2000-char tail;
+    # simulate a full-size registry line and require the headline plus
+    # >= 60 slowest entries inside the window
+    import json
+
+    results = {
+        f"q_query_name_{i:03d}": {"min": round(0.01 * i, 3), "warm": 0.1, "n": 3}
+        for i in range(130)
+    }
+    stdout_payload, _ = bench.make_payloads(results, 0.1)
+    line = json.dumps(stdout_payload, separators=(",", ":"))
+    tail = line[-2000:]
+    assert '"value"' in tail and '"n_failed"' in tail
+    visible = sum(1 for i in range(130) if f"query_name_{i:03d}" in tail)
+    assert visible >= 60

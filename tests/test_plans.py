@@ -131,10 +131,25 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
-    # demoted in round 7 to fund the seventeen promotions (two new
-    # queries, the q_approx_distinct reshape, six changed-semantics
-    # re-verifications, eight stale-evidence rotations), each with an
-    # in-cap family cover:
+    # demoted in round 8 to fund the fifteen promotions (two
+    # changed-semantics re-verifications + thirteen stale r3-single
+    # rotations), each fresh r7-green with an in-cap family cover:
+    "q_semantic_dedup": "q_ann_lsh",  # bucketed cosine-pair family (cell-equi skeleton)
+    "q_bpe_train": "q_word_freq",  # token-distribution surface
+    "q_dsir_weights": "q_bm25",  # ln-family integered scoring
+    "q_approx_distinct": "q_count_distinct",  # distinct-agg family
+    "q_embed_dedup": "q_ann_lsh",  # sign-bucket LSH cosine pairs
+    "q_profile": "q_data_quality",  # column-diagnostics family
+    "q_scd2": "q_merge_upsert",  # merge/upsert family
+    "q_token_bpe": "q_word_freq",  # tokenization surface
+    "q_ann_multiprobe": "q_ann_lsh",  # multi-probe variant of the LSH index
+    "q_ntile": "q_window_frames",  # window-function family
+    "q_sim_topk": "q_knn_bucketed",  # top-k similarity family
+    "q_streaks": "q_markov",  # ordered-event sequence analytics
+    "q_source_overlap": "q_jsd_mix",  # cross-source distribution family
+    "q_skew_keys": "q_pareto_abc",  # key-frequency / heavy-hitter share
+    "q_rfm": "q_stickiness",  # engagement accounting
+    # demoted in round 7, each with an in-cap family cover:
     "q_agg_count": "q_cube",  # grouping-set aggregate family
     "q_range_join": "q_asof_join",  # interval/event-time join family
     "q_topk_latest": "q_topk_per_group",  # rank/limit family
@@ -191,12 +206,9 @@ TAIL_COVERED_BY = {
     "q_collocations": "q_mutual_info",  # association family (q_cooccur_lift demoted r7)
     # demoted in round 4 (each 2x/3x driver-green) to verify the ten
     # round-3 tail queries that had zero driver rows:
-    "q_proj_alias": "q_ts_normalize",
-    "q_const_probe": "q_data_quality",  # diagnostics (q_benford demoted r7)
     "q_json_ser": "q_ts_normalize",  # row/scalar transform family
     "q_histogram": "q_mad_outliers",
     "q_gap_fill": "q_daily_window",
-    "q_sliding_window": "q_daily_window",
     "q_star_join": "q_revenue_by_segment",
     "q_children_rollup": "q_cube",  # grouping aggregates (q_agg_count demoted r7)
     "q_set_ops": "q_exact_dedup",  # distinct-family (q_dedup_batch demoted r6)
@@ -204,23 +216,11 @@ TAIL_COVERED_BY = {
     "q_zscore": "q_mad_outliers",  # robust per-group stats
     # demoted in round 4 (each 3x driver-green) to make room for the
     # curation tier:
-    "q_hash_sample": "q_split_assign",
-    "q_window_frames": "q_daily_window",
-    "q_rollup": "q_cube",  # grouping-set family
     # demoted late round 4 (each 3x driver-green) to make room for the
     # second curation batch (packing/boilerplate/entropy/temperature/
     # cluster-sizes):
-    "q_lang_id": "q_quality_linear",
-    "q_tfidf": "q_bm25",  # lexical term weighting
-    "q_simhash": "q_substring_dedup",  # fingerprint-sketch dedup surface
-    "q_multimodal_meta": "q_resize_meta",
-    "q_count_distinct": "q_approx_distinct",  # distinct-agg family
     # demoted late round 4 for the third curation batch (group sample /
     # vocab coverage / edit distance / LM perplexity):
-    "q_quality_score": "q_quality_linear",
-    "q_embed_stats": "q_knn_bucketed",
-    "q_thread_closure": "q_dup_graph_degree",
-    "q_ann_lsh": "q_knn_bucketed",
 }
 
 

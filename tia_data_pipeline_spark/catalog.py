@@ -93,7 +93,7 @@ def ensure_table(spark: SparkSession, name: str, path: str, schema=None):
     parquet location. Re-running is a no-op, like the reference's
     ``IF NOT EXISTS`` heredoc executed on every container init."""
     # a bare driver session must still scan µs-NTZ parquet as
-    # TimestampType/UTC (CLAUDE.md invariant) — pin before any read
+    # TimestampType/UTC (engine-wide scan invariant) — pin before any read
     _ensure_session_confs(spark)
     if not spark.catalog.tableExists(name):
         spark.catalog.createTable(name, path=path, source="parquet", schema=schema)

@@ -63,7 +63,7 @@ def nano_int_sql(expr: str) -> str:
 def epoch_day(col: str = "ts") -> Column:
     """Integer epoch-day index of a timestamp column — FLOOR division,
     pre-1970-safe. Spark ``div`` and DuckDB ``//`` both truncate toward
-    zero (CLAUDE.md truncating-division invariant), so the numerator is
+    zero (the engine-wide truncating-division invariant), so the numerator is
     made exactly divisible first via the subtract-positive-modulus
     idiom; single-sourced here so no query re-types it with a plain
     ``%`` slip that would diverge only on negative epochs. Twin of
@@ -134,7 +134,7 @@ def finite_value_sql(expr: str) -> str:
 
 def dec19(col: str | Column) -> Column:
     """Promote an integer column to decimal(19,0) BEFORE multiplying —
-    the moment rule (CLAUDE.md): per-term products in sums of
+    the engine-wide moment rule: per-term products in sums of
     squares/cross-products overflow int64 even when the inputs fit, so
     promotion must happen before the multiply, with the SUM accumulated
     as decimal(38,0). DuckDB twin: ``x::HUGEINT`` (bit-exact match for

@@ -43,7 +43,7 @@ def normalize_records(
     One projection; every op is a Catalyst expression, so the whole
     normalization is a single codegen'd map stage regardless of width.
     """
-    # bare-session rule (CLAUDE.md): json_serialize_nested's byte-level
+    # engine-wide bare-session rule: json_serialize_nested's byte-level
     # contract needs jsonGenerator.ignoreNullFields=false, but the REST
     # pipelines never traverse catalog.load_table where it is otherwise
     # pinned — a caller-provided session (Spark's getOrCreate ignores

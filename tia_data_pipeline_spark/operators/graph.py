@@ -192,30 +192,38 @@ def connected_components(
     nodes = sym.select("u").distinct()
     sym = sym.union(nodes.select(F.col("u"), F.col("u").alias("v"))).persist()
     labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("component"))
-    for _ in range(max_iter):
-        # propagate: node's new label = min(label of every neighbor)
-        prop = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .groupBy("u")
-            .agg(F.min("component").alias("new_component"))
+    # try/finally: the cache must be released on EVERY exit path — the
+    # convergence return, the max_iter raise, and any mid-loop failure
+    # (a raise-path leak would hold the edge set for the session, the
+    # exact leak the unpersist exists to prevent).
+    try:
+        for _ in range(max_iter):
+            # propagate: node's new label = min(label of every neighbor)
+            prop = (
+                sym.join(labels, sym["v"] == labels["node"])
+                .groupBy("u")
+                .agg(F.min("component").alias("new_component"))
+            )
+            joined = (
+                labels.join(prop, labels["node"] == prop["u"])
+                .select("node", "component", "new_component")
+                .localCheckpoint(eager=False)
+            )
+            n_changed = (
+                joined.filter(F.col("new_component") < F.col("component")).limit(1).count()
+            )
+            labels = joined.select(
+                "node", F.least("component", "new_component").alias("component")
+            )
+            if n_changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} rounds; "
+            "labels would be silently wrong (a chain longer than the budget is still "
+            "propagating) — raise max_iter"
         )
-        joined = (
-            labels.join(prop, labels["node"] == prop["u"])
-            .select("node", "component", "new_component")
-            .localCheckpoint(eager=False)
-        )
-        n_changed = joined.filter(F.col("new_component") < F.col("component")).limit(1).count()
-        labels = joined.select(
-            "node", F.least("component", "new_component").alias("component")
-        )
-        if n_changed == 0:
-            sym.unpersist()
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge within max_iter={max_iter} rounds; "
-        "labels would be silently wrong (a chain longer than the budget is still "
-        "propagating) — raise max_iter"
-    )
+    finally:
+        sym.unpersist()
 
 
 def dedup_components(

@@ -199,11 +199,15 @@ def _cell_equi_cosine_pairs(
     )
     denom = F.col("_norm_a") * F.col("_norm_b")
     score = F.when(denom > 0, dot(F.col("_vec_a"), F.col("_vec_b")) / denom)
-    return (
-        joined.select("id_a", "id_b", portable_round(score, 6).alias("score"))
-        .filter(F.col("score") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # No pair-level dedup: each vector is assigned exactly ONE cell
+    # (sign_bits / nearest_centroid), so a pair can co-occur in at most
+    # one cell and a dropDuplicates here would be a pure no-op shuffle
+    # + aggregate over the widest relation in the plan (ADVICE r7). A
+    # multi-probe/multi-band variant that assigns several cells per
+    # vector must re-add per-pair dedup at its own call site.
+    return joined.select(
+        "id_a", "id_b", portable_round(score, 6).alias("score")
+    ).filter(F.col("score") >= threshold)
 
 
 def semantic_centroids() -> list[list[float]]:

@@ -28,53 +28,47 @@ from tia_data_pipeline_spark.plans.contract import REGISTRY, oracle_sql, queries
 DRIVER_ROW_CAP = 50
 
 CONTRACT_ORDER = [
-    # -- round-7 additions (never driver-seen): SemDeDup semantic
-    #    near-dup over pinned IVF centroids, one distributed BPE-merge
-    #    training iteration. Never-verified-first policy.
-    "q_semantic_dedup",
-    "q_bpe_train",
-    "q_dsir_weights",
-    # -- round-7 reshape: q_approx_distinct now emits (n_exact,
-    #    within_bound) with a TRUE-stating oracle (VERDICT r6 #2) — the
-    #    registry's last never-hash-verified entry gets its first
-    #    hash-checkable driver row.
-    "q_approx_distinct",
-    # -- round-7 changed-semantics promotions: each of these tail
-    #    entries changed in round 6/7 after its last driver row
-    #    (q_embed_dedup: valid_vector read + the r7 ADVICE NULL-id
-    #    oracle fix; q_asof_join: anchor signup + NULL-ts filter — its
-    #    VALUES changed; q_profile: NULL preconditions + the r6 >2x
-    #    bench watch; q_ols_trend: NULL preconditions; q_scd2: oracle
-    #    rewrite + the r7 map-attr tiebreak; q_data_quality: oracle
-    #    rewrite), so the driver re-verifies the changed forms.
-    "q_embed_dedup",
+    # -- round-8 changed-semantics promotions: both changed after their
+    #    last (r3) driver row — q_rollup's two-level bigint-leaf
+    #    accumulation (r7 perf fix) and q_sliding_window's
+    #    money_sum/finite_value hardening (r6) — so the driver
+    #    re-verifies the changed forms first.
+    "q_rollup",
+    "q_sliding_window",
+    # -- round-8 stale-evidence promotions (VERDICT r7 #3): the r3-green
+    #    singles with the stalest driver evidence rotate in so evidence
+    #    ages uniformly.
+    "q_lang_id",
+    "q_tfidf",
+    "q_quality_score",
+    "q_embed_stats",
+    "q_thread_closure",
+    "q_ann_lsh",
+    "q_simhash",
+    "q_multimodal_meta",
+    "q_count_distinct",
+    "q_hash_sample",
+    "q_window_frames",
+    "q_proj_alias",
+    "q_const_probe",
+    # -- round-7 changed-semantics promotions retained in-cap (cover
+    #    targets for this round's demotions).
     "q_asof_join",
-    "q_profile",
     "q_ols_trend",
-    "q_scd2",
     "q_data_quality",
-    # -- round-7 stale-evidence promotions (VERDICT r6 #3): the eight
-    #    single-green r1/r2 tail entries with the stalest driver
-    #    evidence rotate in so evidence ages uniformly.
+    # -- round-7 stale-evidence promotions retained in-cap (cover
+    #    targets).
     "q_cube",
     "q_word_freq",
     "q_canonicalize",
-    "q_token_bpe",
     "q_topk_per_group",
-    "q_ann_multiprobe",
-    "q_ntile",
-    "q_sim_topk",
-    # -- round-6 batches retained in-cap (1x green r6 each, family
-    #    anchors and cover targets for the round-7 demotions).
-    "q_streaks",
-    "q_source_overlap",
-    "q_skew_keys",
+    # -- round-6 batches retained in-cap (family anchors and cover
+    #    targets for the round-7/8 demotions).
     "q_markov",
     "q_pareto_abc",
     "q_mutual_info",
     "q_stickiness",
     "q_ewma",
-    "q_rfm",
     "q_quality_linear",
     "q_substring_dedup",
     "q_mad_outliers",
@@ -101,6 +95,23 @@ CONTRACT_ORDER = [
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
+    # -- demoted in round 8 to fund the fifteen promotions above (each
+    #    fresh r7-green; family covers in TAIL_COVERED_BY):
+    "q_semantic_dedup",
+    "q_bpe_train",
+    "q_dsir_weights",
+    "q_approx_distinct",
+    "q_embed_dedup",
+    "q_profile",
+    "q_scd2",
+    "q_token_bpe",
+    "q_ann_multiprobe",
+    "q_ntile",
+    "q_sim_topk",
+    "q_streaks",
+    "q_source_overlap",
+    "q_skew_keys",
+    "q_rfm",
     # -- demoted in round 7 to fund the seventeen promotions above
     #    (each 1-6x driver-green incl. r6; family covers in
     #    TAIL_COVERED_BY): the heavily-verified relational singles and
@@ -160,24 +171,9 @@ CONTRACT_ORDER = [
     "q_quantiles",
     "q_repetition",
     "q_collocations",
-    "q_lang_id",
-    "q_tfidf",
-    "q_quality_score",
-    "q_embed_stats",
-    "q_thread_closure",
-    "q_ann_lsh",
-    "q_simhash",
-    "q_multimodal_meta",
-    "q_count_distinct",
-    "q_hash_sample",
-    "q_window_frames",
-    "q_rollup",
-    "q_proj_alias",
-    "q_const_probe",
     "q_json_ser",
     "q_histogram",
     "q_gap_fill",
-    "q_sliding_window",
     "q_star_join",
     "q_children_rollup",
     "q_set_ops",
@@ -190,46 +186,49 @@ CONTRACT_ORDER = [
 # at the repo root. Updated each round; the tail-policy test checks
 # every below-cap entry appears here.
 DRIVER_GREEN_HISTORY = {
+    "q_semantic_dedup": [7],
+    "q_dsir_weights": [7],
+    "q_bpe_train": [7],
     "q_agg_count": [1, 2, 3, 4, 5, 6],
     "q_ann_lsh": [1, 2, 3],
-    "q_ann_multiprobe": [1],
+    "q_ann_multiprobe": [1, 7],
     "q_ann_recall": [4, 5],
     "q_anomaly": [6],
     "q_antijoin_incr": [1, 2, 3, 4, 5],
-    "q_approx_distinct": [3, 4],
-    "q_asof_join": [1, 2, 3],
+    "q_approx_distinct": [3, 4, 7],
+    "q_asof_join": [1, 2, 3, 7],
     "q_autocorr": [5],
     "q_benford": [6],
-    "q_bm25": [5, 6],
-    "q_boilerplate": [4, 5, 6],
-    "q_burstiness": [6],
-    "q_canonicalize": [1],
+    "q_bm25": [5, 6, 7],
+    "q_boilerplate": [4, 5, 6, 7],
+    "q_burstiness": [6, 7],
+    "q_canonicalize": [1, 7],
     "q_changepoint": [5],
     "q_children_rollup": [1, 2, 3],
-    "q_chunking": [4, 6],
+    "q_chunking": [4, 6, 7],
     "q_cluster_sizes": [4, 5],
     "q_cohort_retention": [4, 5],
     "q_collocations": [4],
     "q_const_probe": [1, 2, 3],
-    "q_containment": [6],
+    "q_containment": [6, 7],
     "q_cooccur_lift": [6],
     "q_count_distinct": [1, 2, 3],
-    "q_cube": [1],
-    "q_daily_window": [2, 3, 4, 5, 6],
-    "q_data_quality": [4, 5],
+    "q_cube": [1, 7],
+    "q_daily_window": [2, 3, 4, 5, 6, 7],
+    "q_data_quality": [4, 5, 7],
     "q_decontaminate": [4, 5],
     "q_dedup_batch": [1, 2, 3, 4, 5],
     "q_dedup_components": [3, 4, 5],
-    "q_dedup_latest": [1, 6],
-    "q_doc_fingerprint": [1, 6],
-    "q_dup_graph_degree": [6],
+    "q_dedup_latest": [1, 6, 7],
+    "q_doc_fingerprint": [1, 6, 7],
+    "q_dup_graph_degree": [6, 7],
     "q_edit_distance": [4, 5],
-    "q_embed_dedup": [1, 2, 3, 4],
+    "q_embed_dedup": [1, 2, 3, 4, 7],
     "q_embed_quantize": [4, 5],
     "q_embed_stats": [1, 2, 3],
-    "q_ewma": [6],
-    "q_exact_dedup": [1, 2, 3, 4, 5, 6],
-    "q_exists_guard": [2, 3, 4, 5, 6],
+    "q_ewma": [6, 7],
+    "q_exact_dedup": [1, 2, 3, 4, 5, 6, 7],
+    "q_exists_guard": [2, 3, 4, 5, 6, 7],
     "q_feature_hash": [4, 5, 6],
     "q_filter_range": [1, 2, 3, 4, 5],
     "q_funnel": [4, 5],
@@ -242,74 +241,74 @@ DRIVER_GREEN_HISTORY = {
     "q_histogram": [2, 3],
     "q_interarrival": [6],
     "q_join_enrich": [1, 2, 3, 4],
-    "q_jsd_mix": [5, 6],
+    "q_jsd_mix": [5, 6, 7],
     "q_json_ser": [1, 2, 3],
-    "q_knn_bucketed": [4, 6],
+    "q_knn_bucketed": [4, 6, 7],
     "q_knn_join": [3, 4, 5],
     "q_ks_drift": [5, 6],
     "q_lang_id": [1, 2, 3],
     "q_lm_perplexity": [4, 5],
-    "q_mad_outliers": [6],
-    "q_markov": [6],
-    "q_merge_upsert": [2, 3, 4, 5, 6],
+    "q_mad_outliers": [6, 7],
+    "q_markov": [6, 7],
+    "q_merge_upsert": [2, 3, 4, 5, 6, 7],
     "q_mix_temperature": [4, 5],
     "q_multimodal_meta": [1, 2, 3],
-    "q_mutual_info": [6],
+    "q_mutual_info": [6, 7],
     "q_new_users": [6],
     "q_ngram_jaccard": [1, 2, 3, 4],
-    "q_ntile": [1, 2],
-    "q_ols_trend": [5],
+    "q_ntile": [1, 2, 7],
+    "q_ols_trend": [5, 7],
     "q_pack_sequences": [4, 5],
     "q_pagerank": [5],
-    "q_pareto_abc": [6],
+    "q_pareto_abc": [6, 7],
     "q_pii_redact": [4, 5, 6],
     "q_pivot_status": [1, 2, 3],
-    "q_profile": [1, 2, 3],
+    "q_profile": [1, 2, 3, 7],
     "q_proj_alias": [1, 2, 3],
-    "q_quality_linear": [6],
+    "q_quality_linear": [6, 7],
     "q_quality_score": [1, 2, 3],
     "q_quantiles": [1, 2, 3, 4],
     "q_range_join": [1, 2, 3, 4, 5, 6],
     "q_repetition": [4],
-    "q_resize_meta": [2, 3, 4, 5, 6],
-    "q_revenue_by_segment": [1, 2, 3, 4, 5, 6],
-    "q_rfm": [6],
+    "q_resize_meta": [2, 3, 4, 5, 6, 7],
+    "q_revenue_by_segment": [1, 2, 3, 4, 5, 6, 7],
+    "q_rfm": [6, 7],
     "q_rolling_actives": [6],
     "q_rollup": [1, 2, 3],
-    "q_scan_project": [1, 6],
-    "q_scd2": [4, 5],
+    "q_scan_project": [1, 6, 7],
+    "q_scd2": [4, 5, 7],
     "q_seasonality": [6],
-    "q_self_join": [2, 3, 4, 5, 6],
+    "q_self_join": [2, 3, 4, 5, 6, 7],
     "q_semi_join": [1, 2, 3, 4, 5],
     "q_session_window": [3, 4],
     "q_set_ops": [1, 2, 3],
-    "q_sim_topk": [1, 2],
+    "q_sim_topk": [1, 2, 7],
     "q_simhash": [1, 2, 3],
-    "q_skew_keys": [6],
+    "q_skew_keys": [6, 7],
     "q_sliding_window": [2, 3],
     "q_source_mix": [4, 5],
-    "q_source_overlap": [6],
+    "q_source_overlap": [6, 7],
     "q_spearman": [6],
-    "q_split_assign": [4, 5, 6],
+    "q_split_assign": [4, 5, 6, 7],
     "q_star_join": [1, 2, 3],
-    "q_stickiness": [6],
-    "q_streaks": [6],
-    "q_substring_dedup": [6],
+    "q_stickiness": [6, 7],
+    "q_streaks": [6, 7],
+    "q_substring_dedup": [6, 7],
     "q_text_tokens": [1, 2, 3, 4],
     "q_tfidf": [1, 2, 3],
     "q_thread_closure": [1, 2, 3],
     "q_tok_fertility": [5],
-    "q_token_bpe": [1],
+    "q_token_bpe": [1, 7],
     "q_token_entropy": [4, 5],
     "q_topk_latest": [1, 2, 3, 4, 5, 6],
-    "q_topk_per_group": [1],
+    "q_topk_per_group": [1, 7],
     "q_triangles": [6],
-    "q_ts_normalize": [1, 2, 3, 4, 5, 6],
+    "q_ts_normalize": [1, 2, 3, 4, 5, 6, 7],
     "q_vocab_coverage": [4, 5],
     "q_window_frames": [1, 2, 3],
     "q_winsorize": [5],
     "q_word_count": [1, 2, 3, 4, 5, 6],
-    "q_word_freq": [1],
+    "q_word_freq": [1, 7],
     "q_zipf_fit": [6],
     "q_zscore": [1, 2, 3],
 }

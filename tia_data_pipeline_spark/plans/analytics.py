@@ -1871,7 +1871,7 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen run before trusting two attributes as independent features
     (MI ≈ 0) or flagging a leaking correlation.
 
-    Exactness: the ln-family discipline (CLAUDE.md): every log takes an
+    Exactness: the engine-wide ln-family discipline: every log takes an
     INTEGER argument ≥ 1 (cell, row, column, grand counts), each cell's
     PMI integerizes to nano-nats in ONE floor(x·1e9 + 0.5), and the MI
     numerator Σ n_obs·pmi_n promotes per-term to decimal/HUGEINT before

@@ -1330,7 +1330,7 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("bigint").alias("sx"),
         # decimal(38,0), not bigint: the SUM of rank-weighted terms
         # grows ~n^2·avg(x)/2 — unbounded even though each term fits
-        # (the CLAUDE.md zscore rule); DuckDB's HUGEINT matches exactly
+        # (the zscore decimal-accumulator rule); DuckDB's HUGEINT matches exactly
         F.sum((TX.dec19("rn") * TX.dec19("x")).cast("decimal(38,0)")).alias("swx"),
     )
     nd, sxd, swxd = (F.col(c).cast("double") for c in ("n", "sx", "swx"))

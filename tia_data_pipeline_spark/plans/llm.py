@@ -1341,7 +1341,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 1-ulp divergent cross-engine on ~1% of large integer args, so a
     raw term-sum column can flake the driver hash at a near-boundary
     term; only the 1e9-divided, 6-dp-rounded score is hash-safe
-    (CLAUDE.md ln-family rule)."""
+    (the engine-wide ln-family rule)."""
     docs = _docs(spark, sf_dir, fan=False)
     toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
     dl = docs.select("doc_id", TX.word_count(F.col("text")).alias("dl"))

@@ -156,7 +156,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # key in the existing set makes NOT IN return UNKNOWN for EVERY
         # row (zero results), while the engine's merge-family anti-join
         # is deliberately null-safe (a NULL key matches itself — the
-        # CLAUDE.md eqNullSafe invariant); the oracle must state the
+        # engine-wide eqNullSafe merge-family invariant); the oracle must state the
         # same semantics.
         "SELECT i.o_orderkey, i.o_custkey, i.o_totalprice, i.o_orderdate "
         "FROM orders i WHERE i.o_orderdate >= TIMESTAMP '1997-01-01' "

@@ -261,6 +261,11 @@ def jdbc_merge_upsert(
     in the target dialect's native statement (MERGE, or Postgres
     ``ON CONFLICT DO NOTHING`` — see :func:`insert_if_absent_sql`).
     """
+    if not keys:
+        # a keyless merge is meaningless (matches the lakehouse guard);
+        # without this the key_ok fold below leaves None and
+        # filter(None) raises an opaque TypeError
+        raise ValueError("jdbc_merge_upsert requires at least one key column")
     cols = list(incoming.columns)
     staging = f"{table}_stg_{uuid.uuid4().hex[:12]}"
     # PK-targeted merges exclude NULL keys explicitly (the merge-family
@@ -339,6 +344,8 @@ def jdbc_upsert_append(
     form the reference itself provides. NULL-key rows are excluded
     before the append (the PK-merge rule — a NULL PK insert fails
     non-retryably on every dialect)."""
+    if not keys:
+        raise ValueError("jdbc_upsert_append requires at least one key column")
     key_ok = None
     for k in keys:
         c = F.col(k).isNotNull()

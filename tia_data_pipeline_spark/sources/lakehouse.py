@@ -89,7 +89,7 @@ def _merge_parquet_fallback(
     update_on_match: bool,
 ) -> None:
     # Compose the merge-family operators rather than re-stating their
-    # null-safe anti-joins here (CLAUDE.md pins the whole family to the
+    # null-safe anti-joins here (the engine pins the whole family to the
     # same eqNullSafe-per-key discipline — one implementation site):
     # upsert ≡ merge_upsert_plan (incoming wins per key), insert-only ≡
     # existing ∪ incremental_append (the reference's ON CONFLICT DO
