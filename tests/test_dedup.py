@@ -183,3 +183,205 @@ def test_hot_shingle_10k_df_dropped_before_any_list(spark):
         ).collect()
     }
     assert pairs == {(20_001, 20_002)}
+
+
+class TestMinhashIncrementalIndex:
+    """Incremental fuzzy dedup against the persisted signature index
+    (VERDICT r7 #2): probe a new shard without rescanning history."""
+
+    @pytest.fixture()
+    def index(self, spark, tmp_path):
+        from tia_data_pipeline_spark.operators.dedup import minhash_write_index
+
+        # history: a base doc + an unrelated doc; the shard (built in
+        # tests) carries a near-copy of base that must pair with it
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(200)]
+        base = " ".join(rng.choice(vocab) for _ in range(120))
+        far = " ".join(rng.choice(vocab) for _ in range(120))
+        hist = spark.createDataFrame(
+            [(1, base), (2, far)], "doc_id bigint, text string"
+        )
+        path = str(tmp_path / "idx")
+        minhash_write_index(hist, "text", "doc_id", path, n_shards=8)
+        return path, base, far
+
+    def _shard(self, spark, base):
+        near = base.replace("w1", "w199", 3)
+        fresh = " ".join(f"z{i}" for i in range(120))
+        return spark.createDataFrame(
+            [(10, base), (11, near), (12, fresh)], "doc_id bigint, text string"
+        )
+
+    def test_probe_finds_history_dups_only(self, spark, index):
+        from tia_data_pipeline_spark.operators.dedup import minhash_dedup_incremental
+
+        path, base, _ = index
+        got = {
+            (r["new_id"], r["dup_id"])
+            for r in minhash_dedup_incremental(
+                self._shard(spark, base), path, threshold=0.5
+            ).collect()
+        }
+        # identical + near-copy both pair with indexed doc 1; the fresh
+        # doc and the unrelated history doc 2 pair with nothing; shard-
+        # internal dups (10~11) are NOT this operator's output
+        assert got == {(10, 1), (11, 1)}
+
+    def test_probe_prunes_index_partitions(self, spark, index):
+        """The 100 TB property: the probe's index scan must plan
+        PartitionFilters from the shard's touched (band, bshard) set —
+        an unpruned scan reads the whole index every day."""
+        import contextlib
+        import io
+
+        from tia_data_pipeline_spark.operators.dedup import minhash_dedup_incremental
+
+        path, base, _ = index
+        df = minhash_dedup_incremental(self._shard(spark, base), path, threshold=0.5)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        scans = [
+            ln for ln in plan.splitlines() if "PartitionFilters" in ln
+        ]
+        assert scans, "index scan lost its partition filters"
+        assert any(
+            "band" in ln and "bshard" in ln and "[]" not in ln.split("PartitionFilters:")[1][:10]
+            for ln in scans
+        ), f"no non-empty (band, bshard) partition filter: {scans}"
+
+    def test_append_twice_equals_once(self, spark, index):
+        from tia_data_pipeline_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_index_append,
+            minhash_index_meta,
+            _read_index,
+        )
+
+        path, base, _ = index
+        shard = self._shard(spark, base)
+        meta = minhash_index_meta(spark, path)
+        minhash_index_append(shard, path)
+        n1 = _read_index(spark, path, meta).count()
+        minhash_index_append(shard, path)
+        n2 = _read_index(spark, path, meta).count()
+        assert n1 == n2, "re-appending the same shard must be a no-op"
+        # after the append the shard's docs are indexed: self-pairs are
+        # excluded, and the shard-internal near-dup now surfaces
+        got = {
+            (r["new_id"], r["dup_id"])
+            for r in minhash_dedup_incremental(shard, path, threshold=0.5).collect()
+        }
+        assert got == {(10, 1), (11, 1), (10, 11), (11, 10)}
+
+    def test_empty_index_and_empty_shard(self, spark, tmp_path):
+        from tia_data_pipeline_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_write_index,
+        )
+
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id bigint, text string")
+        path = str(tmp_path / "idx0")
+        # day-zero bootstrap: an index of zero documents is probeable
+        minhash_write_index(empty, "text", "doc_id", path, n_shards=8)
+        assert minhash_dedup_incremental(docs, path).count() == 0
+        # and an empty shard probes any index to zero rows
+        path2 = str(tmp_path / "idx1")
+        minhash_write_index(docs, "text", "doc_id", path2, n_shards=8)
+        assert minhash_dedup_incremental(empty, path2).count() == 0
+
+    def test_probe_uses_index_hash_family(self, spark, tmp_path):
+        """Parameter drift between writer and prober is impossible:
+        the probe derives (k, bands, seed, shingle_n, portable) from
+        the index meta, so an index written with a non-default family
+        still matches a byte-identical shard doc at est 1.0."""
+        from tia_data_pipeline_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_write_index,
+        )
+
+        text = " ".join(f"t{i}" for i in range(80))
+        hist = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        shard = spark.createDataFrame([(2, text)], "doc_id bigint, text string")
+        path = str(tmp_path / "idx_k16")
+        minhash_write_index(
+            hist, "text", "doc_id", path, k=16, bands=4, seed=99, n_shards=4
+        )
+        rows = minhash_dedup_incremental(shard, path, threshold=0.9).collect()
+        assert [(r["new_id"], r["dup_id"], r["est_jaccard"]) for r in rows] == [
+            (2, 1, 1.0)
+        ]
+
+
+class TestDuplicatedSpans:
+    """Planted-verbatim-span fixtures for the span extractor
+    (VERDICT r7 #5): the cut-not-drop form must report WHERE the
+    duplication lives, alignment-independently, with no false spans
+    between unrelated docs."""
+
+    def _corpus(self, spark):
+        rng = random.Random(23)
+        letters = "abcdefghijklmnopqrstuvwxyz "
+        block = "".join(rng.choice(letters) for _ in range(220))
+        pre_a = "".join(rng.choice(letters) for _ in range(100))
+        pre_b = "".join(rng.choice(letters) for _ in range(37))
+        tail_b = "".join(rng.choice(letters) for _ in range(80))
+        far = "".join(rng.choice("0123456789 ") for _ in range(300))
+        rows = [
+            (1, pre_a + block),          # block at offset 101
+            (2, pre_b + block + tail_b),  # same block at offset 38
+            (3, far),                     # unrelated
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string"), block
+
+    def test_planted_span_found_with_offsets(self, spark):
+        from tia_data_pipeline_spark.operators.dedup import duplicated_spans
+
+        docs, block = self._corpus(spark)
+        spans = duplicated_spans(docs, "text", "doc_id", mod=8).collect()
+        assert spans, "planted verbatim block produced no span"
+        assert all((r["id_a"], r["id_b"]) == (1, 2) for r in spans), (
+            f"false spans: {spans}"
+        )
+        best = max(spans, key=lambda r: r["span_len"])
+        # the reported range must sit INSIDE the planted block in both
+        # docs (1-based; block starts at 101 in doc 1, 38 in doc 2) and
+        # cover most of it — sampled anchors trim the edges by up to
+        # ~k + mod chars each side
+        assert 101 <= best["a_start"] and best["a_start"] + best["span_len"] <= 101 + len(block)
+        assert best["b_start"] - best["a_start"] == 38 - 101
+        assert best["span_len"] >= len(block) - 2 * (32 + 8)
+        # and the reported substrings are BYTE-IDENTICAL — the whole
+        # point of span extraction
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        sub_a = texts[1][best["a_start"] - 1 : best["a_start"] - 1 + best["span_len"]]
+        sub_b = texts[2][best["b_start"] - 1 : best["b_start"] - 1 + best["span_len"]]
+        assert sub_a == sub_b
+
+    def test_portable_path_matches_default_structure(self, spark):
+        from tia_data_pipeline_spark.operators.dedup import duplicated_spans
+
+        docs, _ = self._corpus(spark)
+        a = {
+            (r["id_a"], r["id_b"])
+            for r in duplicated_spans(docs, "text", "doc_id", mod=8).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"])
+            for r in duplicated_spans(
+                docs, "text", "doc_id", mod=8, portable=True
+            ).collect()
+        }
+        # different hash families sample different anchors, but the
+        # PAIR set for a 220-char planted block must agree
+        assert a == b == {(1, 2)}
+
+    def test_short_and_null_docs_no_spans(self, spark):
+        from tia_data_pipeline_spark.operators.dedup import duplicated_spans
+
+        rows = [(1, "tiny"), (2, "tiny"), (3, None), (4, None)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        assert duplicated_spans(docs, "text", "doc_id").count() == 0

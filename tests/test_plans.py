@@ -134,6 +134,8 @@ TAIL_COVERED_BY = {
     # demoted in round 8 to fund the fifteen promotions (two
     # changed-semantics re-verifications + thirteen stale r3-single
     # rotations), each fresh r7-green with an in-cap family cover:
+    "q_self_join": "q_thread_closure",  # self-referential join-tree family
+    "q_dedup_latest": "q_topk_per_group",  # latest-per-key rank/limit family
     "q_semantic_dedup": "q_ann_lsh",  # bucketed cosine-pair family (cell-equi skeleton)
     "q_bpe_train": "q_word_freq",  # token-distribution surface
     "q_dsir_weights": "q_bm25",  # ln-family integered scoring
@@ -385,6 +387,11 @@ FAN_OUT_EXPECTED = {
     # partial WindowGroupLimit SORTS each input partition — a 3-split
     # scan serializes the sort (A/B at sf0.1: 1.23→0.86)
     "q_topk_per_group",
+    # round-8: per-position md5 anchors are the same CPU-heavy map
+    # shape as q_substring_dedup's portable path (measured there:
+    # md5-per-position dominates); both new queries fan the scan out
+    "q_dup_spans",
+    "q_dedup_incremental",
     # simhash's 32-vote md5-bit aggregate is the borderline case: the
     # standalone q_simhash shape measures NEUTRAL (0.52 vs 0.51, so it
     # stays unfanned — the shuffle buys nothing), but inside

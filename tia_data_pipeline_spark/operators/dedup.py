@@ -16,9 +16,10 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import json
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tia_data_pipeline_spark.functions.text import portable_round, tokens
@@ -267,6 +268,53 @@ def minhash_signature_frame(
     )
 
 
+def minhash_band_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Banded MinHash signatures: one ``(_id, _sig, band, bucket)`` row
+    per (document, band) — the shared candidate-keying frame of both
+    the batch LSH dedup (:func:`minhash_near_duplicates`) and the
+    persisted signature index (:func:`minhash_write_index` /
+    :func:`minhash_dedup_incremental`). Two frames built with equal
+    (k, bands, seed, shingle_n, portable) collide on exactly the same
+    (band, bucket) keys, which is what makes an index written yesterday
+    probeable by today's shard.
+
+    ``portable=True`` keys buckets by the raw band slice (array of r
+    signature components — DuckDB-reproducible); default keys by
+    xxhash64 of the slice (8-byte keys, JVM-only)."""
+    assert k % bands == 0, "k must divide into equal bands"
+    r = k // bands
+    sig = minhash_signature_frame(
+        df, text_col, id_col, k, seed, shingle_n=shingle_n, portable=portable
+    )
+
+    def bucket_of(i: int):
+        sl = F.slice("_sig", i * r + 1, r)
+        return sl if portable else F.xxhash64(sl)
+
+    return sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), bucket_of(i).alias("bucket"))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", "bb.band", "bb.bucket")
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -295,26 +343,9 @@ def minhash_near_duplicates(
     SQL oracle (`plans/llm.py::q_fuzzy_dedup`). Bucket keys grow from 8
     bytes to r·8 bytes; production default stays xxhash64.
     """
-    assert k % bands == 0, "k must divide into equal bands"
-    r = k // bands
-    sig = minhash_signature_frame(df, text_col, id_col, k, seed, portable=portable)
-
-    def bucket_of(i: int):
-        sl = F.slice("_sig", i * r + 1, r)
-        return sl if portable else F.xxhash64(sl)
-
-    banded = sig.select(
-        "_id",
-        "_sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), bucket_of(i).alias("bucket"))
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "_sig", "bb.band", "bb.bucket")
+    banded = minhash_band_frame(
+        df, text_col, id_col, k=k, bands=bands, seed=seed, portable=portable
+    )
 
     # Candidate pairs WITHOUT a self-join (a self-join would execute the
     # whole signature lineage twice): group bucket members and expand
@@ -402,6 +433,312 @@ def minhash_oracle_sql(
         f"est AS (SELECT id_a, id_b, {portable_round_sql(match_frac, 6)} AS est_jaccard "
         f"  FROM cand JOIN sigl sa ON sa._id = id_a JOIN sigl sb ON sb._id = id_b) "
         f"SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental fuzzy dedup against a persisted MinHash signature index
+# ---------------------------------------------------------------------------
+#
+# The production shape of daily-increment near-dup (the fuzzy twin of
+# antijoin-incr / comments_pipeline.py:33's "yesterday's posts"
+# semantics): dedupe TODAY'S SHARD against an index of signatures
+# persisted yesterday, without rescanning history. Mirrors the IVF
+# persisted-index pattern (operators/similarity.py::ivf_write_index):
+# the collision key is a write-time partition column so a shard's probe
+# prunes the scan to touched partitions, and a tiny side table makes
+# the index self-describing (the probe derives its hash family from the
+# index, so a parameter drift between writer and prober is impossible).
+
+_MINHASH_META_DIR = "_minhash_meta"
+
+
+def _band_shard(n_shards: int) -> Column:
+    # bucket values are high-cardinality (xxhash64 or raw band slices),
+    # far too many for one partition dir each; a stable shard of the
+    # bucket makes (band, bshard) a bounded partition key that still
+    # prunes: a probe touches only the shards its own buckets hash to.
+    return F.pmod(F.xxhash64("bucket"), F.lit(n_shards)).alias("bshard")
+
+
+def minhash_write_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    *,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    shingle_n: int = 3,
+    portable: bool = False,
+    n_shards: int = 64,
+) -> None:
+    """Materialize the MinHash signature index: banded signature rows
+    partitioned by ``band=…/bshard=…`` (the 100 TB serving shape — a
+    daily shard's probe reads only the partitions its own buckets hash
+    to, never the whole index), plus a one-row parquet meta table so
+    :func:`minhash_dedup_incremental` reproduces the exact hash family.
+
+    Index rows are (``_id``, ``_sig``, ``bucket``): k·8 bytes of
+    signature per document per band — the same signature table the
+    batch path materializes per run (minhash_near_duplicates persists
+    it in-memory), made durable and reusable across runs."""
+    banded = minhash_band_frame(
+        df, text_col, id_col, k=k, bands=bands, seed=seed,
+        shingle_n=shingle_n, portable=portable,
+    ).withColumn("bshard", _band_shard(n_shards))
+    # one shuffle keyed by the partition columns: each task then owns
+    # whole (band, bshard) groups and writes one file per dir instead
+    # of every task writing a sliver into every dir (file-count blowup)
+    banded.repartition("band", "bshard").write.partitionBy(
+        "band", "bshard"
+    ).mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    # schema_json makes the index readable even when EMPTY (a valid
+    # state: day-zero bootstrap, or a fully-filtered corpus) — a
+    # partitioned write of zero rows leaves no data files, and a bare
+    # read would fail schema inference; probes read with this schema.
+    meta = [
+        (
+            int(k), int(bands), int(seed), int(shingle_n), bool(portable),
+            int(n_shards), banded.schema.json(),
+        )
+    ]
+    spark.createDataFrame(
+        meta,
+        "k int, bands int, seed int, shingle_n int, portable boolean, "
+        "n_shards int, schema_json string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_MINHASH_META_DIR}")
+
+
+def minhash_index_meta(spark, path: str) -> dict:
+    """Index meta side table → dict (one row on the driver — control
+    plane, not a data collect)."""
+    row = spark.read.parquet(f"{path}/{_MINHASH_META_DIR}").collect()[0]
+    return {
+        "k": int(row["k"]),
+        "bands": int(row["bands"]),
+        "seed": int(row["seed"]),
+        "shingle_n": int(row["shingle_n"]),
+        "portable": bool(row["portable"]),
+        "n_shards": int(row["n_shards"]),
+        "schema_json": row["schema_json"],
+    }
+
+
+def _read_index(spark, path: str, meta: dict) -> DataFrame:
+    # explicit schema from the meta table: an EMPTY index (day-zero
+    # bootstrap, fully-filtered corpus) has no data files to infer
+    # from, and inference is a driver-side footer read we can skip on
+    # a 100 TB index anyway
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schema_json"]))
+    return spark.read.schema(schema).parquet(path)
+
+
+def _touched_partition_filter(new_banded: DataFrame, n_shards: int):
+    """Partition predicate for the index scan: the distinct
+    (band, bshard) combinations the shard's own buckets hash to.
+    Collected to the driver — bounded by bands × n_shards (hundreds),
+    the same control-plane shape as IVF's driver-side cell pick — and
+    stated as literals so the parquet scan plans PartitionFilters and
+    never opens untouched partitions.
+
+    The predicate is ONE flat ``isin`` over the encoded combo
+    ``band · n_shards + bshard`` (injective: 0 ≤ bshard < n_shards),
+    which references only partition columns so the file index still
+    prunes — an OR-of-conjunctions chain is NOT equivalent in practice:
+    Spark's column-node converter recurses per node and a full
+    bands×n_shards chain (512 terms at the defaults) overflows the JVM
+    stack before analysis even starts (found by the 8× stress)."""
+    combos = sorted(
+        (int(r["band"]), int(r["bshard"]))
+        for r in new_banded.select("band", "bshard").distinct().collect()
+    )
+    if not combos:
+        return F.lit(False), []
+    codes = [b * n_shards + s for b, s in combos]
+    pred = (F.col("band") * F.lit(n_shards) + F.col("bshard")).isin(codes)
+    return pred, combos
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs of a NEW SHARD against the persisted index —
+    no history rescan. Returns ``(new_id, dup_id, est_jaccard)`` with
+    ``dup_id`` an indexed document, est ≥ ``threshold``.
+
+    Plan: band the shard with the index's own hash family (from the
+    meta table), prune the index scan to the shard's touched
+    (band, bshard) partitions, hot-bucket-cap BOTH sides two-pass
+    (count → semi-join: a corpus-stop bucket on either side never
+    reaches the join), then equi-join on (band, bucket) and estimate
+    Jaccard from the signatures. A pair colliding in several bands
+    appears once (dropDuplicates — genuinely needed here, unlike the
+    one-cell-per-vector cosine path). Self-pairs are excluded so
+    probing a shard already appended to the index is a no-op rather
+    than an every-doc-matches-itself storm.
+
+    At 100 TB: the index scan reads |touched partitions| /
+    (bands × n_shards) of the index; the join shuffles signatures
+    (k·8 B/row), never text; the shard side is a day's increment, so
+    the whole probe is sized by the shard, not by history."""
+    spark = new_docs.sparkSession
+    meta = minhash_index_meta(spark, index_path)
+    new_banded = (
+        minhash_band_frame(
+            new_docs, text_col, id_col,
+            k=meta["k"], bands=meta["bands"], seed=meta["seed"],
+            shingle_n=meta["shingle_n"], portable=meta["portable"],
+        )
+        .withColumn("bshard", _band_shard(meta["n_shards"]))
+        # the shard frame is consumed three times (touched-partition
+        # collect, its own hot-bucket count, the probe join) and its
+        # signature aggregate is the CPU-heavy leg — persist the narrow
+        # keyed frame (the two-pass-cap discipline; same lifecycle as
+        # minhash_near_duplicates' in-plan signature table: it lives as
+        # long as the returned plan does)
+        .persist()
+    )
+    pred, _ = _touched_partition_filter(new_banded, meta["n_shards"])
+    idx = _read_index(spark, index_path, meta).filter(pred)
+
+    # two-pass hot-bucket caps, each side against its own count: an
+    # index bucket over the cap is boilerplate history (skip it); a
+    # shard bucket over the cap is boilerplate arriving today.
+    idx_ok = (
+        idx.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    new_ok = (
+        new_banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    probe = new_banded.join(new_ok, ["band", "bucket"], "left_semi").select(
+        "band", "bucket", F.col("_id").alias("new_id"), F.col("_sig").alias("sig_new")
+    )
+    hist = idx.join(idx_ok, ["band", "bucket"], "left_semi").select(
+        "band", "bucket", F.col("_id").alias("dup_id"), F.col("_sig").alias("sig_old")
+    )
+    k = meta["k"]
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_new", "sig_old", lambda x, y: x == y), lambda m: m)
+        )
+        / F.lit(float(k))
+    )
+    return (
+        probe.join(hist, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("dup_id"))
+        .select("new_id", "dup_id", portable_round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["new_id", "dup_id"])
+    )
+
+
+def minhash_index_append(
+    new_docs: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a shard's signature rows to the index — idempotent
+    (twice ≡ once): a document already indexed is skipped via an
+    anti-join on ``_id`` against the touched partitions only (a doc's
+    rows can live nowhere else — its (band, bshard) keys are a pure
+    function of its text), so the retry cost is sized by the shard.
+    ``_id`` is non-null by the signature frame's own precondition, so
+    plain-equality anti-join semantics are exact here."""
+    spark = new_docs.sparkSession
+    meta = minhash_index_meta(spark, index_path)
+    new_banded = minhash_band_frame(
+        new_docs, text_col, id_col,
+        k=meta["k"], bands=meta["bands"], seed=meta["seed"],
+        shingle_n=meta["shingle_n"], portable=meta["portable"],
+    ).withColumn("bshard", _band_shard(meta["n_shards"]))
+    pred, _ = _touched_partition_filter(new_banded, meta["n_shards"])
+    existing_ids = (
+        _read_index(spark, index_path, meta).filter(pred).select("_id").distinct()
+    )
+    delta = new_banded.join(existing_ids, on="_id", how="left_anti")
+    delta.repartition("band", "bshard").write.partitionBy("band", "bshard").mode(
+        "append"
+    ).parquet(index_path)
+
+
+def minhash_incremental_oracle_sql(
+    table: str,
+    shingles_sql: str,
+    id_col: str,
+    *,
+    history_pred: str,
+    shard_pred: str,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB SQL reproducing :func:`minhash_dedup_incremental` over a
+    portable-path index built from ``table WHERE history_pred`` and a
+    shard ``table WHERE shard_pred`` — same md5-digit shingle hash,
+    same affine family, same band slices as collision keys, same
+    per-side hot-bucket caps, same rounded estimate. The persisted
+    index is an execution strategy, not a semantics change, so the
+    oracle states the plain two-relation form."""
+    from tia_data_pipeline_spark.functions.text import portable_round_sql
+
+    assert k % bands == 0
+    r = k // bands
+    fam = _hash_family(k, seed)
+    mins = ", ".join(
+        f"min(({a} * x + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(fam)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(k)) + "]"
+    band_structs = ", ".join(
+        f"{{'band': {i}, 'key': sig[{i * r + 1}:{i * r + r}]}}" for i in range(bands)
+    )
+    match_frac = (
+        f"len([i FOR i IN range(1, {k + 1}) IF sn.sig[i] = so.sig[i]]) / {float(k)}"
+    )
+
+    def side(alias: str, pred: str) -> str:
+        return (
+            f"sh_{alias} AS (SELECT {id_col} AS _id, unnest({shingles_sql}) AS s "
+            f"  FROM {table} WHERE {pred}), "
+            f"xs_{alias} AS (SELECT _id, {md5_int_sql('s')} AS x FROM sh_{alias}), "
+            f"m_{alias} AS (SELECT _id, {mins} FROM xs_{alias} GROUP BY _id), "
+            f"sig_{alias} AS (SELECT _id, {sig_list} AS sig FROM m_{alias}), "
+            f"b_{alias} AS (SELECT _id, u.band AS band, u.key AS key FROM ("
+            f"  SELECT _id, unnest([{band_structs}]) AS u FROM sig_{alias})), "
+            f"ok_{alias} AS (SELECT b_{alias}.* FROM b_{alias} ANTI JOIN ("
+            f"  SELECT band, key FROM b_{alias} GROUP BY band, key "
+            f"  HAVING count(*) > {max_bucket}) hot_{alias} USING (band, key))"
+        )
+
+    return (
+        f"WITH {side('o', history_pred)}, {side('n', shard_pred)}, "
+        "cand AS (SELECT DISTINCT n._id AS new_id, o._id AS dup_id "
+        "  FROM ok_n n JOIN ok_o o ON n.band = o.band AND n.key = o.key "
+        "  AND n._id <> o._id), "
+        f"est AS (SELECT new_id, dup_id, {portable_round_sql(match_frac, 6)} AS est_jaccard "
+        "  FROM cand JOIN sig_n sn ON sn._id = new_id "
+        "  JOIN sig_o so ON so._id = dup_id) "
+        f"SELECT new_id, dup_id, est_jaccard FROM est WHERE est_jaccard >= {threshold}"
     )
 
 
@@ -715,4 +1052,153 @@ def substring_overlap_pairs(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").cast("bigint").alias("shared"))
         .filter(F.col("shared") >= min_shared)
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 32,
+    mod: int = 16,
+    max_df: int = 20,
+    max_gap: int | None = None,
+    min_anchors: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """WHERE the duplication lives, not just who pairs with whom: the
+    span form of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — training pipelines
+    CUT duplicated byte ranges rather than drop whole documents).
+    Returns ``(id_a, id_b, a_start, b_start, span_len, n_anchors)``:
+    1-based char offsets of an aligned verbatim run in both documents.
+
+    Construction (bounded, SQL-expressible — no suffix array needed):
+
+    1. content-defined anchors: every position whose k-char window
+       hash ≡ 0 (mod ``mod``) — offset-invariant, the
+       :func:`char_kmer_sketch` argument, but POSITIONS are kept;
+    2. hot-anchor cap, two-pass (a boilerplate k-mer in thousands of
+       docs is the digest pipeline's job, and uncapped it is a
+       quadratic bomb);
+    3. anchor matches across documents on the k-mer hash, expanded
+       in-expression per bucket (never a corpus self-join);
+    4. DIAGONAL merge: matches of one verbatim run all satisfy
+       ``pos_b − pos_a = const``; within a (pair, diagonal), runs are
+       sessionized on anchor gaps ≤ ``max_gap`` (anchors in a true run
+       are ~``mod`` chars apart; the default gap 8·mod splits a run
+       with probability ≈ e⁻⁸ per anchor) and each run aggregates to
+       one span with ≥ ``min_anchors`` anchors — span_len counts from
+       the first anchor to the end of the last anchor's window, so the
+       minimum reportable span is ≈ k + mod.
+
+    Scale shape: anchors are ~len/mod rows of (8-byte hash, id, int)
+    — the only corpus-sized relation; the match stream is bounded by
+    the banding cap exactly like :func:`substring_overlap_pairs`; the
+    sessionize is ONE shuffle on (id_a, id_b, diag) serving both
+    window functions and the span aggregate. ``portable=True`` uses
+    the md5-digit hash so spans hash-match the DuckDB oracle
+    (plans/llm.py::q_dup_spans)."""
+    if max_gap is None:
+        max_gap = 8 * mod
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    n_pos = F.length(F.col(text_col)) - (k - 1)
+    pos = src.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.explode(
+            F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("_i"),
+    ).select("_id", "_i", F.substring(F.col("_t"), F.col("_i"), F.lit(k)).alias("_km"))
+    h = F.expr(md5_int_sql("_km")) if portable else F.xxhash64("_km")
+    anchors = (
+        pos.select("_id", "_i", h.alias("h"))
+        .filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
+        # persist the NARROW anchor frame: the two-pass cap consumes it
+        # twice and the per-position hash dominates (the
+        # substring_overlap_pairs discipline — md5 3.0→0.79 s at sf0.1)
+        .persist()
+    )
+    members = capped_bucket_members(
+        anchors, "h", F.struct("_id", "_i"), max_size=max_df
+    )
+    mt = (
+        members.select(F.explode(bucket_pairs(F.col("mem"), order_key="_id")).alias("p"))
+        # strict inequality drops same-document matches (self-repetition
+        # is not cross-dup) and NULL-id rows, matching the oracle's
+        # a._id < b._id join predicate
+        .filter(F.col("p.a._id") < F.col("p.b._id"))
+        .select(
+            F.col("p.a._id").alias("id_a"),
+            F.col("p.b._id").alias("id_b"),
+            F.col("p.a._i").alias("pos_a"),
+            F.col("p.b._i").alias("pos_b"),
+            (F.col("p.b._i") - F.col("p.a._i")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    brk = F.when(
+        (F.col("pos_a") - F.lag("pos_a").over(w)) > max_gap, F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = mt.withColumn("brk", brk).withColumn(
+        "run", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "run")
+        .agg(
+            # bigint: DuckDB range() yields BIGINT positions, so the
+            # hash-checked schema states 64-bit offsets on both sides
+            F.min("pos_a").cast("bigint").alias("a_start"),
+            F.min("pos_b").cast("bigint").alias("b_start"),
+            (F.max("pos_a") + F.lit(k) - F.min("pos_a")).cast("bigint").alias("span_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        )
+        .filter(F.col("n_anchors") >= min_anchors)
+        .select("id_a", "id_b", "a_start", "b_start", "span_len", "n_anchors")
+    )
+
+
+def duplicated_spans_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    k: int = 32,
+    mod: int = 16,
+    max_df: int = 20,
+    max_gap: int | None = None,
+    min_anchors: int = 2,
+) -> str:
+    """DuckDB SQL reproducing :func:`duplicated_spans` with
+    ``portable=True`` value-for-value: same md5-digit window hash, same
+    mod sampling, same row-count bucket cap, same diagonal sessionize
+    (lag/gap/sum windows), same span aggregation."""
+    if max_gap is None:
+        max_gap = 8 * mod
+    md5i = md5_int_sql(f"substr({text_col}, i, {k})")
+    return (
+        f"WITH pos AS (SELECT {id_col} AS _id, {text_col}, "
+        f"  unnest(range(1, greatest(length({text_col}) - {k - 1}, 0) + 1)) AS i "
+        f"  FROM {table}), "
+        f"anch AS (SELECT _id, i, h FROM ("
+        f"  SELECT _id, i, {md5i} AS h FROM pos) WHERE h % {mod} = 0), "
+        f"ok AS (SELECT anch.* FROM anch SEMI JOIN ("
+        f"  SELECT h FROM anch GROUP BY h HAVING count(*) BETWEEN 2 AND {max_df}"
+        f") kept USING (h)), "
+        "mt AS (SELECT a._id AS id_a, b._id AS id_b, a.i AS pos_a, b.i AS pos_b, "
+        "    b.i - a.i AS diag "
+        "  FROM ok a JOIN ok b ON a.h = b.h AND a._id < b._id), "
+        f"s AS (SELECT *, CASE WHEN pos_a - lag(pos_a) OVER "
+        f"    (PARTITION BY id_a, id_b, diag ORDER BY pos_a) > {max_gap} "
+        "    THEN 1 ELSE 0 END AS brk FROM mt), "
+        "r AS (SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, diag "
+        "    ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS run FROM s) "
+        "SELECT id_a, id_b, min(pos_a) AS a_start, min(pos_b) AS b_start, "
+        f"  (max(pos_a) + {k} - min(pos_a)) AS span_len, "
+        "  count(*)::BIGINT AS n_anchors "
+        "FROM r GROUP BY id_a, id_b, diag, run "
+        f"HAVING count(*) >= {min_anchors}"
     )

@@ -28,6 +28,11 @@ from tia_data_pipeline_spark.plans.contract import REGISTRY, oracle_sql, queries
 DRIVER_ROW_CAP = 50
 
 CONTRACT_ORDER = [
+    # -- round-8 addition (never driver-seen): incremental fuzzy dedup
+    #    served from a persisted band-partitioned MinHash index.
+    #    Never-verified-first policy.
+    "q_dedup_incremental",
+    "q_dup_spans",
     # -- round-8 changed-semantics promotions: both changed after their
     #    last (r3) driver row — q_rollup's two-level bigint-leaf
     #    accumulation (r7 perf fix) and q_sliding_window's
@@ -77,7 +82,6 @@ CONTRACT_ORDER = [
     "q_dup_graph_degree",
     "q_knn_bucketed",
     "q_chunking",
-    "q_dedup_latest",
     "q_doc_fingerprint",
     "q_scan_project",
     "q_jsd_mix",
@@ -85,7 +89,6 @@ CONTRACT_ORDER = [
     "q_split_assign",
     "q_boilerplate",
     "q_daily_window",
-    "q_self_join",
     "q_exists_guard",
     "q_revenue_by_segment",
     "q_merge_upsert",
@@ -95,8 +98,10 @@ CONTRACT_ORDER = [
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
-    # -- demoted in round 8 to fund the fifteen promotions above (each
-    #    fresh r7-green; family covers in TAIL_COVERED_BY):
+    # -- demoted in round 8 to fund the promotions above (each fresh
+    #    r7-green; family covers in TAIL_COVERED_BY):
+    "q_self_join",
+    "q_dedup_latest",
     "q_semantic_dedup",
     "q_bpe_train",
     "q_dsir_weights",

@@ -745,6 +745,82 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@contract_query(
+    "q_dedup_incremental",
+    oracle=DD.minhash_incremental_oracle_sql(
+        _SHINGLE_TABLE_SQL,
+        _SHINGLES_SQL,
+        "doc_id",
+        history_pred="doc_id % 5 <> 0",
+        shard_pred="doc_id % 5 = 0",
+        threshold=0.5,
+    ),
+    covers=(
+        "ext-fuzzy-dedup incremental serving (persisted MinHash signature "
+        "index; the fuzzy twin of antijoin-incr / comments_pipeline.py:33 "
+        "daily-increment semantics)"
+    ),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment fuzzy dedup, driven end-to-end through the
+    PERSISTED signature index: 80% of the corpus (history) is written
+    as a band/bshard-partitioned MinHash index, then the remaining 20%
+    (today's shard) probes it WITHOUT rescanning history — the index
+    scan prunes to the shard's touched partitions (PartitionFilters
+    pinned in tests/test_dedup.py). Portable md5-digit hash path so
+    the banding, per-side hot-bucket caps, and matching-component
+    estimate all hash-match the oracle, which states the plain
+    two-relation form (the index is an execution strategy, not a
+    semantics change). Production default stays xxhash64 keys."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Each build writes a fresh index (bench protocol: the write is the
+    # one-off derivation at build time; timed runs measure the probe —
+    # the serving cost, which is the operator's point); atexit keeps
+    # the temp indexes from accumulating on disk.
+    tmp = tempfile.mkdtemp(prefix="graft_mh_idx_")
+    atexit.register(shutil.rmtree, tmp, True)
+    DD.minhash_write_index(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "text",
+        "doc_id",
+        f"{tmp}/idx",
+        portable=True,
+        n_shards=16,
+    )
+    return DD.minhash_dedup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        f"{tmp}/idx",
+        text_col="text",
+        id_col="doc_id",
+        threshold=0.5,
+    )
+
+
+@contract_query(
+    "q_dup_spans",
+    oracle=DD.duplicated_spans_oracle_sql("documents", "doc_id"),
+    covers=(
+        "ext-fuzzy-dedup span extraction (duplicated byte ranges for "
+        "cut-not-drop dedup, the Lee-et-al. exact-substring form)"
+    ),
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN extraction: for each document pair sharing a
+    verbatim run, the aligned 1-based char ranges in both documents —
+    the cut-not-drop form of substring dedup (q_substring_dedup finds
+    the pairs; this finds WHICH bytes to cut). Content-defined sampled
+    anchors merged along match diagonals; one shuffle sessionize;
+    portable md5 hash path so the spans hash-match the oracle.
+    Production default stays xxhash64."""
+    return DD.duplicated_spans(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", portable=True
+    )
+
+
 # -- q_substring_dedup parameters (operator defaults, non-vacuous at
 #    sf0.001 AND sf0.01: 27 / 25 pairs on the driver corpus)
 _SSD_K = 32  # char k-mer length
