@@ -136,11 +136,11 @@ TAIL_COVERED_BY = {
     # rotations), each fresh r7-green with an in-cap family cover:
     "q_self_join": "q_thread_closure",  # self-referential join-tree family
     "q_dedup_latest": "q_topk_per_group",  # latest-per-key rank/limit family
-    "q_semantic_dedup": "q_ann_lsh",  # bucketed cosine-pair family (cell-equi skeleton)
+    "q_substring_dedup": "q_dup_spans",  # sampled char-k-mer anchor pipeline
+    "q_resize_meta": "q_multimodal_meta",  # multimodal Arrow-codec surface
     "q_bpe_train": "q_word_freq",  # token-distribution surface
     "q_dsir_weights": "q_bm25",  # ln-family integered scoring
     "q_approx_distinct": "q_count_distinct",  # distinct-agg family
-    "q_embed_dedup": "q_ann_lsh",  # sign-bucket LSH cosine pairs
     "q_profile": "q_data_quality",  # column-diagnostics family
     "q_scd2": "q_merge_upsert",  # merge/upsert family
     "q_token_bpe": "q_word_freq",  # tokenization surface
@@ -949,6 +949,9 @@ BUCKET_CAPPED_QUERIES = [
     "q_containment",
     "q_substring_dedup",
     "q_edit_distance",
+    # round-8: the span extractor buckets (id, pos) anchor structs by
+    # k-mer hash through the same capped helper
+    "q_dup_spans",
     # q_semantic_dedup / q_embed_dedup are cap-checked separately:
     # VECTOR-payload buckets pair via a cell-equi self-join (member
     # arrays carrying two full vectors per pair are quadratic in

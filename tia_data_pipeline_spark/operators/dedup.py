@@ -388,6 +388,34 @@ def minhash_near_duplicates(
     )
 
 
+def _minhash_sql_fragments(
+    k: int, bands: int, seed: int, a_alias: str, b_alias: str
+) -> tuple[str, str, str, str]:
+    """The DuckDB fragments every MinHash oracle is built from —
+    single-sourced so the batch (:func:`minhash_oracle_sql`) and
+    incremental (:func:`minhash_incremental_oracle_sql`) forms can
+    never drift: per-component ``min((a·x+b) mod P)`` aggregations,
+    the signature list, the band-slice structs, and the
+    matching-component fraction between signature aliases
+    ``a_alias``/``b_alias``. Returns (mins, sig_list, band_structs,
+    match_frac)."""
+    assert k % bands == 0
+    r = k // bands
+    fam = _hash_family(k, seed)
+    mins = ", ".join(
+        f"min(({a} * x + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(fam)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(k)) + "]"
+    band_structs = ", ".join(
+        f"{{'band': {i}, 'key': sig[{i * r + 1}:{i * r + r}]}}" for i in range(bands)
+    )
+    match_frac = (
+        f"len([i FOR i IN range(1, {k + 1}) "
+        f"IF {a_alias}.sig[i] = {b_alias}.sig[i]]) / {float(k)}"
+    )
+    return mins, sig_list, band_structs, match_frac
+
+
 def minhash_oracle_sql(
     table: str,
     shingles_sql: str,
@@ -402,21 +430,14 @@ def minhash_oracle_sql(
     """DuckDB SQL reproducing :func:`minhash_near_duplicates` with
     ``portable=True`` value-for-value: same md5-digit shingle hash
     (:func:`md5_int_sql`), same affine family (same seed), same band
-    slices as join keys, same hot-bucket cap, same rounded estimate."""
+    slices as join keys, same hot-bucket cap, same rounded estimate.
+    The signature/banding fragments are single-sourced in
+    :func:`_minhash_sql_fragments` (shared with the incremental
+    oracle) so the two hash-checked forms can never drift apart."""
     from tia_data_pipeline_spark.functions.text import portable_round_sql
 
-    assert k % bands == 0
-    r = k // bands
-    fam = _hash_family(k, seed)
-    mins = ", ".join(
-        f"min(({a} * x + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(fam)
-    )
-    sig_list = "[" + ", ".join(f"m{i}" for i in range(k)) + "]"
-    band_structs = ", ".join(
-        f"{{'band': {i}, 'key': sig[{i * r + 1}:{i * r + r}]}}" for i in range(bands)
-    )
-    match_frac = (
-        f"len([i FOR i IN range(1, {k + 1}) IF sa.sig[i] = sb.sig[i]]) / {float(k)}"
+    mins, sig_list, band_structs, match_frac = _minhash_sql_fragments(
+        k, bands, seed, "sa", "sb"
     )
     return (
         f"WITH sh AS (SELECT {id_col} AS _id, unnest({shingles_sql}) AS s FROM {table}), "
@@ -558,10 +579,9 @@ def _touched_partition_filter(new_banded: DataFrame, n_shards: int):
         for r in new_banded.select("band", "bshard").distinct().collect()
     )
     if not combos:
-        return F.lit(False), []
+        return F.lit(False)
     codes = [b * n_shards + s for b, s in combos]
-    pred = (F.col("band") * F.lit(n_shards) + F.col("bshard")).isin(codes)
-    return pred, combos
+    return (F.col("band") * F.lit(n_shards) + F.col("bshard")).isin(codes)
 
 
 def minhash_dedup_incremental(
@@ -604,12 +624,33 @@ def minhash_dedup_incremental(
         # the shard frame is consumed three times (touched-partition
         # collect, its own hot-bucket count, the probe join) and its
         # signature aggregate is the CPU-heavy leg — persist the narrow
-        # keyed frame (the two-pass-cap discipline; same lifecycle as
-        # minhash_near_duplicates' in-plan signature table: it lives as
-        # long as the returned plan does)
+        # keyed frame (the two-pass-cap discipline). Lifecycle: the
+        # CacheManager holds it until unpersist/clearCache/session end
+        # (the minhash_near_duplicates signature-table pattern); a
+        # long-lived serving loop calling this daily must clearCache
+        # (or unpersist via the returned plan's lineage) between probes
+        # or the per-day shard caches accumulate in storage memory.
         .persist()
     )
-    pred, _ = _touched_partition_filter(new_banded, meta["n_shards"])
+    return _probe_pairs(
+        new_banded, spark, index_path, meta,
+        threshold=threshold, max_bucket=max_bucket,
+    )
+
+
+def _probe_pairs(
+    new_banded: DataFrame,
+    spark,
+    index_path: str,
+    meta: dict,
+    *,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Probe core shared by the batch operator and the streaming
+    micro-batch loop: banded shard frame → pruned index scan →
+    per-side two-pass hot-bucket caps → signature-estimate pairs."""
+    pred = _touched_partition_filter(new_banded, meta["n_shards"])
     idx = _read_index(spark, index_path, meta).filter(pred)
 
     # two-pass hot-bucket caps, each side against its own count: an
@@ -649,6 +690,20 @@ def minhash_dedup_incremental(
     )
 
 
+def _append_delta(new_banded: DataFrame, spark, index_path: str, meta: dict) -> None:
+    """Append core shared by :func:`minhash_index_append` and the
+    streaming loop: anti-join already-indexed ids over the pruned scan
+    (idempotent), write delta partitions."""
+    pred = _touched_partition_filter(new_banded, meta["n_shards"])
+    existing_ids = (
+        _read_index(spark, index_path, meta).filter(pred).select("_id").distinct()
+    )
+    delta = new_banded.join(existing_ids, on="_id", how="left_anti")
+    delta.repartition("band", "bshard").write.partitionBy("band", "bshard").mode(
+        "append"
+    ).parquet(index_path)
+
+
 def minhash_index_append(
     new_docs: DataFrame,
     index_path: str,
@@ -670,14 +725,16 @@ def minhash_index_append(
         k=meta["k"], bands=meta["bands"], seed=meta["seed"],
         shingle_n=meta["shingle_n"], portable=meta["portable"],
     ).withColumn("bshard", _band_shard(meta["n_shards"]))
-    pred, _ = _touched_partition_filter(new_banded, meta["n_shards"])
-    existing_ids = (
-        _read_index(spark, index_path, meta).filter(pred).select("_id").distinct()
-    )
-    delta = new_banded.join(existing_ids, on="_id", how="left_anti")
-    delta.repartition("band", "bshard").write.partitionBy("band", "bshard").mode(
-        "append"
-    ).parquet(index_path)
+    # persist: the frame is consumed twice (touched-partition collect +
+    # the append write) and the signature aggregate is the CPU-heavy
+    # leg. Unlike the probe, append is EAGER (the write completes
+    # inside this call), so the cache lifecycle can be exact — released
+    # on every exit path.
+    new_banded = new_banded.persist()
+    try:
+        _append_delta(new_banded, spark, index_path, meta)
+    finally:
+        new_banded.unpersist()
 
 
 def minhash_incremental_oracle_sql(
@@ -699,21 +756,13 @@ def minhash_incremental_oracle_sql(
     same affine family, same band slices as collision keys, same
     per-side hot-bucket caps, same rounded estimate. The persisted
     index is an execution strategy, not a semantics change, so the
-    oracle states the plain two-relation form."""
+    oracle states the plain two-relation form. Signature/banding
+    fragments are single-sourced with the batch oracle via
+    :func:`_minhash_sql_fragments`."""
     from tia_data_pipeline_spark.functions.text import portable_round_sql
 
-    assert k % bands == 0
-    r = k // bands
-    fam = _hash_family(k, seed)
-    mins = ", ".join(
-        f"min(({a} * x + {b}) % {_MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(fam)
-    )
-    sig_list = "[" + ", ".join(f"m{i}" for i in range(k)) + "]"
-    band_structs = ", ".join(
-        f"{{'band': {i}, 'key': sig[{i * r + 1}:{i * r + r}]}}" for i in range(bands)
-    )
-    match_frac = (
-        f"len([i FOR i IN range(1, {k + 1}) IF sn.sig[i] = so.sig[i]]) / {float(k)}"
+    mins, sig_list, band_structs, match_frac = _minhash_sql_fragments(
+        k, bands, seed, "sn", "so"
     )
 
     def side(alias: str, pred: str) -> str:

@@ -56,6 +56,11 @@ CONTRACT_ORDER = [
     "q_window_frames",
     "q_proj_alias",
     "q_const_probe",
+    # -- round-8 plan-changed re-verifications: _cell_equi_cosine_pairs
+    #    dropped its no-op dropDuplicates this round (ADVICE r7) —
+    #    both consumers of the changed plan get fresh driver rows.
+    "q_embed_dedup",
+    "q_semantic_dedup",
     # -- round-7 changed-semantics promotions retained in-cap (cover
     #    targets for this round's demotions).
     "q_asof_join",
@@ -75,7 +80,6 @@ CONTRACT_ORDER = [
     "q_stickiness",
     "q_ewma",
     "q_quality_linear",
-    "q_substring_dedup",
     "q_mad_outliers",
     "q_containment",
     "q_burstiness",
@@ -94,7 +98,6 @@ CONTRACT_ORDER = [
     "q_merge_upsert",
     "q_ts_normalize",
     "q_exact_dedup",
-    "q_resize_meta",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
@@ -102,11 +105,11 @@ CONTRACT_ORDER = [
     #    r7-green; family covers in TAIL_COVERED_BY):
     "q_self_join",
     "q_dedup_latest",
-    "q_semantic_dedup",
+    "q_substring_dedup",
+    "q_resize_meta",
     "q_bpe_train",
     "q_dsir_weights",
     "q_approx_distinct",
-    "q_embed_dedup",
     "q_profile",
     "q_scd2",
     "q_token_bpe",

@@ -1,5 +1,9 @@
 """Structured Streaming forms of the incremental pipelines."""
 
+from tia_data_pipeline_spark.streaming.dedup_serve import (
+    dedup_increment_batch,
+    stream_dedup_incremental,
+)
 from tia_data_pipeline_spark.streaming.joins import (
     interval_join_batch,
     stream_interval_join,
@@ -20,4 +24,6 @@ __all__ = [
     "stream_upsert_jdbc",
     "interval_join_batch",
     "stream_interval_join",
+    "dedup_increment_batch",
+    "stream_dedup_incremental",
 ]
