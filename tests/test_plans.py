@@ -136,6 +136,7 @@ TAIL_COVERED_BY = {
     # rotations), each fresh r7-green with an in-cap family cover:
     "q_self_join": "q_thread_closure",  # self-referential join-tree family
     "q_dedup_latest": "q_topk_per_group",  # latest-per-key rank/limit family
+    "q_const_probe": "q_data_quality",  # diagnostics constant probe
     "q_substring_dedup": "q_dup_spans",  # sampled char-k-mer anchor pipeline
     "q_resize_meta": "q_multimodal_meta",  # multimodal Arrow-codec surface
     "q_bpe_train": "q_word_freq",  # token-distribution surface

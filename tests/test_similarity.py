@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tia_data_pipeline_spark.operators.similarity import (
@@ -214,3 +216,97 @@ def test_semantic_dedup_planted_pairs_null_and_cap(spark):
         ).collect()
     }
     assert got == {(1, 2)}
+
+
+class TestEmbeddingIncrementalIndex:
+    """The vector twin of the MinHash signature index: probe a new
+    vector shard against persisted sign-bucket cells."""
+
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    @pytest.fixture()
+    def index(self, spark, tmp_path):
+        from tia_data_pipeline_spark.operators.similarity import (
+            embedding_write_index,
+            projection_matrix,
+        )
+
+        base = [1.0, 0.5, -0.25, 2.0]
+        far = [-1.0, 2.0, 0.5, -1.5]
+        hist = self._vecs(spark, [(1, base), (2, far)])
+        path = str(tmp_path / "eidx")
+        proj = projection_matrix(bits=3, dim=4, seed=7)
+        embedding_write_index(hist, path, proj=proj)
+        return path, base, far
+
+    def test_probe_finds_history_dups_only(self, spark, index):
+        from tia_data_pipeline_spark.operators.similarity import (
+            embedding_dedup_incremental,
+        )
+
+        path, base, far = index
+        near = [v * 1.01 + 0.01 for v in base]  # cosine ~1 with base
+        ortho = [2.0, -1.0, 4.0, 0.25]
+        shard = self._vecs(spark, [(10, near), (11, ortho)])
+        got = {
+            (r["new_id"], r["dup_id"]): r["score"]
+            for r in embedding_dedup_incremental(shard, path, threshold=0.95).collect()
+        }
+        assert set(got) == {(10, 1)}
+        assert got[(10, 1)] >= 0.99
+
+    def test_probe_prunes_index_partitions(self, spark, index):
+        import contextlib
+        import io
+
+        from tia_data_pipeline_spark.operators.similarity import (
+            embedding_dedup_incremental,
+        )
+
+        path, base, _ = index
+        shard = self._vecs(spark, [(10, base)])
+        df = embedding_dedup_incremental(shard, path, threshold=0.5)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        lines = [l for l in buf.getvalue().splitlines() if "PartitionFilters" in l]
+        assert lines, "index scan lost its partition filters"
+        assert any(
+            "bucket" in l and "[]" not in l.split("PartitionFilters:")[1][:10]
+            for l in lines
+        ), f"no non-empty bucket partition filter: {lines}"
+
+    def test_append_twice_equals_once_and_self_noop(self, spark, index):
+        from tia_data_pipeline_spark.operators.similarity import (
+            embedding_dedup_incremental,
+            embedding_index_append,
+            embedding_index_meta,
+            _read_emb_index,
+        )
+
+        path, base, _ = index
+        shard = self._vecs(spark, [(10, [v * 1.01 for v in base])])
+        meta = embedding_index_meta(spark, path)
+        embedding_index_append(shard, path)
+        n1 = _read_emb_index(spark, path, meta).count()
+        embedding_index_append(shard, path)
+        assert _read_emb_index(spark, path, meta).count() == n1
+        # self-pairs excluded after the shard becomes index-resident
+        got = {
+            (r["new_id"], r["dup_id"])
+            for r in embedding_dedup_incremental(shard, path, threshold=0.95).collect()
+        }
+        assert got == {(10, 1)}
+
+    def test_empty_index_and_null_rows(self, spark, tmp_path):
+        from tia_data_pipeline_spark.operators.similarity import (
+            embedding_dedup_incremental,
+            embedding_write_index,
+        )
+
+        empty = self._vecs(spark, [])
+        path = str(tmp_path / "eidx0")
+        embedding_write_index(empty, path, bits=3)
+        shard = self._vecs(spark, [(1, [1.0, 0.0, 0.0, 0.0]), (2, None), (None, [1.0, 0.0, 0.0, 0.0])])
+        assert embedding_dedup_incremental(shard, path).count() == 0

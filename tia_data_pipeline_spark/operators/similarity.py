@@ -675,3 +675,199 @@ def knn_join(
         .filter(F.col("_rn") <= k)
         .select(probe_id_col, id_col, "score", F.col("_rn").cast("bigint").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding near-dup against a persisted sign-bucket index
+# ---------------------------------------------------------------------------
+#
+# The vector twin of the MinHash signature index
+# (operators/dedup.py::minhash_write_index family): history's
+# embeddings persist bucketed by their sign-projection cell, today's
+# shard probes ONLY the cells its own vectors land in, and appends
+# itself idempotently. Unlike MinHash buckets (unbounded hash values
+# needing a shard sub-key), the sign bucket is already BOUNDED (2^bits
+# values), so the cell itself is the write-time partition column and
+# pruning is exact per cell.
+
+_EMB_META_DIR = "_emb_index_meta"
+
+
+def embedding_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    proj: list[list[float]] | None = None,
+    bits: int = 4,
+    seed: int = LSH_SEED,
+) -> None:
+    """Materialize the embedding near-dup index: (id, vec, norm) rows
+    partitioned by sign-projection ``bucket=K`` dirs. The projection
+    matrix persists in a one-row meta side table (with the row schema),
+    so the prober reproduces the exact cells — writer/prober drift is
+    impossible, and an EMPTY index (day-zero bootstrap) stays readable.
+
+    2^bits partition dirs: size ``bits`` with
+    :func:`projection_bits_for` so expected bucket population stays
+    ~10³ — pruning granularity and pair-expansion cost both follow the
+    bit count."""
+    import json as _json
+
+    if proj is None:
+        dim = None
+        row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(row["d"]) if row and row["d"] is not None else EMBED_DIM
+        proj = projection_matrix(bits=bits, dim=dim, seed=seed)
+    frame = corpus.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        l2_norm(F.col(vec_col)).alias("_norm"),
+        _sign_bits(F.col(vec_col), proj).alias("bucket"),
+    )
+    frame.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
+        path
+    )
+    spark = corpus.sparkSession
+    meta = [(_json.dumps(proj), frame.schema.json())]
+    spark.createDataFrame(
+        meta, "proj_json string, schema_json string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_EMB_META_DIR}")
+
+
+def embedding_index_meta(spark, path: str) -> dict:
+    """Meta side table → dict (one driver row — control plane)."""
+    import json as _json
+
+    row = spark.read.parquet(f"{path}/{_EMB_META_DIR}").collect()[0]
+    return {
+        "proj": _json.loads(row["proj_json"]),
+        "schema_json": row["schema_json"],
+    }
+
+
+def _read_emb_index(spark, path: str, meta: dict) -> DataFrame:
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(_json.loads(meta["schema_json"]))
+    return spark.read.schema(schema).parquet(path)
+
+
+def _emb_banded(new_vecs: DataFrame, meta: dict, vec_col: str, id_col: str) -> DataFrame:
+    return new_vecs.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        l2_norm(F.col(vec_col)).alias("_norm"),
+        _sign_bits(F.col(vec_col), meta["proj"]).alias("bucket"),
+    )
+
+
+def embedding_dedup_incremental(
+    new_vecs: DataFrame,
+    index_path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Near-duplicate pairs of a new vector shard against the persisted
+    index — no history rescan. Returns ``(new_id, dup_id, score)``,
+    exact cosine ≥ ``threshold``, ``dup_id`` an indexed vector.
+
+    Plan: bucket the shard with the index's own projection, prune the
+    index scan to the shard's touched ``bucket`` partitions (a literal
+    ``isin`` over ≤ 2^bits values — exact partition pruning), two-pass
+    hot-cell caps on BOTH sides, then a cell-equi join carrying
+    (id, vec, norm) rows — the vector-payload discipline: pairs form in
+    the join, never inside member arrays (two full vectors per pair
+    struct is quadratic in vector bytes). Self-pairs are excluded so a
+    shard already appended probes as a no-op."""
+    spark = new_vecs.sparkSession
+    meta = embedding_index_meta(spark, index_path)
+    # persisted: consumed by the touched-cell collect, the shard-side
+    # cap count, and the probe join. Lifecycle = CacheManager until
+    # unpersist/clearCache/session end (the minhash_dedup_incremental
+    # pattern); a long-lived serving loop clears between probes.
+    shard = _emb_banded(new_vecs, meta, vec_col, id_col).persist()
+    touched = sorted(
+        int(r["bucket"]) for r in shard.select("bucket").distinct().collect()
+    )
+    idx = _read_emb_index(spark, index_path, meta).filter(
+        F.col("bucket").isin(touched) if touched else F.lit(False)
+    )
+    idx_ok = (
+        idx.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("bucket")
+    )
+    new_ok = (
+        shard.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("bucket")
+    )
+    probe = fan_out(
+        shard.join(new_ok, "bucket", "left_semi").select(
+            "bucket",
+            F.col("_id").alias("new_id"),
+            F.col("_vec").alias("_vec_n"),
+            F.col("_norm").alias("_norm_n"),
+        )
+    )
+    hist = idx.join(idx_ok, "bucket", "left_semi").select(
+        "bucket",
+        F.col("_id").alias("dup_id"),
+        F.col("_vec").alias("_vec_o"),
+        F.col("_norm").alias("_norm_o"),
+    )
+    denom = F.col("_norm_n") * F.col("_norm_o")
+    score = F.when(denom > 0, dot(F.col("_vec_n"), F.col("_vec_o")) / denom)
+    # no pair-level dedup: one cell per vector on both sides, so a pair
+    # can co-occur in at most one cell (the _cell_equi_cosine_pairs
+    # rule)
+    return (
+        probe.join(hist, "bucket")
+        .filter(F.col("new_id") != F.col("dup_id"))
+        .select("new_id", "dup_id", portable_round(score, 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def embedding_index_append(
+    new_vecs: DataFrame,
+    index_path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append a shard's rows to the embedding index — idempotent
+    (twice ≡ once) via an anti-join on ``_id`` over the shard's touched
+    cells only (a vector's cell is a pure function of itself)."""
+    spark = new_vecs.sparkSession
+    meta = embedding_index_meta(spark, index_path)
+    shard = _emb_banded(new_vecs, meta, vec_col, id_col).persist()
+    try:
+        touched = sorted(
+            int(r["bucket"]) for r in shard.select("bucket").distinct().collect()
+        )
+        existing = (
+            _read_emb_index(spark, index_path, meta)
+            .filter(F.col("bucket").isin(touched) if touched else F.lit(False))
+            .select("_id")
+            .distinct()
+        )
+        delta = shard.join(existing, on="_id", how="left_anti")
+        delta.repartition("bucket").write.partitionBy("bucket").mode("append").parquet(
+            index_path
+        )
+    finally:
+        shard.unpersist()

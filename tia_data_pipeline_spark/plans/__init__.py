@@ -33,6 +33,7 @@ CONTRACT_ORDER = [
     #    Never-verified-first policy.
     "q_dedup_incremental",
     "q_dup_spans",
+    "q_embed_incremental",
     # -- round-8 changed-semantics promotions: both changed after their
     #    last (r3) driver row — q_rollup's two-level bigint-leaf
     #    accumulation (r7 perf fix) and q_sliding_window's
@@ -55,7 +56,6 @@ CONTRACT_ORDER = [
     "q_hash_sample",
     "q_window_frames",
     "q_proj_alias",
-    "q_const_probe",
     # -- round-8 plan-changed re-verifications: _cell_equi_cosine_pairs
     #    dropped its no-op dropDuplicates this round (ADVICE r7) —
     #    both consumers of the changed plan get fresh driver rows.
@@ -105,6 +105,7 @@ CONTRACT_ORDER = [
     #    r7-green; family covers in TAIL_COVERED_BY):
     "q_self_join",
     "q_dedup_latest",
+    "q_const_probe",
     "q_substring_dedup",
     "q_resize_meta",
     "q_bpe_train",

@@ -396,6 +396,64 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_incr_side_sql(alias: str, pred: str) -> str:
+    """One side of the incremental embedding oracle: validity + NULL-id
+    preconditions, sign-bucket, own-side hot-cell cap (the q_embed_dedup
+    cap discipline, per side)."""
+    return (
+        f"b_{alias} AS (SELECT vec_id, embedding, "
+        f"{_bucket_sql('embedding', _PROJ4)} AS bucket FROM {_E} embeddings "
+        f"WHERE vec_id IS NOT NULL AND {pred}), "
+        f"ok_{alias} AS (SELECT b_{alias}.* FROM b_{alias} SEMI JOIN ("
+        f"  SELECT bucket FROM b_{alias} GROUP BY bucket "
+        f"  HAVING count(*) <= 2000) kept_{alias} USING (bucket))"
+    )
+
+
+@contract_query(
+    "q_embed_incremental",
+    oracle=(
+        f"WITH {_emb_incr_side_sql('o', 'vec_id % 5 <> 0')}, "
+        f"{_emb_incr_side_sql('n', 'vec_id % 5 = 0')} "
+        "SELECT new_id, dup_id, score FROM ("
+        "  SELECT n.vec_id AS new_id, o.vec_id AS dup_id, "
+        f"  {TX.portable_round_sql(cosine_sql('n.embedding', 'o.embedding'), 6)} AS score "
+        "  FROM ok_n n JOIN ok_o o ON n.bucket = o.bucket AND n.vec_id <> o.vec_id) "
+        f"WHERE score >= {_EMBED_DEDUP_TAU}"
+    ),
+    covers=(
+        "ext-sim-topk / ext-exact-dedup family: incremental embedding "
+        "near-dup served from a persisted sign-bucket index (the vector "
+        "twin of q_dedup_incremental)"
+    ),
+)
+def q_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment embedding dedup through the PERSISTED sign-bucket
+    index: 80% of the vectors (history) are written partitioned by
+    their projection cell, the remaining 20% (today's shard) probe only
+    the cells they land in — exact partition pruning because the cell
+    universe is bounded (2^bits dirs). Same τ/projection as
+    q_embed_dedup; the oracle states the plain two-relation form with
+    per-side hot-cell caps (the index is an execution strategy, not a
+    semantics change)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = valid_embeddings(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="graft_emb_idx_")
+    atexit.register(shutil.rmtree, tmp, True)
+    SIM.embedding_write_index(
+        emb.filter(F.col("vec_id") % 5 != 0), f"{tmp}/idx", proj=_PROJ4
+    )
+    return SIM.embedding_dedup_incremental(
+        emb.filter(F.col("vec_id") % 5 == 0),
+        f"{tmp}/idx",
+        threshold=_EMBED_DEDUP_TAU,
+        max_bucket=2000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_semantic_dedup — SemDeDup-style intra-cluster cosine near-dup pairs
 # ---------------------------------------------------------------------------
