@@ -66,10 +66,12 @@ def main() -> None:
     minhash_index_append(shard, idx)
     print("shard appended (idempotent: re-running adds nothing)")
 
-    # tomorrow's shard would now also dedupe against today's —
-    # re-probing the same shard shows only the intra-shard dups it
-    # gained from its own append, never self-pairs:
-    print("re-probe after append (self-pairs excluded):")
+    # tomorrow's shard will now also dedupe against today's docs; the
+    # probe excludes a shard's OWN ids from the index side, so
+    # re-probing the same shard is byte-identical to the pre-append
+    # probe (replay determinism — duplicates WITHIN one shard are the
+    # streaming loop's explicit intra leg, see streaming/dedup_serve.py)
+    print("re-probe after append (identical to the first probe):")
     minhash_dedup_incremental(shard, idx, threshold=0.5).orderBy(
         "new_id", "dup_id"
     ).show(5, truncate=False)

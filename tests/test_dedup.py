@@ -268,13 +268,16 @@ class TestMinhashIncrementalIndex:
         minhash_index_append(shard, path)
         n2 = _read_index(spark, path, meta).count()
         assert n1 == n2, "re-appending the same shard must be a no-op"
-        # after the append the shard's docs are indexed: self-pairs are
-        # excluded, and the shard-internal near-dup now surfaces
+        # replay determinism: the probe excludes the shard's OWN ids
+        # from the index side, so the pair set is IDENTICAL before and
+        # after the shard's append — shard-internal dups are the
+        # streaming loop's explicit _intra_pairs leg, never a
+        # crash-ordering accident
         got = {
             (r["new_id"], r["dup_id"])
             for r in minhash_dedup_incremental(shard, path, threshold=0.5).collect()
         }
-        assert got == {(10, 1), (11, 1), (10, 11), (11, 10)}
+        assert got == {(10, 1), (11, 1)}
 
     def test_empty_index_and_empty_shard(self, spark, tmp_path):
         from tia_data_pipeline_spark.operators.dedup import (

@@ -102,16 +102,35 @@ def test_batch_replay_is_idempotent(spark, corpus, tmp_path):
     minhash_write_index(corpus["hist"], "text", "doc_id", idx, n_shards=8)
     out = str(tmp_path / "pairs_out")
 
-    dedup_increment_batch(corpus["shard_a"], idx, out, 0, threshold=0.5)
+    # the hard replay case (review r8, originally a live-repro bug):
+    # the batch carries INTRA-batch near-dups (40 ~ 41) that are in no
+    # index — after the first run's append they ARE indexed, and a
+    # probe without own-id exclusion would emit different pairs on
+    # replay
+    text10 = corpus["shard_a"].filter(F.col("doc_id") == 10).collect()[0]["text"]
+    batch = spark.createDataFrame(
+        [(40, text10), (41, text10 + " tail")], DOC_SCHEMA
+    )
+    dedup_increment_batch(batch, idx, out, 0, threshold=0.5)
     first = sorted(map(tuple, spark.read.parquet(f"{out}/batch_id=0").collect()))
     n_idx = spark.read.parquet(idx).count()
+    # the intra-batch dup must surface in THIS batch (canonical order),
+    # alongside both docs' cross pairs against history
+    assert {(a, b) for a, b, _ in first} == {(40, 1), (41, 1), (40, 41)}
     # foreachBatch replays the batch after a crash: pairs must be
     # rewritten identically (overwrite of the batch dir) and the index
     # must not grow (anti-join append)
-    dedup_increment_batch(corpus["shard_a"], idx, out, 0, threshold=0.5)
+    dedup_increment_batch(batch, idx, out, 0, threshold=0.5)
     again = sorted(map(tuple, spark.read.parquet(f"{out}/batch_id=0").collect()))
     assert again == first
     assert spark.read.parquet(idx).count() == n_idx
+    # and a later batch does NOT re-emit the earlier batch's intra pair
+    dedup_increment_batch(
+        spark.createDataFrame([(50, "unrelated words only here")], DOC_SCHEMA),
+        idx, out, 1, threshold=0.5,
+    )
+    later = {(r["new_id"], r["dup_id"]) for r in spark.read.parquet(f"{out}/batch_id=1").collect()}
+    assert (40, 41) not in later and (41, 40) not in later
 
 
 def test_no_cache_leak_per_batch(spark, corpus, tmp_path):

@@ -604,9 +604,12 @@ def minhash_dedup_incremental(
     reaches the join), then equi-join on (band, bucket) and estimate
     Jaccard from the signatures. A pair colliding in several bands
     appears once (dropDuplicates — genuinely needed here, unlike the
-    one-cell-per-vector cosine path). Self-pairs are excluded so
-    probing a shard already appended to the index is a no-op rather
-    than an every-doc-matches-itself storm.
+    one-cell-per-vector cosine path). The index side excludes the
+    shard's OWN ids entirely, so the output is identical whether or
+    not the shard was already appended (replay-deterministic);
+    duplicates WITHIN the shard are a deliberate non-goal here — the
+    streaming loop computes them as an explicit leg, and a one-off
+    batch uses :func:`minhash_near_duplicates` on the shard.
 
     At 100 TB: the index scan reads |touched partitions| /
     (bands × n_shards) of the index; the join shuffles signatures
@@ -649,9 +652,22 @@ def _probe_pairs(
 ) -> DataFrame:
     """Probe core shared by the batch operator and the streaming
     micro-batch loop: banded shard frame → pruned index scan →
-    per-side two-pass hot-bucket caps → signature-estimate pairs."""
+    per-side two-pass hot-bucket caps → signature-estimate pairs.
+
+    The index side EXCLUDES the shard's own ids (anti-join, not just a
+    self-pair filter): the probe's output is then a pure function of
+    (shard, index-minus-shard), so re-probing a shard that was already
+    appended — including a foreachBatch replay that crashed between
+    append and checkpoint commit — produces byte-identical pairs
+    instead of crash-dependent extras (review r8, confirmed by repro).
+    Intra-shard duplicates are a separate, explicitly-computed leg
+    (:func:`_intra_pairs`), not an accident of replay ordering."""
     pred = _touched_partition_filter(new_banded, meta["n_shards"])
-    idx = _read_index(spark, index_path, meta).filter(pred)
+    idx = (
+        _read_index(spark, index_path, meta)
+        .filter(pred)
+        .join(new_banded.select("_id").distinct(), on="_id", how="left_anti")
+    )
 
     # two-pass hot-bucket caps, each side against its own count: an
     # index bucket over the cap is boilerplate history (skip it); a
@@ -683,7 +699,45 @@ def _probe_pairs(
     )
     return (
         probe.join(hist, ["band", "bucket"])
-        .filter(F.col("new_id") != F.col("dup_id"))
+        .select("new_id", "dup_id", portable_round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["new_id", "dup_id"])
+    )
+
+
+def _intra_pairs(
+    new_banded: DataFrame, meta: dict, *, threshold: float, max_bucket: int
+) -> DataFrame:
+    """Duplicate pairs WITHIN one shard, canonical ``new_id < dup_id``
+    — the explicit leg for duplicates that arrive together (same day,
+    same batch): the index probe can never see them (the shard's own
+    ids are excluded from its index side), so without this leg a
+    same-shard duplicate would be lost forever (review r8, confirmed
+    by repro). Depends only on the shard itself, so it is
+    replay-deterministic by construction."""
+    capped = new_banded.join(
+        new_banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "bucket"),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    a = capped.select(
+        "band", "bucket", F.col("_id").alias("new_id"), F.col("_sig").alias("sig_new")
+    )
+    b = capped.select(
+        "band", "bucket", F.col("_id").alias("dup_id"), F.col("_sig").alias("sig_old")
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_new", "sig_old", lambda x, y: x == y), lambda m: m)
+        )
+        / F.lit(float(meta["k"]))
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("new_id") < F.col("dup_id"))
         .select("new_id", "dup_id", portable_round(est, 6).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["new_id", "dup_id"])

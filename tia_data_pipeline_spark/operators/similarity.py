@@ -716,18 +716,19 @@ def embedding_write_index(
     import json as _json
 
     if proj is None:
-        dim = None
-        row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(row["d"]) if row and row["d"] is not None else EMBED_DIM
+        # dim from the first NON-NULL vector (review r8): size(NULL) is
+        # NULL, and a wrong-width projection would NULL every dot
+        # through zip_with padding and land the whole corpus in bucket 0
+        row = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
+        dim = int(row["d"]) if row is not None else EMBED_DIM
         proj = projection_matrix(bits=bits, dim=dim, seed=seed)
-    frame = corpus.filter(
-        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
-    ).select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_vec"),
-        l2_norm(F.col(vec_col)).alias("_norm"),
-        _sign_bits(F.col(vec_col), proj).alias("bucket"),
-    )
+    # the write-side frame IS the prober's frame (_emb_banded) — one
+    # implementation site, so writer/prober cell assignment can't drift
+    frame = _emb_banded(corpus, {"proj": proj}, vec_col, id_col)
     frame.repartition("bucket").write.partitionBy("bucket").mode("overwrite").parquet(
         path
     )
@@ -788,8 +789,11 @@ def embedding_dedup_incremental(
     hot-cell caps on BOTH sides, then a cell-equi join carrying
     (id, vec, norm) rows — the vector-payload discipline: pairs form in
     the join, never inside member arrays (two full vectors per pair
-    struct is quadratic in vector bytes). Self-pairs are excluded so a
-    shard already appended probes as a no-op."""
+    struct is quadratic in vector bytes). The index side excludes the
+    shard's OWN ids entirely (the :func:`…operators.dedup._probe_pairs`
+    replay-determinism rule): output is identical whether or not the
+    shard was already appended; intra-shard dups are a one-off
+    :func:`embedding_near_duplicates` on the shard, not this probe."""
     spark = new_vecs.sparkSession
     meta = embedding_index_meta(spark, index_path)
     # persisted: consumed by the touched-cell collect, the shard-side
@@ -800,8 +804,10 @@ def embedding_dedup_incremental(
     touched = sorted(
         int(r["bucket"]) for r in shard.select("bucket").distinct().collect()
     )
-    idx = _read_emb_index(spark, index_path, meta).filter(
-        F.col("bucket").isin(touched) if touched else F.lit(False)
+    idx = (
+        _read_emb_index(spark, index_path, meta)
+        .filter(F.col("bucket").isin(touched) if touched else F.lit(False))
+        .join(shard.select("_id").distinct(), on="_id", how="left_anti")
     )
     idx_ok = (
         idx.groupBy("bucket")
@@ -836,7 +842,6 @@ def embedding_dedup_incremental(
     # rule)
     return (
         probe.join(hist, "bucket")
-        .filter(F.col("new_id") != F.col("dup_id"))
         .select("new_id", "dup_id", portable_round(score, 6).alias("score"))
         .filter(F.col("score") >= threshold)
     )

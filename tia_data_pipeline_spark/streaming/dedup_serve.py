@@ -9,22 +9,30 @@ signatures so later batches dedupe against it — the streaming form of
 ``comments_pipeline.py:33``'s daily-increment semantics, like
 streaming/windows.py is for inc-window.
 
-Exactly-once contents under Structured Streaming's at-least-once
-``foreachBatch`` replay:
+A batch's pair output has TWO legs, both replay-deterministic:
 
-* pair output: each batch OVERWRITES its own ``batch_id=N`` parquet
-  subdirectory — a replayed batch rewrites identical content instead
-  of appending duplicates;
-* index update: :func:`_append_delta` anti-joins already-indexed ids
-  over the pruned scan (twice ≡ once, tested batch-side), so a replay
-  adds nothing.
+* cross: batch vs index-minus-batch (:func:`_probe_pairs` anti-joins
+  the batch's own ids off the index side, so a replay that crashed
+  between append and checkpoint commit reproduces byte-identical
+  pairs — without the exclusion, the replayed probe would see the
+  batch's own half-appended signatures and emit crash-dependent
+  extras);
+* intra: duplicates WITHIN the batch (:func:`_intra_pairs`,
+  canonical ``new_id < dup_id``) — the probe can never see these (own
+  ids excluded), so they are computed explicitly; a serving loop that
+  silently drops same-day duplicates has a recall hole.
+
+Exactly-once contents under Structured Streaming's at-least-once
+``foreachBatch`` replay: each batch OVERWRITES its own ``batch_id=N``
+parquet subdirectory (a replayed batch rewrites identical content),
+and the index append anti-joins already-indexed ids (twice ≡ once).
 
 Inside one batch the banded signature frame is persisted ONCE and
-shared by the probe and the append (the signature aggregate is the
-CPU-heavy leg — computing it twice per batch would double the
-steady-state cost), with the cache released on every exit path: a
+shared by both pair legs and the append (the signature aggregate is
+the CPU-heavy leg), with the cache released on every exit path: a
 foreachBatch loop that leaks one cache per trigger runs its executors
-out of storage memory by the hundredth batch.
+out of storage memory by the hundredth batch. The immutable index
+meta is read once per stream, not per trigger.
 """
 
 from __future__ import annotations
@@ -35,6 +43,7 @@ from pyspark.sql.streaming import StreamingQuery
 from tia_data_pipeline_spark.operators.dedup import (
     _append_delta,
     _band_shard,
+    _intra_pairs,
     _probe_pairs,
     minhash_band_frame,
     minhash_index_meta,
@@ -52,14 +61,16 @@ def dedup_increment_batch(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     update_index: bool = True,
+    meta: dict | None = None,
 ) -> None:
-    """One micro-batch of the serving loop: probe → write pairs to
+    """One micro-batch of the serving loop: (cross ∪ intra) pairs →
     ``pairs_out/batch_id=N`` (overwrite: replay-idempotent) → append
     the batch's own signatures (idempotent). Callable directly for a
     scheduled daily job; :func:`stream_dedup_incremental` wires it to
-    ``foreachBatch``."""
+    ``foreachBatch`` and passes the once-read ``meta`` through."""
     spark = batch_docs.sparkSession
-    meta = minhash_index_meta(spark, index_path)
+    if meta is None:
+        meta = minhash_index_meta(spark, index_path)
     banded = (
         minhash_band_frame(
             batch_docs, text_col, id_col,
@@ -70,18 +81,15 @@ def dedup_increment_batch(
         .persist()
     )
     try:
-        pairs = _probe_pairs(
+        cross = _probe_pairs(
             banded, spark, index_path, meta,
             threshold=threshold, max_bucket=max_bucket,
         )
-        pairs.write.mode("overwrite").parquet(f"{pairs_out}/batch_id={batch_id}")
+        intra = _intra_pairs(banded, meta, threshold=threshold, max_bucket=max_bucket)
+        cross.unionByName(intra).write.mode("overwrite").parquet(
+            f"{pairs_out}/batch_id={batch_id}"
+        )
         if update_index:
-            # AFTER the probe is written: appending first would make the
-            # batch's own docs index-visible to its own probe and turn
-            # every doc into a (doc, itself)-adjacent storm of
-            # intra-batch pairs on replay ordering. Probe-then-append
-            # also makes intra-batch duplicates surface exactly once —
-            # in the NEXT batch that touches the bucket, not twice.
             _append_delta(banded, spark, index_path, meta)
     finally:
         banded.unpersist()
@@ -108,13 +116,17 @@ def stream_dedup_incremental(
     continuously. The index must already exist
     (:func:`…operators.dedup.minhash_write_index` — day-zero bootstrap
     may write an EMPTY corpus; the meta table keeps it probeable)."""
+    # the meta side table is immutable after write: read it ONCE here,
+    # not per trigger (a continuous stream would otherwise pay a
+    # driver-side parquet listing + collect on every micro-batch)
+    meta = minhash_index_meta(doc_stream.sparkSession, index_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         dedup_increment_batch(
             batch_df, index_path, pairs_out, batch_id,
             text_col=text_col, id_col=id_col,
             threshold=threshold, max_bucket=max_bucket,
-            update_index=update_index,
+            update_index=update_index, meta=meta,
         )
 
     writer = doc_stream.writeStream.foreachBatch(write_batch).option(
