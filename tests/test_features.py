@@ -138,3 +138,64 @@ def test_pandas_zscore_decimal_value_column(spark):
     }
     assert expr_out == pd_out
     assert zscore_pandas(df, "k", "v").schema["v"].dataType.simpleString() == "decimal(18,2)"
+
+
+def test_approx_quantiles_rank_bound(spark):
+    """q_approx_quantiles' contract is the rank-error window — this
+    pins the claim independently: every within_bound is True on the
+    real corpus AND the checked interval is genuinely tight (the sketch
+    value's exact rank sits within ±n/accuracy of p·n, verified here
+    against a driver-side exact sort of the sf0.001 column)."""
+    from tia_data_pipeline_spark.plans.analytics import _AQ_ACC, _AQ_PS, q_approx_quantiles
+
+    rows = q_approx_quantiles(spark, SMOKE_SF).collect()
+    assert [r["pct"] for r in rows] == _AQ_PS
+    assert all(r["within_bound"] for r in rows)
+
+    # independent exact check: small corpus, sort locally
+    from tia_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    xs = sorted(
+        r["x"]
+        for r in load_table(spark, SMOKE_SF, "lineitem")
+        .select(F.col("l_extendedprice").alias("x"))
+        .filter(F.col("x").isNotNull())
+        .collect()
+    )
+    n = len(xs)
+    sk = (
+        load_table(spark, SMOKE_SF, "lineitem")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", F.array(*[F.lit(p) for p in _AQ_PS]), F.lit(_AQ_ACC)
+            ).alias("qs")
+        )
+        .collect()[0]["qs"]
+    )
+    import bisect
+
+    for p, v in zip(_AQ_PS, sk):
+        lo_rank = bisect.bisect_left(xs, v) + 1
+        hi_rank = bisect.bisect_right(xs, v)
+        import math
+
+        lo_ok = math.floor((p - 1.0 / _AQ_ACC) * n)
+        hi_ok = math.ceil((p + 1.0 / _AQ_ACC) * n)
+        assert hi_rank >= lo_ok and lo_rank <= hi_ok, (p, v, lo_rank, hi_rank, lo_ok, hi_ok)
+
+
+def test_approx_quantiles_nonfinite_nullified_at_entry(spark):
+    """NaN/Inf measurements must nullify BEFORE the sketch (NaN sorts
+    ABOVE +Inf in Spark and would occupy the top ranks on one engine
+    only); zero finite values then yields zero rows — the plan-level
+    empty contract is covered by the hostile empty-tables sweep, the
+    oracle by its WHERE n > 0."""
+    import pyspark.sql.functions as F
+
+    from tia_data_pipeline_spark.functions.text import finite_value
+
+    df = spark.createDataFrame([(float("nan"),), (float("inf"),)], "x double")
+    assert df.select(finite_value(F.col("x")).alias("v")).filter(
+        F.col("v").isNotNull()
+    ).count() == 0

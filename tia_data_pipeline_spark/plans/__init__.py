@@ -34,6 +34,7 @@ CONTRACT_ORDER = [
     "q_dedup_incremental",
     "q_dup_spans",
     "q_embed_incremental",
+    "q_approx_quantiles",
     # -- round-8 changed-semantics promotions: both changed after their
     #    last (r3) driver row — q_rollup's two-level bigint-leaf
     #    accumulation (r7 perf fix) and q_sliding_window's
@@ -55,7 +56,6 @@ CONTRACT_ORDER = [
     "q_count_distinct",
     "q_hash_sample",
     "q_window_frames",
-    "q_proj_alias",
     # -- round-8 plan-changed re-verifications: _cell_equi_cosine_pairs
     #    dropped its no-op dropDuplicates this round (ADVICE r7) —
     #    both consumers of the changed plan get fresh driver rows.
@@ -106,6 +106,7 @@ CONTRACT_ORDER = [
     "q_self_join",
     "q_dedup_latest",
     "q_const_probe",
+    "q_proj_alias",
     "q_substring_dedup",
     "q_resize_meta",
     "q_bpe_train",

@@ -2581,3 +2581,84 @@ def q_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_users"),
     )
+
+
+# -- q_approx_quantiles parameters: shared by the plan and the oracle
+_AQ_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
+_AQ_ACC = 1000  # approx_percentile accuracy: rank error <= 1/_AQ_ACC
+
+
+@contract_query(
+    "q_approx_quantiles",
+    oracle=(
+        # The KLL-style sketch has no cross-engine twin, so the
+        # CONTRACT is the estimate's RANK-ERROR bound (the
+        # q_approx_distinct error-bound pattern): Spark verifies that
+        # each returned quantile's exact rank interval intersects
+        # [floor((p−ε)·n), ceil((p+ε)·n)] — approx_percentile's
+        # published guarantee — and emits within_bound; the oracle
+        # states TRUE. Zero rows when the (finite-valued) column is
+        # empty, so ANSI never divides and NULL sketches never probe.
+        "WITH nn AS (SELECT count(*)::BIGINT AS n FROM lineitem "
+        f"  WHERE {finite_value_sql('l_extendedprice')} IS NOT NULL) "
+        "SELECT pct, TRUE AS within_bound FROM "
+        f"(VALUES {', '.join(f'({p}::DOUBLE)' for p in _AQ_PS)}) t(pct), nn "
+        "WHERE nn.n > 0"
+    ),
+    covers="order statistics, sketch scale path (approx_percentile rank-error contract)",
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q_quantiles: a quantile SKETCH merges
+    associatively, so the shuffle carries one bounded summary per
+    partition instead of sorting the column — exact percentile_cont
+    needs a global sort (or one full window) that a sketch avoids at a
+    stated rank error.
+
+    Contract (the q_approx_distinct discipline): the plan computes the
+    sketch AND the exact rank interval of each returned value — value
+    v's exact ranks span [count(x<v)+1, count(x<=v)] — and checks the
+    interval intersects the guaranteed window around p·n. A drifting
+    sketch (or a broken guarantee after a version bump) breaks the
+    value hash. Non-finite measurements are nullified at entry
+    (``finite_value``), the engine-wide rule: NaN sorts ABOVE +Inf in
+    Spark and would silently occupy the top ranks on one engine only.
+
+    Plan shape: two scans of ONE pruned column — the sketch aggregate
+    (1 row), broadcast back onto the scan for the conditional rank
+    counts (1 row), then a 5-row explode. No sort, no window, no
+    per-row Python."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(finite_value(F.col("l_extendedprice")).alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    sk = vals.agg(
+        F.percentile_approx(
+            "_x", F.array(*[F.lit(p) for p in _AQ_PS]), F.lit(_AQ_ACC)
+        ).alias("_qs"),
+        F.count("_x").cast("bigint").alias("_n"),
+    )
+    joined = vals.crossJoin(F.broadcast(sk))  # 1-row broadcast, never cartesian
+    aggs = [F.max("_n").alias("_n")]
+    for i in range(len(_AQ_PS)):
+        v = F.col("_qs")[i]
+        aggs.append(
+            F.sum(F.when(F.col("_x") < v, 1).otherwise(0)).cast("bigint").alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("_x") <= v, 1).otherwise(0)).cast("bigint").alias(f"_le{i}")
+        )
+    ranks = joined.agg(*aggs)
+    eps = 1.0 / _AQ_ACC
+    entries = []
+    for i, p in enumerate(_AQ_PS):
+        lo = F.floor((F.lit(p) - F.lit(eps)) * F.col("_n"))
+        hi = F.ceil((F.lit(p) + F.lit(eps)) * F.col("_n"))
+        within = (F.col(f"_le{i}") >= lo) & ((F.col(f"_lt{i}") + 1) <= hi)
+        entries.append(
+            F.struct(F.lit(p).alias("pct"), within.alias("within_bound"))
+        )
+    return (
+        ranks.filter(F.col("_n") > 0)
+        .select(F.explode(F.array(*entries)).alias("r"))
+        .select("r.pct", "r.within_bound")
+    )
