@@ -138,6 +138,7 @@ TAIL_COVERED_BY = {
     "q_dedup_latest": "q_topk_per_group",  # latest-per-key rank/limit family
     "q_const_probe": "q_data_quality",  # diagnostics constant probe
     "q_proj_alias": "q_ts_normalize",  # row/scalar projection family
+    "q_hash_sample": "q_split_assign",  # id-hash sampling family
     "q_substring_dedup": "q_dup_spans",  # sampled char-k-mer anchor pipeline
     "q_resize_meta": "q_multimodal_meta",  # multimodal Arrow-codec surface
     "q_bpe_train": "q_word_freq",  # token-distribution surface

@@ -33,6 +33,8 @@ a TakeOrderedAndProject.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -84,6 +86,11 @@ def build_text_index(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tokens"),
         F.lit(n_buckets).cast("int").alias("n_buckets"),
+        # postings schema persists with the index (the persisted-index
+        # rule): an EMPTY corpus writes no postings files, and serving
+        # must still read the dir (zero hits) instead of failing
+        # schema inference
+        F.lit(postings.schema.json()).alias("postings_schema"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
 
 
@@ -102,10 +109,10 @@ def bm25_search_indexed(
     integer arithmetic, so the result equals the full-scan query."""
     if not terms:
         raise ValueError("terms must be non-empty")
-    # the bucket modulus comes from the index itself (one 1-row read)
-    n_buckets = int(
-        spark.read.parquet(f"{path}/_corpus_stats").collect()[0]["n_buckets"]
-    )
+    # the bucket modulus and postings schema come from the index
+    # itself (one 1-row read)
+    stats_row = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    n_buckets = int(stats_row["n_buckets"])
     bucket_rows = (
         spark.range(1)
         .select(
@@ -120,8 +127,12 @@ def bm25_search_indexed(
     )
     buckets = sorted({int(x) for x in bucket_rows[0]["b"]})
 
+    from pyspark.sql.types import StructType
+
+    postings_schema = StructType.fromJson(json.loads(stats_row["postings_schema"]))
     postings = (
-        spark.read.parquet(path)
+        spark.read.schema(postings_schema)
+        .parquet(path)
         .filter(F.col("_bucket").isin(buckets))
         .filter(F.col("tok").isin(*terms))
     )

@@ -35,6 +35,7 @@ CONTRACT_ORDER = [
     "q_dup_spans",
     "q_embed_incremental",
     "q_approx_quantiles",
+    "q_bm25_indexed",
     # -- round-8 changed-semantics promotions: both changed after their
     #    last (r3) driver row — q_rollup's two-level bigint-leaf
     #    accumulation (r7 perf fix) and q_sliding_window's
@@ -54,7 +55,6 @@ CONTRACT_ORDER = [
     "q_simhash",
     "q_multimodal_meta",
     "q_count_distinct",
-    "q_hash_sample",
     "q_window_frames",
     # -- round-8 plan-changed re-verifications: _cell_equi_cosine_pairs
     #    dropped its no-op dropDuplicates this round (ADVICE r7) —
@@ -107,6 +107,7 @@ CONTRACT_ORDER = [
     "q_dedup_latest",
     "q_const_probe",
     "q_proj_alias",
+    "q_hash_sample",
     "q_substring_dedup",
     "q_resize_meta",
     "q_bpe_train",

@@ -1420,10 +1420,11 @@ _BM25_K = 20  # result size
 # 0.9·dl·N/T) == 22·tf·T / (10·tf·T + 3·T + 9·dl·N) after clearing
 # denominators — every operand a bigint.
 
-
-@contract_query(
-    "q_bm25",
-    oracle=(
+# ONE oracle text for both BM25 forms (full-scan q_bm25 and the
+# persisted-index q_bm25_indexed): the index is an execution strategy,
+# not a semantics change, so the two hash-checked forms share the SQL
+# and can never drift apart (the _minhash_sql_fragments rule).
+_BM25_ORACLE = (
         "WITH toks AS (SELECT doc_id, unnest({tk}) AS tok FROM documents), "
         "dl AS (SELECT doc_id, {wc} AS dl FROM documents), "
         "scal AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS t FROM dl), "
@@ -1442,12 +1443,17 @@ _BM25_K = 20  # result size
         "  FROM sc GROUP BY doc_id) "
         "SELECT doc_id, n_terms, "
         f"  {{rnd}} AS score FROM agg ORDER BY score DESC, doc_id ASC LIMIT {_BM25_K}"
-    ).format(
-        tk=_DOC_TOKENS_SQL,
-        wc=TX.word_count_sql("text"),
-        terms=", ".join(f"'{t}'" for t in _BM25_TERMS),
-        rnd=TX.portable_round_sql("score_n / 1000000000.0", 6),
-    ),
+).format(
+    tk=_DOC_TOKENS_SQL,
+    wc=TX.word_count_sql("text"),
+    terms=", ".join(f"'{t}'" for t in _BM25_TERMS),
+    rnd=TX.portable_round_sql("score_n / 1000000000.0", 6),
+)
+
+
+@contract_query(
+    "q_bm25",
+    oracle=_BM25_ORACLE,
     covers="ext-sim-topk / ext-text-analysis (BM25 lexical retrieval top-k)",
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1516,6 +1522,41 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.portable_round(F.col("score_n") / F.lit(1_000_000_000.0), 6).alias("score"),
     )
     return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(_BM25_K)
+
+
+@contract_query(
+    "q_bm25_indexed",
+    oracle=_BM25_ORACLE,
+    covers=(
+        "ext-sim-topk / ext-text-analysis (BM25 served from the PERSISTED "
+        "inverted index — same oracle as q_bm25: the index is an execution "
+        "strategy, not a semantics change)"
+    ),
+)
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bm25 served from the persisted inverted index
+    (operators/text_index.py): postings partitioned by term-hash
+    bucket, df pre-joined onto the postings at WRITE time, doc-length
+    and corpus-stats side tables — the query-time scan carries a
+    ``_bucket IN`` partition filter from a driver-side hash of the
+    terms plus the ``tok IN`` row filter, so serving reads
+    |query buckets| / n_buckets of the index and never re-tokenizes
+    the corpus. The oracle is BYTE-IDENTICAL to q_bm25's (shared
+    constant): this row hash-checks that index-time precomputation +
+    pruned serving reproduces the full-scan scores exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tia_data_pipeline_spark.operators.text_index import (
+        bm25_search_indexed,
+        build_text_index,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="graft_tidx_")
+    atexit.register(shutil.rmtree, tmp, True)
+    build_text_index(load_table(spark, sf_dir, "documents"), f"{tmp}/tidx")
+    return bm25_search_indexed(spark, f"{tmp}/tidx", list(_BM25_TERMS), k=_BM25_K)
 
 
 # ---------------------------------------------------------------------------
