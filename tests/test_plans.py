@@ -136,6 +136,8 @@ TAIL_COVERED_BY = {
     # rotations), each fresh r7-green with an in-cap family cover:
     "q_self_join": "q_thread_closure",  # self-referential join-tree family
     "q_dedup_latest": "q_topk_per_group",  # latest-per-key rank/limit family
+    # re-demoted mid-round 8 WITHOUT a fresh row (r3-stale, 3x-green;
+    # promote first next round):
     "q_const_probe": "q_data_quality",  # diagnostics constant probe
     "q_proj_alias": "q_ts_normalize",  # row/scalar projection family
     "q_hash_sample": "q_split_assign",  # id-hash sampling family
@@ -1029,3 +1031,17 @@ def test_bpe_train_vocab_side_pair_assembly(spark):
     assert "Join" not in p
     assert "TakeOrderedAndProject" in p
     assert "ReadSchema: struct<text:string>" in p
+
+
+def test_approx_quantiles_sketch_plan_no_sort_no_window(spark):
+    """q_approx_quantiles' whole point is ORDER STATISTICS WITHOUT A
+    SORT: the sketch aggregate + a 1-row broadcast back for rank
+    counts. Pin the shape — a Sort or Window sneaking in would turn
+    the scale path back into the exact path, and the 1-row crossJoin
+    must stay a broadcast nested loop, never a cartesian shuffle."""
+    p = plan_of(spark, "q_approx_quantiles")
+    assert "Sort (" not in p and "Window (" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row sketch broadcast
+    assert "CartesianProduct" not in p
+    # both scans read ONLY the measured column
+    assert "ReadSchema: struct<l_extendedprice:double>" in p

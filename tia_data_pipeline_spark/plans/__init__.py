@@ -101,13 +101,17 @@ CONTRACT_ORDER = [
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator already has a driver row above; every entry
     #      has >=1 driver-green row in DRIVER_GREEN_HISTORY.
+    # -- re-demoted mid-round 8 WITHOUT a fresh row (their slots went
+    #    to the round's new operators): these three trivial probes are
+    #    3x-green but r3-stale — promote them FIRST next round; do not
+    #    trust this block's freshness for them.
+    "q_const_probe",
+    "q_proj_alias",
+    "q_hash_sample",
     # -- demoted in round 8 to fund the promotions above (each fresh
     #    r7-green; family covers in TAIL_COVERED_BY):
     "q_self_join",
     "q_dedup_latest",
-    "q_const_probe",
-    "q_proj_alias",
-    "q_hash_sample",
     "q_substring_dedup",
     "q_resize_meta",
     "q_bpe_train",

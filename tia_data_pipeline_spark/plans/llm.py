@@ -1524,6 +1524,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(_BM25_K)
 
 
+# per-process index memo for q_bm25_indexed (sf_dir -> temp root)
+_BM25_INDEX_CACHE: dict[str, str] = {}
+
+
 @contract_query(
     "q_bm25_indexed",
     oracle=_BM25_ORACLE,
@@ -1543,7 +1547,14 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     |query buckets| / n_buckets of the index and never re-tokenizes
     the corpus. The oracle is BYTE-IDENTICAL to q_bm25's (shared
     constant): this row hash-checks that index-time precomputation +
-    pruned serving reproduces the full-scan scores exactly."""
+    pruned serving reproduces the full-scan scores exactly.
+
+    The built index is memoized per (process, sf_dir): the hostile
+    sweeps + parity + plan tests invoke this builder ~10×/session, and
+    rebuilding (three parquet writes + a per-token window) each time
+    both wastes the work and leaks one temp dir per call. Hostile
+    corpora live in distinct directories, so sf_dir is a sound key;
+    production callers own their index path and lifecycle directly."""
     import atexit
     import shutil
     import tempfile
@@ -1553,9 +1564,12 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_text_index,
     )
 
-    tmp = tempfile.mkdtemp(prefix="graft_tidx_")
-    atexit.register(shutil.rmtree, tmp, True)
-    build_text_index(load_table(spark, sf_dir, "documents"), f"{tmp}/tidx")
+    tmp = _BM25_INDEX_CACHE.get(sf_dir)
+    if tmp is None:
+        tmp = tempfile.mkdtemp(prefix="graft_tidx_")
+        atexit.register(shutil.rmtree, tmp, True)
+        build_text_index(load_table(spark, sf_dir, "documents"), f"{tmp}/tidx")
+        _BM25_INDEX_CACHE[sf_dir] = tmp
     return bm25_search_indexed(spark, f"{tmp}/tidx", list(_BM25_TERMS), k=_BM25_K)
 
 
