@@ -136,6 +136,8 @@ TAIL_COVERED_BY = {
     # rotations), each fresh r7-green with an in-cap family cover:
     "q_self_join": "q_thread_closure",  # self-referential join-tree family
     "q_dedup_latest": "q_topk_per_group",  # latest-per-key rank/limit family
+    "q_burstiness": "q_markov",  # ordered-event-timing family (demoted for q_simhash_incremental)
+    "q_doc_fingerprint": "q_exact_dedup",  # portable content-hash family (demoted for q_heavy_hitters)
     # re-demoted mid-round 8 WITHOUT a fresh row (r3-stale, 3x-green;
     # promote first next round):
     "q_const_probe": "q_data_quality",  # diagnostics constant probe
@@ -162,14 +164,14 @@ TAIL_COVERED_BY = {
     "q_topk_latest": "q_topk_per_group",  # rank/limit family
     "q_word_count": "q_word_freq",  # token-counting surface
     "q_pii_redact": "q_canonicalize",  # regex text-transform surface
-    "q_feature_hash": "q_doc_fingerprint",  # portable doc-hash constructions
+    "q_feature_hash": "q_exact_dedup",  # portable content-hash constructions (q_doc_fingerprint demoted r8)
     "q_gini": "q_pareto_abc",  # Lorenz/cumulative-share family
     "q_ks_drift": "q_jsd_mix",  # two-sample distribution divergence
     "q_spearman": "q_ols_trend",  # exact-moment correlation family
     "q_seasonality": "q_ewma",  # daily-series diagnostics
     "q_rolling_actives": "q_stickiness",  # engagement-window family
     "q_cooccur_lift": "q_mutual_info",  # categorical association
-    "q_interarrival": "q_burstiness",  # event-timing order stats
+    "q_interarrival": "q_markov",  # event-timing order stats (q_burstiness demoted r8)
     "q_new_users": "q_stickiness",  # engagement accounting
     "q_benford": "q_data_quality",  # data-quality diagnostics
     "q_triangles": "q_dup_graph_degree",  # dup-graph analytics

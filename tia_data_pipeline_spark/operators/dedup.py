@@ -1041,6 +1041,300 @@ def simhash_oracle_sql(table: str, text_tokens_sql: str, id_col: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# SimHash persisted index (incremental hamming-distance dedup serving)
+# ---------------------------------------------------------------------------
+# Completes the incremental-serving trio (MinHash: minhash_write_index
+# above; embeddings: similarity.embedding_write_index): dedupe today's
+# shard against a PERSISTED fingerprint index without rescanning
+# history — the daily-increment semantics of the reference's
+# comments_pipeline.py:33 applied to the SimHash tier.
+
+# Wider fingerprint than the 32-bit q_simhash default: 48 bits splits
+# into 4 × 12-bit bands, which GUARANTEES any pair within hamming
+# distance 3 shares at least one exact band (pigeonhole: 4 differing
+# bits cannot each land in a distinct band of 4 when only ≤3 differ),
+# stays strictly positive in a BIGINT so the div/mod band extraction is
+# portable to DuckDB, and is 2^16× more selective per band than 8-bit
+# bands of the 32-bit form — at 100 TB the band bucket count (2^12 per
+# band) is what keeps collision groups sub-quadratic.
+SIMHASH_INDEX_BITS = 48
+SIMHASH_INDEX_BANDS = 4
+_SIMHASH_META_DIR = "_simhash_meta"
+
+
+def _simhash_fp_frame(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataFrame:
+    """(_id, _fp) fingerprint frame, the index form of :func:`simhash`:
+    same md5-bit vote construction widened to ``bits``, NULL ids
+    excluded at the source (a NULL id would form one chimeric vote
+    group AND break the anti-join idempotence of the index append —
+    same precondition as :func:`minhash_signature_frame`).
+
+    No fan-out repartition: the map side is bare tokenize+explode and
+    the vote aggregate's own exchange provides the parallelism (the
+    measured `_docs(fan=False)` rule; see :func:`simhash`)."""
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in [1, 62] (BIGINT, sign bit untouched)")
+    toked = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    votes = [
+        F.expr(f"sum(2 * {_md5_bit_expr('tok', j)} - 1)").alias(f"v{j}")
+        for j in range(bits)
+    ]
+    scored = toked.groupBy("_id").agg(*votes)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return scored.select("_id", fp.alias("_fp"))
+
+
+def simhash_band_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bits: int = SIMHASH_INDEX_BITS,
+    bands: int = SIMHASH_INDEX_BANDS,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Banded fingerprints: one ``(_id, _fp, band, bucket, bshard)`` row
+    per (document, band); ``bucket`` is the band's bit slice (extracted
+    by div/mod — portable, fingerprints are non-negative), ``bshard``
+    a bounded shard of the bucket so (band, bshard) is a stable
+    partition key. Equal (bits, bands, n_shards) ⇒ identical collision
+    keys, which is what makes yesterday's index probeable today."""
+    assert bits % bands == 0, "bits must divide into equal bands"
+    r = bits // bands
+    sig = _simhash_fp_frame(df, text_col, id_col, bits)
+    return sig.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(_fp div {1 << (r * b)}) % {1 << r}").alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "_id", "_fp", "bb.band", "bb.bucket",
+        F.pmod(F.col("bb.bucket"), F.lit(n_shards)).alias("bshard"),
+    )
+
+
+def simhash_write_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    *,
+    bits: int = SIMHASH_INDEX_BITS,
+    bands: int = SIMHASH_INDEX_BANDS,
+    n_shards: int = 64,
+) -> None:
+    """Materialize the SimHash fingerprint index, ``band=…/bshard=…``
+    partitioned (the persisted-index serving pattern shared with
+    :func:`minhash_write_index`): a shard's probe reads only the
+    partitions its own buckets shard to. Rows are (_id, _fp, bucket) —
+    8 bytes of fingerprint per (document, band), far lighter than the
+    MinHash index's k·8-byte signatures. The one-row meta side table
+    carries the hash family and ``schema_json`` so probes can read an
+    EMPTY index (day-zero bootstrap) with an explicit schema."""
+    banded = simhash_band_frame(
+        df, text_col, id_col, bits=bits, bands=bands, n_shards=n_shards
+    )
+    # one shuffle keyed by the partition columns: each task owns whole
+    # (band, bshard) groups — one file per dir, not a sliver per task
+    banded.repartition("band", "bshard").write.partitionBy("band", "bshard").mode(
+        "overwrite"
+    ).parquet(path)
+    spark = df.sparkSession
+    meta = [(int(bits), int(bands), int(n_shards), banded.schema.json())]
+    spark.createDataFrame(
+        meta, "bits int, bands int, n_shards int, schema_json string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_SIMHASH_META_DIR}")
+
+
+def simhash_index_meta(spark, path: str) -> dict:
+    """Meta side table → dict (one row on the driver — control plane)."""
+    row = spark.read.parquet(f"{path}/{_SIMHASH_META_DIR}").collect()[0]
+    return {
+        "bits": int(row["bits"]),
+        "bands": int(row["bands"]),
+        "n_shards": int(row["n_shards"]),
+        "schema_json": row["schema_json"],
+    }
+
+
+def simhash_dedup_incremental(
+    new_docs: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs of a NEW SHARD against the persisted SimHash
+    index — no history rescan. Returns ``(new_id, dup_id, hamming)``
+    with ``dup_id`` an indexed document and hamming ≤ ``max_hamming``.
+
+    Plan: band the shard with the index's own (bits, bands, n_shards)
+    family, prune the index scan to the shard's touched (band, bshard)
+    partitions (ONE flat ``isin`` over the encoded combo — the shared
+    :func:`_touched_partition_filter`), two-pass hot-bucket caps on
+    BOTH sides, equi-join on (band, bucket), then the hamming verify
+    ``bit_count(xor)`` on the two 8-byte fingerprints. A pair within
+    the band guarantee can collide in SEVERAL bands, so the final
+    dropDuplicates is genuinely load-bearing here (unlike the
+    one-cell-per-vector cosine path). The index side anti-joins the
+    shard's OWN ids, so the probe is replay-deterministic: identical
+    output whether or not the shard was already appended.
+
+    At 100 TB: the index scan reads only touched partitions; the join
+    shuffles 8-byte fingerprints, never text; cost is sized by the
+    shard, not by history."""
+    spark = new_docs.sparkSession
+    meta = simhash_index_meta(spark, index_path)
+    if max_hamming > meta["bands"] - 1:
+        # recall contract: B bands guarantee collision only for pairs
+        # with hamming ≤ B-1 (pigeonhole: B differing bits can occupy
+        # all B bands); beyond that the banding silently misses pairs —
+        # rebuild the index with more bands instead.
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {meta['bands']}-band "
+            f"guarantee (hamming <= {meta['bands'] - 1})"
+        )
+    new_banded = simhash_band_frame(
+        new_docs, text_col, id_col,
+        bits=meta["bits"], bands=meta["bands"], n_shards=meta["n_shards"],
+    ).persist()  # consumed 3×: touched-partition collect, hot count, probe join
+    pred = _touched_partition_filter(new_banded, meta["n_shards"])
+    idx = (
+        _read_index(spark, index_path, meta)
+        .filter(pred)
+        .join(new_banded.select("_id").distinct(), on="_id", how="left_anti")
+    )
+    # two-pass hot-bucket caps, each side against its own count (a hot
+    # bucket is boilerplate — history's on the index side, today's on
+    # the shard side; it never reaches the join)
+    idx_ok = (
+        idx.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    new_ok = (
+        new_banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    probe = new_banded.join(new_ok, ["band", "bucket"], "left_semi").select(
+        "band", "bucket", F.col("_id").alias("new_id"), F.col("_fp").alias("fp_new")
+    )
+    hist = idx.join(idx_ok, ["band", "bucket"], "left_semi").select(
+        "band", "bucket", F.col("_id").alias("dup_id"), F.col("_fp").alias("fp_old")
+    )
+    hamming = F.bit_count(F.col("fp_new").bitwiseXOR(F.col("fp_old"))).cast("int")
+    return (
+        probe.join(hist, ["band", "bucket"])
+        .select("new_id", "dup_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["new_id", "dup_id"])
+    )
+
+
+def simhash_index_append(
+    new_docs: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a shard's fingerprint rows — idempotent (twice ≡ once):
+    already-indexed ids are skipped via an anti-join against the
+    touched partitions only (a doc's rows live nowhere else — its
+    (band, bshard) keys are a pure function of its text). ``_id`` is
+    non-null by the fingerprint frame's precondition, so plain-equality
+    anti-join semantics are exact."""
+    spark = new_docs.sparkSession
+    meta = simhash_index_meta(spark, index_path)
+    new_banded = simhash_band_frame(
+        new_docs, text_col, id_col,
+        bits=meta["bits"], bands=meta["bands"], n_shards=meta["n_shards"],
+    ).persist()  # consumed 2×; append is EAGER, so the lifecycle is exact
+    try:
+        _append_delta(new_banded, spark, index_path, meta)
+    finally:
+        new_banded.unpersist()
+
+
+def simhash_incremental_oracle_sql(
+    table: str,
+    text_tokens_sql: str,
+    id_col: str,
+    *,
+    history_pred: str,
+    shard_pred: str,
+    bits: int = SIMHASH_INDEX_BITS,
+    bands: int = SIMHASH_INDEX_BANDS,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB SQL reproducing :func:`simhash_dedup_incremental` over an
+    index built from ``table WHERE history_pred`` and a shard ``table
+    WHERE shard_pred`` — same md5-bit votes, same div/mod band slices,
+    same per-side hot-bucket caps, same ``bit_count(xor)`` verify. The
+    persisted index is an execution strategy, not a semantics change,
+    so the oracle states the plain two-relation form. DuckDB's
+    ``bit_count`` returns TINYINT → cast to INT to match Spark; the
+    cross-engine agreement of bit_count∘xor on non-negative BIGINTs is
+    fuzz-pinned in tests/test_dedup.py."""
+    assert bits % bands == 0
+    r = bits // bands
+    votes = ", ".join(
+        f"sum(2 * {_md5_bit_expr('tok', j)} - 1) AS v{j}" for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(bits)
+    )
+    divisors = ", ".join(f"({b}, {1 << (r * b)}::BIGINT)" for b in range(bands))
+
+    def side(alias: str, pred: str) -> str:
+        return (
+            f"tok_{alias} AS (SELECT {id_col} AS _id, "
+            f"  unnest(list_distinct({text_tokens_sql})) AS tok "
+            f"  FROM {table} WHERE ({pred}) AND {id_col} IS NOT NULL), "
+            f"v_{alias} AS (SELECT _id, {votes} FROM tok_{alias} GROUP BY _id), "
+            f"fp_{alias} AS (SELECT _id, {fp} AS _fp FROM v_{alias}), "
+            f"b_{alias} AS (SELECT _id, _fp, band, (_fp // divisor) % {1 << r} AS bucket "
+            f"  FROM fp_{alias} CROSS JOIN (VALUES {divisors}) AS bd(band, divisor)), "
+            f"ok_{alias} AS (SELECT b_{alias}.* FROM b_{alias} ANTI JOIN ("
+            f"  SELECT band, bucket FROM b_{alias} GROUP BY band, bucket "
+            f"  HAVING count(*) > {max_bucket}) h_{alias} USING (band, bucket))"
+        )
+
+    return (
+        f"WITH {side('o', history_pred)}, {side('n', shard_pred)} "
+        "SELECT DISTINCT n._id AS new_id, o._id AS dup_id, "
+        "  bit_count(xor(n._fp, o._fp))::INT AS hamming "
+        "FROM ok_n n JOIN ok_o o ON n.band = o.band AND n.bucket = o.bucket "
+        f"WHERE bit_count(xor(n._fp, o._fp)) <= {max_hamming} "
+        "  AND n._id <> o._id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Substring-level overlap (char k-mer mod-p sketch — alignment-independent)
 # ---------------------------------------------------------------------------
 

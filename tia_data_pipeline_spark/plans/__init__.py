@@ -36,6 +36,8 @@ CONTRACT_ORDER = [
     "q_embed_incremental",
     "q_approx_quantiles",
     "q_bm25_indexed",
+    "q_simhash_incremental",
+    "q_heavy_hitters",
     # -- round-8 changed-semantics promotions: both changed after their
     #    last (r3) driver row — q_rollup's two-level bigint-leaf
     #    accumulation (r7 perf fix) and q_sliding_window's
@@ -82,11 +84,9 @@ CONTRACT_ORDER = [
     "q_quality_linear",
     "q_mad_outliers",
     "q_containment",
-    "q_burstiness",
     "q_dup_graph_degree",
     "q_knn_bucketed",
     "q_chunking",
-    "q_doc_fingerprint",
     "q_scan_project",
     "q_jsd_mix",
     "q_bm25",
@@ -112,6 +112,8 @@ CONTRACT_ORDER = [
     #    r7-green; family covers in TAIL_COVERED_BY):
     "q_self_join",
     "q_dedup_latest",
+    "q_burstiness",  # event-timing family: q_markov keeps it in-cap
+    "q_doc_fingerprint",  # portable content-hash family: q_exact_dedup keeps it in-cap
     "q_substring_dedup",
     "q_resize_meta",
     "q_bpe_train",

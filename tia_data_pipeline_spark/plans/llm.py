@@ -733,6 +733,89 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q_heavy_hitters parameters: heavy = share ≥ 1/500 (0.2%) of all
+#    token occurrences; the sample gate admits candidates at half that
+#    rate (1/1000) measured on a 4/16 id-hash sample of documents. All
+#    thresholds are integer cross-products (cnt·den ≥ n) — no FP
+#    comparisons to diverge cross-engine.
+_HH_PHI_DEN = 500
+_HH_GATE_DEN = 1000
+_HH_SAMPLE_BUCKETS = 4
+
+
+@contract_query(
+    "q_heavy_hitters",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest({t}) AS token FROM documents), "
+        "sc AS (SELECT token, count(*) AS c FROM tok "
+        "  WHERE {hb} < {sb} GROUP BY token), "
+        "ns AS (SELECT sum(c) AS n_samp FROM sc), "
+        "cand AS (SELECT token FROM sc, ns WHERE c * {gd} >= n_samp), "
+        "tot AS (SELECT count(*) AS n_tot FROM tok), "
+        "exact AS (SELECT token, count(*)::BIGINT AS cnt FROM tok "
+        "  SEMI JOIN cand USING (token) GROUP BY token) "
+        "SELECT token, cnt, {share} AS share "
+        "FROM exact, tot WHERE cnt * {pd} >= n_tot"
+    ).format(
+        t=_DOC_TOKENS_SQL,
+        hb=SMP.hash_bucket_sql("doc_id"),
+        sb=_HH_SAMPLE_BUCKETS,
+        gd=_HH_GATE_DEN,
+        pd=_HH_PHI_DEN,
+        share=TX.portable_round_sql("cnt::DOUBLE / n_tot", 6),
+    ),
+    covers=(
+        "ext-text-analysis (sample-gated exact heavy hitters — the "
+        "two-pass candidate-then-verify scale pattern: the full-corpus "
+        "aggregate only ever shuffles candidate tokens)"
+    ),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with ≥ 1/500 of all occurrences)
+    via sample-then-verify: candidates are generated on a deterministic
+    4/16 id-hash sample of documents at HALF the target rate (the
+    slack), then verified with exact counts over the full corpus.
+
+    The declared semantics are the two-pass form (a token must pass
+    BOTH gates — deterministic, engine-portable, and stated identically
+    in the oracle); the sample gate is the 100 TB lever: the full-scan
+    aggregate semi-joins to the broadcast candidate set BEFORE its
+    shuffle, so the wide exchange carries only ~dozens of candidate
+    tokens instead of the whole vocabulary. The vocabulary-wide count
+    happens only on the 1/4 sample. NULL-id documents fall out of the
+    sample (NULL hash bucket) but count fully in the verify pass —
+    identical on both engines."""
+    tok = _docs(spark, sf_dir, fan=False).select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    samp_counts = (
+        tok.filter(SMP.hash_bucket("doc_id") < _HH_SAMPLE_BUCKETS)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_samp = samp_counts.agg(F.sum("c").alias("n_samp"))
+    cand = (
+        samp_counts.crossJoin(F.broadcast(n_samp))
+        .filter(F.col("c") * _HH_GATE_DEN >= F.col("n_samp"))
+        .select("token")
+    )
+    n_tot = tok.agg(F.count(F.lit(1)).alias("n_tot"))
+    exact = (
+        tok.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_tot))
+        .filter(F.col("cnt") * _HH_PHI_DEN >= F.col("n_tot"))
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            TX.portable_round(F.col("cnt") / F.col("n_tot"), 6).alias("share"),
+        )
+    )
+
+
 @contract_query(
     "q_canonicalize",
     oracle=(
@@ -855,6 +938,66 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         id_col="doc_id",
         threshold=0.5,
+    )
+
+
+# -- q_simhash_incremental parameters: 48-bit fingerprints in 4 × 12-bit
+#    bands (hamming ≤ 3 collision guarantee; the threshold 2 stays
+#    inside it), cap 500 (the sf corpora are duplicate-dense — a third
+#    of a split can share one band value; the cap chops the quadratic
+#    head, the standard boilerplate-skip semantics of the dedup family).
+_SHI_HAMMING = 2
+_SHI_CAP = 500
+
+
+@contract_query(
+    "q_simhash_incremental",
+    oracle=DD.simhash_incremental_oracle_sql(
+        "documents",
+        _DOC_TOKENS_SQL,
+        "doc_id",
+        history_pred="doc_id % 5 <> 0",
+        shard_pred="doc_id % 5 = 0",
+        max_hamming=_SHI_HAMMING,
+        max_bucket=_SHI_CAP,
+    ),
+    covers=(
+        "ext-fuzzy-dedup incremental serving (persisted SimHash "
+        "fingerprint index — the hamming-distance twin of "
+        "q_dedup_incremental; completes the incremental trio with the "
+        "MinHash and embedding indexes)"
+    ),
+)
+def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment SimHash dedup through the PERSISTED fingerprint
+    index: 80% of the corpus (history) is written as a band/bshard-
+    partitioned 48-bit fingerprint index, then the remaining 20%
+    (today's shard) probes it WITHOUT rescanning history — the index
+    scan prunes to the shard's touched partitions (PartitionFilters
+    pinned in tests/test_dedup.py), hot buckets capped two-pass per
+    side, and the 8-byte fingerprints verify via bit_count(xor) ≤ 2.
+    The md5-bit construction is portable, so banding, caps, and the
+    hamming verify all hash-match the oracle, which states the plain
+    two-relation form (the index is an execution strategy, not a
+    semantics change)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="graft_sh_idx_")
+    atexit.register(shutil.rmtree, tmp, True)
+    DD.simhash_write_index(
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id",
+        f"{tmp}/idx", n_shards=16,
+    )
+    return DD.simhash_dedup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        f"{tmp}/idx",
+        text_col="text",
+        id_col="doc_id",
+        max_hamming=_SHI_HAMMING,
+        max_bucket=_SHI_CAP,
     )
 
 
