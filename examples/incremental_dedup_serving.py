@@ -17,6 +17,9 @@ the serving loop a production corpus runs every day.
    probe → replay-idempotent pair output → append per micro-batch.
 4. The vector twin over embeddings: ``embedding_write_index`` /
    ``embedding_dedup_incremental`` with exact per-cell pruning.
+5. The hamming twin over SimHash fingerprints:
+   ``simhash_write_index`` / ``simhash_dedup_incremental`` (48-bit
+   portable fingerprints, 4×12-bit bands — hamming ≤ 3 guaranteed).
 """
 
 from __future__ import annotations
@@ -35,6 +38,8 @@ from tia_data_pipeline_spark.operators.dedup import (
     minhash_dedup_incremental,
     minhash_index_append,
     minhash_write_index,
+    simhash_dedup_incremental,
+    simhash_write_index,
 )
 from tia_data_pipeline_spark.operators.similarity import (
     embedding_dedup_incremental,
@@ -85,6 +90,14 @@ def main() -> None:
     embedding_write_index(e_hist, eidx, proj=projection_matrix(bits=bits))
     print("embedding near-duplicates of today's shard:")
     embedding_dedup_incremental(e_shard, eidx, threshold=0.9).orderBy(
+        "new_id", "dup_id"
+    ).show(10, truncate=False)
+
+    # -- the hamming twin --------------------------------------------------
+    sidx = f"{index_root}/simhash"
+    simhash_write_index(history, "text", "doc_id", sidx)
+    print("simhash near-duplicates (hamming <= 2) of today's shard:")
+    simhash_dedup_incremental(shard, sidx, max_hamming=2).orderBy(
         "new_id", "dup_id"
     ).show(10, truncate=False)
 

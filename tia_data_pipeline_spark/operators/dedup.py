@@ -1217,6 +1217,28 @@ def simhash_dedup_incremental(
         new_docs, text_col, id_col,
         bits=meta["bits"], bands=meta["bands"], n_shards=meta["n_shards"],
     ).persist()  # consumed 3×: touched-partition collect, hot count, probe join
+    return _simhash_probe_pairs(
+        new_banded, spark, index_path, meta,
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+
+
+def _simhash_probe_pairs(
+    new_banded: DataFrame,
+    spark,
+    index_path: str,
+    meta: dict,
+    *,
+    max_hamming: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Probe core shared by the batch operator and the streaming
+    micro-batch loop (the SimHash twin of :func:`_probe_pairs`): banded
+    shard frame → pruned index scan → per-side two-pass hot-bucket caps
+    → ``bit_count(xor)`` hamming verify. The index side EXCLUDES the
+    shard's own ids (anti-join), so re-probing an already-appended
+    shard — including a foreachBatch replay that crashed between append
+    and checkpoint commit — emits byte-identical pairs."""
     pred = _touched_partition_filter(new_banded, meta["n_shards"])
     idx = (
         _read_index(spark, index_path, meta)
@@ -1247,6 +1269,39 @@ def simhash_dedup_incremental(
     hamming = F.bit_count(F.col("fp_new").bitwiseXOR(F.col("fp_old"))).cast("int")
     return (
         probe.join(hist, ["band", "bucket"])
+        .select("new_id", "dup_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["new_id", "dup_id"])
+    )
+
+
+def _simhash_intra_pairs(
+    new_banded: DataFrame, *, max_hamming: int, max_bucket: int
+) -> DataFrame:
+    """Duplicate pairs WITHIN one shard, canonical ``new_id < dup_id``
+    — the explicit same-batch leg of the streaming loop (the SimHash
+    twin of :func:`_intra_pairs`): the index probe can never see these
+    (the shard's own ids are excluded from its index side), so without
+    this leg a same-shard duplicate is lost forever. Depends only on
+    the shard itself ⇒ replay-deterministic by construction."""
+    capped = new_banded.join(
+        new_banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "bucket"),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    a = capped.select(
+        "band", "bucket", F.col("_id").alias("new_id"), F.col("_fp").alias("fp_new")
+    )
+    b = capped.select(
+        "band", "bucket", F.col("_id").alias("dup_id"), F.col("_fp").alias("fp_old")
+    )
+    hamming = F.bit_count(F.col("fp_new").bitwiseXOR(F.col("fp_old"))).cast("int")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("new_id") < F.col("dup_id"))
         .select("new_id", "dup_id", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["new_id", "dup_id"])

@@ -45,8 +45,12 @@ from tia_data_pipeline_spark.operators.dedup import (
     _band_shard,
     _intra_pairs,
     _probe_pairs,
+    _simhash_intra_pairs,
+    _simhash_probe_pairs,
     minhash_band_frame,
     minhash_index_meta,
+    simhash_band_frame,
+    simhash_index_meta,
 )
 
 
@@ -126,6 +130,95 @@ def stream_dedup_incremental(
             batch_df, index_path, pairs_out, batch_id,
             text_col=text_col, id_col=id_col,
             threshold=threshold, max_bucket=max_bucket,
+            update_index=update_index, meta=meta,
+        )
+
+    writer = doc_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def simhash_increment_batch(
+    batch_docs: DataFrame,
+    index_path: str,
+    pairs_out: str,
+    batch_id: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    update_index: bool = True,
+    meta: dict | None = None,
+) -> None:
+    """One micro-batch of the SimHash serving loop — the hamming-
+    distance twin of :func:`dedup_increment_batch`, with identical
+    replay discipline: (cross ∪ intra) pairs → ``pairs_out/batch_id=N``
+    (overwrite), then the idempotent index append; the banded frame is
+    persisted once per batch and released on every exit path."""
+    spark = batch_docs.sparkSession
+    if meta is None:
+        meta = simhash_index_meta(spark, index_path)
+    if max_hamming > meta["bands"] - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {meta['bands']}-band "
+            f"guarantee (hamming <= {meta['bands'] - 1})"
+        )
+    banded = simhash_band_frame(
+        batch_docs, text_col, id_col,
+        bits=meta["bits"], bands=meta["bands"], n_shards=meta["n_shards"],
+    ).persist()
+    try:
+        cross = _simhash_probe_pairs(
+            banded, spark, index_path, meta,
+            max_hamming=max_hamming, max_bucket=max_bucket,
+        )
+        intra = _simhash_intra_pairs(
+            banded, max_hamming=max_hamming, max_bucket=max_bucket
+        )
+        cross.unionByName(intra).write.mode("overwrite").parquet(
+            f"{pairs_out}/batch_id={batch_id}"
+        )
+        if update_index:
+            _append_delta(banded, spark, index_path, meta)
+    finally:
+        banded.unpersist()
+
+
+def stream_simhash_incremental(
+    doc_stream: DataFrame,
+    *,
+    index_path: str,
+    pairs_out: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    update_index: bool = True,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run a document stream through the SimHash incremental dedup
+    loop (same trigger discipline as :func:`stream_dedup_incremental`;
+    the index must already exist via
+    :func:`…operators.dedup.simhash_write_index`)."""
+    # meta is immutable after write: read once per stream, not per
+    # trigger (and fail fast on an over-guarantee max_hamming)
+    meta = simhash_index_meta(doc_stream.sparkSession, index_path)
+    if max_hamming > meta["bands"] - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {meta['bands']}-band "
+            f"guarantee (hamming <= {meta['bands'] - 1})"
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        simhash_increment_batch(
+            batch_df, index_path, pairs_out, batch_id,
+            text_col=text_col, id_col=id_col,
+            max_hamming=max_hamming, max_bucket=max_bucket,
             update_index=update_index, meta=meta,
         )
 
