@@ -641,6 +641,22 @@ def minhash_dedup_incremental(
     )
 
 
+def _bucket_capped(df: DataFrame, max_bucket: int) -> DataFrame:
+    """Two-pass hot-bucket cap over a banded frame: keep only rows
+    whose (band, bucket) group holds ≤ ``max_bucket`` rows — count
+    first, semi-join survivors, so a boilerplate bucket never reaches
+    a join. The single cap implementation for every incremental-index
+    probe/intra leg (MinHash and SimHash): cap-semantics changes land
+    in one place."""
+    ok = (
+        df.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    return df.join(ok, ["band", "bucket"], "left_semi")
+
+
 def _probe_pairs(
     new_banded: DataFrame,
     spark,
@@ -672,22 +688,10 @@ def _probe_pairs(
     # two-pass hot-bucket caps, each side against its own count: an
     # index bucket over the cap is boilerplate history (skip it); a
     # shard bucket over the cap is boilerplate arriving today.
-    idx_ok = (
-        idx.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
-        .select("band", "bucket")
-    )
-    new_ok = (
-        new_banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
-        .select("band", "bucket")
-    )
-    probe = new_banded.join(new_ok, ["band", "bucket"], "left_semi").select(
+    probe = _bucket_capped(new_banded, max_bucket).select(
         "band", "bucket", F.col("_id").alias("new_id"), F.col("_sig").alias("sig_new")
     )
-    hist = idx.join(idx_ok, ["band", "bucket"], "left_semi").select(
+    hist = _bucket_capped(idx, max_bucket).select(
         "band", "bucket", F.col("_id").alias("dup_id"), F.col("_sig").alias("sig_old")
     )
     k = meta["k"]
@@ -715,14 +719,7 @@ def _intra_pairs(
     same-shard duplicate would be lost forever (review r8, confirmed
     by repro). Depends only on the shard itself, so it is
     replay-deterministic by construction."""
-    capped = new_banded.join(
-        new_banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
-        .select("band", "bucket"),
-        ["band", "bucket"],
-        "left_semi",
-    )
+    capped = _bucket_capped(new_banded, max_bucket)
     a = capped.select(
         "band", "bucket", F.col("_id").alias("new_id"), F.col("_sig").alias("sig_new")
     )
@@ -1174,6 +1171,19 @@ def simhash_index_meta(spark, path: str) -> dict:
     }
 
 
+def _check_band_guarantee(meta: dict, max_hamming: int) -> None:
+    """Recall contract shared by the batch operator and the streaming
+    loop: B bands guarantee collision only for pairs with hamming ≤
+    B-1 (pigeonhole: B differing bits can occupy all B bands); a
+    larger ``max_hamming`` would silently miss pairs — rebuild the
+    index with more bands instead."""
+    if max_hamming > meta["bands"] - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {meta['bands']}-band "
+            f"guarantee (hamming <= {meta['bands'] - 1})"
+        )
+
+
 def simhash_dedup_incremental(
     new_docs: DataFrame,
     index_path: str,
@@ -1204,19 +1214,18 @@ def simhash_dedup_incremental(
     shard, not by history."""
     spark = new_docs.sparkSession
     meta = simhash_index_meta(spark, index_path)
-    if max_hamming > meta["bands"] - 1:
-        # recall contract: B bands guarantee collision only for pairs
-        # with hamming ≤ B-1 (pigeonhole: B differing bits can occupy
-        # all B bands); beyond that the banding silently misses pairs —
-        # rebuild the index with more bands instead.
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds the {meta['bands']}-band "
-            f"guarantee (hamming <= {meta['bands'] - 1})"
-        )
+    _check_band_guarantee(meta, max_hamming)
+    # persist: consumed 3× (touched-partition collect, hot count, probe
+    # join). Lifecycle matches minhash_dedup_incremental: the
+    # CacheManager holds it until unpersist/clearCache/session end — a
+    # long-lived serving loop calling this daily must clearCache
+    # between probes (or use the streaming loop, which releases its
+    # per-batch cache on every exit path) or the per-day shard caches
+    # accumulate in executor storage memory.
     new_banded = simhash_band_frame(
         new_docs, text_col, id_col,
         bits=meta["bits"], bands=meta["bands"], n_shards=meta["n_shards"],
-    ).persist()  # consumed 3×: touched-partition collect, hot count, probe join
+    ).persist()
     return _simhash_probe_pairs(
         new_banded, spark, index_path, meta,
         max_hamming=max_hamming, max_bucket=max_bucket,
@@ -1248,22 +1257,10 @@ def _simhash_probe_pairs(
     # two-pass hot-bucket caps, each side against its own count (a hot
     # bucket is boilerplate — history's on the index side, today's on
     # the shard side; it never reaches the join)
-    idx_ok = (
-        idx.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
-        .select("band", "bucket")
-    )
-    new_ok = (
-        new_banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
-        .select("band", "bucket")
-    )
-    probe = new_banded.join(new_ok, ["band", "bucket"], "left_semi").select(
+    probe = _bucket_capped(new_banded, max_bucket).select(
         "band", "bucket", F.col("_id").alias("new_id"), F.col("_fp").alias("fp_new")
     )
-    hist = idx.join(idx_ok, ["band", "bucket"], "left_semi").select(
+    hist = _bucket_capped(idx, max_bucket).select(
         "band", "bucket", F.col("_id").alias("dup_id"), F.col("_fp").alias("fp_old")
     )
     hamming = F.bit_count(F.col("fp_new").bitwiseXOR(F.col("fp_old"))).cast("int")
@@ -1284,14 +1281,7 @@ def _simhash_intra_pairs(
     (the shard's own ids are excluded from its index side), so without
     this leg a same-shard duplicate is lost forever. Depends only on
     the shard itself ⇒ replay-deterministic by construction."""
-    capped = new_banded.join(
-        new_banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
-        .select("band", "bucket"),
-        ["band", "bucket"],
-        "left_semi",
-    )
+    capped = _bucket_capped(new_banded, max_bucket)
     a = capped.select(
         "band", "bucket", F.col("_id").alias("new_id"), F.col("_fp").alias("fp_new")
     )

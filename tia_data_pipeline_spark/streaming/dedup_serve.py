@@ -43,6 +43,7 @@ from pyspark.sql.streaming import StreamingQuery
 from tia_data_pipeline_spark.operators.dedup import (
     _append_delta,
     _band_shard,
+    _check_band_guarantee,
     _intra_pairs,
     _probe_pairs,
     _simhash_intra_pairs,
@@ -162,11 +163,7 @@ def simhash_increment_batch(
     spark = batch_docs.sparkSession
     if meta is None:
         meta = simhash_index_meta(spark, index_path)
-    if max_hamming > meta["bands"] - 1:
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds the {meta['bands']}-band "
-            f"guarantee (hamming <= {meta['bands'] - 1})"
-        )
+    _check_band_guarantee(meta, max_hamming)
     banded = simhash_band_frame(
         batch_docs, text_col, id_col,
         bits=meta["bits"], bands=meta["bands"], n_shards=meta["n_shards"],
@@ -206,13 +203,10 @@ def stream_simhash_incremental(
     the index must already exist via
     :func:`…operators.dedup.simhash_write_index`)."""
     # meta is immutable after write: read once per stream, not per
-    # trigger (and fail fast on an over-guarantee max_hamming)
+    # trigger (and fail fast on an over-guarantee max_hamming — a
+    # mid-stream per-batch failure would poison the checkpoint instead)
     meta = simhash_index_meta(doc_stream.sparkSession, index_path)
-    if max_hamming > meta["bands"] - 1:
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds the {meta['bands']}-band "
-            f"guarantee (hamming <= {meta['bands'] - 1})"
-        )
+    _check_band_guarantee(meta, max_hamming)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         simhash_increment_batch(
