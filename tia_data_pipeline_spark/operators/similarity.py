@@ -801,6 +801,40 @@ def embedding_dedup_incremental(
     # unpersist/clearCache/session end (the minhash_dedup_incremental
     # pattern); a long-lived serving loop clears between probes.
     shard = _emb_banded(new_vecs, meta, vec_col, id_col).persist()
+    return _emb_probe_pairs(
+        shard, spark, index_path, meta, threshold=threshold, max_bucket=max_bucket
+    )
+
+
+def _cell_capped(df: DataFrame, max_bucket: int) -> DataFrame:
+    """Two-pass hot-cell cap: keep only rows whose ``bucket`` cell
+    holds ≤ ``max_bucket`` rows (count → semi-join survivors) — the
+    single-key form of :func:`…operators.dedup._bucket_capped`."""
+    ok = (
+        df.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("bucket")
+    )
+    return df.join(ok, "bucket", "left_semi")
+
+
+def _emb_probe_pairs(
+    shard: DataFrame,
+    spark,
+    index_path: str,
+    meta: dict,
+    *,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Probe core shared by the batch operator and the streaming
+    micro-batch loop: banded shard → pruned index scan → per-side
+    two-pass hot-cell caps → cell-equi exact-cosine pairs. The index
+    side EXCLUDES the shard's own ids (anti-join), so re-probing an
+    already-appended shard emits byte-identical pairs
+    (replay-deterministic); same-batch duplicates are the explicit
+    :func:`_emb_intra_pairs` leg."""
     touched = sorted(
         int(r["bucket"]) for r in shard.select("bucket").distinct().collect()
     )
@@ -809,27 +843,15 @@ def embedding_dedup_incremental(
         .filter(F.col("bucket").isin(touched) if touched else F.lit(False))
         .join(shard.select("_id").distinct(), on="_id", how="left_anti")
     )
-    idx_ok = (
-        idx.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
-        .select("bucket")
-    )
-    new_ok = (
-        shard.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
-        .select("bucket")
-    )
     probe = fan_out(
-        shard.join(new_ok, "bucket", "left_semi").select(
+        _cell_capped(shard, max_bucket).select(
             "bucket",
             F.col("_id").alias("new_id"),
             F.col("_vec").alias("_vec_n"),
             F.col("_norm").alias("_norm_n"),
         )
     )
-    hist = idx.join(idx_ok, "bucket", "left_semi").select(
+    hist = _cell_capped(idx, max_bucket).select(
         "bucket",
         F.col("_id").alias("dup_id"),
         F.col("_vec").alias("_vec_o"),
@@ -842,6 +864,40 @@ def embedding_dedup_incremental(
     # rule)
     return (
         probe.join(hist, "bucket")
+        .select("new_id", "dup_id", portable_round(score, 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def _emb_intra_pairs(
+    shard: DataFrame, *, threshold: float, max_bucket: int
+) -> DataFrame:
+    """Duplicate pairs WITHIN one vector shard, canonical
+    ``new_id < dup_id`` — the explicit same-batch leg of the streaming
+    loop (the vector twin of :func:`…operators.dedup._intra_pairs`):
+    the index probe excludes the shard's own ids, so same-batch
+    duplicates can only surface here. One cell per vector ⇒ a pair
+    forms in at most one cell, no pair-level dedup needed."""
+    capped = _cell_capped(shard, max_bucket)
+    a = fan_out(
+        capped.select(
+            "bucket",
+            F.col("_id").alias("new_id"),
+            F.col("_vec").alias("_vec_n"),
+            F.col("_norm").alias("_norm_n"),
+        )
+    )
+    b = capped.select(
+        "bucket",
+        F.col("_id").alias("dup_id"),
+        F.col("_vec").alias("_vec_o"),
+        F.col("_norm").alias("_norm_o"),
+    )
+    denom = F.col("_norm_n") * F.col("_norm_o")
+    score = F.when(denom > 0, dot(F.col("_vec_n"), F.col("_vec_o")) / denom)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("new_id") < F.col("dup_id"))
         .select("new_id", "dup_id", portable_round(score, 6).alias("score"))
         .filter(F.col("score") >= threshold)
     )
@@ -861,18 +917,25 @@ def embedding_index_append(
     meta = embedding_index_meta(spark, index_path)
     shard = _emb_banded(new_vecs, meta, vec_col, id_col).persist()
     try:
-        touched = sorted(
-            int(r["bucket"]) for r in shard.select("bucket").distinct().collect()
-        )
-        existing = (
-            _read_emb_index(spark, index_path, meta)
-            .filter(F.col("bucket").isin(touched) if touched else F.lit(False))
-            .select("_id")
-            .distinct()
-        )
-        delta = shard.join(existing, on="_id", how="left_anti")
-        delta.repartition("bucket").write.partitionBy("bucket").mode("append").parquet(
-            index_path
-        )
+        _emb_append_delta(shard, spark, index_path, meta)
     finally:
         shard.unpersist()
+
+
+def _emb_append_delta(shard: DataFrame, spark, index_path: str, meta: dict) -> None:
+    """Append core shared by :func:`embedding_index_append` and the
+    streaming loop: anti-join already-indexed ids over the shard's
+    touched cells only (idempotent), write delta partitions."""
+    touched = sorted(
+        int(r["bucket"]) for r in shard.select("bucket").distinct().collect()
+    )
+    existing = (
+        _read_emb_index(spark, index_path, meta)
+        .filter(F.col("bucket").isin(touched) if touched else F.lit(False))
+        .select("_id")
+        .distinct()
+    )
+    delta = shard.join(existing, on="_id", how="left_anti")
+    delta.repartition("bucket").write.partitionBy("bucket").mode("append").parquet(
+        index_path
+    )

@@ -1,5 +1,7 @@
-"""Streaming incremental fuzzy dedup — the serving loop over the
-persisted MinHash signature index.
+"""Streaming incremental dedup — the serving loops over the persisted
+near-dup indexes: MinHash signatures (Jaccard), SimHash fingerprints
+(hamming), and embedding sign-buckets (cosine). All three share the
+same replay discipline, documented below for the MinHash form.
 
 The batch operator (:func:`…operators.dedup.minhash_dedup_incremental`)
 dedupes ONE shard; this runs the production loop: documents arrive as a
@@ -52,6 +54,13 @@ from tia_data_pipeline_spark.operators.dedup import (
     minhash_index_meta,
     simhash_band_frame,
     simhash_index_meta,
+)
+from tia_data_pipeline_spark.operators.similarity import (
+    _emb_append_delta,
+    _emb_banded,
+    _emb_intra_pairs,
+    _emb_probe_pairs,
+    embedding_index_meta,
 )
 
 
@@ -135,6 +144,81 @@ def stream_dedup_incremental(
         )
 
     writer = doc_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def embed_increment_batch(
+    batch_vecs: DataFrame,
+    index_path: str,
+    pairs_out: str,
+    batch_id: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    max_bucket: int = 2000,
+    update_index: bool = True,
+    meta: dict | None = None,
+) -> None:
+    """One micro-batch of the embedding serving loop — the vector twin
+    of :func:`dedup_increment_batch`, same replay discipline: (cross ∪
+    intra) exact-cosine pairs → ``pairs_out/batch_id=N`` (overwrite),
+    then the idempotent index append; the banded (id, vec, norm, cell)
+    frame is persisted once per batch and released on every exit
+    path."""
+    spark = batch_vecs.sparkSession
+    if meta is None:
+        meta = embedding_index_meta(spark, index_path)
+    banded = _emb_banded(batch_vecs, meta, vec_col, id_col).persist()
+    try:
+        cross = _emb_probe_pairs(
+            banded, spark, index_path, meta,
+            threshold=threshold, max_bucket=max_bucket,
+        )
+        intra = _emb_intra_pairs(banded, threshold=threshold, max_bucket=max_bucket)
+        cross.unionByName(intra).write.mode("overwrite").parquet(
+            f"{pairs_out}/batch_id={batch_id}"
+        )
+        if update_index:
+            _emb_append_delta(banded, spark, index_path, meta)
+    finally:
+        banded.unpersist()
+
+
+def stream_embed_incremental(
+    vec_stream: DataFrame,
+    *,
+    index_path: str,
+    pairs_out: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    max_bucket: int = 2000,
+    update_index: bool = True,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run a vector stream through the embedding incremental dedup
+    loop (same trigger discipline as :func:`stream_dedup_incremental`;
+    the index must already exist via
+    :func:`…operators.similarity.embedding_write_index`)."""
+    # meta (projection matrix + row schema) is immutable after write:
+    # read once per stream, not per trigger
+    meta = embedding_index_meta(vec_stream.sparkSession, index_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        embed_increment_batch(
+            batch_df, index_path, pairs_out, batch_id,
+            vec_col=vec_col, id_col=id_col,
+            threshold=threshold, max_bucket=max_bucket,
+            update_index=update_index, meta=meta,
+        )
+
+    writer = vec_stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
     )
     if available_now:
