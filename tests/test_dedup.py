@@ -551,3 +551,84 @@ class TestDuplicatedSpans:
         rows = [(1, "tiny"), (2, "tiny"), (3, None), (4, None)]
         docs = spark.createDataFrame(rows, "doc_id bigint, text string")
         assert duplicated_spans(docs, "text", "doc_id").count() == 0
+
+
+class TestCutDuplicatedSpans:
+    """The surgery step: planted duplicated blocks must be REMOVED
+    from the later doc (keep-first), byte-exactly, with overlapping
+    and identical cut intervals merged before cutting."""
+
+    def _corpus(self, spark):
+        rng = random.Random(23)
+        letters = "abcdefghijklmnopqrstuvwxyz "
+        block = "".join(rng.choice(letters) for _ in range(220))
+        pre_a = "".join(rng.choice(letters) for _ in range(100))
+        pre_b = "".join(rng.choice(letters) for _ in range(37))
+        tail_b = "".join(rng.choice(letters) for _ in range(80))
+        rows = [(1, pre_a + block), (2, pre_b + block + tail_b)]
+        return spark.createDataFrame(rows, "doc_id bigint, text string"), block
+
+    def test_cut_removes_planted_block_from_later_doc(self, spark):
+        import hashlib
+
+        from tia_data_pipeline_spark.operators.dedup import cut_duplicated_spans
+
+        docs, block = self._corpus(spark)
+        out = cut_duplicated_spans(docs, "text", "doc_id", mod=8).collect()
+        # keep-first: only the LATER doc (id 2) is affected
+        assert [r["doc_id"] for r in out] == [2]
+        row = out[0]
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        # reproduce the cut in python from the extractor's own spans
+        from tia_data_pipeline_spark.operators.dedup import duplicated_spans
+
+        spans = duplicated_spans(docs, "text", "doc_id", mod=8).collect()
+        ivs = sorted(
+            (r["b_start"] - 1, r["b_start"] - 1 + r["span_len"]) for r in spans
+        )
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        t = texts[2]
+        kept = ""
+        p = 0
+        for s, e in merged:
+            kept += t[p:s]
+            p = e
+        kept = kept + t[p:]
+        assert row["n_spans"] == len(merged)
+        assert row["cut_chars"] == sum(e - s for s, e in merged)
+        assert row["kept_len"] == len(kept)
+        assert row["kept_hash"] == hashlib.md5(kept.encode()).hexdigest()
+        # the planted block's middle cannot survive in the kept text
+        assert block[40:180] not in kept
+
+    def test_identical_intervals_from_two_sources_merge_once(self, spark):
+        """Regression pin (found by sf0.001 parity): two pairs can
+        contribute the IDENTICAL (start, end) interval to one doc —
+        tied window sort keys made the ROWS-frame merge evaluation-
+        order-dependent until the intervals were distinct'd. Three
+        copies of one block: the latest doc pairs with BOTH earlier
+        copies on the same diagonal-less range and must report ONE
+        merged span."""
+        from tia_data_pipeline_spark.operators.dedup import cut_duplicated_spans
+
+        docs, block = self._corpus(spark)
+        t1 = docs.filter("doc_id = 1").collect()[0]["text"]
+        # docs 3 and 4 are byte-copies of doc 1: doc 4 pairs with doc 1
+        # AND doc 3 on the SAME diagonal with the IDENTICAL full-length
+        # (s, e) interval — exactly the tied-sort-key case — plus an
+        # overlapping block-only interval from its pair with doc 2
+        four = docs.unionByName(
+            docs.sparkSession.createDataFrame(
+                [(3, t1), (4, t1)], "doc_id bigint, text string"
+            )
+        )
+        out = {r["doc_id"]: r for r in cut_duplicated_spans(
+            four, "text", "doc_id", mod=8
+        ).collect()}
+        assert 4 in out and out[4]["n_spans"] == 1
+        assert 3 in out and out[3]["n_spans"] == 1

@@ -138,6 +138,7 @@ TAIL_COVERED_BY = {
     "q_dedup_latest": "q_topk_per_group",  # latest-per-key rank/limit family
     "q_burstiness": "q_markov",  # ordered-event-timing family (demoted for q_simhash_incremental)
     "q_doc_fingerprint": "q_exact_dedup",  # portable content-hash family (demoted for q_heavy_hitters)
+    "q_canonicalize": "q_ts_normalize",  # row/scalar text-transform family (demoted for q_span_cut)
     # re-demoted mid-round 8 WITHOUT a fresh row (r3-stale, 3x-green;
     # promote first next round):
     "q_const_probe": "q_data_quality",  # diagnostics constant probe
@@ -163,7 +164,7 @@ TAIL_COVERED_BY = {
     "q_range_join": "q_asof_join",  # interval/event-time join family
     "q_topk_latest": "q_topk_per_group",  # rank/limit family
     "q_word_count": "q_word_freq",  # token-counting surface
-    "q_pii_redact": "q_canonicalize",  # regex text-transform surface
+    "q_pii_redact": "q_ts_normalize",  # regex text-transform surface (q_canonicalize demoted r8)
     "q_feature_hash": "q_exact_dedup",  # portable content-hash constructions (q_doc_fingerprint demoted r8)
     "q_gini": "q_pareto_abc",  # Lorenz/cumulative-share family
     "q_ks_drift": "q_jsd_mix",  # two-sample distribution divergence
@@ -431,6 +432,32 @@ def test_fan_out_decision_pinned(spark, name):
         assert "RoundRobinPartitioning" in p, f"{name} lost its fan-out widening"
     else:
         assert "RoundRobinPartitioning" not in p, f"{name} regained a redundant repartition"
+
+
+# --- round-8 additions -----------------------------------------------------
+
+
+def test_heavy_hitters_candidates_broadcast_before_exact_shuffle(spark):
+    """The sample-then-verify contract's scale property: the exact
+    (full-corpus) count must semi-join to the BROADCAST candidate set
+    before its aggregate, so the wide exchange carries only candidate
+    tokens — a sort-merge here would shuffle the whole vocabulary,
+    exactly what the sample pass exists to avoid."""
+    p = plan_of(spark, "q_heavy_hitters")
+    assert "BroadcastHashJoin LeftSemi" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_span_cut_intervals_broadcast_onto_corpus(spark):
+    """The surgery join must build on the (small) merged-interval side
+    and stream the corpus scan — shuffling the corpus text column to
+    meet a handful of cut ranges is the 100 TB failure mode. The text
+    scan stays 2 columns."""
+    p = plan_of(spark, "q_span_cut")
+    assert "BroadcastHashJoin Inner" in p
+    assert "CartesianProduct" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
 
 
 # --- round-4 curation tier -------------------------------------------------

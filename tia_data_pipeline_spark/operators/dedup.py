@@ -1603,6 +1603,165 @@ def duplicated_spans(
     )
 
 
+def cut_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 32,
+    mod: int = 16,
+    max_df: int = 20,
+    max_gap: int | None = None,
+    min_anchors: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """APPLY the duplicated spans: rebuild each affected document with
+    its duplicated byte ranges removed — the surgery step of
+    cut-not-drop dedup (:func:`duplicated_spans` finds WHERE the
+    duplication lives; this removes it). Keep-first policy: a span is
+    cut from the pair's LATER document (``id_b`` — ids are canonical
+    ``id_a < id_b``), so the earliest copy of every duplicated run
+    survives intact and no run is lost from the corpus.
+
+    Returns one row per AFFECTED document: ``(doc_id, n_spans,
+    cut_chars, kept_len, kept_hash)`` where n_spans counts MERGED
+    cut intervals (overlapping spans from different pairs coalesce),
+    cut_chars the characters removed, and kept_hash = md5 of the
+    rebuilt text — byte-exact evidence of the surgery, reproducible in
+    the DuckDB oracle (:func:`span_cut_oracle_sql`).
+
+    Construction after the span extractor: (1) classic interval merge
+    per doc — a window running-max of span ends marks group breaks,
+    one sessionize shuffle on doc_id; (2) the kept text is assembled
+    from the COMPLEMENT pieces (lag(end) → piece before each interval,
+    plus the tail), concatenated in span order via a sorted collect of
+    the per-interval pieces — intervals per doc are bounded by the
+    span extractor's caps, so the collected arrays are small by
+    construction. Untouched documents emit nothing (the caller unions
+    them back if a full corpus rewrite is wanted)."""
+    spans = duplicated_spans(
+        df, text_col, id_col, k=k, mod=mod, max_df=max_df,
+        max_gap=max_gap, min_anchors=min_anchors, portable=portable,
+    )
+    # DISTINCT before the merge windows: two pairs can contribute the
+    # IDENTICAL (s, e) interval to one doc (e.g. the same duplicated
+    # block shared with two earlier docs), and tied (s, e) sort keys
+    # make the ROWS-frame running max evaluation-order-dependent —
+    # the max and sum windows can then disagree on which tied row is
+    # "first" and split one interval into two groups (found by the
+    # sf0.001 parity check, doc with two co-located span sources).
+    # After distinct, (s, e) is unique per doc and the order is total.
+    cuts = spans.select(
+        F.col("id_b").alias("_doc"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_len")).alias("e"),
+    ).distinct()
+    # interval merge: break a new group when this span starts past the
+    # running max end of everything before it (ties on s ordered by e
+    # for determinism; touching intervals s == prev_e stay merged)
+    w = Window.partitionBy("_doc").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(0)), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    merged = (
+        cuts.withColumn("brk", brk)
+        .withColumn(
+            "grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("_doc", "grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    # complement pieces: text before each merged interval (from the
+    # previous interval's end), plus the tail after the last interval
+    w2 = Window.partitionBy("_doc").orderBy("s")
+    ps = F.coalesce(F.lag("e").over(w2), F.lit(1))
+    pieces = (
+        merged.join(
+            df.select(F.col(id_col).alias("_doc"), F.col(text_col).alias("_t")),
+            "_doc",
+        )
+        .withColumn("ps", ps)
+        .withColumn(
+            "piece",
+            F.expr("substring(_t, cast(ps as int), cast(s - ps as int))"),
+        )
+    )
+    agg = pieces.groupBy("_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("cut_chars"),
+        F.min("_t").alias("_t"),
+        F.max("e").alias("_last_e"),
+        # sorted-by-s reassembly: collect_list order is undefined, the
+        # array_sort on (s, piece) structs restores span order
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "piece"))),
+                lambda x: x["piece"],
+            ),
+            "",
+        ).alias("_head"),
+    )
+    kept = F.concat(
+        F.col("_head"), F.expr("substring(_t, cast(_last_e as int))")
+    )
+    return agg.select(
+        F.col("_doc").alias(id_col),
+        "n_spans",
+        "cut_chars",
+        F.length(kept).cast("bigint").alias("kept_len"),
+        F.md5(F.encode(kept, "UTF-8")).alias("kept_hash"),
+    )
+
+
+def span_cut_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    k: int = 32,
+    mod: int = 16,
+    max_df: int = 20,
+    max_gap: int | None = None,
+    min_anchors: int = 2,
+) -> str:
+    """DuckDB SQL reproducing :func:`cut_duplicated_spans` with
+    ``portable=True`` byte-for-byte: the span CTE is the shared
+    :func:`duplicated_spans_oracle_sql` text, then the same interval
+    merge (running-max window), the same complement-piece assembly
+    (``string_agg`` ordered by span start ≡ the sorted collect), and
+    ``md5`` over the identical rebuilt string."""
+    spans_sql = duplicated_spans_oracle_sql(
+        table, id_col, text_col, k=k, mod=mod, max_df=max_df,
+        max_gap=max_gap, min_anchors=min_anchors,
+    )
+    return (
+        f"WITH spans AS ({spans_sql}), "
+        "cuts AS (SELECT DISTINCT id_b AS _doc, b_start AS s, "
+        "  b_start + span_len AS e FROM spans), "
+        "m0 AS (SELECT *, CASE WHEN s > coalesce(max(e) OVER ("
+        "    PARTITION BY _doc ORDER BY s, e "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "  THEN 1 ELSE 0 END AS brk FROM cuts), "
+        "m1 AS (SELECT *, sum(brk) OVER (PARTITION BY _doc ORDER BY s, e "
+        "  ROWS UNBOUNDED PRECEDING) AS grp FROM m0), "
+        "merged AS (SELECT _doc, min(s) AS s, max(e) AS e FROM m1 "
+        "  GROUP BY _doc, grp), "
+        "p AS (SELECT _doc, s, e, coalesce(lag(e) OVER ("
+        "  PARTITION BY _doc ORDER BY s), 1) AS ps FROM merged), "
+        f"pieces AS (SELECT p._doc, s, e, d.{text_col} AS _t, "
+        f"  substr(d.{text_col}, ps::INT, (s - ps)::INT) AS piece "
+        f"  FROM p JOIN {table} d ON p._doc = d.{id_col}), "
+        "agg AS (SELECT _doc, count(*)::BIGINT AS n_spans, "
+        "  sum(e - s)::BIGINT AS cut_chars, min(_t) AS _t, "
+        "  max(e) AS _last_e, string_agg(piece, '' ORDER BY s) AS _head "
+        "  FROM pieces GROUP BY _doc) "
+        f"SELECT _doc AS {id_col}, n_spans, cut_chars, "
+        "  length(_head || substr(_t, _last_e::INT))::BIGINT AS kept_len, "
+        "  md5(_head || substr(_t, _last_e::INT)) AS kept_hash FROM agg"
+    )
+
+
 def duplicated_spans_oracle_sql(
     table: str,
     id_col: str,

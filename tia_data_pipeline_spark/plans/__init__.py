@@ -38,6 +38,7 @@ CONTRACT_ORDER = [
     "q_bm25_indexed",
     "q_simhash_incremental",
     "q_heavy_hitters",
+    "q_span_cut",
     # -- round-8 changed-semantics promotions: both changed after their
     #    last (r3) driver row — q_rollup's two-level bigint-leaf
     #    accumulation (r7 perf fix) and q_sliding_window's
@@ -72,7 +73,6 @@ CONTRACT_ORDER = [
     #    targets).
     "q_cube",
     "q_word_freq",
-    "q_canonicalize",
     "q_topk_per_group",
     # -- round-6 batches retained in-cap (family anchors and cover
     #    targets for the round-7/8 demotions).
@@ -114,6 +114,7 @@ CONTRACT_ORDER = [
     "q_dedup_latest",
     "q_burstiness",  # event-timing family: q_markov keeps it in-cap
     "q_doc_fingerprint",  # portable content-hash family: q_exact_dedup keeps it in-cap
+    "q_canonicalize",  # row/scalar text-transform family: q_ts_normalize keeps it in-cap
     "q_substring_dedup",
     "q_resize_meta",
     "q_bpe_train",

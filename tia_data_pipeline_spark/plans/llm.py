@@ -1022,6 +1022,28 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@contract_query(
+    "q_span_cut",
+    oracle=DD.span_cut_oracle_sql("documents", "doc_id"),
+    covers=(
+        "ext-fuzzy-dedup span surgery (apply the duplicated spans: "
+        "rebuild affected documents with the duplicated ranges removed "
+        "— the cut step of cut-not-drop dedup, keep-first policy)"
+    ),
+)
+def q_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut-not-drop applied: every duplicated span found by the
+    q_dup_spans extractor is REMOVED from the pair's later document
+    (keep-first — the earliest copy survives, so no run leaves the
+    corpus). Per affected doc: merged-interval count, characters cut,
+    and md5 of the rebuilt text — the hash makes the surgery
+    byte-exact against the oracle, which assembles the identical
+    complement pieces with a span-ordered string_agg."""
+    return DD.cut_duplicated_spans(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", portable=True
+    )
+
+
 # -- q_substring_dedup parameters (operator defaults, non-vacuous at
 #    sf0.001 AND sf0.01: 27 / 25 pairs on the driver corpus)
 _SSD_K = 32  # char k-mer length
