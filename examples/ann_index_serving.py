@@ -10,6 +10,10 @@ serving shape at corpus scale.
    level, so serving scans n_probe/n_lists of the data.
 2. Serve a probe from the written index and compare against the exact
    brute-force top-k to show what the recall trade bought.
+3. Serve a BATCH of probes through the same index
+   (``ivf_search_batch`` — each probe ranks the centers
+   in-expression; one pruned scan serves the whole batch); the
+   streaming form is ``streaming/ann_serve.py::stream_ann_topk``.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ from tia_data_pipeline_spark.catalog import load_table
 from tia_data_pipeline_spark.operators.similarity import (
     brute_force_top_k,
     ivf_build_index,
+    ivf_search_batch,
     ivf_search_indexed,
     ivf_write_index,
     projection_bits_for,
@@ -61,6 +66,13 @@ def main() -> None:
     print(f"IVF top-10 (4/16 cells scanned): {approx_ids}")
     print(f"exact top-10 (full scan):        {exact_ids}")
     print(f"recall@10 = {recall:.2f}")
+
+    # 3. batch serving: a query SHARD against the same index — one
+    # pruned scan answers every probe in the batch
+    probes = emb.limit(5).selectExpr("vec_id AS probe_id", "embedding")
+    batch = ivf_search_batch(probes, index_dir, k=3, n_probe=4)
+    print("batch top-3 per probe (5-probe shard):")
+    batch.orderBy("probe_id", "rnk").show(15, truncate=False)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,142 @@
+"""Streaming ANN query serving over the persisted IVF index:
+batch-of-probes search matches an exhaustive python re-rank, the
+stream equals per-batch calls, the index scan prunes to touched
+cells, and no per-batch cache leaks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tia_data_pipeline_spark.operators.similarity import (
+    ivf_build_index,
+    ivf_search_batch,
+    ivf_write_index,
+)
+from tia_data_pipeline_spark.streaming.ann_serve import (
+    ann_search_batch,
+    stream_ann_topk,
+)
+
+PROBE_SCHEMA = "probe_id bigint, embedding array<float>"
+DIM = 4
+N_LISTS = 4
+
+
+def _corpus_rows():
+    # cosine against axis-0 strictly decreases in i; against axis-1 it
+    # strictly increases — exhaustive rankings are closed-form
+    return [(i, [1.0, i * 0.05, 0.0, 0.0]) for i in range(1, 13)]
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    corpus = spark.createDataFrame(_corpus_rows(), "vec_id bigint, embedding array<float>")
+    assigned, centers = ivf_build_index(corpus, n_lists=N_LISTS)
+    path = str(tmp_path / "ivf")
+    ivf_write_index(assigned, centers, path)
+    return path
+
+
+def _exhaustive_topk(probe, k):
+    scored = []
+    for vid, v in _corpus_rows():
+        dot = sum(a * b for a, b in zip(probe, v))
+        s = dot / (math.sqrt(sum(a * a for a in probe)) * math.sqrt(sum(a * a for a in v)))
+        scored.append((round(s, 6), vid))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [vid for _, vid in scored[:k]]
+
+
+def test_batch_search_matches_exhaustive_when_unpruned(spark, index):
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])], PROBE_SCHEMA
+    )
+    # n_probe = n_lists searches every cell — the result must be the
+    # exact exhaustive top-k per probe, ranked (score desc, id asc)
+    got = ivf_search_batch(probes, index, k=3, n_probe=N_LISTS)
+    by_probe = {}
+    for r in got.collect():
+        by_probe.setdefault(r["probe_id"], []).append((r["rnk"], r["vec_id"]))
+    assert [v for _, v in sorted(by_probe[100])] == _exhaustive_topk([1, 0, 0, 0], 3)
+    assert [v for _, v in sorted(by_probe[200])] == _exhaustive_topk([0, 1, 0, 0], 3)
+
+
+def test_probe_scan_prunes_index_partitions(spark, index):
+    import contextlib
+    import io
+
+    probes = spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0])], PROBE_SCHEMA)
+    df = ivf_search_batch(probes, index, k=3, n_probe=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scans, "index scan lost its partition filters"
+    assert any(
+        "_cell" in ln and "[]" not in ln.split("PartitionFilters:")[1][:10]
+        for ln in scans
+    ), f"no non-empty _cell partition filter: {scans}"
+
+
+def test_stream_equals_batch_union(spark, index, tmp_path):
+    a = spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0])], PROBE_SCHEMA)
+    b = spark.createDataFrame([(200, [0.0, 1.0, 0.0, 0.0])], PROBE_SCHEMA)
+    expect = {
+        (r["probe_id"], r["vec_id"], r["rnk"])
+        for part in (a, b)
+        for r in ivf_search_batch(part, index, k=3, n_probe=N_LISTS).collect()
+    }
+
+    stream_dir = tmp_path / "probes_in"
+    a.coalesce(1).write.parquet(str(stream_dir / "a"))
+    b.coalesce(1).write.parquet(str(stream_dir / "b"))
+    probe_stream = (
+        spark.readStream.schema(PROBE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    out = str(tmp_path / "topk_out")
+    q = stream_ann_topk(
+        probe_stream,
+        index_path=index,
+        topk_out=out,
+        checkpoint=str(tmp_path / "ckpt"),
+        k=3,
+        n_probe=N_LISTS,
+    )
+    q.awaitTermination()
+    got = {
+        (r["probe_id"], r["vec_id"], r["rnk"])
+        for r in spark.read.parquet(f"{out}/batch_id=*").collect()
+    }
+    assert got == expect
+
+
+def test_batch_replay_rewrites_identically(spark, index, tmp_path):
+    out = str(tmp_path / "topk_out")
+    probes = spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0])], PROBE_SCHEMA)
+    ann_search_batch(probes, index, out, 0, k=3, n_probe=N_LISTS)
+    first = sorted(map(tuple, spark.read.parquet(f"{out}/batch_id=0").collect()))
+    # the search is a pure function of (batch, index): a foreachBatch
+    # replay overwrites the batch dir with identical rows
+    ann_search_batch(probes, index, out, 0, k=3, n_probe=N_LISTS)
+    again = sorted(map(tuple, spark.read.parquet(f"{out}/batch_id=0").collect()))
+    assert again == first
+
+
+def test_null_probes_excluded_and_no_cache_leak(spark, index, tmp_path):
+    out = str(tmp_path / "topk_out")
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (None, [1.0, 0.0, 0.0, 0.0]), (300, None)],
+        PROBE_SCHEMA,
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getRDDStorageInfo()
+    ann_search_batch(probes, index, out, 0, k=3, n_probe=N_LISTS)
+    after = jsc.getRDDStorageInfo()
+    assert len(after) == len(before), "per-batch cache leaked past the batch"
+    rows = spark.read.parquet(f"{out}/batch_id=0").collect()
+    assert {r["probe_id"] for r in rows} == {100}

@@ -15,7 +15,7 @@ tuned by the number of projection bits (fewer bits → bigger buckets).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tia_data_pipeline_spark.functions.text import portable_round
@@ -541,6 +541,113 @@ def ivf_search_indexed(
         portable_round(cosine_similarity(F.col(vec_col), probe), 6).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_search_batch(
+    probes: DataFrame,
+    index_path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    k: int = 10,
+    n_probe: int = 4,
+    centers: list[list[float]] | None = None,
+) -> DataFrame:
+    """Serve a BATCH of probes from the written IVF index — the
+    many-query form of :func:`ivf_search_indexed` (which takes one
+    driver-side vector): each probe ranks the ``n_lists`` centers
+    in-expression and explodes to its ``n_probe`` nearest cells; the
+    index scan prunes to the UNION of touched cells (a literal ``IN``
+    over ≤ n_lists values — control plane, PartitionFilters planned);
+    the exploded probe frame BROADCASTS onto the pruned scan for an
+    equi-join on the cell id; exact cosine re-ranks and a per-probe
+    rank-limited window (map-side WindowGroupLimit) keeps the top k.
+
+    Returns ``(probe_id, vec_id, score, rnk)`` with the fixed
+    (score desc, id asc) tiebreak. NULL probe ids/vectors are excluded
+    at the source (a NULL vector has no cell; a NULL id can't be ranked
+    per-probe). At 100 TB the query batch reads at most
+    |touched cells| / n_lists of the index, and only probe rows — a
+    micro-batch of queries, never the corpus — move in the join."""
+    spark = probes.sparkSession
+    cs = centers if centers is not None else ivf_read_centers(spark, index_path)
+    pb = (
+        _ivf_probe_frame(probes, cs, vec_col, probe_id_col, n_probe)
+        # persist: consumed twice (touched-cell collect + the join).
+        # Lifecycle = CacheManager until clearCache/session end, the
+        # minhash_dedup_incremental rule; the streaming loop builds the
+        # frame itself and releases it on every exit path.
+        .persist()
+    )
+    return _ivf_batch_topk(pb, spark, index_path, vec_col, id_col, probe_id_col, k)
+
+
+def _ivf_probe_frame(
+    probes: DataFrame,
+    centers: list[list[float]],
+    vec_col: str,
+    probe_id_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """(_pid, _p_vec, _p_norm, _cell) probe frame: each probe ranks the
+    centers in-expression and explodes to its n_probe nearest cells.
+    NULL ids/vectors excluded (no cell / no per-probe rank)."""
+
+    def _dist2(vec: Column, center: list[float]) -> Column:
+        c = F.array(*[F.lit(v) for v in center])
+        return F.aggregate(
+            F.zip_with(vec.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[_dist2(F.col(vec_col), c) for c in centers])
+    order = F.array_sort(
+        F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+    )
+    probe_cells = F.slice(F.transform(order, lambda s: s["cell"]), 1, n_probe)
+    return probes.filter(
+        F.col(vec_col).isNotNull() & F.col(probe_id_col).isNotNull()
+    ).select(
+        F.col(probe_id_col).alias("_pid"),
+        F.col(vec_col).cast("array<double>").alias("_p_vec"),
+        l2_norm(F.col(vec_col)).alias("_p_norm"),
+        F.explode(probe_cells).alias("_cell"),
+    )
+
+
+def _ivf_batch_topk(
+    pb: DataFrame,
+    spark,
+    index_path: str,
+    vec_col: str,
+    id_col: str,
+    probe_id_col: str,
+    k: int,
+) -> DataFrame:
+    """Search core shared by the batch operator and the streaming
+    loop: pruned index scan (PartitionFilters from the probes' touched
+    cells) → broadcast probe equi-join on the cell → exact cosine →
+    per-probe rank-limited window."""
+    touched = sorted(int(r["_cell"]) for r in pb.select("_cell").distinct().collect())
+    idx = spark.read.parquet(index_path).filter(
+        F.col("_cell").isin(touched) if touched else F.lit(False)
+    )
+    cand = idx.withColumn("_c_norm", l2_norm(F.col(vec_col))).join(
+        F.broadcast(pb), "_cell"
+    )
+    denom = F.col("_c_norm") * F.col("_p_norm")
+    score = F.when(denom > 0, dot(F.col(vec_col), F.col("_p_vec")) / denom)
+    w = Window.partitionBy("_pid").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        cand.select("_pid", F.col(id_col), portable_round(score, 6).alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("_pid").alias(probe_id_col), F.col(id_col), "score", "rnk"
+        )
+    )
 
 
 def knn_join_bucketed(

@@ -1,0 +1,91 @@
+"""Streaming ANN query serving — the read-side loop over the persisted
+IVF index (the write/probe dedup loops live in dedup_serve.py).
+
+Probe vectors arrive as a stream; every micro-batch ranks its probes'
+nearest cells, prunes the index scan to the touched partitions, and
+writes each probe's exact-cosine top-k. The index is never mutated, so
+replay idempotency needs only the per-batch-dir overwrite: a replayed
+batch rewrites identical content (the search is a pure function of
+(batch, index)). The centers side table is immutable after
+``ivf_write_index`` — read ONCE per stream, not per trigger.
+
+Inside one batch the exploded probe frame is persisted (consumed by the
+touched-cell collect and the join) and released on every exit path —
+the dedup_serve cache-hygiene rule: one leaked cache per trigger
+exhausts executor storage memory on a long stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from tia_data_pipeline_spark.operators.similarity import (
+    _ivf_batch_topk,
+    _ivf_probe_frame,
+    ivf_read_centers,
+)
+
+
+def ann_search_batch(
+    batch_probes: DataFrame,
+    index_path: str,
+    topk_out: str,
+    batch_id: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    k: int = 10,
+    n_probe: int = 4,
+    centers: list[list[float]] | None = None,
+) -> None:
+    """One micro-batch of the ANN serving loop: per-probe top-k →
+    ``topk_out/batch_id=N`` (overwrite — replay rewrites identical
+    rows). Callable directly for a scheduled job;
+    :func:`stream_ann_topk` wires it to ``foreachBatch`` and passes
+    the once-read ``centers`` through."""
+    spark = batch_probes.sparkSession
+    cs = centers if centers is not None else ivf_read_centers(spark, index_path)
+    pb = _ivf_probe_frame(batch_probes, cs, vec_col, probe_id_col, n_probe).persist()
+    try:
+        _ivf_batch_topk(
+            pb, spark, index_path, vec_col, id_col, probe_id_col, k
+        ).write.mode("overwrite").parquet(f"{topk_out}/batch_id={batch_id}")
+    finally:
+        pb.unpersist()
+
+
+def stream_ann_topk(
+    probe_stream: DataFrame,
+    *,
+    index_path: str,
+    topk_out: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    k: int = 10,
+    n_probe: int = 4,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run a probe-vector stream through the IVF top-k serving loop
+    (same trigger discipline as dedup_serve: ``available_now=True``
+    drains and stops — the scheduled query-shard mode; ``False`` runs
+    continuously). The index must already exist
+    (:func:`…operators.similarity.ivf_write_index`)."""
+    centers = ivf_read_centers(probe_stream.sparkSession, index_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ann_search_batch(
+            batch_df, index_path, topk_out, batch_id,
+            vec_col=vec_col, id_col=id_col, probe_id_col=probe_id_col,
+            k=k, n_probe=n_probe, centers=centers,
+        )
+
+    writer = probe_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
