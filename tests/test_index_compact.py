@@ -1,0 +1,126 @@
+"""Index compaction: layout-only (content and probe results identical
+before/after), file count shrinks after appends, meta side tables
+survive, and compaction is idempotent."""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _data_files(root):
+    out = []
+    for f in glob.glob(os.path.join(root, "**", "*"), recursive=True):
+        rel = os.path.relpath(f, root)
+        if any(p.startswith(("_", ".")) for p in rel.split(os.sep)):
+            continue
+        if os.path.isfile(f):
+            out.append(f)
+    return out
+
+
+@pytest.fixture()
+def docs(spark):
+    rng = random.Random(59)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(100))) for i in range(1, 31)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_compact_preserves_content_and_probes(spark, docs, tmp_path):
+    from tia_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index_append,
+        minhash_index_compact,
+        minhash_write_index,
+    )
+
+    idx = str(tmp_path / "mh")
+    minhash_write_index(docs.filter("doc_id <= 10"), "text", "doc_id", idx, n_shards=4)
+    minhash_index_append(docs.filter("doc_id > 10 AND doc_id <= 20"), idx)
+    minhash_index_append(docs.filter("doc_id > 20"), idx)
+
+    probe = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1000)
+    before_rows = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    before_pairs = sorted(
+        map(tuple, minhash_dedup_incremental(probe, idx, threshold=0.5).collect())
+    )
+    n_files_before = len(_data_files(idx))
+
+    stats = minhash_index_compact(spark, idx)
+    assert stats["rows"] == len(before_rows)
+    assert stats["files_after"] <= stats["files_before"] == n_files_before
+    # every (band, bshard) partition is now a single file
+    by_dir = {}
+    for f in _data_files(idx):
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
+    assert all(len(fs) == 1 for fs in by_dir.values())
+
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before_rows
+    after_pairs = sorted(
+        map(tuple, minhash_dedup_incremental(probe, idx, threshold=0.5).collect())
+    )
+    assert after_pairs == before_pairs
+
+    # idempotent: compacting a compact index changes nothing
+    again = minhash_index_compact(spark, idx)
+    assert again["rows"] == stats["rows"]
+    assert again["files_after"] == stats["files_after"]
+
+
+def test_simhash_compact_preserves_content(spark, docs, tmp_path):
+    from tia_data_pipeline_spark.operators.dedup import (
+        simhash_index_append,
+        simhash_index_compact,
+        simhash_write_index,
+    )
+
+    idx = str(tmp_path / "sh")
+    simhash_write_index(docs.filter("doc_id <= 15"), "text", "doc_id", idx, n_shards=4)
+    simhash_index_append(docs.filter("doc_id > 15"), idx)
+    before = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    stats = simhash_index_compact(spark, idx)
+    assert stats["rows"] == len(before)
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before
+
+
+def test_embedding_compact_preserves_content(spark, tmp_path):
+    from tia_data_pipeline_spark.operators.similarity import (
+        embedding_index_append,
+        embedding_index_compact,
+        embedding_write_index,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(1, 41)]
+    spark_df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    idx = str(tmp_path / "emb")
+    embedding_write_index(spark_df.filter("vec_id <= 20"), idx)
+    embedding_index_append(spark_df.filter("vec_id > 20"), idx)
+    before = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    stats = embedding_index_compact(spark, idx)
+    assert stats["rows"] == len(before)
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before
+
+
+def test_empty_index_compacts_to_noop(spark, tmp_path):
+    from tia_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index_compact,
+        minhash_write_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    idx = str(tmp_path / "mh0")
+    minhash_write_index(empty, "text", "doc_id", idx, n_shards=4)
+    stats = minhash_index_compact(spark, idx)
+    assert stats["rows"] == 0
+    # the meta survived: the empty index is still probeable
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    assert minhash_dedup_incremental(docs, idx).count() == 0

@@ -788,6 +788,21 @@ def minhash_index_append(
         new_banded.unpersist()
 
 
+def minhash_index_compact(spark, path: str) -> dict:
+    """One file per (band, bshard) partition — run after a season of
+    daily appends (see :func:`…operators.scale.compact_partitioned_index`
+    for the swap semantics and object-store caveat)."""
+    from tia_data_pipeline_spark.operators.scale import compact_partitioned_index
+
+    meta = minhash_index_meta(spark, path)
+    return compact_partitioned_index(
+        spark, path,
+        partition_cols=("band", "bshard"),
+        schema_json=meta["schema_json"],
+        side_dirs=(_MINHASH_META_DIR,),
+    )
+
+
 def minhash_incremental_oracle_sql(
     table: str,
     shingles_sql: str,
@@ -1321,6 +1336,20 @@ def simhash_index_append(
         _append_delta(new_banded, spark, index_path, meta)
     finally:
         new_banded.unpersist()
+
+
+def simhash_index_compact(spark, path: str) -> dict:
+    """One file per (band, bshard) partition — the SimHash twin of
+    :func:`minhash_index_compact`."""
+    from tia_data_pipeline_spark.operators.scale import compact_partitioned_index
+
+    meta = simhash_index_meta(spark, path)
+    return compact_partitioned_index(
+        spark, path,
+        partition_cols=("band", "bshard"),
+        schema_json=meta["schema_json"],
+        side_dirs=(_SIMHASH_META_DIR,),
+    )
 
 
 def simhash_incremental_oracle_sql(

@@ -307,3 +307,86 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_partitioned_index(
+    spark,
+    path: str,
+    *,
+    partition_cols: Sequence[str],
+    schema_json: str | None = None,
+    side_dirs: Sequence[str] = (),
+) -> dict:
+    """Rewrite an append-accumulated partitioned index to one file per
+    partition dir — the maintenance op every incremental index needs:
+    each `*_index_append` adds a file per touched partition, and after
+    months of daily shards a probe's pruned scan pays file-listing and
+    footer overhead per tiny file instead of per partition.
+
+    The rewrite is one keyed shuffle (`repartition(partition_cols)` —
+    each task owns whole partition dirs, same rule as the index
+    writers) into a staging dir; underscore side dirs (meta tables,
+    centers) are carried over byte-for-byte; then a two-rename swap
+    (index → .pre-compact, staging → index) publishes it. Content is
+    IDENTICAL before and after — compaction is layout-only, so it is
+    trivially idempotent and probes need no coordination beyond the
+    swap window.
+
+    NOT transactional: the swap is two POSIX renames, so a probe
+    listing files exactly between them can fail and should retry — run
+    compaction in the maintenance window. On object stores without
+    atomic rename, write a NEW generation dir and flip a pointer
+    instead. ``schema_json`` (from the index meta) lets an EMPTY index
+    compact; without it an index with no data files is a no-op.
+
+    Returns ``{"rows", "files_before", "files_after"}``."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    def _data_files(root: str) -> list[str]:
+        out = []
+        for f in glob.glob(os.path.join(root, "**", "*"), recursive=True):
+            rel = os.path.relpath(f, root)
+            parts = rel.split(os.sep)
+            if any(p.startswith(("_", ".")) for p in parts):
+                continue  # side dirs, _SUCCESS, hidden/CRC files
+            if os.path.isfile(f):
+                out.append(f)
+        return out
+
+    before = _data_files(path)
+    if schema_json is not None:
+        schema = StructType.fromJson(_json.loads(schema_json))
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        if not before:
+            return {"rows": 0, "files_before": 0, "files_after": 0}
+        df = spark.read.parquet(path)
+    rows = df.count()
+
+    staging = path.rstrip("/") + ".compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.partitionBy(*list(partition_cols))
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    for d in side_dirs:
+        src = os.path.join(path, d)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(staging, d))
+    old = path.rstrip("/") + ".pre-compact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {
+        "rows": int(rows),
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+    }

@@ -1029,6 +1029,21 @@ def embedding_index_append(
         shard.unpersist()
 
 
+def embedding_index_compact(spark, path: str) -> dict:
+    """One file per ``bucket`` cell partition — the vector twin of
+    :func:`…operators.dedup.minhash_index_compact` (same swap
+    semantics; see scale.compact_partitioned_index)."""
+    from tia_data_pipeline_spark.operators.scale import compact_partitioned_index
+
+    meta = embedding_index_meta(spark, path)
+    return compact_partitioned_index(
+        spark, path,
+        partition_cols=("bucket",),
+        schema_json=meta["schema_json"],
+        side_dirs=(_EMB_META_DIR,),
+    )
+
+
 def _emb_append_delta(shard: DataFrame, spark, index_path: str, meta: dict) -> None:
     """Append core shared by :func:`embedding_index_append` and the
     streaming loop: anti-join already-indexed ids over the shard's
