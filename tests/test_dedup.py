@@ -632,3 +632,20 @@ class TestCutDuplicatedSpans:
         ).collect()}
         assert 4 in out and out[4]["n_spans"] == 1
         assert 3 in out and out[3]["n_spans"] == 1
+
+    def test_mass_conservation_on_real_corpus(self, spark):
+        """Invariant over the driver corpus: merged cut intervals are
+        disjoint and in-bounds, so kept_len + cut_chars == length(text)
+        for EVERY affected document — a violated row means overlap
+        double-counting or an out-of-range substring."""
+        from tia_data_pipeline_spark.catalog import load_table
+        from tia_data_pipeline_spark.operators.dedup import cut_duplicated_spans
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = cut_duplicated_spans(docs, "text", "doc_id", portable=True)
+        joined = out.join(docs.select("doc_id", "text"), "doc_id")
+        bad = joined.filter(
+            F.col("kept_len") + F.col("cut_chars") != F.length("text")
+        )
+        assert out.count() > 0, "fixture corpus lost its duplicated spans"
+        assert bad.count() == 0, f"mass not conserved: {bad.collect()[:3]}"
