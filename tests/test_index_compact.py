@@ -109,6 +109,40 @@ def test_embedding_compact_preserves_content(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before
 
 
+def test_index_stats_track_appends_and_compaction(spark, docs, tmp_path):
+    from tia_data_pipeline_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_compact,
+        minhash_index_meta,
+        minhash_write_index,
+    )
+    from tia_data_pipeline_spark.operators.scale import partitioned_index_stats
+
+    idx = str(tmp_path / "mh_stats")
+    minhash_write_index(docs.filter("doc_id <= 10"), "text", "doc_id", idx, n_shards=4)
+    meta = minhash_index_meta(spark, idx)
+
+    def stats():
+        return partitioned_index_stats(
+            spark, idx, partition_cols=("band", "bshard"),
+            schema_json=meta["schema_json"],
+        )
+
+    s0 = stats()
+    minhash_index_append(docs.filter("doc_id > 10"), idx)
+    s1 = stats()
+    # the append grew rows AND fragmented the layout
+    assert s1["rows"] > s0["rows"]
+    assert s1["files"] > s0["files"]
+    minhash_index_compact(spark, idx)
+    s2 = stats()
+    # compaction is layout-only: rows identical, fragmentation gone
+    assert s2["rows"] == s1["rows"]
+    assert s2["files"] < s1["files"]
+    assert s2["avg_files_per_partition"] == 1.0
+    assert s2["max_partition_rows"] >= 1
+
+
 def test_empty_index_compacts_to_noop(spark, tmp_path):
     from tia_data_pipeline_spark.operators.dedup import (
         minhash_dedup_incremental,

@@ -390,3 +390,64 @@ def compact_partitioned_index(
         "files_before": len(before),
         "files_after": len(_data_files(path)),
     }
+
+
+def partitioned_index_stats(
+    spark,
+    path: str,
+    *,
+    partition_cols: Sequence[str],
+    schema_json: str | None = None,
+) -> dict:
+    """Health report for a persisted index — the observability side of
+    the serve/append/compact lifecycle: per-partition row counts (skew
+    says whether hot-bucket caps are earning their keep) and data-file
+    census (fragmentation says when :func:`compact_partitioned_index`
+    is due). One aggregate job over the index plus a driver-side file
+    walk; no data moves.
+
+    Returns ``{"rows", "partitions", "files", "max_partition_rows",
+    "avg_files_per_partition"}``."""
+    import glob
+    import json as _json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    dirs_with_files: dict[str, int] = {}
+    for f in glob.glob(os.path.join(path, "**", "*"), recursive=True):
+        rel = os.path.relpath(f, path)
+        if any(p.startswith(("_", ".")) for p in rel.split(os.sep)):
+            continue
+        if os.path.isfile(f):
+            d = os.path.dirname(rel)
+            dirs_with_files[d] = dirs_with_files.get(d, 0) + 1
+    n_files = sum(dirs_with_files.values())
+    if schema_json is not None:
+        schema = StructType.fromJson(_json.loads(schema_json))
+        df = spark.read.schema(schema).parquet(path)
+    elif n_files:
+        df = spark.read.parquet(path)
+    else:
+        return {
+            "rows": 0, "partitions": 0, "files": 0,
+            "max_partition_rows": 0, "avg_files_per_partition": 0.0,
+        }
+    per_part = (
+        df.groupBy(*[F.col(c) for c in partition_cols])
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("parts"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("rows"),
+            F.coalesce(F.max("_n"), F.lit(0)).alias("max_rows"),
+        )
+        .collect()[0]
+    )
+    n_parts = int(per_part["parts"])
+    return {
+        "rows": int(per_part["rows"]),
+        "partitions": n_parts,
+        "files": n_files,
+        "max_partition_rows": int(per_part["max_rows"]),
+        "avg_files_per_partition": round(n_files / n_parts, 2) if n_parts else 0.0,
+    }
