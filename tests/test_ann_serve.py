@@ -127,6 +127,61 @@ def test_batch_replay_rewrites_identically(spark, index, tmp_path):
     assert again == first
 
 
+def test_duplicate_probe_ids_resolve_deterministically(spark, index):
+    """One vector per probe id: exact duplicate rows collapse; rows
+    with the same id but DIFFERENT vectors resolve to the smallest
+    vector — without the reduction, both rows' candidate streams would
+    interleave under one rank window and neither probe's true top-k
+    survives. Deterministic, so a streaming replay reproduces it."""
+    dup = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0, 0.0, 0.0]),
+            (100, [1.0, 0.0, 0.0, 0.0]),  # exact duplicate
+            (100, [0.0, 1.0, 0.0, 0.0]),  # conflicting vector, smaller
+        ],
+        PROBE_SCHEMA,
+    )
+    got = ivf_search_batch(dup, index, k=3, n_probe=N_LISTS).collect()
+    # exactly one k-list, no duplicate ranks, and it is the SMALLEST
+    # vector's ([0,1,0,0]) ranking
+    assert sorted(r["rnk"] for r in got) == [1, 2, 3]
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rnk"])] == (
+        _exhaustive_topk([0, 1, 0, 0], 3)
+    )
+
+
+def test_nonfinite_vectors_never_rank(spark, index, tmp_path):
+    """An Inf/NaN component must drop the row, not rank it: a NaN
+    cosine would floor to score 0.0 in portable_round and outrank
+    genuine negative-score candidates. Non-finite PROBES are excluded
+    at the source; non-finite INDEX vectors are dropped by the
+    finite-score filter."""
+    from tia_data_pipeline_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_write_index,
+    )
+
+    bad_probe = spark.createDataFrame(
+        [(100, [float("inf"), 0.0, 0.0, 0.0]), (200, [1.0, 0.0, 0.0, 0.0])],
+        PROBE_SCHEMA,
+    )
+    got = ivf_search_batch(bad_probe, index, k=3, n_probe=N_LISTS).collect()
+    assert {r["probe_id"] for r in got} == {200}
+
+    # corpus with one poisoned vector: the BUILD must survive it (the
+    # ML layer raises outright on NaN/Inf features — one bad row would
+    # otherwise kill the whole index) and it never appears in any top-k
+    rows = _corpus_rows() + [(99, [float("nan"), 1.0, 0.0, 0.0])]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    assigned, centers = ivf_build_index(corpus, n_lists=N_LISTS)
+    path = str(tmp_path / "ivf_bad")
+    ivf_write_index(assigned, centers, path)
+    probes = spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])], PROBE_SCHEMA)
+    got = ivf_search_batch(probes, path, k=12, n_probe=N_LISTS).collect()
+    assert 99 not in {r["vec_id"] for r in got}
+    assert len(got) == 12  # the clean corpus still fully serves
+
+
 def test_null_probes_excluded_and_no_cache_leak(spark, index, tmp_path):
     out = str(tmp_path / "topk_out")
     probes = spark.createDataFrame(

@@ -309,6 +309,24 @@ def write_zordered(
     )
 
 
+def _index_data_files(root: str) -> list[str]:
+    """Data files of a partitioned index, root-relative — the single
+    definition of "what counts as a data file" (skips underscore side
+    dirs, _SUCCESS, dot/CRC files) shared by compaction and stats so
+    the two can never disagree about fragmentation."""
+    import glob
+    import os
+
+    out = []
+    for f in glob.glob(os.path.join(root, "**", "*"), recursive=True):
+        rel = os.path.relpath(f, root)
+        if any(p.startswith(("_", ".")) for p in rel.split(os.sep)):
+            continue
+        if os.path.isfile(f):
+            out.append(rel)
+    return out
+
+
 def compact_partitioned_index(
     spark,
     path: str,
@@ -340,25 +358,13 @@ def compact_partitioned_index(
     compact; without it an index with no data files is a no-op.
 
     Returns ``{"rows", "files_before", "files_after"}``."""
-    import glob
     import json as _json
     import os
     import shutil
 
     from pyspark.sql.types import StructType
 
-    def _data_files(root: str) -> list[str]:
-        out = []
-        for f in glob.glob(os.path.join(root, "**", "*"), recursive=True):
-            rel = os.path.relpath(f, root)
-            parts = rel.split(os.sep)
-            if any(p.startswith(("_", ".")) for p in parts):
-                continue  # side dirs, _SUCCESS, hidden/CRC files
-            if os.path.isfile(f):
-                out.append(f)
-        return out
-
-    before = _data_files(path)
+    before = _index_data_files(path)
     if schema_json is not None:
         schema = StructType.fromJson(_json.loads(schema_json))
         df = spark.read.schema(schema).parquet(path)
@@ -366,7 +372,7 @@ def compact_partitioned_index(
         if not before:
             return {"rows": 0, "files_before": 0, "files_after": 0}
         df = spark.read.parquet(path)
-    rows = df.count()
+        schema = df.schema
 
     staging = path.rstrip("/") + ".compacting"
     shutil.rmtree(staging, ignore_errors=True)
@@ -380,6 +386,11 @@ def compact_partitioned_index(
         src = os.path.join(path, d)
         if os.path.isdir(src):
             shutil.copytree(src, os.path.join(staging, d))
+    # the rows stat is counted from the STAGING output (one file per
+    # partition — a handful of footers), not with a separate pre-count
+    # job over the fragmented input, which would double the read I/O of
+    # the whole maintenance op
+    rows = spark.read.schema(schema).parquet(staging).count()
     old = path.rstrip("/") + ".pre-compact"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
@@ -388,7 +399,7 @@ def compact_partitioned_index(
     return {
         "rows": int(rows),
         "files_before": len(before),
-        "files_after": len(_data_files(path)),
+        "files_after": len(_index_data_files(path)),
     }
 
 
@@ -408,21 +419,11 @@ def partitioned_index_stats(
 
     Returns ``{"rows", "partitions", "files", "max_partition_rows",
     "avg_files_per_partition"}``."""
-    import glob
     import json as _json
-    import os
 
     from pyspark.sql.types import StructType
 
-    dirs_with_files: dict[str, int] = {}
-    for f in glob.glob(os.path.join(path, "**", "*"), recursive=True):
-        rel = os.path.relpath(f, path)
-        if any(p.startswith(("_", ".")) for p in rel.split(os.sep)):
-            continue
-        if os.path.isfile(f):
-            d = os.path.dirname(rel)
-            dirs_with_files[d] = dirs_with_files.get(d, 0) + 1
-    n_files = sum(dirs_with_files.values())
+    n_files = len(_index_data_files(path))
     if schema_json is not None:
         schema = StructType.fromJson(_json.loads(schema_json))
         df = spark.read.schema(schema).parquet(path)

@@ -419,20 +419,9 @@ def ivf_top_k(
         fit_sample_max=fit_sample_max,
     )
 
-    def _dist2(vec: Column, center: list[float]) -> Column:
-        c = F.array(*[F.lit(v) for v in center])
-        return F.aggregate(
-            F.zip_with(vec.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # probe's n_probe nearest cells, computed as one expression
-    dists = F.array(*[_dist2(F.col(vec_col), c) for c in centers])
-    order = F.array_sort(
-        F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
-    )
-    probe_cells = F.slice(F.transform(order, lambda s: s["cell"]), 1, n_probe)
+    # probe's n_probe nearest cells — the shared cell-assignment
+    # expression (one implementation site with the batch path)
+    probe_cells = _nearest_cells_expr(F.col(vec_col), centers, n_probe)
     probe_b = F.broadcast(
         probe.select(
             F.col(vec_col).alias("_probe_vec"),
@@ -470,10 +459,15 @@ def ivf_build_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # NULL vectors are excluded before the ML boundary: a single NULL
-    # features row aborts KMeans.fit / model.transform, so one
-    # degenerate row would otherwise kill the whole index build
-    with_vec = corpus.filter(F.col(vec_col).isNotNull()).withColumn(
+    from tia_data_pipeline_spark.functions.vectors import valid_vector
+
+    # degenerate vectors are excluded before the ML boundary: a single
+    # NULL features row aborts KMeans.fit / model.transform, and the ML
+    # layer RAISES outright on NaN/Inf components ("Vector values MUST
+    # NOT be NaN or Infinity") — one poisoned row would otherwise kill
+    # the whole index build, so the full valid_vector precondition
+    # (non-NULL, non-empty, all elements finite) gates the build
+    with_vec = corpus.filter(valid_vector(F.col(vec_col))).withColumn(
         "_mlvec", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     model = KMeans(k=n_lists, seed=seed, featuresCol="_mlvec", predictionCol="_cell").fit(
@@ -583,6 +577,30 @@ def ivf_search_batch(
     return _ivf_batch_topk(pb, spark, index_path, vec_col, id_col, probe_id_col, k)
 
 
+def _nearest_cells_expr(
+    vec: Column, centers: list[list[float]], n_probe: int
+) -> Column:
+    """The ``n_probe`` nearest center ids of a vector, ranked by
+    (squared distance, cell id) in one expression — the single
+    implementation of cell assignment shared by the single-probe
+    (:func:`ivf_top_k`) and batch (:func:`_ivf_probe_frame`) paths, so
+    tie handling and the distance formula can never diverge."""
+
+    def _dist2(center: list[float]) -> Column:
+        c = F.array(*[F.lit(v) for v in center])
+        return F.aggregate(
+            F.zip_with(vec.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[_dist2(c) for c in centers])
+    order = F.array_sort(
+        F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+    )
+    return F.slice(F.transform(order, lambda s: s["cell"]), 1, n_probe)
+
+
 def _ivf_probe_frame(
     probes: DataFrame,
     centers: list[list[float]],
@@ -592,28 +610,32 @@ def _ivf_probe_frame(
 ) -> DataFrame:
     """(_pid, _p_vec, _p_norm, _cell) probe frame: each probe ranks the
     centers in-expression and explodes to its n_probe nearest cells.
-    NULL ids/vectors excluded (no cell / no per-probe rank)."""
 
-    def _dist2(vec: Column, center: list[float]) -> Column:
-        c = F.array(*[F.lit(v) for v in center])
-        return F.aggregate(
-            F.zip_with(vec.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    Preconditions stated here: NULL or non-finite vectors and NULL ids
+    are excluded (``valid_vector`` — an Inf component makes every
+    cosine NaN, which would otherwise floor to score 0.0 and outrank
+    genuine negative-score candidates); exactly ONE vector per probe
+    id (duplicate rows would interleave two candidate streams under one
+    rank window) — exact duplicates collapse, and conflicting same-id
+    rows resolve DETERMINISTICALLY to the smallest vector, so a
+    replayed batch reproduces identical output either way."""
+    from tia_data_pipeline_spark.functions.vectors import valid_vector
+
+    one_per_id = (
+        probes.filter(F.col(probe_id_col).isNotNull() & valid_vector(F.col(vec_col)))
+        .groupBy(F.col(probe_id_col).alias("_pid"))
+        .agg(
+            F.min(F.struct(F.col(vec_col).cast("array<double>").alias("v"))).alias("_m")
         )
-
-    dists = F.array(*[_dist2(F.col(vec_col), c) for c in centers])
-    order = F.array_sort(
-        F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+        .select("_pid", F.col("_m.v").alias("_p_vec"))
     )
-    probe_cells = F.slice(F.transform(order, lambda s: s["cell"]), 1, n_probe)
-    return probes.filter(
-        F.col(vec_col).isNotNull() & F.col(probe_id_col).isNotNull()
-    ).select(
-        F.col(probe_id_col).alias("_pid"),
-        F.col(vec_col).cast("array<double>").alias("_p_vec"),
-        l2_norm(F.col(vec_col)).alias("_p_norm"),
-        F.explode(probe_cells).alias("_cell"),
+    return one_per_id.select(
+        "_pid",
+        "_p_vec",
+        l2_norm(F.col("_p_vec")).alias("_p_norm"),
+        F.explode(_nearest_cells_expr(F.col("_p_vec"), centers, n_probe)).alias(
+            "_cell"
+        ),
     )
 
 
@@ -637,11 +659,21 @@ def _ivf_batch_topk(
     cand = idx.withColumn("_c_norm", l2_norm(F.col(vec_col))).join(
         F.broadcast(pb), "_cell"
     )
+    from tia_data_pipeline_spark.functions.text import finite_value
+
     denom = F.col("_c_norm") * F.col("_p_norm")
-    score = F.when(denom > 0, dot(F.col(vec_col), F.col("_p_vec")) / denom)
+    # finite_value nullifies NaN/Inf scores (an INDEX vector with a
+    # non-finite component — the probe side is valid_vector-filtered —
+    # would otherwise floor to 0.0 in portable_round and outrank
+    # genuine negative-cosine candidates); the isNotNull filter then
+    # drops the garbage candidate instead of ranking it
+    score = finite_value(
+        F.when(denom > 0, dot(F.col(vec_col), F.col("_p_vec")) / denom)
+    )
     w = Window.partitionBy("_pid").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
         cand.select("_pid", F.col(id_col), portable_round(score, 6).alias("score"))
+        .filter(F.col("score").isNotNull())
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(
