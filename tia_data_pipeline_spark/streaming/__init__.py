@@ -1,8 +1,16 @@
 """Structured Streaming forms of the incremental pipelines."""
 
+from tia_data_pipeline_spark.streaming.ann_serve import (
+    ann_search_batch,
+    stream_ann_topk,
+)
 from tia_data_pipeline_spark.streaming.dedup_serve import (
     dedup_increment_batch,
+    embed_increment_batch,
+    simhash_increment_batch,
     stream_dedup_incremental,
+    stream_embed_incremental,
+    stream_simhash_incremental,
 )
 from tia_data_pipeline_spark.streaming.joins import (
     interval_join_batch,
@@ -26,4 +34,10 @@ __all__ = [
     "stream_interval_join",
     "dedup_increment_batch",
     "stream_dedup_incremental",
+    "simhash_increment_batch",
+    "stream_simhash_incremental",
+    "embed_increment_batch",
+    "stream_embed_incremental",
+    "ann_search_batch",
+    "stream_ann_topk",
 ]
