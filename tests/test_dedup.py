@@ -456,6 +456,34 @@ class TestSimhashIncrementalIndex:
             simhash_dedup_incremental(docs, path, max_hamming=4)
 
 
+def test_band_divmod_fuzz_vs_duckdb(spark):
+    """Cross-engine pin for the SimHash band extraction: Spark's
+    ``x div D % M`` and DuckDB's ``x // D % M`` agree on non-negative
+    fingerprints (the div/mod banding is only portable because the
+    fingerprint domain keeps the sign bit clear — CLAUDE.md integer-
+    division invariant)."""
+    import duckdb
+
+    rng = random.Random(7)
+    vals = [(i, rng.randrange(0, 1 << 48)) for i in range(200)]
+    vals += [(200, 0), (201, (1 << 48) - 1), (202, 4096), (203, 4095)]
+    df = spark.createDataFrame(vals, "i int, x bigint")
+    cols = [
+        F.expr(f"(x div {1 << (12 * b)}) % 4096").alias(f"b{b}") for b in range(4)
+    ]
+    got = {r["i"]: tuple(r[f"b{b}"] for b in range(4)) for r in df.select("i", *cols).collect()}
+    con = duckdb.connect()
+    sel = ", ".join(f"(x // {1 << (12 * b)}) % 4096" for b in range(4))
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            f"SELECT i, {sel} FROM (SELECT unnest($1::INT[]) AS i, unnest($2::BIGINT[]) AS x)",
+            [[v[0] for v in vals], [v[1] for v in vals]],
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_bit_count_xor_fuzz_vs_duckdb(spark):
     """Cross-engine pin for the SimHash hamming verify: Spark's
     ``bit_count(a ^ b)`` and DuckDB's ``bit_count(xor(a, b))::INT``

@@ -143,6 +143,45 @@ def test_index_stats_track_appends_and_compaction(spark, docs, tmp_path):
     assert s2["max_partition_rows"] >= 1
 
 
+def test_full_lifecycle_compact_mid_serving_loop(spark, docs, tmp_path):
+    """The production sequence end-to-end: day-0 write → day-1 batch
+    (probe + append) → COMPACT → day-2 batch. Compaction mid-loop must
+    not disturb serving: day-2's pairs are identical to the pairs the
+    same batch would emit against the uncompacted index, and day-1's
+    appended docs stay probe-visible."""
+    from tia_data_pipeline_spark.operators.dedup import (
+        simhash_dedup_incremental,
+        simhash_index_compact,
+        simhash_write_index,
+    )
+    from tia_data_pipeline_spark.streaming.dedup_serve import simhash_increment_batch
+
+    import shutil
+
+    text1 = docs.filter("doc_id = 1").collect()[0]["text"]
+    idx = str(tmp_path / "life")
+    simhash_write_index(docs.filter("doc_id <= 10"), "text", "doc_id", idx, n_shards=4)
+    out = str(tmp_path / "pairs")
+    # day 1: a copy of doc 1 arrives and is appended
+    day1 = spark.createDataFrame([(101, text1)], "doc_id bigint, text string")
+    simhash_increment_batch(day1, idx, out, 0, max_hamming=1)
+    # snapshot what day 2 WOULD see without compaction
+    day2 = spark.createDataFrame([(202, text1)], "doc_id bigint, text string")
+    uncompacted = str(tmp_path / "life_copy")
+    shutil.copytree(idx, uncompacted)
+    want = sorted(
+        map(tuple, simhash_dedup_incremental(day2, uncompacted, max_hamming=1).collect())
+    )
+    # compact, then serve day 2 from the compacted index
+    simhash_index_compact(spark, idx)
+    got = sorted(
+        map(tuple, simhash_dedup_incremental(day2, idx, max_hamming=1).collect())
+    )
+    assert got == want
+    # day-1's appended doc is among the matches (append survived compact)
+    assert (202, 101, 0) in {t for t in got}
+
+
 def test_empty_index_compacts_to_noop(spark, tmp_path):
     from tia_data_pipeline_spark.operators.dedup import (
         minhash_dedup_incremental,
