@@ -131,106 +131,94 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
-    # demoted in round 8 to fund the fifteen promotions (two
-    # changed-semantics re-verifications + thirteen stale r3-single
-    # rotations), each fresh r7-green with an in-cap family cover:
-    "q_self_join": "q_thread_closure",  # self-referential join-tree family
-    "q_dedup_latest": "q_topk_per_group",  # latest-per-key rank/limit family
-    "q_burstiness": "q_markov",  # ordered-event-timing family (demoted for q_simhash_incremental)
-    "q_doc_fingerprint": "q_exact_dedup",  # portable content-hash family (demoted for q_heavy_hitters)
-    "q_canonicalize": "q_ts_normalize",  # row/scalar text-transform family (demoted for q_span_cut)
-    # re-demoted mid-round 8 WITHOUT a fresh row (r3-stale, 3x-green;
-    # promote first next round):
-    "q_const_probe": "q_data_quality",  # diagnostics constant probe
-    "q_proj_alias": "q_ts_normalize",  # row/scalar projection family
-    "q_hash_sample": "q_split_assign",  # id-hash sampling family
-    "q_substring_dedup": "q_dup_spans",  # sampled char-k-mer anchor pipeline
-    "q_resize_meta": "q_multimodal_meta",  # multimodal Arrow-codec surface
-    "q_bpe_train": "q_word_freq",  # token-distribution surface
-    "q_dsir_weights": "q_bm25",  # ln-family integered scoring
-    "q_approx_distinct": "q_count_distinct",  # distinct-agg family
-    "q_profile": "q_data_quality",  # column-diagnostics family
-    "q_scd2": "q_merge_upsert",  # merge/upsert family
-    "q_token_bpe": "q_word_freq",  # tokenization surface
-    "q_ann_multiprobe": "q_ann_lsh",  # multi-probe variant of the LSH index
-    "q_ntile": "q_window_frames",  # window-function family
-    "q_sim_topk": "q_knn_bucketed",  # top-k similarity family
-    "q_streaks": "q_markov",  # ordered-event sequence analytics
-    "q_source_overlap": "q_jsd_mix",  # cross-source distribution family
-    "q_skew_keys": "q_pareto_abc",  # key-frequency / heavy-hitter share
-    "q_rfm": "q_stickiness",  # engagement accounting
-    # demoted in round 7, each with an in-cap family cover:
-    "q_agg_count": "q_cube",  # grouping-set aggregate family
-    "q_range_join": "q_asof_join",  # interval/event-time join family
-    "q_topk_latest": "q_topk_per_group",  # rank/limit family
-    "q_word_count": "q_word_freq",  # token-counting surface
-    "q_pii_redact": "q_ts_normalize",  # regex text-transform surface (q_canonicalize demoted r8)
-    "q_feature_hash": "q_exact_dedup",  # portable content-hash constructions (q_doc_fingerprint demoted r8)
-    "q_gini": "q_pareto_abc",  # Lorenz/cumulative-share family
-    "q_ks_drift": "q_jsd_mix",  # two-sample distribution divergence
-    "q_spearman": "q_ols_trend",  # exact-moment correlation family
-    "q_seasonality": "q_ewma",  # daily-series diagnostics
-    "q_rolling_actives": "q_stickiness",  # engagement-window family
-    "q_cooccur_lift": "q_mutual_info",  # categorical association
-    "q_interarrival": "q_markov",  # event-timing order stats (q_burstiness demoted r8)
-    "q_new_users": "q_stickiness",  # engagement accounting
-    "q_benford": "q_data_quality",  # data-quality diagnostics
-    "q_triangles": "q_dup_graph_degree",  # dup-graph analytics
-    "q_anomaly": "q_mad_outliers",  # rolling-median/MAD family
-    "q_zipf_fit": "q_ols_trend",  # exact-moment OLS normal equations
-    # demoted in round 6 (covers remapped where their target rotated):
-    "q_antijoin_incr": "q_merge_upsert",  # eqNullSafe anti-join family
-    "q_semi_join": "q_exists_guard",  # semi-join / exists-guard rewrite pair
-    "q_dedup_batch": "q_exact_dedup",  # hash-dedup family
-    "q_filter_range": "q_scan_project",  # pushed-filter pruned scan
-    "q_ann_recall": "q_knn_bucketed",  # ANN eval over the same index family
-    "q_dedup_components": "q_dup_graph_degree",  # dup-graph analytics
-    "q_gopher_quality": "q_quality_linear",  # doc quality scoring
-    "q_token_entropy": "q_word_freq",  # token-distribution stats
-    "q_cohort_retention": "q_stickiness",  # monthly engagement cohorts
-    "q_pagerank": "q_dup_graph_degree",  # iterative graph propagation
-    "q_winsorize": "q_mad_outliers",  # order-stat robust trimming
-    "q_tok_fertility": "q_word_freq",  # token-distribution stats
-    "q_autocorr": "q_ewma",  # daily-series diagnostics
-    "q_changepoint": "q_ewma",  # daily-series diagnostics
-    "q_edit_distance": "q_containment",  # fuzzy-dedup pair verify
-    "q_source_mix": "q_jsd_mix",
-    "q_mix_temperature": "q_jsd_mix",
-    "q_cluster_sizes": "q_dup_graph_degree",
-    "q_group_sample": "q_split_assign",
+    # demoted in round 9 to fund the seventeen promotions (three
+    # no-fresh-row probes + fourteen stale <=r5 singles), each fresh
+    # r8-green with an in-cap family cover:
+    "q_approx_quantiles": "q_winsorize",  # order-stat quantile family
+    "q_heavy_hitters": "q_pareto_abc",  # key-frequency / heavy-hitter share
+    "q_rollup": "q_cube",  # grouping-set aggregate family
+    "q_sliding_window": "q_daily_window",  # windowed event aggregation
+    "q_lang_id": "q_quality_score",  # per-document text scoring
+    "q_tfidf": "q_bm25",  # term-weighting family
+    "q_embed_stats": "q_embed_dedup",  # embedding-column family
+    "q_mutual_info": "q_collocations",  # categorical association family
+    "q_ewma": "q_autocorr",  # daily-series diagnostics
+    "q_quality_linear": "q_repetition",  # doc quality scoring
+    "q_mad_outliers": "q_winsorize",  # order-stat robust trimming
+    "q_dup_graph_degree": "q_pagerank",  # dup-graph analytics
+    "q_scan_project": "q_filter_range",  # pushed-filter pruned scan
+    "q_split_assign": "q_hash_sample",  # id-hash sampling family
+    "q_exists_guard": "q_semi_join",  # semi-join / exists-guard rewrite pair
+    "q_revenue_by_segment": "q_join_enrich",  # broadcast enrich-join family
+    "q_ts_normalize": "q_json_ser",  # row/scalar text-transform family
+    # earlier-round tail entries (covers remapped where their round-9
+    # target rotated out of the head):
+    "q_agg_count": "q_cube",
+    "q_ann_multiprobe": "q_ann_lsh",
+    "q_ann_recall": "q_knn_bucketed",
+    "q_anomaly": "q_winsorize",
+    "q_approx_distinct": "q_count_distinct",
+    "q_benford": "q_data_quality",
+    "q_bpe_train": "q_word_freq",
+    "q_burstiness": "q_markov",
+    "q_canonicalize": "q_json_ser",
+    "q_children_rollup": "q_cube",
+    "q_cluster_sizes": "q_pagerank",
+    "q_cohort_retention": "q_stickiness",
+    "q_cooccur_lift": "q_collocations",
     "q_decontaminate": "q_boilerplate",
-    "q_fuzzy_dedup": "q_dup_graph_degree",
-    "q_funnel": "q_markov",  # ordered-event sequence analytics
-    "q_lm_perplexity": "q_bm25",  # ln-family integered scoring
-    "q_pack_sequences": "q_chunking",
-    "q_vocab_coverage": "q_word_freq",
+    "q_dedup_components": "q_pagerank",
+    "q_dedup_latest": "q_topk_per_group",
+    "q_doc_fingerprint": "q_dedup_batch",
+    "q_dsir_weights": "q_bm25",
+    "q_edit_distance": "q_containment",
     "q_embed_quantize": "q_knn_bucketed",
+    "q_feature_hash": "q_dedup_batch",
+    "q_funnel": "q_markov",
+    "q_fuzzy_dedup": "q_dedup_incremental",
+    "q_gap_fill": "q_session_window",
+    "q_gini": "q_pareto_abc",
+    "q_gopher_quality": "q_repetition",
+    "q_group_sample": "q_hash_sample",
+    "q_histogram": "q_winsorize",
+    "q_interarrival": "q_markov",
     "q_knn_join": "q_knn_bucketed",
-    # demoted in round 5:
-    "q_session_window": "q_daily_window",
-    "q_join_enrich": "q_revenue_by_segment",
-    "q_text_tokens": "q_word_freq",
-    "q_ngram_jaccard": "q_dup_graph_degree",
-    "q_quantiles": "q_mad_outliers",
-    "q_repetition": "q_quality_linear",
-    "q_collocations": "q_mutual_info",  # association family (q_cooccur_lift demoted r7)
-    # demoted in round 4 (each 2x/3x driver-green) to verify the ten
-    # round-3 tail queries that had zero driver rows:
-    "q_json_ser": "q_ts_normalize",  # row/scalar transform family
-    "q_histogram": "q_mad_outliers",
-    "q_gap_fill": "q_daily_window",
-    "q_star_join": "q_revenue_by_segment",
-    "q_children_rollup": "q_cube",  # grouping aggregates (q_agg_count demoted r7)
-    "q_set_ops": "q_exact_dedup",  # distinct-family (q_dedup_batch demoted r6)
+    "q_ks_drift": "q_jsd_mix",
+    "q_lm_perplexity": "q_bm25",
+    "q_mix_temperature": "q_jsd_mix",
+    "q_new_users": "q_stickiness",
+    "q_ngram_jaccard": "q_containment",
+    "q_ntile": "q_window_frames",
+    "q_pack_sequences": "q_chunking",
+    "q_pii_redact": "q_json_ser",
     "q_pivot_status": "q_cube",
-    "q_zscore": "q_mad_outliers",  # robust per-group stats
-    # demoted in round 4 (each 3x driver-green) to make room for the
-    # curation tier:
-    # demoted late round 4 (each 3x driver-green) to make room for the
-    # second curation batch (packing/boilerplate/entropy/temperature/
-    # cluster-sizes):
-    # demoted late round 4 for the third curation batch (group sample /
-    # vocab coverage / edit distance / LM perplexity):
+    "q_profile": "q_data_quality",
+    "q_quantiles": "q_winsorize",
+    "q_range_join": "q_asof_join",
+    "q_resize_meta": "q_multimodal_meta",
+    "q_rfm": "q_stickiness",
+    "q_rolling_actives": "q_stickiness",
+    "q_scd2": "q_antijoin_incr",
+    "q_seasonality": "q_autocorr",
+    "q_self_join": "q_thread_closure",
+    "q_set_ops": "q_dedup_batch",
+    "q_sim_topk": "q_knn_bucketed",
+    "q_skew_keys": "q_pareto_abc",
+    "q_source_mix": "q_jsd_mix",
+    "q_source_overlap": "q_jsd_mix",
+    "q_spearman": "q_ols_trend",
+    "q_star_join": "q_join_enrich",
+    "q_streaks": "q_markov",
+    "q_substring_dedup": "q_dup_spans",
+    "q_text_tokens": "q_word_freq",
+    "q_token_bpe": "q_word_freq",
+    "q_token_entropy": "q_word_freq",
+    "q_topk_latest": "q_topk_per_group",
+    "q_triangles": "q_pagerank",
+    "q_vocab_coverage": "q_word_freq",
+    "q_word_count": "q_word_freq",
+    "q_zipf_fit": "q_ols_trend",
+    "q_zscore": "q_winsorize",
 }
 
 
