@@ -195,3 +195,51 @@ def test_null_probes_excluded_and_no_cache_leak(spark, index, tmp_path):
     assert len(after) == len(before), "per-batch cache leaked past the batch"
     rows = spark.read.parquet(f"{out}/batch_id=0").collect()
     assert {r["probe_id"] for r in rows} == {100}
+
+
+def test_stream_ivf_append_updates_index_and_records_drift(spark, index, tmp_path):
+    """The IVF WRITE-side loop: streamed vector shards append to the
+    index (idempotently — a rerun of the same files appends nothing),
+    each batch records a replay-deterministic drift reading, and the
+    appended vectors are immediately servable."""
+    from tia_data_pipeline_spark.streaming.ann_serve import (
+        ivf_append_batch,
+        stream_ivf_append,
+    )
+
+    vec_schema = "vec_id bigint, embedding array<float>"
+    stream_dir = tmp_path / "vecs"
+    a = spark.createDataFrame([(101, [1.0, 0.9, 0.0, 0.0])], vec_schema)
+    b = spark.createDataFrame([(102, [0.0, 0.0, 1.0, 0.0])], vec_schema)
+    a.coalesce(1).write.parquet(str(stream_dir / "a"))
+    b.coalesce(1).write.parquet(str(stream_dir / "b"))
+    vec_stream = (
+        spark.readStream.schema(vec_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    drift_out = str(tmp_path / "drift")
+    q = stream_ivf_append(
+        vec_stream,
+        index_path=index,
+        drift_out=drift_out,
+        checkpoint=str(tmp_path / "ckpt_append"),
+    )
+    q.awaitTermination()
+    n = spark.read.parquet(index).count()
+    assert n == 14  # 12 build + 2 streamed
+    drift = spark.read.parquet(f"{drift_out}/batch_id=*").collect()
+    assert len(drift) == 2
+    assert all(r["batch_n"] == 1 and r["drift_ratio"] is not None for r in drift)
+    # served immediately: an exact-copy probe finds its streamed twin
+    probe = spark.createDataFrame([(1, [0.0, 0.0, 1.0, 0.0])], PROBE_SCHEMA)
+    got = ivf_search_batch(probe, index, k=1, n_probe=N_LISTS).collect()
+    assert [int(r["vec_id"]) for r in got] == [102]
+    # replay: re-running a batch appends nothing and rewrites the
+    # drift record identically (appended is returned, never persisted)
+    first = sorted(map(tuple, spark.read.parquet(f"{drift_out}/batch_id=0").collect()))
+    out = ivf_append_batch(a, index, drift_out, 0)
+    assert out["appended"] == 0
+    assert spark.read.parquet(index).count() == n
+    again = sorted(map(tuple, spark.read.parquet(f"{drift_out}/batch_id=0").collect()))
+    assert again == first

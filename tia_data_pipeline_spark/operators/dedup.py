@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import random
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -614,7 +615,35 @@ def minhash_dedup_incremental(
     At 100 TB: the index scan reads |touched partitions| /
     (bands × n_shards) of the index; the join shuffles signatures
     (k·8 B/row), never text; the shard side is a day's increment, so
-    the whole probe is sized by the shard, not by history."""
+    the whole probe is sized by the shard, not by history.
+
+    Cache lifecycle: the shard's signature frame persists (consumed
+    three times — touched-partition collect, hot-bucket count, probe
+    join) and the CacheManager holds it until unpersist/clearCache/
+    session end. A long-lived DAILY loop must therefore use
+    :func:`minhash_dedup_incremental_scoped` (releases the cache on
+    exit) or the streaming loop — calling THIS form per day
+    accumulates one shard cache per probe in storage memory."""
+    pairs, _ = _incremental_probe_parts(
+        new_docs, index_path,
+        text_col=text_col, id_col=id_col,
+        threshold=threshold, max_bucket=max_bucket,
+    )
+    return pairs
+
+
+def _incremental_probe_parts(
+    new_docs: DataFrame,
+    index_path: str,
+    *,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_bucket: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, persisted shard frame) — the shared core of the lazy
+    and scoped probe forms, so the cache handle exists in exactly one
+    place."""
     spark = new_docs.sparkSession
     meta = minhash_index_meta(spark, index_path)
     new_banded = (
@@ -627,18 +656,45 @@ def minhash_dedup_incremental(
         # the shard frame is consumed three times (touched-partition
         # collect, its own hot-bucket count, the probe join) and its
         # signature aggregate is the CPU-heavy leg — persist the narrow
-        # keyed frame (the two-pass-cap discipline). Lifecycle: the
-        # CacheManager holds it until unpersist/clearCache/session end
-        # (the minhash_near_duplicates signature-table pattern); a
-        # long-lived serving loop calling this daily must clearCache
-        # (or unpersist via the returned plan's lineage) between probes
-        # or the per-day shard caches accumulate in storage memory.
+        # keyed frame (the two-pass-cap discipline).
         .persist()
     )
-    return _probe_pairs(
+    pairs = _probe_pairs(
         new_banded, spark, index_path, meta,
         threshold=threshold, max_bucket=max_bucket,
     )
+    return pairs, new_banded
+
+
+@contextmanager
+def minhash_dedup_incremental_scoped(
+    new_docs: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+):
+    """:func:`minhash_dedup_incremental` with an EXACT cache lifecycle
+    — the form a daily serving loop should call (review r8: the lazy
+    form leaks one shard cache per probe in precisely that scenario):
+
+        with minhash_dedup_incremental_scoped(shard, path) as pairs:
+            pairs.write.parquet(out)   # consume INSIDE the scope
+
+    The shard's persisted signature frame is released on scope exit
+    (every exit path, matching the streaming loop's discipline);
+    consuming ``pairs`` after exit recomputes signatures uncached."""
+    pairs, new_banded = _incremental_probe_parts(
+        new_docs, index_path,
+        text_col=text_col, id_col=id_col,
+        threshold=threshold, max_bucket=max_bucket,
+    )
+    try:
+        yield pairs
+    finally:
+        new_banded.unpersist()
 
 
 def _bucket_capped(df: DataFrame, max_bucket: int) -> DataFrame:
@@ -677,13 +733,21 @@ def _probe_pairs(
     append and checkpoint commit — produces byte-identical pairs
     instead of crash-dependent extras (review r8, confirmed by repro).
     Intra-shard duplicates are a separate, explicitly-computed leg
-    (:func:`_intra_pairs`), not an accident of replay ordering."""
+    (:func:`_intra_pairs`), not an accident of replay ordering.
+
+    Tombstoned ids (:func:`minhash_index_delete`) are masked off the
+    index side BEFORE the hot-bucket caps — a deleted document neither
+    pairs nor counts toward a bucket's population, exactly as if
+    compaction had already removed its rows."""
+    from tia_data_pipeline_spark.operators.scale import anti_join_index_tombstones
+
     pred = _touched_partition_filter(new_banded, meta["n_shards"])
-    idx = (
-        _read_index(spark, index_path, meta)
-        .filter(pred)
-        .join(new_banded.select("_id").distinct(), on="_id", how="left_anti")
-    )
+    idx = anti_join_index_tombstones(
+        _read_index(spark, index_path, meta).filter(pred),
+        index_path,
+        index_schema_json=meta["schema_json"],
+        id_col="_id",
+    ).join(new_banded.select("_id").distinct(), on="_id", how="left_anti")
 
     # two-pass hot-bucket caps, each side against its own count: an
     # index bucket over the cap is boilerplate history (skip it); a
@@ -788,10 +852,38 @@ def minhash_index_append(
         new_banded.unpersist()
 
 
+def minhash_index_delete(
+    ids: DataFrame, index_path: str, *, id_col: str = "doc_id"
+) -> None:
+    """Tombstone documents out of the MinHash index (takedown /
+    right-to-be-forgotten / corpus TTL — the deletion leg of the index
+    lifecycle): masked immediately from every probe
+    (:func:`minhash_dedup_incremental` anti-joins the tombstones off
+    its index side), physically removed at the next
+    :func:`minhash_index_compact`. Idempotent (twice ≡ once); deletion
+    needs only the ids, never the original text — a takedown request
+    doesn't ship the document back.
+
+    At 100 TB the tombstone table is request-sized (≪ corpus), so the
+    probe-side masking broadcasts and this append is a tiny delta
+    write."""
+    from tia_data_pipeline_spark.operators.scale import append_index_tombstones
+
+    meta = minhash_index_meta(ids.sparkSession, index_path)
+    append_index_tombstones(
+        ids.select(F.col(id_col).alias("_id")),
+        index_path,
+        index_schema_json=meta["schema_json"],
+        id_col="_id",
+    )
+
+
 def minhash_index_compact(spark, path: str) -> dict:
     """One file per (band, bshard) partition — run after a season of
     daily appends (see :func:`…operators.scale.compact_partitioned_index`
-    for the swap semantics and object-store caveat)."""
+    for the swap semantics and object-store caveat). Applies pending
+    tombstones: deleted documents' rows are dropped from the rewrite
+    and the now-applied tombstone table goes with them."""
     from tia_data_pipeline_spark.operators.scale import compact_partitioned_index
 
     meta = minhash_index_meta(spark, path)
@@ -800,6 +892,22 @@ def minhash_index_compact(spark, path: str) -> dict:
         partition_cols=("band", "bshard"),
         schema_json=meta["schema_json"],
         side_dirs=(_MINHASH_META_DIR,),
+        tombstones_id_col="_id",
+    )
+
+
+def minhash_index_stats(spark, path: str) -> dict:
+    """Health census of the MinHash index — fragmentation (compact
+    due?), partition skew (caps earning their keep?), and the pending-
+    tombstone fraction (deletion debt compaction will reclaim)."""
+    from tia_data_pipeline_spark.operators.scale import partitioned_index_stats
+
+    meta = minhash_index_meta(spark, path)
+    return partitioned_index_stats(
+        spark, path,
+        partition_cols=("band", "bshard"),
+        schema_json=meta["schema_json"],
+        tombstones_id_col="_id",
     )
 
 
@@ -824,7 +932,16 @@ def minhash_incremental_oracle_sql(
     index is an execution strategy, not a semantics change, so the
     oracle states the plain two-relation form. Signature/banding
     fragments are single-sourced with the batch oracle via
-    :func:`_minhash_sql_fragments`."""
+    :func:`_minhash_sql_fragments`.
+
+    The history side states ``history_pred AND NOT (shard_pred)``,
+    mirroring the Spark probe's anti-join of the shard's OWN ids off
+    the index side (replay determinism): when the predicates overlap —
+    a shard re-probed after it was appended — both engines exclude the
+    shard's documents from history BEFORE the hot-bucket caps, so the
+    forms agree for overlapping predicates too, not just the disjoint
+    ones the contract registers (ADVICE r8). Both predicates must be
+    deterministic row predicates on ``table``."""
     from tia_data_pipeline_spark.functions.text import portable_round_sql
 
     mins, sig_list, band_structs, match_frac = _minhash_sql_fragments(
@@ -845,8 +962,11 @@ def minhash_incremental_oracle_sql(
             f"  HAVING count(*) > {max_bucket}) hot_{alias} USING (band, key))"
         )
 
+    # coalesce(…, false): a NULL shard_pred row is NOT in the shard, so
+    # the Spark anti-join keeps it in history — NOT (NULL) would drop it
+    hist_pred = f"({history_pred}) AND NOT coalesce(({shard_pred}), false)"
     return (
-        f"WITH {side('o', history_pred)}, {side('n', shard_pred)}, "
+        f"WITH {side('o', hist_pred)}, {side('n', shard_pred)}, "
         "cand AS (SELECT DISTINCT n._id AS new_id, o._id AS dup_id "
         "  FROM ok_n n JOIN ok_o o ON n.band = o.band AND n.key = o.key "
         "  AND n._id <> o._id), "
@@ -1226,25 +1346,69 @@ def simhash_dedup_incremental(
 
     At 100 TB: the index scan reads only touched partitions; the join
     shuffles 8-byte fingerprints, never text; cost is sized by the
-    shard, not by history."""
+    shard, not by history.
+
+    Cache lifecycle matches :func:`minhash_dedup_incremental` (held by
+    the CacheManager): a DAILY loop uses
+    :func:`simhash_dedup_incremental_scoped` or the streaming loop."""
+    pairs, _ = _simhash_probe_parts(
+        new_docs, index_path,
+        text_col=text_col, id_col=id_col,
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+    return pairs
+
+
+def _simhash_probe_parts(
+    new_docs: DataFrame,
+    index_path: str,
+    *,
+    text_col: str,
+    id_col: str,
+    max_hamming: int,
+    max_bucket: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, persisted shard frame) — shared core of the lazy and
+    scoped forms (the :func:`_incremental_probe_parts` twin)."""
     spark = new_docs.sparkSession
     meta = simhash_index_meta(spark, index_path)
     _check_band_guarantee(meta, max_hamming)
     # persist: consumed 3× (touched-partition collect, hot count, probe
-    # join). Lifecycle matches minhash_dedup_incremental: the
-    # CacheManager holds it until unpersist/clearCache/session end — a
-    # long-lived serving loop calling this daily must clearCache
-    # between probes (or use the streaming loop, which releases its
-    # per-batch cache on every exit path) or the per-day shard caches
-    # accumulate in executor storage memory.
+    # join)
     new_banded = simhash_band_frame(
         new_docs, text_col, id_col,
         bits=meta["bits"], bands=meta["bands"], n_shards=meta["n_shards"],
     ).persist()
-    return _simhash_probe_pairs(
+    pairs = _simhash_probe_pairs(
         new_banded, spark, index_path, meta,
         max_hamming=max_hamming, max_bucket=max_bucket,
     )
+    return pairs, new_banded
+
+
+@contextmanager
+def simhash_dedup_incremental_scoped(
+    new_docs: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+):
+    """:func:`simhash_dedup_incremental` with an EXACT cache lifecycle
+    — consume the yielded pairs inside the scope; the shard's persisted
+    fingerprint frame is released on every exit path (the
+    :func:`minhash_dedup_incremental_scoped` twin)."""
+    pairs, new_banded = _simhash_probe_parts(
+        new_docs, index_path,
+        text_col=text_col, id_col=id_col,
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+    try:
+        yield pairs
+    finally:
+        new_banded.unpersist()
 
 
 def _simhash_probe_pairs(
@@ -1262,13 +1426,19 @@ def _simhash_probe_pairs(
     → ``bit_count(xor)`` hamming verify. The index side EXCLUDES the
     shard's own ids (anti-join), so re-probing an already-appended
     shard — including a foreachBatch replay that crashed between append
-    and checkpoint commit — emits byte-identical pairs."""
+    and checkpoint commit — emits byte-identical pairs. Tombstoned ids
+    (:func:`simhash_index_delete`) are masked off the index side
+    BEFORE the caps, exactly as if compaction had already removed
+    their rows."""
+    from tia_data_pipeline_spark.operators.scale import anti_join_index_tombstones
+
     pred = _touched_partition_filter(new_banded, meta["n_shards"])
-    idx = (
-        _read_index(spark, index_path, meta)
-        .filter(pred)
-        .join(new_banded.select("_id").distinct(), on="_id", how="left_anti")
-    )
+    idx = anti_join_index_tombstones(
+        _read_index(spark, index_path, meta).filter(pred),
+        index_path,
+        index_schema_json=meta["schema_json"],
+        id_col="_id",
+    ).join(new_banded.select("_id").distinct(), on="_id", how="left_anti")
     # two-pass hot-bucket caps, each side against its own count (a hot
     # bucket is boilerplate — history's on the index side, today's on
     # the shard side; it never reaches the join)
@@ -1338,9 +1508,27 @@ def simhash_index_append(
         new_banded.unpersist()
 
 
+def simhash_index_delete(
+    ids: DataFrame, index_path: str, *, id_col: str = "doc_id"
+) -> None:
+    """Tombstone documents out of the SimHash index — the SimHash twin
+    of :func:`minhash_index_delete` (same semantics: masked from every
+    probe immediately, physically removed at the next compact,
+    idempotent, ids-only)."""
+    from tia_data_pipeline_spark.operators.scale import append_index_tombstones
+
+    meta = simhash_index_meta(ids.sparkSession, index_path)
+    append_index_tombstones(
+        ids.select(F.col(id_col).alias("_id")),
+        index_path,
+        index_schema_json=meta["schema_json"],
+        id_col="_id",
+    )
+
+
 def simhash_index_compact(spark, path: str) -> dict:
     """One file per (band, bshard) partition — the SimHash twin of
-    :func:`minhash_index_compact`."""
+    :func:`minhash_index_compact`. Applies pending tombstones."""
     from tia_data_pipeline_spark.operators.scale import compact_partitioned_index
 
     meta = simhash_index_meta(spark, path)
@@ -1349,6 +1537,21 @@ def simhash_index_compact(spark, path: str) -> dict:
         partition_cols=("band", "bshard"),
         schema_json=meta["schema_json"],
         side_dirs=(_SIMHASH_META_DIR,),
+        tombstones_id_col="_id",
+    )
+
+
+def simhash_index_stats(spark, path: str) -> dict:
+    """Health census of the SimHash index — the SimHash twin of
+    :func:`minhash_index_stats`."""
+    from tia_data_pipeline_spark.operators.scale import partitioned_index_stats
+
+    meta = simhash_index_meta(spark, path)
+    return partitioned_index_stats(
+        spark, path,
+        partition_cols=("band", "bshard"),
+        schema_json=meta["schema_json"],
+        tombstones_id_col="_id",
     )
 
 
@@ -1372,7 +1575,16 @@ def simhash_incremental_oracle_sql(
     so the oracle states the plain two-relation form. DuckDB's
     ``bit_count`` returns TINYINT → cast to INT to match Spark; the
     cross-engine agreement of bit_count∘xor on non-negative BIGINTs is
-    fuzz-pinned in tests/test_dedup.py."""
+    fuzz-pinned in tests/test_dedup.py.
+
+    The history side states ``history_pred AND NOT (shard_pred)``,
+    mirroring the Spark probe's anti-join of the shard's OWN ids off
+    the index side (replay determinism): for overlapping predicates
+    both engines now exclude the shard's documents from history BEFORE
+    the hot-bucket caps — previously the oracle only dropped self-pairs
+    and the forms agreed only for disjoint predicates (ADVICE r8).
+    Both predicates must be deterministic row predicates on
+    ``table``."""
     assert bits % bands == 0
     r = bits // bands
     votes = ", ".join(
@@ -1398,8 +1610,11 @@ def simhash_incremental_oracle_sql(
             f"  HAVING count(*) > {max_bucket}) h_{alias} USING (band, bucket))"
         )
 
+    # coalesce(…, false): a NULL shard_pred row is NOT in the shard, so
+    # the Spark anti-join keeps it in history — NOT (NULL) would drop it
+    hist_pred = f"({history_pred}) AND NOT coalesce(({shard_pred}), false)"
     return (
-        f"WITH {side('o', history_pred)}, {side('n', shard_pred)} "
+        f"WITH {side('o', hist_pred)}, {side('n', shard_pred)} "
         "SELECT DISTINCT n._id AS new_id, o._id AS dup_id, "
         "  bit_count(xor(n._fp, o._fp))::INT AS hamming "
         "FROM ok_n n JOIN ok_o o ON n.band = o.band AND n.bucket = o.bucket "

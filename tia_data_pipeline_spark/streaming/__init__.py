@@ -1,6 +1,8 @@
 """Structured Streaming forms of the incremental pipelines."""
 
 from tia_data_pipeline_spark.streaming.ann_serve import (
+    ivf_append_batch,
+    stream_ivf_append,
     ann_search_batch,
     stream_ann_topk,
 )
@@ -39,5 +41,7 @@ __all__ = [
     "embed_increment_batch",
     "stream_embed_incremental",
     "ann_search_batch",
+    "ivf_append_batch",
     "stream_ann_topk",
+    "stream_ivf_append",
 ]

@@ -89,3 +89,68 @@ def stream_ann_topk(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ivf_append_batch(
+    batch_vecs: DataFrame,
+    index_path: str,
+    drift_out: str,
+    batch_id: int,
+) -> dict:
+    """One micro-batch of the IVF WRITE-side loop: assign the batch to
+    the pinned centroids, append idempotently
+    (:func:`…operators.similarity.ivf_index_append` — twice ≡ once, so
+    a foreachBatch replay is safe), and record the batch's
+    centroid-drift reading to ``drift_out/batch_id=N``.
+
+    The persisted drift record carries only fields that are a PURE
+    function of the batch (batch_n, batch_mean_d2, train_mean_d2,
+    drift_ratio) — the dedup_serve replay rule: a replayed batch
+    rewrites identical content. The ``appended`` count is
+    crash-dependent (a replay appends 0) and is only RETURNED, never
+    persisted."""
+    from tia_data_pipeline_spark.operators.similarity import ivf_index_append
+
+    spark = batch_vecs.sparkSession
+    out = ivf_index_append(batch_vecs, index_path)
+    record = [
+        (
+            int(batch_id),
+            out["batch_n"],
+            out["batch_mean_d2"],
+            out["train_mean_d2"],
+            out["drift_ratio"],
+        )
+    ]
+    spark.createDataFrame(
+        record,
+        "batch_id int, batch_n bigint, batch_mean_d2 double, "
+        "train_mean_d2 double, drift_ratio double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{drift_out}/batch_id={batch_id}")
+    return out
+
+
+def stream_ivf_append(
+    vec_stream: DataFrame,
+    *,
+    index_path: str,
+    drift_out: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run a vector stream through the IVF index-append loop — the
+    write-side twin of :func:`stream_ann_topk` (same trigger
+    discipline). Monitoring ``drift_out``'s drift_ratio series is the
+    re-train trigger: when incoming batches consistently read ≫1, the
+    pinned quantizer is stale and a full
+    :func:`…operators.similarity.ivf_build_index` rebuild is due."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_append_batch(batch_df, index_path, drift_out, batch_id)
+
+    writer = vec_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
