@@ -104,11 +104,11 @@ def test_stdout_payload_shape():
         "q_dead": {"min": -1.0, "warm": -1.0, "n": 0},
     }
     stdout_payload, protocol_payload = bench.make_payloads(results, 0.1)
-    # ascending by time, q_ prefix stripped, sub-second rows 2dp
-    assert list(stdout_payload["queries"]) == ["dead", "fast", "slow"]
-    assert stdout_payload["queries"]["fast"] == 0.12
-    assert stdout_payload["queries"]["slow"] == 2.5
-    # value last so it survives the 2000-char tail clip
+    # compact grouped string: time-ascending sec:name groups, q_ prefix
+    # stripped, failures EXCLUDED from the groups (loud in "failed",
+    # never a silent zero), 0.05s quantization below 1s
+    assert stdout_payload["queries"] == ".1:fast 2.5:slow"
+    # value last so it survives any tail clip
     assert list(stdout_payload)[-1] == "value"
     assert stdout_payload["failed"] == ["q_dead"]
     assert stdout_payload["n_failed"] == 1
@@ -120,19 +120,45 @@ def test_stdout_payload_shape():
     assert protocol_payload["value"] == stdout_payload["value"]
 
 
-def test_tail_line_fits_driver_window():
-    # 125+ queries must leave the slow half visible in a 2000-char tail;
-    # simulate a full-size registry line and require the headline plus
-    # >= 60 slowest entries inside the window
-    import json
+def test_tail_val_labels():
+    # <0.05s: 2dp (never a bare ".0"); 0.05s-1s: 0.05 steps; >=1s: 2dp
+    assert bench.tail_val(0.021) == ".02"
+    assert bench.tail_val(0.13) == ".15"
+    assert bench.tail_val(0.42) == ".4"
+    assert bench.tail_val(0.734) == ".75"
+    assert bench.tail_val(2.752) == "2.75"
 
+
+def test_whole_line_fits_driver_window_and_parses():
+    """The WHOLE stdout line must fit the driver's 2000-char tail
+    window so its JSON parse succeeds and every registry name is
+    recorded (VERDICT r8 #7: the per-name object form front-clipped ~30
+    entries and left parsed:null in every round's artifact). Simulated
+    with the REAL registry names at the COMMITTED protocol run's
+    timing distribution (the committed artifact is the realistic
+    shape: the fast cluster groups heavily), plus headroom queries."""
+    import json
+    import os
+
+    from tia_data_pipeline_spark import plans
+
+    with open(
+        os.path.join(os.path.dirname(bench.__file__), "BENCH_protocol.json")
+    ) as fh:
+        committed = {n: r["min"] for n, r in json.load(fh)["queries"].items()}
+    rng_names = list(plans.CONTRACT_ORDER) + [
+        f"q_future_query_{i:02d}" for i in range(8)
+    ]
     results = {
-        f"q_query_name_{i:03d}": {"min": round(0.01 * i, 3), "warm": 0.1, "n": 3}
-        for i in range(130)
+        # new/future queries default to a mid-distribution 0.31s (each
+        # carries its own unique-ish 2dp group — the conservative case)
+        n: {"min": committed.get(n, 0.31 + 0.01 * (i % 7)), "warm": 0.1, "n": 3}
+        for i, n in enumerate(rng_names)
     }
     stdout_payload, _ = bench.make_payloads(results, 0.1)
     line = json.dumps(stdout_payload, separators=(",", ":"))
+    assert len(line) <= 1998, f"stdout line {len(line)} chars outgrew the window"
     tail = line[-2000:]
-    assert '"value"' in tail and '"n_failed"' in tail
-    visible = sum(1 for i in range(130) if f"query_name_{i:03d}" in tail)
-    assert visible >= 60
+    parsed = json.loads(tail)  # the driver's parse must succeed
+    for n in rng_names:
+        assert bench.tail_key(n) in parsed["queries"], f"{n} missing from tail"

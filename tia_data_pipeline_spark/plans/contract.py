@@ -31,6 +31,24 @@ class ContractQuery:
 
 REGISTRY: dict[str, ContractQuery] = {}
 
+# Temp dirs written by contract builders at build time (the persisted
+# temp indexes of the incremental-serving queries). Builders register
+# them here so bench.py can delete each query's dirs at the END of that
+# query's own measurement instead of letting them accumulate until
+# process exit — at-exit accumulation left 3 temp indexes per
+# queries() sweep on disk AND let async writeback from one query's
+# build bleed into the next query's timed runs (VERDICT r8 #1).
+# Builders keep an atexit backstop for non-bench callers (the driver's
+# correctness sweep builds all queries in one process).
+TEMP_DERIVATION_DIRS: list[str] = []
+
+
+def register_temp_dir(path: str) -> str:
+    """Record a builder's temp derivation dir for per-query cleanup
+    (returns the path for chaining)."""
+    TEMP_DERIVATION_DIRS.append(path)
+    return path
+
 
 def contract_query(name: str, *, oracle: str | None, covers: str) -> Callable[[QueryFn], QueryFn]:
     """Decorator registering a declared query."""

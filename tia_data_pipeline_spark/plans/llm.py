@@ -20,7 +20,7 @@ from tia_data_pipeline_spark.operators import dedup as DD
 from tia_data_pipeline_spark.operators import sampling as SMP
 from tia_data_pipeline_spark.operators import similarity as SIM
 from tia_data_pipeline_spark.operators.scale import fan_out
-from tia_data_pipeline_spark.plans.contract import contract_query
+from tia_data_pipeline_spark.plans.contract import contract_query, register_temp_dir
 
 _DOC_TOKENS_SQL = TX.tokens_sql("text")
 
@@ -442,6 +442,7 @@ def q_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = valid_embeddings(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="graft_emb_idx_")
+    register_temp_dir(tmp)
     atexit.register(shutil.rmtree, tmp, True)
     SIM.embedding_write_index(
         emb.filter(F.col("vec_id") % 5 != 0), f"{tmp}/idx", proj=_PROJ4
@@ -923,6 +924,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the serving cost, which is the operator's point); atexit keeps
     # the temp indexes from accumulating on disk.
     tmp = tempfile.mkdtemp(prefix="graft_mh_idx_")
+    register_temp_dir(tmp)
     atexit.register(shutil.rmtree, tmp, True)
     DD.minhash_write_index(
         docs.filter(F.col("doc_id") % 5 != 0),
@@ -986,6 +988,7 @@ def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tmp = tempfile.mkdtemp(prefix="graft_sh_idx_")
+    register_temp_dir(tmp)
     atexit.register(shutil.rmtree, tmp, True)
     DD.simhash_write_index(
         docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id",
@@ -1732,6 +1735,7 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _BM25_INDEX_CACHE.get(sf_dir)
     if tmp is None:
         tmp = tempfile.mkdtemp(prefix="graft_tidx_")
+        register_temp_dir(tmp)
         atexit.register(shutil.rmtree, tmp, True)
         build_text_index(load_table(spark, sf_dir, "documents"), f"{tmp}/tidx")
         _BM25_INDEX_CACHE[sf_dir] = tmp
