@@ -246,3 +246,177 @@ def test_wav_multi_data_chunk_first_wins_even_zero_length():
     pcm, rate = wav_pcm(payload)
     assert meta["n_samples"] == 0
     assert pcm.shape[0] == 0 and rate == 8000
+
+
+# ------------------------------------------------------------------ PNG ----
+
+
+def _png_forward_filter(px: np.ndarray, filters: list[int], channels: int) -> bytes:
+    """Independent FORWARD implementation of the PNG scanline filters
+    (per the spec's encoder direction) — the decoder under test must
+    invert it exactly. px is (h, w, channels) uint8."""
+    h, w = px.shape[:2]
+    bpp = channels
+    flat = px.reshape(h, w * bpp).astype(np.int64)
+    out = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        out.append(f)
+        prev = flat[y - 1] if y > 0 else np.zeros(w * bpp, dtype=np.int64)
+        for x in range(w * bpp):
+            raw = flat[y, x]
+            a = flat[y, x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if (x >= bpp and y > 0) else 0
+            if f == 0:
+                v = raw
+            elif f == 1:
+                v = raw - a
+            elif f == 2:
+                v = raw - b
+            elif f == 3:
+                v = raw - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = raw - pred
+            out.append(v & 0xFF)
+    return bytes(out)
+
+
+def _png_bytes(px: np.ndarray, color: int, filters: list[int]) -> bytes:
+    """Hand-built PNG from chosen RECONSTRUCTED pixels + a forward
+    filter per scanline — independent of encode_png."""
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    h, w = px.shape[:2]
+    raw = _png_forward_filter(px, filters, channels)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_all_filters_invert_exactly():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) must invert
+    bit-exactly against an independent forward implementation."""
+    from tia_data_pipeline_spark.functions.codecs import decode_png
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    payload = _png_bytes(px, color=2, filters=[0, 1, 2, 3, 4])
+    d = decode_png(payload)
+    assert (d["width"], d["height"]) == (7, 10)
+    assert d["format"] == "image/png;color=2"
+    np.testing.assert_array_equal(d["pixels"], px)
+
+
+def test_png_rgba_and_grayscale_widen_to_rgb():
+    from tia_data_pipeline_spark.functions.codecs import decode_png
+
+    rng = np.random.default_rng(5)
+    rgba = rng.integers(0, 256, size=(4, 5, 4), dtype=np.uint8)
+    d = decode_png(_png_bytes(rgba, color=6, filters=[4, 1, 3, 2]))
+    np.testing.assert_array_equal(d["pixels"], rgba[:, :, :3])
+    gray = rng.integers(0, 256, size=(3, 6, 1), dtype=np.uint8)
+    d2 = decode_png(_png_bytes(gray, color=0, filters=[1, 2, 4]))
+    assert d2["pixels"].shape == (3, 6, 3)
+    np.testing.assert_array_equal(d2["pixels"][:, :, 0], gray[:, :, 0])
+    np.testing.assert_array_equal(d2["pixels"][:, :, 2], gray[:, :, 0])
+
+
+def test_png_encode_decode_roundtrip_and_resize():
+    from tia_data_pipeline_spark.functions.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(29)
+    px = rng.integers(0, 256, size=(16, 9, 3), dtype=np.uint8)
+    payload = encode_png(px)
+    assert sniff_format(payload) == "png"
+    np.testing.assert_array_equal(decode_png(payload)["pixels"], px)
+    # real resize path: decode -> nearest -> re-encode stays a PNG with
+    # exactly the resampled pixels
+    small = resize_media(payload, 3, 4)
+    d = decode_png(small)
+    assert (d["width"], d["height"]) == (3, 4)
+    np.testing.assert_array_equal(d["pixels"], resize_nearest(px, 3, 4))
+
+
+def test_png_unsupported_and_corrupt_fall_back_to_stub():
+    """Palette/16-bit/interlaced/damaged PNGs must degrade to the
+    deterministic stub (same posture as every other corrupt payload),
+    never raise out of decode_media."""
+    import zlib
+
+    from tia_data_pipeline_spark.functions.codecs import encode_png
+    from tia_data_pipeline_spark.operators.multimodal import fake_decode
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png(px)
+    # corrupt the IDAT payload bytes (zlib stream damage)
+    bad = bytearray(good)
+    bad[-30] ^= 0xFF
+    got = decode_media(bytes(bad))
+    assert got == fake_decode(bytes(bad))
+    # 16-bit depth header
+    deep = bytearray(good)
+    deep[24] = 16  # IHDR bit-depth byte
+    assert decode_media(bytes(deep)) == fake_decode(bytes(deep))
+    # truncated raster: valid zlib, too few scanline bytes
+    sig = good[:8]
+    ihdr = good[8 : 8 + 25]
+    short_idat = zlib.compress(b"\x00" + b"\x01" * 5)  # one partial row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    trunc = sig + ihdr + chunk(b"IDAT", short_idat) + chunk(b"IEND", b"")
+    assert decode_media(trunc) == fake_decode(trunc)
+
+
+def test_png_image_features_and_decode_media():
+    from tia_data_pipeline_spark.functions.codecs import encode_png, image_features
+
+    solid = np.full((8, 8, 3), 200, dtype=np.uint8)
+    payload = encode_png(solid)
+    d = decode_media(payload)
+    assert d["format"] == "image/png;color=2"
+    assert (d["width"], d["height"]) == (8, 8)
+    f = image_features(payload)
+    assert f["mean_r"] == f["mean_g"] == f["mean_b"] == 200.0
+    assert abs(f["brightness"] - 200.0) < 1e-9 and f["contrast"] == 0.0
+
+
+def test_png_through_spark_feature_pipeline(spark):
+    """PNG payloads flow through the Arrow mapInPandas feature
+    extractor exactly like PPM ones — real pixel features, with a
+    corrupt PNG degrading to (kind, NULLs)."""
+    from tia_data_pipeline_spark.functions.codecs import encode_png
+    from tia_data_pipeline_spark.operators.multimodal import extract_media_features
+
+    bright = encode_png(np.full((6, 6, 3), 250, dtype=np.uint8))
+    dark = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    broken = bytearray(bright)
+    broken[-25] ^= 0x55
+    df = spark.createDataFrame(
+        [(1, bytes(bright)), (2, bytes(dark)), (3, bytes(broken))],
+        "id bigint, payload binary",
+    )
+    rows = {r["id"]: r for r in extract_media_features(df).collect()}
+    assert rows[1]["kind"] == "png" and rows[1]["brightness"] == 250.0
+    assert rows[2]["width"] == 4 and rows[2]["brightness"] == 0.0
+    assert rows[3]["kind"] == "png" and rows[3]["brightness"] is None

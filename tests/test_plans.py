@@ -151,6 +151,8 @@ TAIL_COVERED_BY = {
     "q_exists_guard": "q_semi_join",  # semi-join / exists-guard rewrite pair
     "q_revenue_by_segment": "q_join_enrich",  # broadcast enrich-join family
     "q_ts_normalize": "q_json_ser",  # row/scalar text-transform family
+    "q_span_cut": "q_dup_spans",  # span pipeline variant (cut form)
+    "q_bm25_indexed": "q_bm25",  # same oracle constant as the full-scan form
     # earlier-round tail entries (covers remapped where their round-9
     # target rotated out of the head):
     "q_agg_count": "q_cube",

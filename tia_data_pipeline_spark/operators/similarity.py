@@ -225,9 +225,12 @@ def semantic_centroids() -> list[list[float]]:
     return SEMANTIC_CENTERS
 
 
-def nearest_centroid(vec: Column, centers: list[list[float]]) -> Column:
-    """Index of the nearest centroid — ``argmin_i (|v − c_i|², i)``,
-    ties to the lowest index, as ONE JVM-side expression.
+def nearest_centroid_struct(vec: Column, centers: list[list[float]]) -> Column:
+    """``min_i (|v − c_i|², i)`` as a struct ``(d, i)`` — the single
+    cross-engine-pinned cell-assignment expression (ties to the lowest
+    index), shared by :func:`nearest_centroid` (semantic dedup) and
+    :func:`ivf_index_append` so every oracle-checked assignment uses
+    ONE float form.
 
     Cross-engine discipline: |v−c|² expands to ``(v·v − 2·v·c) + c·c``
     with c·c precomputed as a Python literal, so every term is either a
@@ -243,7 +246,13 @@ def nearest_centroid(vec: Column, centers: list[list[float]]) -> Column:
         cc = F.lit(sum(x * x for x in c))
         d = (dvv - 2.0 * dot(vec, carr)) + cc
         entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    return F.array_min(F.array(*entries))["i"]
+    return F.array_min(F.array(*entries))
+
+
+def nearest_centroid(vec: Column, centers: list[list[float]]) -> Column:
+    """Index of the nearest centroid — see
+    :func:`nearest_centroid_struct` for the float-form discipline."""
+    return nearest_centroid_struct(vec, centers)["i"]
 
 
 def semantic_dedup_pairs(
@@ -854,18 +863,16 @@ def ivf_index_append(new_vecs: DataFrame, index_path: str) -> dict:
     centers = ivf_read_centers(spark, index_path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     vec = F.col(vec_col).cast("array<double>")
-    dists = F.array(*[_center_d2(vec, c) for c in centers])
-    nearest = F.array_min(
-        F.transform(
-            dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
-        )
-    )
+    # nearest_centroid_struct: the ONE cross-engine-pinned assignment
+    # form (expansion, dot folds + shared literals) — an appended
+    # vector lands in exactly the cell the q_ivf_append oracle derives
+    nearest = nearest_centroid_struct(vec, centers)
     # valid_vector precondition matches the build side: a NULL/empty/
     # non-finite vector has no cell and would poison the drift average
     assigned = (
         new_vecs.filter(valid_vector(F.col(vec_col)) & F.col(id_col).isNotNull())
         .withColumn("_nc", nearest)
-        .withColumn("_cell", F.col("_nc.cell"))
+        .withColumn("_cell", F.col("_nc.i"))
         .withColumn("_d2", F.col("_nc.d"))
         .persist()  # consumed 3× (touched collect, delta write, drift agg);
         # append is EAGER, so the lifecycle is exact (released below)

@@ -1005,6 +1005,150 @@ def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contract_query(
+    "q_index_delete",
+    oracle=DD.minhash_incremental_oracle_sql(
+        _SHINGLE_TABLE_SQL,
+        _SHINGLES_SQL,
+        "doc_id",
+        # the oracle sees deletion as history shrinking: tombstoned
+        # docs leave BEFORE the hot-bucket caps, exactly the probe's
+        # anti-join placement
+        history_pred="doc_id % 5 <> 0 AND doc_id % 3 <> 0",
+        shard_pred="doc_id % 5 = 0",
+        threshold=0.5,
+    ),
+    covers=(
+        "ext-fuzzy-dedup deletion lifecycle (tombstoned ids masked from "
+        "the persisted-index probe — the takedown / right-to-be-forgotten "
+        "leg of the incremental-serving family)"
+    ),
+)
+def q_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index deletion driven end-to-end: write the MinHash index over
+    history (80% of the corpus), tombstone a third of it by ID ALONE
+    (minhash_index_delete — a takedown request never ships the text
+    back), then probe today's shard. Tombstoned documents must behave
+    exactly as if compaction had already removed their rows: they
+    neither pair nor count toward any bucket's hot-cap population —
+    which is what the oracle states by simply shrinking history.
+    Deletes are idempotent (twice ≡ once) and the tombstone table is
+    request-sized, so the probe-side mask broadcasts (the 100 TB
+    posture; physical removal is the q-independent
+    minhash_index_compact, pinned in tests/test_index_delete.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="graft_del_idx_")
+    register_temp_dir(tmp)
+    atexit.register(shutil.rmtree, tmp, True)
+    DD.minhash_write_index(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "text",
+        "doc_id",
+        f"{tmp}/idx",
+        portable=True,
+        n_shards=16,
+    )
+    doomed = docs.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 3 == 0)
+    ).select("doc_id")
+    DD.minhash_index_delete(doomed, f"{tmp}/idx")
+    DD.minhash_index_delete(doomed, f"{tmp}/idx")  # idempotent by contract
+    return DD.minhash_dedup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        f"{tmp}/idx",
+        text_col="text",
+        id_col="doc_id",
+        threshold=0.5,
+    )
+
+
+# -- q_ivf_append: squared distances saturate at this cap before the
+#    nano-unit integerization — an outlier guard only (real corpus d²
+#    is O(1); a hostile 1e12-component vector reads d² ≈ 1e24, whose
+#    nano term would overflow BIGINT on both engines). Stated on both
+#    sides via least().
+_IVF_D2_CAP = 1.0e4
+
+
+@contract_query(
+    "q_ivf_append",
+    oracle=(
+        "WITH b0 AS (SELECT vec_id, "
+        + ", ".join(
+            f"{_center_dist_sql('embedding', c)} AS d{i}"
+            for i, c in enumerate(_SEM_CENTERS)
+        )
+        + f" FROM {_E} embeddings WHERE vec_id IS NOT NULL), "
+        f"b AS (SELECT vec_id, {_argmin_cell_sql(len(_SEM_CENTERS))} AS cell, "
+        f"  least({', '.join(f'd{i}' for i in range(len(_SEM_CENTERS)))}) AS d2 "
+        "  FROM b0) "
+        "SELECT cell::INT AS cell, count(*)::BIGINT AS n, "
+        + TX.portable_round_sql(
+            f"sum({TX.nano_int_sql(f'least(d2, {_IVF_D2_CAP})')}) "
+            "/ 1000000000.0 / count(*)",
+            6,
+        )
+        + " AS mean_d2 FROM b GROUP BY cell"
+    ),
+    covers=(
+        "ext-ann IVF write-side increment (idempotent append to pinned "
+        "centroids + drift census — completes the IVF lifecycle the "
+        "other three index families already drove through the contract)"
+    ),
+)
+def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF write-side increment driven end-to-end: write the IVF index
+    over history embeddings (80%, assigned to the PINNED semantic
+    centroids — the oracle-checkable quantizer; production uses trained
+    ivf_build_index centers with identical semantics), append today's
+    shard (20%) via ivf_index_append (idempotent anti-join over touched
+    cells only), then read the index BACK and report the per-cell
+    census: row count and mean squared center distance. The counts
+    prove the append placed every valid vector in exactly the cell the
+    shared argmin derives (once and only once); the distances prove the
+    vector payloads round-tripped intact. Cell assignment uses the one
+    cross-engine-pinned expansion form (nearest_centroid_struct — dot
+    folds + shared literals), and the mean integerizes per-row nano
+    units before summing so accumulation order can't wobble the 6-dp
+    rounding."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = valid_embeddings(spark, sf_dir).filter(F.col("vec_id").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="graft_ivf_idx_")
+    register_temp_dir(tmp)
+    atexit.register(shutil.rmtree, tmp, True)
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    assigned = hist.select(
+        "vec_id",
+        "embedding",
+        SIM.nearest_centroid(F.col("embedding"), _SEM_CENTERS).alias("_cell"),
+    )
+    SIM.ivf_write_index(assigned, _SEM_CENTERS, f"{tmp}/idx")
+    SIM.ivf_index_append(emb.filter(F.col("vec_id") % 5 == 0), f"{tmp}/idx")
+    meta = SIM.ivf_index_meta(spark, f"{tmp}/idx")
+    idx = SIM._read_ivf_index(spark, f"{tmp}/idx", meta)
+    d2 = F.least(
+        SIM.nearest_centroid_struct(F.col("embedding"), _SEM_CENTERS)["d"],
+        F.lit(_IVF_D2_CAP),
+    )
+    return (
+        idx.select(F.col("_cell").cast("int").alias("cell"), TX.nano_int(d2).alias("_nd"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            TX.portable_round(
+                F.sum("_nd") / F.lit(1e9) / F.count(F.lit(1)), 6
+            ).alias("mean_d2"),
+        )
+    )
+
+
+@contract_query(
     "q_dup_spans",
     oracle=DD.duplicated_spans_oracle_sql("documents", "doc_id"),
     covers=(
