@@ -14,6 +14,11 @@ serving shape at corpus scale.
    (``ivf_search_batch`` — each probe ranks the centers
    in-expression; one pruned scan serves the whole batch); the
    streaming form is ``streaming/ann_serve.py::stream_ann_topk``.
+4. Run the REST of the index lifecycle: append a new-vector shard to
+   the pinned centroids (idempotent) and read its centroid-drift
+   ratio — the re-train signal; tombstone a vector by id (masked from
+   every search immediately); compact (applies the deletion
+   physically, one file per cell) and read the health census.
 """
 
 from __future__ import annotations
@@ -29,6 +34,11 @@ from tia_data_pipeline_spark.catalog import load_table
 from tia_data_pipeline_spark.operators.similarity import (
     brute_force_top_k,
     ivf_build_index,
+    ivf_drift_stats,
+    ivf_index_append,
+    ivf_index_compact,
+    ivf_index_delete,
+    ivf_index_stats,
     ivf_search_batch,
     ivf_search_indexed,
     ivf_write_index,
@@ -73,6 +83,33 @@ def main() -> None:
     batch = ivf_search_batch(probes, index_dir, k=3, n_probe=4)
     print("batch top-3 per probe (5-probe shard):")
     batch.orderBy("probe_id", "rnk").show(15, truncate=False)
+
+    # 4a. write-side increment: tomorrow's vectors append to the SAME
+    # pinned centroids; the returned drift ratio is the re-train signal
+    # (≫1 means the quantizer no longer fits what's arriving)
+    from pyspark.sql import functions as F
+
+    shard = emb.orderBy("vec_id").limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = ivf_index_append(shard, index_dir)
+    print(f"appended {out['appended']} vectors; drift_ratio={out['drift_ratio']}")
+    again = ivf_index_append(shard, index_dir)
+    print(f"re-append of the same shard (idempotent): appended={again['appended']}")
+    print("per-cell drift census (train baseline vs current population):")
+    ivf_drift_stats(spark, index_dir).show(4)
+
+    # 4b. deletion: tombstone by id (takedown semantics — masked from
+    # every probe NOW), then compact to remove physically
+    doomed = spark.createDataFrame([(int(exact_ids[0]),)], "vec_id bigint")
+    ivf_index_delete(doomed, index_dir)
+    post = ivf_search_indexed(spark, index_dir, probe, k=10, n_probe=16)
+    assert exact_ids[0] not in [r["vec_id"] for r in post.collect()]
+    print(f"vec_id={exact_ids[0]} tombstoned: gone from a full-cell search")
+    print("health census before compact:", ivf_index_stats(spark, index_dir))
+    ivf_index_compact(spark, index_dir)
+    print("after compact (tombstones applied, one file per cell):",
+          ivf_index_stats(spark, index_dir))
 
 
 if __name__ == "__main__":
