@@ -140,10 +140,12 @@ def make_payloads(results: dict[str, dict], sf) -> tuple[dict, dict]:
         if t < 0:
             continue  # failures are loud in "failed", not silent zeros
         groups.setdefault(tail_val(t), []).append(tail_key(n))
+    # no format-note key: every byte of the line competes with query
+    # names for the 2000-char window; the format is documented here and
+    # in the BENCH_local/protocol artifacts' "protocol" field
     stdout_payload = {
         "metric": "total_query_wall_sec",
         "queries": " ".join(f"{k}:{','.join(v)}" for k, v in groups.items()),
-        "fmt": "sec:names asc; sub-1s 0.05-quantized",
         "sf": sf,
         "n_queries": len(results),
         "failed": failed,

@@ -90,7 +90,9 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     shard = emb.orderBy("vec_id").limit(3).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",  # the shard carries ALL index payload columns
     )
     out = ivf_index_append(shard, index_dir)
     print(f"appended {out['appended']} vectors; drift_ratio={out['drift_ratio']}")

@@ -188,6 +188,7 @@ def test_null_probes_excluded_and_no_cache_leak(spark, index, tmp_path):
         [(100, [1.0, 0.0, 0.0, 0.0]), (None, [1.0, 0.0, 0.0, 0.0]), (300, None)],
         PROBE_SCHEMA,
     )
+    spark.catalog.clearCache()  # isolate from session-lifetime caches
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getRDDStorageInfo()
     ann_search_batch(probes, index, out, 0, k=3, n_probe=N_LISTS)

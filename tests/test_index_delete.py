@@ -340,6 +340,7 @@ class TestScopedProbeCacheRelease:
         hist, shard = docs
         path = str(tmp_path / "mh")
         minhash_write_index(hist, "text", "doc_id", path, n_shards=4)
+        spark.catalog.clearCache()  # isolate from session-lifetime caches
         jsc = spark.sparkContext._jsc.sc()
         before = len(jsc.getRDDStorageInfo())
         with minhash_dedup_incremental_scoped(shard, path, threshold=0.5) as pairs:
@@ -356,6 +357,7 @@ class TestScopedProbeCacheRelease:
         hist, shard = docs
         path = str(tmp_path / "sh")
         simhash_write_index(hist, "text", "doc_id", path, n_shards=4)
+        spark.catalog.clearCache()  # isolate from session-lifetime caches
         jsc = spark.sparkContext._jsc.sc()
         before = len(jsc.getRDDStorageInfo())
         with simhash_dedup_incremental_scoped(shard, path) as pairs:
@@ -371,8 +373,52 @@ class TestScopedProbeCacheRelease:
         hist, shard = TestEmbeddingDelete()._data(spark)
         path = str(tmp_path / "emb")
         embedding_write_index(hist, path, bits=2)
+        spark.catalog.clearCache()  # isolate from session-lifetime caches
         jsc = spark.sparkContext._jsc.sc()
         before = len(jsc.getRDDStorageInfo())
         with embedding_dedup_incremental_scoped(shard, path, threshold=0.9) as pairs:
             assert pairs.count() >= 1
         assert len(jsc.getRDDStorageInfo()) == before, "shard cache leaked"
+
+
+def test_stream_index_deletes_masks_and_replays_idempotently(spark, docs, tmp_path):
+    """The deletion-request stream: streamed takedown ids tombstone the
+    index per micro-batch; a replay of the same files tombstones
+    nothing new; probes mask immediately."""
+    from tia_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index_stats,
+        minhash_write_index,
+    )
+    from tia_data_pipeline_spark.streaming.dedup_serve import stream_index_deletes
+
+    hist, shard = docs
+    path = str(tmp_path / "mh")
+    minhash_write_index(hist, "text", "doc_id", path, n_shards=4)
+    req_dir = tmp_path / "requests"
+    spark.createDataFrame([(1,)], "doc_id bigint").coalesce(1).write.parquet(
+        str(req_dir / "a")
+    )
+    spark.createDataFrame([(1,), (2,)], "doc_id bigint").coalesce(1).write.parquet(
+        str(req_dir / "b")
+    )
+    id_stream = (
+        spark.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{req_dir}/*")
+    )
+    q = stream_index_deletes(
+        id_stream,
+        index_path=path,
+        checkpoint=str(tmp_path / "ckpt"),
+        family="minhash",
+    )
+    q.awaitTermination()
+    st = minhash_index_stats(spark, path)
+    assert st["tombstones"] == 2  # overlapping requests collapse
+    assert minhash_dedup_incremental(shard, path, threshold=0.5).count() == 0
+    with pytest.raises(ValueError, match="unknown index family"):
+        stream_index_deletes(
+            id_stream, index_path=path,
+            checkpoint=str(tmp_path / "ckpt2"), family="nope",
+        )

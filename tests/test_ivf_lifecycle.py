@@ -166,3 +166,22 @@ def test_append_then_compact_defragments(spark, index):
     # centers + meta side tables survive the swap
     assert ivf_index_meta(spark, path) is not None
     assert spark.read.parquet(f"{path}/_ivf_centers").count() == N_LISTS
+
+
+def test_append_rejects_missing_payload_columns(spark, tmp_path):
+    """A shard lacking an index payload column must fail with the
+    column NAMES (found via examples/ann_index_serving.py: the raw
+    unresolved-column plan dump buried the actual mistake) — silently
+    NULLing payload would be data loss a probe only notices later."""
+    corpus = spark.createDataFrame(
+        [(i, _vec(i), "en") for i in range(20)],
+        "vec_id bigint, embedding array<double>, label string",
+    )
+    assigned, centers = ivf_build_index(corpus, n_lists=2, seed=3)
+    path = str(tmp_path / "ivfp")
+    ivf_write_index(assigned, centers, path)
+    shard = spark.createDataFrame(
+        [(100, _vec(100))], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="label"):
+        ivf_index_append(shard, path)

@@ -199,3 +199,73 @@ def test_compact_table_refuses_delta_tables(spark, tmp_path):
     os.makedirs(f"{path}/_delta_log")
     with pytest.raises(ValueError, match="Delta"):
         compact_table(spark, path)
+
+
+def test_delete_where_sql_semantics_and_idempotency(spark, tmp_path):
+    """DELETE removes only predicate-TRUE rows: FALSE and NULL
+    predicate rows survive (the NULL-precondition rule), and a re-run
+    deletes nothing."""
+    from tia_data_pipeline_spark.sources.lakehouse import delete_where
+
+    path = str(tmp_path / "t")
+    merge_upsert_table(
+        spark, _df(spark, [(1, "keep"), (2, "drop"), (3, None), (4, "drop")]),
+        path, ["id"],
+    )
+    n = delete_where(spark, path, "v = 'drop'")
+    assert n == 2
+    # v IS NULL row survives: the predicate evaluates NULL there
+    assert _rows(spark, path) == {(1, "keep"), (3, None)}
+    assert delete_where(spark, path, "v = 'drop'") == 0
+    assert _rows(spark, path) == {(1, "keep"), (3, None)}
+
+
+def test_delete_keys_by_id_null_keys_excluded(spark, tmp_path):
+    """The takedown-by-id form: ids-only input, NULL ids identify
+    nothing (excluded explicitly), twice ≡ once; a NULL-keyed table
+    row is only removable via an explicit IS NULL delete_where, never
+    by a NULL in the id list."""
+    from tia_data_pipeline_spark.sources.lakehouse import delete_keys
+
+    path = str(tmp_path / "t")
+    rows = [(1, "a"), (2, "b"), (3, "c"), (None, "nullkey")]
+    spark.createDataFrame(rows, "id bigint, v string").write.parquet(path)
+    doomed = spark.createDataFrame([(2,), (None,), (99,)], "id bigint")
+    assert delete_keys(spark, doomed, path, ["id"]) == 1
+    assert _rows(spark, path) == {(1, "a"), (3, "c"), (None, "nullkey")}
+    assert delete_keys(spark, doomed, path, ["id"]) == 0
+
+
+def test_delete_composes_with_index_tombstones(spark, tmp_path):
+    """The full takedown flow: delete the documents from the STORE and
+    tombstone them in the derived MinHash INDEX — after both, the doc
+    is unfindable via either path; after index compaction it is
+    physically gone everywhere."""
+    from tia_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index_compact,
+        minhash_index_delete,
+        minhash_write_index,
+    )
+    from tia_data_pipeline_spark.sources.lakehouse import delete_keys
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated words here " * 8)],
+        "doc_id bigint, text string",
+    )
+    store = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    docs.write.parquet(store)
+    minhash_write_index(docs, "text", "doc_id", idx, n_shards=4)
+    probe = spark.createDataFrame([(10, base)], "doc_id bigint, text string")
+    assert {
+        r["dup_id"] for r in minhash_dedup_incremental(probe, idx).collect()
+    } == {1}
+    doomed = spark.createDataFrame([(1,)], "doc_id bigint")
+    assert delete_keys(spark, doomed, store, ["doc_id"]) == 1
+    minhash_index_delete(doomed, idx)
+    assert spark.read.parquet(store).filter("doc_id = 1").count() == 0
+    assert minhash_dedup_incremental(probe, idx).count() == 0
+    minhash_index_compact(spark, idx)
+    assert spark.read.parquet(idx).filter("_id = 1").count() == 0

@@ -1064,3 +1064,31 @@ def test_approx_quantiles_sketch_plan_no_sort_no_window(spark):
     assert "CartesianProduct" not in p
     # both scans read ONLY the measured column
     assert "ReadSchema: struct<l_extendedprice:double>" in p
+
+
+def test_index_delete_probe_stays_pruned_and_broadcasts_tombstones(spark):
+    """q_index_delete's probe plan keeps the two 100 TB properties the
+    deletion layer must not break: the index scan still plans
+    non-empty (band, bshard) PartitionFilters (tombstone masking is an
+    anti-join AFTER the pruned scan, never a reason to widen it), and
+    the tombstone anti-join broadcasts (the tombstone table is
+    request-sized — a shuffled anti-join would re-key the whole pruned
+    index side against a few ids)."""
+    p = plan_of(spark, "q_index_delete")
+    scans = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert any(
+        "band" in ln and "bshard" in ln and "[]" not in ln.split("PartitionFilters:")[1][:10]
+        for ln in scans
+    ), f"index scan lost its partition filters: {scans}"
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, (
+        "tombstone masking must be a broadcast anti-join"
+    )
+
+
+def test_ivf_append_census_reads_with_explicit_schema(spark):
+    """q_ivf_append's census reads the index back through the meta's
+    explicit schema (no inference job) and prunes to the three columns
+    the census needs — a full-width read of the payload would scale
+    with whatever the corpus carries, not with the census."""
+    p = plan_of(spark, "q_ivf_append")
+    assert "ReadSchema: struct<embedding:" in p, "census must prune to (embedding, _cell)"

@@ -122,6 +122,7 @@ def test_no_cache_leak_per_batch(spark, corpus, tmp_path):
     idx = str(tmp_path / "eidx")
     embedding_write_index(corpus["hist"], idx)
     out = str(tmp_path / "pairs_out")
+    spark.catalog.clearCache()  # isolate from session-lifetime caches
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getRDDStorageInfo()
     embed_increment_batch(corpus["shard_a"], idx, out, 0, threshold=0.9)

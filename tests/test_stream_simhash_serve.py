@@ -127,6 +127,11 @@ def test_no_cache_leak_per_batch(spark, corpus, tmp_path):
     idx = str(tmp_path / "shidx")
     simhash_write_index(corpus["hist"], "text", "doc_id", idx, n_shards=8)
     out = str(tmp_path / "pairs_out")
+    # session-lifetime caches from earlier tests can materialize
+    # lazily (CacheManager plan-matching) or evict between the two
+    # snapshots — start from a clean slate so the count compares
+    # only THIS batch's cache discipline
+    spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getRDDStorageInfo()
     simhash_increment_batch(corpus["shard_a"], idx, out, 0, max_hamming=1)

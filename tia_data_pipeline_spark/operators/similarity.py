@@ -889,9 +889,19 @@ def ivf_index_append(new_vecs: DataFrame, index_path: str) -> dict:
         )
         delta = assigned.join(existing, on=id_col, how="left_anti")
         schema = StructType.fromJson(_json.loads(meta["schema_json"]))
-        cols = [
-            F.col(f.name).cast(f.dataType) for f in schema.fields if f.name != "_cell"
-        ] + [F.col("_cell")]
+        data_fields = [f for f in schema.fields if f.name != "_cell"]
+        missing = [f.name for f in data_fields if f.name not in delta.columns]
+        if missing:
+            # fail with names, not an unresolved-column plan dump: the
+            # index's payload columns are CONTENT — silently NULLing
+            # them would be data loss a probe only notices much later
+            raise ValueError(
+                f"shard is missing index payload columns {missing}; the "
+                f"index schema carries {[f.name for f in data_fields]}"
+            )
+        cols = [F.col(f.name).cast(f.dataType) for f in data_fields] + [
+            F.col("_cell")
+        ]
         appended = delta.select(*cols).persist()
         # count BEFORE the write: writing to index_path makes Spark
         # re-cache every cached plan that scans it (recacheByPath), and

@@ -14,7 +14,11 @@ from tia_data_pipeline_spark.sources.rest import (
 )
 from tia_data_pipeline_spark.sources.files import read_json_records, write_json_records
 from tia_data_pipeline_spark.sources.jdbc import jdbc_read, jdbc_upsert_append
-from tia_data_pipeline_spark.sources.lakehouse import merge_upsert_table
+from tia_data_pipeline_spark.sources.lakehouse import (
+    delete_keys,
+    delete_where,
+    merge_upsert_table,
+)
 
 __all__ = [
     "paginated_rest_source",
@@ -23,5 +27,7 @@ __all__ = [
     "write_json_records",
     "jdbc_read",
     "jdbc_upsert_append",
+    "delete_keys",
+    "delete_where",
     "merge_upsert_table",
 ]

@@ -251,3 +251,79 @@ def compact_table(
         df.write.mode("overwrite").parquet(staging)
     _swap_table(fs, jvm, staging, path)
     return n_files
+
+
+def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
+    """DELETE rows matching ``predicate`` from the table at ``path`` —
+    the DOCUMENT-STORE leg of a takedown / right-to-be-forgotten /
+    corpus-TTL request (the derived indexes' leg is the per-family
+    ``*_index_delete`` tombstones; run both, in either order).
+
+    SQL DELETE semantics exactly: a row leaves only when the predicate
+    is TRUE — FALSE **and NULL** rows survive (stated via
+    ``NOT coalesce(pred, false)``, the engine's NULL-precondition
+    rule). Idempotent: re-running deletes nothing.
+
+    Delta path: native ACID ``DeltaTable.delete`` (file-pruned, only
+    touched files rewrite). Parquet fallback: filtered rewrite staged
+    and swapped like the merge fallback — full-width rewrite cost, the
+    documented reason a table format is the production answer.
+    Returns the number of rows deleted."""
+    if have_delta(spark):
+        from delta.tables import DeltaTable
+
+        t = DeltaTable.forPath(spark, path)
+        before = t.toDF().count()
+        t.delete(predicate)
+        return before - t.toDF().count()
+    existing = spark.read.parquet(path)
+    kept = existing.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+    before = existing.count()
+    staging = f"{path}__staging_{uuid.uuid4().hex}"
+    kept.write.mode("overwrite").parquet(staging)
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    _swap_table(fs, jvm, staging, path)
+    return before - spark.read.parquet(path).count()
+
+
+def delete_keys(
+    spark: SparkSession,
+    doomed: DataFrame,
+    path: str,
+    keys: Sequence[str],
+) -> int:
+    """DELETE by key set — the takedown-by-id form (ids arrive without
+    the rows' content, exactly like the index tombstone APIs). NULL
+    keys in ``doomed`` are excluded explicitly (the PK-target
+    precondition of the merge family: a NULL key identifies nothing),
+    and the kept-side anti-join is eqNullSafe per key column, matching
+    merge_upsert_table's match condition. Idempotent. Returns the
+    number of rows deleted.
+
+    Delta path: ``MERGE … WHEN MATCHED THEN DELETE`` (file-pruned).
+    Parquet fallback: anti-join rewrite, staged + swapped."""
+    if not keys:
+        raise ValueError("delete_keys requires at least one key column")
+    cond_ids = doomed.select(*keys).na.drop(subset=list(keys)).distinct()
+    if have_delta(spark):
+        from delta.tables import DeltaTable
+
+        t = DeltaTable.forPath(spark, path)
+        before = t.toDF().count()
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        (
+            t.alias("t")
+            .merge(cond_ids.alias("s"), cond)
+            .whenMatchedDelete()
+            .execute()
+        )
+        return before - t.toDF().count()
+    existing = spark.read.parquet(path)
+    on = [existing[k].eqNullSafe(cond_ids[k]) for k in keys]
+    kept = existing.join(cond_ids, on, "left_anti")
+    before = existing.count()
+    staging = f"{path}__staging_{uuid.uuid4().hex}"
+    kept.write.mode("overwrite").parquet(staging)
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    _swap_table(fs, jvm, staging, path)
+    return before - spark.read.parquet(path).count()

@@ -7,6 +7,7 @@ from tia_data_pipeline_spark.streaming.ann_serve import (
     stream_ann_topk,
 )
 from tia_data_pipeline_spark.streaming.dedup_serve import (
+    stream_index_deletes,
     dedup_increment_batch,
     embed_increment_batch,
     simhash_increment_batch,
@@ -43,5 +44,6 @@ __all__ = [
     "ann_search_batch",
     "ivf_append_batch",
     "stream_ann_topk",
+    "stream_index_deletes",
     "stream_ivf_append",
 ]

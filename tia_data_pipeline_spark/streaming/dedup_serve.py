@@ -306,3 +306,54 @@ def stream_simhash_incremental(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_index_deletes(
+    id_stream: DataFrame,
+    *,
+    index_path: str,
+    checkpoint: str,
+    family: str,
+    id_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run a DELETION-REQUEST stream (takedown ids) against a persisted
+    index — the write-side mirror of the append loops, completing the
+    streaming lifecycle: documents arrive via `stream_*_incremental`,
+    leave via this. ``family`` picks the index kind ("minhash",
+    "simhash", "embedding", "ivf"); each micro-batch appends its ids as
+    tombstones (idempotent — a foreachBatch replay re-tombstones
+    already-tombstoned ids into nothing, so at-least-once delivery is
+    exactly-once in effect). Physical removal stays the scheduled
+    `*_index_compact` maintenance op; probes mask immediately."""
+    from tia_data_pipeline_spark.operators.dedup import (
+        minhash_index_delete,
+        simhash_index_delete,
+    )
+    from tia_data_pipeline_spark.operators.similarity import (
+        embedding_index_delete,
+        ivf_index_delete,
+    )
+
+    deleters = {
+        "minhash": minhash_index_delete,
+        "simhash": simhash_index_delete,
+        "embedding": embedding_index_delete,
+        "ivf": ivf_index_delete,
+    }
+    try:
+        delete = deleters[family]
+    except KeyError:
+        raise ValueError(
+            f"unknown index family {family!r}; one of {sorted(deleters)}"
+        ) from None
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delete(batch_df, index_path, id_col=id_col)
+
+    writer = id_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
