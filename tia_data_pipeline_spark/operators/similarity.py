@@ -783,13 +783,17 @@ def _ivf_batch_topk(
     id_col: str,
     probe_id_col: str,
     k: int,
+    meta: dict | None = None,
 ) -> DataFrame:
     """Search core shared by the batch operator and the streaming
     loop: pruned index scan (PartitionFilters from the probes' touched
     cells, read with the meta's explicit schema — ADVICE r8) →
     tombstone mask → broadcast probe equi-join on the cell → exact
-    cosine → per-probe rank-limited window."""
-    meta = ivf_index_meta(spark, index_path)
+    cosine → per-probe rank-limited window. The streaming loop passes
+    the once-read ``meta`` through (immutable after write — the
+    read-once-per-stream rule); batch callers may omit it."""
+    if meta is None:
+        meta = ivf_index_meta(spark, index_path)
     touched = sorted(int(r["_cell"]) for r in pb.select("_cell").distinct().collect())
     idx = _mask_ivf_tombstones(
         _read_ivf_index(spark, index_path, meta).filter(

@@ -23,6 +23,7 @@ from pyspark.sql.streaming import StreamingQuery
 from tia_data_pipeline_spark.operators.similarity import (
     _ivf_batch_topk,
     _ivf_probe_frame,
+    ivf_index_meta,
     ivf_read_centers,
 )
 
@@ -39,18 +40,21 @@ def ann_search_batch(
     k: int = 10,
     n_probe: int = 4,
     centers: list[list[float]] | None = None,
+    meta: dict | None = None,
 ) -> None:
     """One micro-batch of the ANN serving loop: per-probe top-k →
     ``topk_out/batch_id=N`` (overwrite — replay rewrites identical
     rows). Callable directly for a scheduled job;
     :func:`stream_ann_topk` wires it to ``foreachBatch`` and passes
-    the once-read ``centers`` through."""
+    the once-read ``centers`` AND ``meta`` through (both immutable
+    after ``ivf_write_index`` — a continuous stream must not pay a
+    driver-side side-table read per trigger)."""
     spark = batch_probes.sparkSession
     cs = centers if centers is not None else ivf_read_centers(spark, index_path)
     pb = _ivf_probe_frame(batch_probes, cs, vec_col, probe_id_col, n_probe).persist()
     try:
         _ivf_batch_topk(
-            pb, spark, index_path, vec_col, id_col, probe_id_col, k
+            pb, spark, index_path, vec_col, id_col, probe_id_col, k, meta=meta
         ).write.mode("overwrite").parquet(f"{topk_out}/batch_id={batch_id}")
     finally:
         pb.unpersist()
@@ -75,12 +79,13 @@ def stream_ann_topk(
     continuously). The index must already exist
     (:func:`…operators.similarity.ivf_write_index`)."""
     centers = ivf_read_centers(probe_stream.sparkSession, index_path)
+    meta = ivf_index_meta(probe_stream.sparkSession, index_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         ann_search_batch(
             batch_df, index_path, topk_out, batch_id,
             vec_col=vec_col, id_col=id_col, probe_id_col=probe_id_col,
-            k=k, n_probe=n_probe, centers=centers,
+            k=k, n_probe=n_probe, centers=centers, meta=meta,
         )
 
     writer = probe_stream.writeStream.foreachBatch(write_batch).option(
