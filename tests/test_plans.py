@@ -152,7 +152,7 @@ TAIL_COVERED_BY = {
     "q_revenue_by_segment": "q_join_enrich",  # broadcast enrich-join family
     "q_ts_normalize": "q_json_ser",  # row/scalar text-transform family
     "q_span_cut": "q_dup_spans",  # span pipeline variant (cut form)
-    "q_bm25_indexed": "q_bm25",  # same oracle constant as the full-scan form
+    "q_simhash": "q_simhash_incremental",  # same md5-bit fingerprint family
     # earlier-round tail entries (covers remapped where their round-9
     # target rotated out of the head):
     "q_agg_count": "q_cube",

@@ -67,24 +67,14 @@ def test_serve_scan_is_partition_pruned(spark, index_path):
     assert all(f"/_bucket={int(bucket)}/" in f for f in read_files)
 
 
-def test_df_denormalized_consistently(spark, index_path):
-    """Every posting of a term carries the same df, equal to the
-    term's distinct-doc count — the build-time window is coherent."""
+def test_postings_carry_no_denormalized_df(spark, index_path):
+    """df is a SERVE-TIME window, never a stored column (round 9: a
+    build-time denormalized df goes stale on every append/delete of
+    any document containing the term — the design change that made
+    the index incremental). The stored schema is exactly
+    (tok, doc_id, tf) + the bucket partition column."""
     post = spark.read.parquet(index_path)
-    bad = (
-        post.groupBy("tok")
-        .agg(
-            F.count("*").alias("n_docs_actual"),
-            F.min("df").alias("df_min"),
-            F.max("df").alias("df_max"),
-        )
-        .filter(
-            (F.col("df_min") != F.col("df_max"))
-            | (F.col("df_min") != F.col("n_docs_actual"))
-        )
-        .count()
-    )
-    assert bad == 0
+    assert set(post.columns) == {"tok", "doc_id", "tf", "_bucket"}
 
 
 def test_bucket_modulus_persists_with_index(spark, tmp_path):
@@ -114,3 +104,90 @@ def test_bad_args(spark, index_path):
             index_path,
             n_buckets=0,
         )
+
+
+class TestTextIndexLifecycle:
+    """Append / delete / compact — round 9 completes the lifecycle on
+    the text index like the other four families. The oracle for every
+    leg is the strongest available: serving from the incrementally-
+    maintained index must EQUAL serving from a fresh full build of the
+    same live membership (same scores bit-for-bit — df, N, and avgdl
+    all track the membership)."""
+
+    def _serve(self, spark, path, k=20):
+        from tia_data_pipeline_spark.plans.llm import _BM25_TERMS
+
+        return [
+            tuple(r)
+            for r in bm25_search_indexed(spark, path, list(_BM25_TERMS), k=k).collect()
+        ]
+
+    def _fresh(self, spark, docs, tmp, tag):
+        p = str(tmp / f"fresh_{tag}")
+        build_text_index(docs, p, n_buckets=8)
+        return self._serve(spark, p)
+
+    def test_append_equals_full_rebuild(self, spark, tmp_path):
+        from tia_data_pipeline_spark.operators.text_index import text_index_append
+
+        docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+        hist = docs.filter("doc_id % 5 <> 0")
+        shard = docs.filter("doc_id % 5 = 0")
+        path = str(tmp_path / "idx")
+        build_text_index(hist, path, n_buckets=8)
+        text_index_append(shard, path)
+        assert self._serve(spark, path) == self._fresh(spark, docs, tmp_path, "all")
+        # idempotent: a replayed shard changes nothing (twice ≡ once)
+        n = spark.read.parquet(path).count()
+        text_index_append(shard, path)
+        assert spark.read.parquet(path).count() == n
+        assert self._serve(spark, path) == self._fresh(spark, docs, tmp_path, "all2")
+
+    def test_delete_then_compact_equals_shrunken_rebuild(self, spark, tmp_path):
+        from tia_data_pipeline_spark.operators.text_index import (
+            text_index_compact,
+            text_index_delete,
+            text_index_stats,
+        )
+
+        docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+        path = str(tmp_path / "idx")
+        build_text_index(docs, path, n_buckets=8)
+        doomed = docs.filter("doc_id % 3 = 0").select("doc_id")
+        text_index_delete(doomed, path)
+        text_index_delete(doomed, path)  # idempotent
+        st = text_index_stats(spark, path)
+        assert st["tombstones"] == doomed.count() and st["tombstone_fraction"] > 0
+        # masked serve equals a fresh build over the survivors — docs,
+        # df, N and avgdl all excluded the tombstoned third
+        live = docs.filter("doc_id % 3 <> 0")
+        masked = self._serve(spark, path)
+        assert masked == self._fresh(spark, live, tmp_path, "live")
+        out = text_index_compact(spark, path)
+        post = text_index_stats(spark, path)
+        assert post["tombstones"] == 0
+        assert out["files_after"] <= out["files_before"]
+        # physical removal changes nothing a serve can observe
+        assert self._serve(spark, path) == masked
+        assert spark.read.parquet(f"{path}/_doc_stats").filter(
+            "doc_id % 3 = 0"
+        ).count() == 0
+
+    def test_append_after_compact_defragments(self, spark, tmp_path):
+        from tia_data_pipeline_spark.operators.text_index import (
+            text_index_append,
+            text_index_compact,
+            text_index_stats,
+        )
+
+        docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+        path = str(tmp_path / "idx")
+        build_text_index(docs.filter("doc_id % 4 = 0"), path, n_buckets=8)
+        for m in (1, 2, 3):
+            text_index_append(docs.filter(f"doc_id % 4 = {m}"), path)
+        before = text_index_stats(spark, path)
+        text_index_compact(spark, path)
+        after = text_index_stats(spark, path)
+        assert after["rows"] == before["rows"]
+        assert after["files"] < before["files"]
+        assert self._serve(spark, path) == self._fresh(spark, docs, tmp_path, "all")

@@ -9,26 +9,41 @@ Layout under ``path``:
   pmod(xxhash64(term), n_buckets)`` — a query's terms hash to a handful
   of buckets, the ``_bucket IN (...)`` predicate becomes a partition
   filter, and the serve scan opens only those buckets' files
-  (plan-pinned in tests/test_text_index.py). Per-term document
-  frequency is denormalized onto every posting at build time so serving
-  needs no second aggregate over the index.
+  (plan-pinned in tests/test_text_index.py).
 - ``_doc_stats``: (doc_id, dl) — per-document token length for the
-  BM25 length normalizer.
+  BM25 length normalizer, and the index's membership set (a doc is
+  indexed ⟺ it has a row here — the append idempotency anchor).
 - ``_corpus_stats``: one row (n_docs, total_tokens, n_buckets) — the
   scalars plus the bucket modulus, so serving can never hash terms
   with a different modulus than the build.
+- ``_tombstones`` (after a delete): doc ids masked from every serve
+  until :func:`text_index_compact` removes them physically — the same
+  deletion semantics as the MinHash/SimHash/embedding/IVF indexes.
+
+Per-term document frequency is computed AT SERVE TIME with a window
+over the pruned scan — a term's bucket holds its COMPLETE posting
+list, so the in-scan count is exact. This is what makes the index
+INCREMENTAL: a build-time denormalized df (the round-8 form) would go
+stale on every append/delete of any document containing the term,
+scattering rewrites across buckets; the serve-time form costs one
+window over candidate rows (already shuffled for the doc join) and
+nothing ever needs repair.
 
 Scoring is the q_bm25 arithmetic verbatim (``plans/llm.py``): idf as
 differences of integer-argument logs, tf saturation with cleared
 denominators, per-term scores integered to nano-units before the
 per-doc sum — so serving from the index reproduces the full-scan query
-bit-for-bit (equivalence-tested).
+bit-for-bit (equivalence-tested), including after appends and deletes
+(serving equals a full scan of the CURRENT membership: df counts only
+live docs, and the N/avgdl scalars subtract pending tombstones'
+contributions before scoring).
 
-Scale: the build is explode → one (term, doc) aggregate → one (term)
-window for df (both on the same shuffle key family) → partitioned
+Scale: the build is explode → one (term, doc) aggregate → partitioned
 write. Serving scans |query-bucket| / n_buckets of the postings before
 any row work, joins doc lengths only for candidate docs, and top-k is
-a TakeOrderedAndProject.
+a TakeOrderedAndProject. Appends are delta-sized (membership anti-join
+against ``_doc_stats``); deletes are request-sized tombstone appends;
+compaction applies deletes and restores one file per bucket.
 """
 
 from __future__ import annotations
@@ -56,41 +71,51 @@ def build_text_index(
     """Write the inverted index for ``docs`` under ``path``."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    postings = _postings_frame(docs, id_col, text_col, n_buckets)
+    postings.write.partitionBy("_bucket").mode("overwrite").parquet(path)
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    dl = base.select("doc_id", TX.word_count(F.col("text")).alias("dl"))
+    dl.write.mode("overwrite").parquet(f"{path}/_doc_stats")
+    _write_corpus_stats(docs.sparkSession, path, n_buckets, postings.schema.json())
+
+
+def _postings_frame(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(tok, doc_id, tf, _bucket) rows — the single postings builder
+    shared by the full build and the incremental append, so bucketing
+    and tokenization can never drift between generations."""
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     toks = base.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
-    # df rides on the same rows via a (tok) window — serving never
-    # re-aggregates the index
-    df_w = Window.partitionBy("tok")
-    postings = tf.select(
+    return tf.select(
         "tok",
         "doc_id",
         "tf",
-        F.count("*").over(df_w).cast("bigint").alias("df"),
         F.pmod(F.xxhash64(F.col("tok"), F.lit(_INDEX_SEED)), F.lit(n_buckets))
         .cast("int")
         .alias("_bucket"),
     )
-    postings.write.partitionBy("_bucket").mode("overwrite").parquet(path)
 
-    dl = base.select("doc_id", TX.word_count(F.col("text")).alias("dl"))
-    dl.write.mode("overwrite").parquet(f"{path}/_doc_stats")
-    # aggregate the JUST-WRITTEN stats table, not the source lineage:
-    # re-running the tokenize over the text corpus would double the
-    # stats phase for identical numbers (same rule as the shard
-    # writer's manifest). n_buckets persists WITH the index — a serve
-    # called with a different modulus would hash terms into the wrong
-    # partitions and silently return a partial top-k.
-    spark = docs.sparkSession
+
+def _write_corpus_stats(
+    spark: SparkSession, path: str, n_buckets: int, postings_schema_json: str
+) -> None:
+    """Recompute ``_corpus_stats`` from the JUST-WRITTEN ``_doc_stats``
+    table (not the source lineage — re-running the tokenize would
+    double the stats phase for identical numbers; same rule as the
+    shard writer's manifest). One implementation shared by build,
+    append, and compact so every generation refreshes the scalars the
+    same way. n_buckets persists WITH the index — a serve called with
+    a different modulus would hash terms into the wrong partitions and
+    silently return a partial top-k; the postings schema persists so
+    an EMPTY index (zero postings files) stays servable."""
     spark.read.parquet(f"{path}/_doc_stats").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tokens"),
         F.lit(n_buckets).cast("int").alias("n_buckets"),
-        # postings schema persists with the index (the persisted-index
-        # rule): an EMPTY corpus writes no postings files, and serving
-        # must still read the dir (zero hits) instead of failing
-        # schema inference
-        F.lit(postings.schema.json()).alias("postings_schema"),
+        F.lit(postings_schema_json).alias("postings_schema"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
 
 
@@ -129,18 +154,53 @@ def bm25_search_indexed(
 
     from pyspark.sql.types import StructType
 
+    from tia_data_pipeline_spark.operators.scale import (
+        anti_join_index_tombstones,
+        read_index_tombstones,
+    )
+
     postings_schema = StructType.fromJson(json.loads(stats_row["postings_schema"]))
-    postings = (
+    postings = anti_join_index_tombstones(
         spark.read.schema(postings_schema)
         .parquet(path)
         .filter(F.col("_bucket").isin(buckets))
-        .filter(F.col("tok").isin(*terms))
+        .filter(F.col("tok").isin(*terms)),
+        path,
+        index_schema_json=stats_row["postings_schema"],
+        id_col="doc_id",
     )
     dl = spark.read.parquet(f"{path}/_doc_stats")
-    scal = F.broadcast(spark.read.parquet(f"{path}/_corpus_stats"))
+    scal = spark.read.parquet(f"{path}/_corpus_stats").select(
+        "n_docs", "total_tokens"
+    )
+    # pending tombstones leave the scoring scalars too: N and the
+    # length total subtract the dead docs' contributions (one
+    # _doc_stats semi-join, gated on the request-sized tombstone count
+    # so a tombstone-free index pays nothing), making the serve equal a
+    # full scan of the CURRENT membership until compaction removes the
+    # rows physically
+    ts = read_index_tombstones(
+        spark, path, index_schema_json=stats_row["postings_schema"], id_col="doc_id"
+    )
+    if ts.limit(1).count():
+        dead = dl.join(F.broadcast(ts), "doc_id", "left_semi").agg(
+            F.count("*").cast("bigint").alias("_dead_n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("_dead_dl"),
+        )
+        scal = scal.crossJoin(dead).select(
+            (F.col("n_docs") - F.col("_dead_n")).alias("n_docs"),
+            (F.col("total_tokens") - F.col("_dead_dl")).alias("total_tokens"),
+        )
+    scal = F.broadcast(scal)
 
+    # serve-time df: the pruned scan holds each query term's COMPLETE
+    # (tombstone-masked) posting list, so the in-scan per-term count is
+    # the exact live document frequency — nothing denormalized, nothing
+    # to go stale across appends/deletes
+    df_w = Window.partitionBy("tok")
     sc = (
-        postings.join(dl, "doc_id")
+        postings.withColumn("df", F.count("*").over(df_w).cast("bigint"))
+        .join(dl, "doc_id")
         .crossJoin(scal)
         .select(
             "doc_id",
@@ -174,3 +234,122 @@ def bm25_search_indexed(
         portable_round(F.col("score_n") / F.lit(1_000_000_000.0), 6).alias("score"),
     )
     return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def text_index_append(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a document shard to the inverted index — idempotent
+    (twice ≡ once): membership is the ``_doc_stats`` table (a doc is
+    indexed ⟺ it has a length row), so the delta anti-joins it once —
+    doc-id-sized, never postings-sized. Delta postings append to their
+    term buckets; ``_corpus_stats`` recomputes from the updated
+    ``_doc_stats`` (the scalars are corpus totals — they must move with
+    every append). Serving needs no df repair: df is computed at serve
+    time (see the module docstring — the design choice that makes this
+    index incremental at all). NULL ids are excluded explicitly, so
+    the anti-join's plain equality is exact.
+
+    Re-appending a TOMBSTONED doc before compaction is a no-op (its
+    membership row still exists) and the tombstone keeps masking it —
+    the tombstone-wins-until-compact semantics shared by all four
+    sibling indexes."""
+    spark = docs.sparkSession
+    stats_row = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    n_buckets = int(stats_row["n_buckets"])
+    existing = spark.read.parquet(f"{path}/_doc_stats").select("doc_id")
+    base = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    delta = base.join(existing, "doc_id", "left_anti").persist()
+    try:
+        _postings_frame(delta, "doc_id", "text", n_buckets).repartition(
+            "_bucket"
+        ).write.partitionBy("_bucket").mode("append").parquet(path)
+        delta.select("doc_id", TX.word_count(F.col("text")).alias("dl")).write.mode(
+            "append"
+        ).parquet(f"{path}/_doc_stats")
+        _write_corpus_stats(spark, path, n_buckets, stats_row["postings_schema"])
+    finally:
+        delta.unpersist()
+
+
+def text_index_delete(ids: DataFrame, path: str, *, id_col: str = "doc_id") -> None:
+    """Tombstone documents out of the text index — same semantics as
+    the other four index families (masked from every serve immediately
+    — candidates, df, AND the N/avgdl scalars all exclude them;
+    physically removed at the next :func:`text_index_compact`;
+    idempotent; ids-only)."""
+    from tia_data_pipeline_spark.operators.scale import append_index_tombstones
+
+    spark = ids.sparkSession
+    stats_row = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    append_index_tombstones(
+        ids.select(F.col(id_col).alias("doc_id")),
+        path,
+        index_schema_json=stats_row["postings_schema"],
+        id_col="doc_id",
+    )
+
+
+def text_index_compact(spark: SparkSession, path: str) -> dict:
+    """One file per term bucket (appends fragment it) + apply pending
+    deletions everywhere: ``_doc_stats`` drops tombstoned rows,
+    ``_corpus_stats`` recomputes, and the generic compact drops the
+    tombstoned postings plus the applied tombstone table. The stats
+    rewrites run FIRST so a crash mid-compact can only leave scalars
+    already consistent with the tombstones a serve still masks."""
+    from tia_data_pipeline_spark.operators.scale import (
+        compact_partitioned_index,
+        read_index_tombstones,
+    )
+
+    stats_row = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    schema_json = stats_row["postings_schema"]
+    ts = read_index_tombstones(
+        spark, path, index_schema_json=schema_json, id_col="doc_id"
+    )
+    if ts.limit(1).count():
+        kept = (
+            spark.read.parquet(f"{path}/_doc_stats")
+            .join(F.broadcast(ts), "doc_id", "left_anti")
+            .persist()
+        )
+        kept.count()  # materialize BEFORE overwriting what it reads
+        staging = f"{path}/_doc_stats__new"
+        kept.write.mode("overwrite").parquet(staging)
+        kept.unpersist()
+        import shutil
+
+        shutil.rmtree(f"{path}/_doc_stats")
+        import os
+
+        os.rename(staging, f"{path}/_doc_stats")
+        _write_corpus_stats(spark, path, int(stats_row["n_buckets"]), schema_json)
+    return compact_partitioned_index(
+        spark,
+        path,
+        partition_cols=("_bucket",),
+        schema_json=schema_json,
+        side_dirs=("_doc_stats", "_corpus_stats"),
+        tombstones_id_col="doc_id",
+    )
+
+
+def text_index_stats(spark: SparkSession, path: str) -> dict:
+    """Health census of the text index — fragmentation / bucket skew /
+    pending-tombstone fraction, the `*_index_stats` family member."""
+    from tia_data_pipeline_spark.operators.scale import partitioned_index_stats
+
+    stats_row = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    return partitioned_index_stats(
+        spark,
+        path,
+        partition_cols=("_bucket",),
+        schema_json=stats_row["postings_schema"],
+        tombstones_id_col="doc_id",
+    )
