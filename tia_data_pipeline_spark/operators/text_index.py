@@ -154,35 +154,31 @@ def bm25_search_indexed(
 
     from pyspark.sql.types import StructType
 
-    from tia_data_pipeline_spark.operators.scale import (
-        anti_join_index_tombstones,
-        read_index_tombstones,
-    )
+    from tia_data_pipeline_spark.operators.scale import try_read_index_tombstones
 
     postings_schema = StructType.fromJson(json.loads(stats_row["postings_schema"]))
-    postings = anti_join_index_tombstones(
+    postings = (
         spark.read.schema(postings_schema)
         .parquet(path)
         .filter(F.col("_bucket").isin(buckets))
-        .filter(F.col("tok").isin(*terms)),
-        path,
-        index_schema_json=stats_row["postings_schema"],
-        id_col="doc_id",
+        .filter(F.col("tok").isin(*terms))
     )
     dl = spark.read.parquet(f"{path}/_doc_stats")
     scal = spark.read.parquet(f"{path}/_corpus_stats").select(
         "n_docs", "total_tokens"
     )
-    # pending tombstones leave the scoring scalars too: N and the
-    # length total subtract the dead docs' contributions (one
-    # _doc_stats semi-join, gated on the request-sized tombstone count
-    # so a tombstone-free index pays nothing), making the serve equal a
-    # full scan of the CURRENT membership until compaction removes the
-    # rows physically
-    ts = read_index_tombstones(
+    # pending tombstones leave candidates AND the scoring scalars: N
+    # and the length total subtract the dead docs' contributions (one
+    # _doc_stats semi-join), making the serve equal a full scan of the
+    # CURRENT membership until compaction removes the rows physically.
+    # A never-deleted-from index (no _tombstones dir — the common case)
+    # skips both legs entirely; an emptied one (all tombstones applied
+    # by compact) costs one tiny limit(1) probe.
+    ts = try_read_index_tombstones(
         spark, path, index_schema_json=stats_row["postings_schema"], id_col="doc_id"
     )
-    if ts.limit(1).count():
+    if ts is not None and ts.limit(1).count():
+        postings = postings.join(F.broadcast(ts), "doc_id", "left_anti")
         dead = dl.join(F.broadcast(ts), "doc_id", "left_semi").agg(
             F.count("*").cast("bigint").alias("_dead_n"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("_dead_dl"),
