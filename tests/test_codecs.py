@@ -420,3 +420,29 @@ def test_png_through_spark_feature_pipeline(spark):
     assert rows[1]["kind"] == "png" and rows[1]["brightness"] == 250.0
     assert rows[2]["width"] == 4 and rows[2]["brightness"] == 0.0
     assert rows[3]["kind"] == "png" and rows[3]["brightness"] is None
+
+
+def test_png_decompression_bomb_degrades_to_stub():
+    """A crafted IDAT that inflates far beyond the IHDR geometry must
+    hit the stub fallback after a BOUNDED inflate — never allocate the
+    full bomb (review r9: this path runs inside the corpus-facing
+    pandas UDF where corrupt payloads degrade, not kill)."""
+    import zlib
+
+    from tia_data_pipeline_spark.operators.multimodal import fake_decode
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # claims 2x2 RGB (19 bytes of raster) but inflates to ~64 MB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)
+    payload = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    assert len(payload) < 1024 * 1024  # the payload itself is small
+    assert decode_media(payload) == fake_decode(payload)

@@ -422,3 +422,67 @@ def test_stream_index_deletes_masks_and_replays_idempotently(spark, docs, tmp_pa
             id_stream, index_path=path,
             checkpoint=str(tmp_path / "ckpt2"), family="nope",
         )
+
+
+class TestReviewHardenings:
+    """Round-9 review findings, pinned."""
+
+    def test_noop_delete_never_creates_tombstone_dir(self, spark, docs, tmp_path):
+        """An all-NULL or fully-replayed deletion batch must not create
+        _tombstones on a pristine index (it would permanently demote
+        every probe off the never-deleted fast path) nor grow files on
+        replay."""
+        from tia_data_pipeline_spark.operators.dedup import (
+            minhash_index_delete,
+            minhash_write_index,
+        )
+
+        hist, _ = docs
+        path = str(tmp_path / "mh")
+        minhash_write_index(hist, "text", "doc_id", path, n_shards=4)
+        nulls = spark.createDataFrame([(None,)], "doc_id bigint")
+        minhash_index_delete(nulls, path)
+        assert not os.path.isdir(os.path.join(path, "_tombstones"))
+        # a real delete creates it; replaying adds NO file
+        minhash_index_delete(_ids(spark, 1), path)
+        import glob
+
+        files = lambda: len(  # noqa: E731
+            glob.glob(os.path.join(path, "_tombstones", "*.parquet"))
+        )
+        n1 = files()
+        minhash_index_delete(_ids(spark, 1), path)
+        assert files() == n1 == 1
+
+    def test_stream_deletes_respect_family_id_defaults(self, spark, tmp_path):
+        """family='embedding' must accept the vec_id-keyed streams every
+        other embedding API defaults to (review r9: a hardcoded
+        forwarded 'doc_id' raised UNRESOLVED_COLUMN in foreachBatch)."""
+        from tia_data_pipeline_spark.operators.similarity import (
+            embedding_dedup_incremental,
+            embedding_write_index,
+        )
+        from tia_data_pipeline_spark.streaming.dedup_serve import (
+            stream_index_deletes,
+        )
+
+        hist, shard = TestEmbeddingDelete()._data(spark)
+        path = str(tmp_path / "emb")
+        embedding_write_index(hist, path, bits=2)
+        req = tmp_path / "requests"
+        spark.createDataFrame([(1,)], "vec_id bigint").coalesce(1).write.parquet(
+            str(req / "a")
+        )
+        id_stream = spark.readStream.schema("vec_id bigint").parquet(f"{req}/*")
+        q = stream_index_deletes(
+            id_stream,
+            index_path=path,
+            checkpoint=str(tmp_path / "ckpt"),
+            family="embedding",
+        )
+        q.awaitTermination()
+        got = {
+            (r["new_id"], r["dup_id"])
+            for r in embedding_dedup_incremental(shard, path, threshold=0.9).collect()
+        }
+        assert not any(d == 1 for _, d in got)

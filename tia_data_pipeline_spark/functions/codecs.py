@@ -216,7 +216,18 @@ def decode_png(payload: bytes) -> dict:
     if width is None or not idat:
         raise ValueError("PNG without IHDR/IDAT")
     bpp = _PNG_CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    # bounded inflate: IHDR fixes the raster size, so cap the output at
+    # exactly that (+1 byte to detect overrun) — an unbounded
+    # zlib.decompress would let a crafted decompression-bomb payload
+    # allocate the full inflated buffer and OOM the executor BEFORE the
+    # truncated/oversized checks could route it to the stub fallback
+    # (review r9); this path runs inside the corpus-facing pandas UDF,
+    # where "corrupt payload degrades, never kills the batch" is the
+    # contract
+    expected = height * (width * bpp + 1)
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) > expected:
+        raise ValueError("PNG raster larger than IHDR geometry")
     mat = _png_unfilter(raw, width, height, bpp).reshape(height, width, bpp)
     if color == 0:  # gray -> RGB
         pixels = np.repeat(mat, 3, axis=2)

@@ -617,9 +617,22 @@ def append_index_tombstones(
         .filter(F.col(id_col).isNotNull())
         .distinct()
         .join(existing, id_col, "left_anti")
+        .persist()
     )
-    # deletion batches are request-sized (small): one file per batch
-    delta.coalesce(1).write.mode("append").parquet(f"{path}/{_TOMBSTONE_DIR}")
+    try:
+        # skip the write outright when the delta is empty (all-NULL
+        # batch, or an idempotent replay of already-tombstoned ids —
+        # review r9): an unconditional empty append would CREATE the
+        # _tombstones dir on a pristine index, permanently demoting
+        # every probe off the never-deleted fast path, and grow one
+        # empty file per replay between compactions
+        if delta.limit(1).count():
+            # deletion batches are request-sized: one file per batch
+            delta.coalesce(1).write.mode("append").parquet(
+                f"{path}/{_TOMBSTONE_DIR}"
+            )
+    finally:
+        delta.unpersist()
 
 
 def anti_join_index_tombstones(

@@ -536,14 +536,18 @@ def ivf_write_index(
     cf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
     )
-    # per-cell training baseline: one aggregate over the corpus being
-    # written anyway (distance of each vector to its own center) —
-    # cells the training corpus never populated get n=0 baselines via
-    # the left join
+    assigned.write.partitionBy("_cell").mode("overwrite").parquet(path)
+    # per-cell training baseline from the JUST-WRITTEN index (the
+    # _write_corpus_stats rule — review r9: aggregating the source
+    # lineage would re-run the whole upstream, in production a second
+    # full-corpus KMeans transform, for numbers already sitting in the
+    # files one line up); cells the training corpus never populated get
+    # n=0 baselines via the left join
+    written = spark.read.schema(assigned.schema).parquet(path)
     vec = F.col(vec_col).cast("array<double>")
     dists = F.array(*[_center_d2(vec, c) for c in centers])
     per_cell = (
-        assigned.select(
+        written.select(
             F.col("_cell"), F.element_at(dists, F.col("_cell") + 1).alias("_d2")
         )
         .groupBy("_cell")
@@ -562,7 +566,6 @@ def ivf_write_index(
         "train_mean_d2",
         "train_p95_d2",
     )
-    assigned.write.partitionBy("_cell").mode("overwrite").parquet(path)
     baseline.coalesce(1).write.mode("overwrite").parquet(f"{path}/{_IVF_CENTERS_DIR}")
     meta = [
         (

@@ -300,10 +300,12 @@ def text_index_compact(spark: SparkSession, path: str) -> dict:
     rewrites run FIRST so a crash mid-compact can only leave scalars
     already consistent with the tombstones a serve still masks."""
     from tia_data_pipeline_spark.operators.scale import (
+        _require_local_path,
         compact_partitioned_index,
         read_index_tombstones,
     )
 
+    _require_local_path(path)  # fail BEFORE any rewrite, not inside a rename
     stats_row = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
     schema_json = stats_row["postings_schema"]
     ts = read_index_tombstones(
@@ -319,12 +321,22 @@ def text_index_compact(spark: SparkSession, path: str) -> dict:
         staging = f"{path}/_doc_stats__new"
         kept.write.mode("overwrite").parquet(staging)
         kept.unpersist()
+        import os
         import shutil
 
-        shutil.rmtree(f"{path}/_doc_stats")
-        import os
-
-        os.rename(staging, f"{path}/_doc_stats")
+        # move-aside-first swap (the _swap_table / compaction rollback
+        # discipline — review r9): a crash between the renames restores
+        # the ORIGINAL membership table instead of leaving the index
+        # with no _doc_stats at all and the previous data destroyed
+        old = f"{path}/_doc_stats__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(f"{path}/_doc_stats", old)
+        try:
+            os.rename(staging, f"{path}/_doc_stats")
+        except BaseException:
+            os.rename(old, f"{path}/_doc_stats")
+            raise
+        shutil.rmtree(old)
         _write_corpus_stats(spark, path, int(stats_row["n_buckets"]), schema_json)
     return compact_partitioned_index(
         spark,

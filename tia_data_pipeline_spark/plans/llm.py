@@ -6,6 +6,8 @@ ID, quality scoring, fingerprinting, multimodal metadata).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1877,6 +1879,12 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tmp = _BM25_INDEX_CACHE.get(sf_dir)
+    if tmp is not None and not os.path.isdir(f"{tmp}/tidx"):
+        # the memoized index was deleted out from under us — bench.py's
+        # per-query temp cleanup rmtrees every registered dir at the end
+        # of each measurement (review r9: a second build in the same
+        # process, e.g. bench_subset --repeat, served from the dead path)
+        tmp = None
     if tmp is None:
         tmp = tempfile.mkdtemp(prefix="graft_tidx_")
         register_temp_dir(tmp)

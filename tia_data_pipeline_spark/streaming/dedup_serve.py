@@ -314,7 +314,7 @@ def stream_index_deletes(
     index_path: str,
     checkpoint: str,
     family: str,
-    id_col: str = "doc_id",
+    id_col: str | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Run a DELETION-REQUEST stream (takedown ids) against a persisted
@@ -325,7 +325,12 @@ def stream_index_deletes(
     tombstones (idempotent — a foreachBatch replay re-tombstones
     already-tombstoned ids into nothing, so at-least-once delivery is
     exactly-once in effect). Physical removal stays the scheduled
-    `*_index_compact` maintenance op; probes mask immediately."""
+    `*_index_compact` maintenance op; probes mask immediately.
+
+    ``id_col=None`` keeps each family's OWN default ("doc_id" for the
+    text-hash families, "vec_id" for embedding, the meta-recorded
+    column for IVF — review r9: forwarding one hardcoded name broke
+    every non-document family); pass it only to override."""
     from tia_data_pipeline_spark.operators.dedup import (
         minhash_index_delete,
         simhash_index_delete,
@@ -349,7 +354,10 @@ def stream_index_deletes(
         ) from None
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delete(batch_df, index_path, id_col=id_col)
+        if id_col is None:
+            delete(batch_df, index_path)
+        else:
+            delete(batch_df, index_path, id_col=id_col)
 
     writer = id_stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
