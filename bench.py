@@ -124,7 +124,9 @@ def tail_val(sec: float) -> str:
     return txt[1:] if txt.startswith("0.") else txt
 
 
-def make_payloads(results: dict[str, dict], sf) -> tuple[dict, dict]:
+def make_payloads(
+    results: dict[str, dict], sf, host_load: list | None = None
+) -> tuple[dict, dict]:
     """(stdout payload — compact, asc-time; protocol payload — full audit)."""
     mins = {n: r["min"] for n, r in results.items()}
     total = round(sum(t for t in mins.values() if t > 0), 3)
@@ -165,6 +167,11 @@ def make_payloads(results: dict[str, dict], sf) -> tuple[dict, dict]:
         "n_queries": len(results),
         "failed": failed,
         "n_failed": len(failed),
+        # os.getloadavg() at run start / end: same-code totals swing
+        # 1.15-1.7x with neighbor load (BASELINE.md), so the artifact
+        # must self-identify as quiet-host or noisy — VERDICT r9 #2
+        # (the driver's in-window run overwrote the baseline silently)
+        "host_load": host_load,
         "value": total,
     }
     return stdout_payload, protocol_payload
@@ -185,6 +192,7 @@ def main() -> None:
 
     from tia_data_pipeline_spark.plans.contract import TEMP_DERIVATION_DIRS
 
+    load_before = [round(x, 2) for x in os.getloadavg()]
     results: dict[str, dict] = {}
     for name, q in sorted(plans.REGISTRY.items()):
         mark = len(TEMP_DERIVATION_DIRS)
@@ -205,7 +213,10 @@ def main() -> None:
                 shutil.rmtree(d, ignore_errors=True)
             del TEMP_DERIVATION_DIRS[mark:]
 
-    stdout_payload, protocol_payload = make_payloads(results, sf)
+    load_after = [round(x, 2) for x in os.getloadavg()]
+    stdout_payload, protocol_payload = make_payloads(
+        results, sf, host_load=[load_before, load_after]
+    )
     print(json.dumps(stdout_payload, separators=(",", ":")))
     copies = [("BENCH_local.json", protocol_payload)]
     if sf == 0.1:  # protocol scale: the committed judge-readable artifact

@@ -131,96 +131,95 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
-    # demoted in round 9 to fund the seventeen promotions (three
-    # no-fresh-row probes + fourteen stale <=r5 singles), each fresh
-    # r8-green with an in-cap family cover:
-    "q_approx_quantiles": "q_winsorize",  # order-stat quantile family
-    "q_heavy_hitters": "q_pareto_abc",  # key-frequency / heavy-hitter share
-    "q_rollup": "q_cube",  # grouping-set aggregate family
-    "q_sliding_window": "q_daily_window",  # windowed event aggregation
-    "q_lang_id": "q_quality_score",  # per-document text scoring
-    "q_tfidf": "q_bm25",  # term-weighting family
-    "q_embed_stats": "q_embed_dedup",  # embedding-column family
-    "q_mutual_info": "q_collocations",  # categorical association family
-    "q_ewma": "q_autocorr",  # daily-series diagnostics
-    "q_quality_linear": "q_repetition",  # doc quality scoring
-    "q_mad_outliers": "q_winsorize",  # order-stat robust trimming
-    "q_dup_graph_degree": "q_pagerank",  # dup-graph analytics
-    "q_scan_project": "q_filter_range",  # pushed-filter pruned scan
-    "q_split_assign": "q_hash_sample",  # id-hash sampling family
-    "q_exists_guard": "q_semi_join",  # semi-join / exists-guard rewrite pair
-    "q_revenue_by_segment": "q_join_enrich",  # broadcast enrich-join family
-    "q_ts_normalize": "q_json_ser",  # row/scalar text-transform family
-    "q_span_cut": "q_dup_spans",  # span pipeline variant (cut form)
-    "q_simhash": "q_simhash_incremental",  # same md5-bit fingerprint family
-    # earlier-round tail entries (covers remapped where their round-9
-    # target rotated out of the head):
-    "q_agg_count": "q_cube",
-    "q_ann_multiprobe": "q_ann_lsh",
-    "q_ann_recall": "q_knn_bucketed",
-    "q_anomaly": "q_winsorize",
-    "q_approx_distinct": "q_count_distinct",
-    "q_benford": "q_data_quality",
-    "q_bpe_train": "q_word_freq",
-    "q_burstiness": "q_markov",
-    "q_canonicalize": "q_json_ser",
-    "q_children_rollup": "q_cube",
-    "q_cluster_sizes": "q_pagerank",
-    "q_cohort_retention": "q_stickiness",
-    "q_cooccur_lift": "q_collocations",
-    "q_decontaminate": "q_boilerplate",
-    "q_dedup_components": "q_pagerank",
-    "q_dedup_latest": "q_topk_per_group",
-    "q_doc_fingerprint": "q_dedup_batch",
-    "q_dsir_weights": "q_bm25",
-    "q_edit_distance": "q_containment",
-    "q_embed_quantize": "q_knn_bucketed",
-    "q_feature_hash": "q_dedup_batch",
-    "q_funnel": "q_markov",
-    "q_fuzzy_dedup": "q_dedup_incremental",
-    "q_gap_fill": "q_session_window",
-    "q_gini": "q_pareto_abc",
-    "q_gopher_quality": "q_repetition",
-    "q_group_sample": "q_hash_sample",
-    "q_histogram": "q_winsorize",
-    "q_interarrival": "q_markov",
-    "q_knn_join": "q_knn_bucketed",
-    "q_ks_drift": "q_jsd_mix",
-    "q_lm_perplexity": "q_bm25",
-    "q_mix_temperature": "q_jsd_mix",
-    "q_new_users": "q_stickiness",
-    "q_ngram_jaccard": "q_containment",
-    "q_ntile": "q_window_frames",
-    "q_pack_sequences": "q_chunking",
-    "q_pii_redact": "q_json_ser",
-    "q_pivot_status": "q_cube",
-    "q_profile": "q_data_quality",
-    "q_quantiles": "q_winsorize",
-    "q_range_join": "q_asof_join",
-    "q_resize_meta": "q_multimodal_meta",
-    "q_rfm": "q_stickiness",
-    "q_rolling_actives": "q_stickiness",
-    "q_scd2": "q_antijoin_incr",
-    "q_seasonality": "q_autocorr",
-    "q_self_join": "q_thread_closure",
-    "q_set_ops": "q_dedup_batch",
-    "q_sim_topk": "q_knn_bucketed",
-    "q_skew_keys": "q_pareto_abc",
-    "q_source_mix": "q_jsd_mix",
-    "q_source_overlap": "q_jsd_mix",
-    "q_spearman": "q_ols_trend",
-    "q_star_join": "q_join_enrich",
-    "q_streaks": "q_markov",
-    "q_substring_dedup": "q_dup_spans",
-    "q_text_tokens": "q_word_freq",
-    "q_token_bpe": "q_word_freq",
-    "q_token_entropy": "q_word_freq",
-    "q_topk_latest": "q_topk_per_group",
-    "q_triangles": "q_pagerank",
-    "q_vocab_coverage": "q_word_freq",
-    "q_word_count": "q_word_freq",
-    "q_zipf_fit": "q_ols_trend",
-    "q_zscore": "q_winsorize",
+    # round-10 rotation: the head is now the stale backlog (r3-r8), so
+    # most round-9 greens sit in the tail covered by a same-family
+    # head anchor:
+    "q_agg_count": "q_children_rollup",
+    "q_ann_lsh": "q_ann_recall",
+    "q_ann_multiprobe": "q_ann_recall",
+    "q_anomaly": "q_quantiles",
+    "q_antijoin_incr": "q_scd2",
+    "q_approx_distinct": "q_rolling_actives",
+    "q_approx_quantiles": "q_quantiles",
+    "q_asof_join": "q_range_join",
+    "q_autocorr": "q_seasonality",
+    "q_bm25": "q_bm25_indexed",
+    "q_boilerplate": "q_gopher_quality",
+    "q_burstiness": "q_interarrival",
+    "q_canonicalize": "q_pii_redact",
+    "q_changepoint": "q_seasonality",
+    "q_chunking": "q_pack_sequences",
+    "q_collocations": "q_cooccur_lift",
+    "q_const_probe": "q_scan_project",
+    "q_containment": "q_ngram_jaccard",
+    "q_count_distinct": "q_rolling_actives",
+    "q_cube": "q_children_rollup",
+    "q_daily_window": "q_gap_fill",
+    "q_data_quality": "q_benford",
+    "q_dedup_batch": "q_fuzzy_dedup",
+    "q_dedup_incremental": "q_index_delete",
+    "q_dedup_latest": "q_topk_latest",
+    "q_doc_fingerprint": "q_fuzzy_dedup",
+    "q_dup_graph_degree": "q_dedup_components",
+    "q_dup_spans": "q_span_cut",
+    "q_embed_dedup": "q_embed_quantize",
+    "q_embed_incremental": "q_index_delete",
+    "q_embed_stats": "q_embed_quantize",
+    "q_ewma": "q_seasonality",
+    "q_exact_dedup": "q_fuzzy_dedup",
+    "q_exists_guard": "q_decontaminate",
+    "q_feature_hash": "q_fuzzy_dedup",
+    "q_filter_range": "q_scan_project",
+    "q_hash_sample": "q_group_sample",
+    "q_heavy_hitters": "q_gini",
+    "q_join_enrich": "q_star_join",
+    "q_jsd_mix": "q_ks_drift",
+    "q_json_ser": "q_pii_redact",
+    "q_knn_bucketed": "q_knn_join",
+    "q_lang_id": "q_gopher_quality",
+    "q_mad_outliers": "q_quantiles",
+    "q_markov": "q_funnel",
+    "q_merge_upsert": "q_scd2",
+    "q_multimodal_meta": "q_resize_meta",
+    "q_mutual_info": "q_cooccur_lift",
+    "q_new_users": "q_cohort_retention",
+    "q_ntile": "q_topk_latest",
+    "q_ols_trend": "q_spearman",
+    "q_pagerank": "q_dedup_components",
+    "q_pareto_abc": "q_gini",
+    "q_profile": "q_benford",
+    "q_proj_alias": "q_scan_project",
+    "q_quality_linear": "q_gopher_quality",
+    "q_quality_score": "q_gopher_quality",
+    "q_repetition": "q_gopher_quality",
+    "q_revenue_by_segment": "q_star_join",
+    "q_rfm": "q_cohort_retention",
+    "q_rollup": "q_children_rollup",
+    "q_self_join": "q_triangles",
+    "q_semantic_dedup": "q_embed_quantize",
+    "q_semi_join": "q_decontaminate",
+    "q_session_window": "q_gap_fill",
+    "q_sim_topk": "q_knn_join",
+    "q_simhash": "q_fuzzy_dedup",
+    "q_simhash_incremental": "q_index_delete",
+    "q_skew_keys": "q_gini",
+    "q_sliding_window": "q_gap_fill",
+    "q_source_overlap": "q_source_mix",
+    "q_split_assign": "q_group_sample",
+    "q_stickiness": "q_cohort_retention",
+    "q_streaks": "q_funnel",
+    "q_substring_dedup": "q_span_cut",
+    "q_tfidf": "q_bm25_indexed",
+    "q_thread_closure": "q_triangles",
+    "q_tok_fertility": "q_text_tokens",
+    "q_token_bpe": "q_vocab_coverage",
+    "q_topk_per_group": "q_topk_latest",
+    "q_ts_normalize": "q_pii_redact",
+    "q_window_frames": "q_rolling_actives",
+    "q_winsorize": "q_quantiles",
+    "q_word_count": "q_text_tokens",
+    "q_word_freq": "q_text_tokens",
+    "q_zipf_fit": "q_spearman",
 }
 
 
@@ -245,16 +244,19 @@ def test_every_oracle_query_reaches_a_hostile_sweep():
     every family/relational sweep gets zero hostile coverage (exactly
     what happened to q_lm_perplexity when family matching was a raw
     substring test: 'split_part' contains 'part'). Every oracle query
-    must land in at least one single-family or relational sweep; the
-    only admissible exceptions are table-free probes, which the
-    all-query empty-tables and single-row sweeps still cover."""
-    from tests.oracle import family_queries, sql_mentions_table
+    must land in at least one single-family, pair-family, or relational
+    sweep; the only admissible exceptions are table-free probes, which
+    the all-query empty-tables and single-row sweeps still cover."""
+    from tests.oracle import family_queries, pair_family_queries, sql_mentions_table
     from tia_data_pipeline_spark.catalog import TABLES
 
     rel = [t for t in TABLES if t not in ("documents", "events", "embeddings")]
     covered = set()
     for fam in ("documents", "events", "embeddings"):
         covered |= set(family_queries(fam))
+    # multi-family composites (q_takedown): swept on the combined
+    # documents+embeddings hostile corpus
+    covered |= set(pair_family_queries("documents", "embeddings"))
     covered |= {
         n
         for n, q in plans.REGISTRY.items()
