@@ -68,7 +68,7 @@ def test_serve_scan_is_partition_pruned(spark, index_path):
 
 
 def test_postings_carry_no_denormalized_df(spark, index_path):
-    """df is a SERVE-TIME window, never a stored column (round 9: a
+    """df is a SERVE-TIME aggregate, never a stored column (round 9: a
     build-time denormalized df goes stale on every append/delete of
     any document containing the term — the design change that made
     the index incremental). The stored schema is exactly
@@ -93,6 +93,22 @@ def test_bucket_modulus_persists_with_index(spark, tmp_path):
     ]
     expect = [tuple(r) for r in q_bm25(spark, SMOKE_SF).collect()]
     assert got == expect
+
+
+def test_serve_df_is_two_phase_aggregate(spark, index_path):
+    """VERDICT r9 #3: per-term df must be a partial+final hash
+    aggregate joined back onto the candidates, never a window — a
+    window aggregate needs ALL of a term's postings in ONE task, so a
+    stop-word-frequency query term becomes a single-task straggler/OOM
+    at 100×. The df map is at most query-terms-sized and broadcasts."""
+    df = bm25_search_indexed(spark, index_path, ["spark", "data"], k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Window" not in p, "per-term df regressed to a single-task window"
+    assert p.count("HashAggregate") >= 2  # partial+final df aggregate
+    assert "BroadcastHashJoin" in p  # the tiny df map broadcasts back
 
 
 def test_bad_args(spark, index_path):
@@ -142,6 +158,52 @@ class TestTextIndexLifecycle:
         text_index_append(shard, path)
         assert spark.read.parquet(path).count() == n
         assert self._serve(spark, path) == self._fresh(spark, docs, tmp_path, "all2")
+
+    def test_crashed_append_retry_duplicates_are_invisible(self, spark, tmp_path):
+        """ADVICE r9 #2: the postings append commits before the
+        _doc_stats membership append, so a crash between the two jobs
+        followed by a retry duplicates the delta docs' (tok, doc_id)
+        rows on disk. The serve must collapse them exactly (identical
+        tf → max() in the candidate pre-aggregate; df counts
+        deduplicated rows) and compaction must remove them
+        physically."""
+        from tia_data_pipeline_spark.operators.text_index import (
+            _postings_frame,
+            text_index_append,
+            text_index_compact,
+        )
+
+        docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+        hist = docs.filter("doc_id % 5 <> 0")
+        shard = docs.filter("doc_id % 5 = 0")
+        path = str(tmp_path / "idx")
+        build_text_index(hist, path, n_buckets=8)
+        # simulate the crashed first attempt: postings committed, no
+        # membership rows — the exact on-disk state the crash leaves
+        _postings_frame(shard, "doc_id", "text", 8).repartition(
+            "_bucket"
+        ).write.partitionBy("_bucket").mode("append").parquet(path)
+        # the retry re-derives the same docs' postings -> duplicates
+        text_index_append(shard, path)
+        dup = (
+            spark.read.parquet(path)
+            .groupBy("tok", "doc_id")
+            .count()
+            .filter("count > 1")
+        )
+        assert dup.count() > 0  # the hazard is really on disk
+        expect = self._fresh(spark, docs, tmp_path, "all")
+        assert self._serve(spark, path) == expect
+        text_index_compact(spark, path)
+        assert (
+            spark.read.parquet(path)
+            .groupBy("tok", "doc_id")
+            .count()
+            .filter("count > 1")
+            .count()
+            == 0
+        )
+        assert self._serve(spark, path) == expect
 
     def test_delete_then_compact_equals_shrunken_rebuild(self, spark, tmp_path):
         from tia_data_pipeline_spark.operators.text_index import (

@@ -20,14 +20,18 @@ Layout under ``path``:
   until :func:`text_index_compact` removes them physically — the same
   deletion semantics as the MinHash/SimHash/embedding/IVF indexes.
 
-Per-term document frequency is computed AT SERVE TIME with a window
-over the pruned scan — a term's bucket holds its COMPLETE posting
-list, so the in-scan count is exact. This is what makes the index
-INCREMENTAL: a build-time denormalized df (the round-8 form) would go
-stale on every append/delete of any document containing the term,
-scattering rewrites across buckets; the serve-time form costs one
-window over candidate rows (already shuffled for the doc join) and
-nothing ever needs repair.
+Per-term document frequency is computed AT SERVE TIME with a
+partial+final hash aggregate over the pruned scan — a term's bucket
+holds its COMPLETE posting list, so the count is exact. This is what
+makes the index INCREMENTAL: a build-time denormalized df (the
+round-8 form) would go stale on every append/delete of any document
+containing the term, scattering rewrites across buckets; the
+serve-time form costs one aggregate over candidate rows and nothing
+ever needs repair. The aggregate is deliberately NOT a window
+(VERDICT r9 #3: a window needs all of a term's postings in one task —
+a stop-word query term becomes a single-task straggler at scale); the
+per-term df map is at most query-terms-sized and broadcasts back onto
+the candidates.
 
 Scoring is the q_bm25 arithmetic verbatim (``plans/llm.py``): idf as
 differences of integer-argument logs, tf saturation with cleared
@@ -52,7 +56,6 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from tia_data_pipeline_spark.functions import text as TX
 from tia_data_pipeline_spark.functions.text import portable_round
@@ -154,7 +157,10 @@ def bm25_search_indexed(
 
     from pyspark.sql.types import StructType
 
-    from tia_data_pipeline_spark.operators.scale import try_read_index_tombstones
+    from tia_data_pipeline_spark.operators.scale import (
+        tombstone_mask_join,
+        try_read_index_tombstones,
+    )
 
     postings_schema = StructType.fromJson(json.loads(stats_row["postings_schema"]))
     postings = (
@@ -178,8 +184,8 @@ def bm25_search_indexed(
         spark, path, index_schema_json=stats_row["postings_schema"], id_col="doc_id"
     )
     if ts is not None and ts.limit(1).count():
-        postings = postings.join(F.broadcast(ts), "doc_id", "left_anti")
-        dead = dl.join(F.broadcast(ts), "doc_id", "left_semi").agg(
+        postings = tombstone_mask_join(postings, ts, "doc_id", keep="live")
+        dead = tombstone_mask_join(dl, ts, "doc_id", keep="dead").agg(
             F.count("*").cast("bigint").alias("_dead_n"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("_dead_dl"),
         )
@@ -189,13 +195,25 @@ def bm25_search_indexed(
         )
     scal = F.broadcast(scal)
 
-    # serve-time df: the pruned scan holds each query term's COMPLETE
-    # (tombstone-masked) posting list, so the in-scan per-term count is
-    # the exact live document frequency — nothing denormalized, nothing
-    # to go stale across appends/deletes
-    df_w = Window.partitionBy("tok")
+    # The (tok, doc_id) pre-aggregate makes the serve immune to
+    # duplicated postings from a crashed-and-retried append (ADVICE r9
+    # #2: the postings append can commit before the _doc_stats
+    # membership row, so a retry re-derives those docs' postings):
+    # duplicates carry identical tf — same doc content, same tokenizer
+    # — and max() collapses them; partial aggregation makes the pass
+    # free of reduction work on clean data.
+    cand = postings.groupBy("tok", "doc_id").agg(F.max("tf").alias("tf"))
+    # serve-time df, two-phase (VERDICT r9 #3): the pruned scan holds
+    # each query term's COMPLETE (tombstone-masked, deduplicated)
+    # posting list, so the per-term count is the exact live document
+    # frequency — nothing denormalized, nothing to go stale across
+    # appends/deletes. A window over the scan would need ALL of a
+    # term's postings in ONE task (a stop-word query term = single-task
+    # straggler at 100×); the partial+final hash aggregate computes the
+    # same exact count and the ≤|terms|-row map broadcasts back.
+    dfm = cand.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     sc = (
-        postings.withColumn("df", F.count("*").over(df_w).cast("bigint"))
+        cand.join(F.broadcast(dfm), "tok")
         .join(dl, "doc_id")
         .crossJoin(scal)
         .select(
@@ -253,7 +271,21 @@ def text_index_append(
     Re-appending a TOMBSTONED doc before compaction is a no-op (its
     membership row still exists) and the tombstone keeps masking it —
     the tombstone-wins-until-compact semantics shared by all four
-    sibling indexes."""
+    sibling indexes.
+
+    Crash atomicity (ADVICE r9 #2): the postings append commits before
+    the ``_doc_stats`` membership append, so a crash between the two
+    jobs leaves postings for docs with no membership row, and the
+    RETRIED append (whose idempotency anti-join keys on ``_doc_stats``)
+    re-derives those docs' postings — duplicate (tok, doc_id) rows on
+    disk. This is deliberately healed downstream instead of prevented
+    with a staging protocol (the inverse ordering would lose postings
+    silently, which is worse than duplicating them): the serve path
+    collapses duplicates exactly (same doc content → identical tf →
+    ``max(tf)`` in the candidate pre-aggregate, df counts deduplicated
+    rows), and :func:`text_index_compact` removes them physically
+    (``dedup_keys``). Between a crashed retry and the next compaction
+    the index is correct to serve and merely carries redundant rows."""
     spark = docs.sparkSession
     stats_row = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
     n_buckets = int(stats_row["n_buckets"])
@@ -345,6 +377,9 @@ def text_index_compact(spark: SparkSession, path: str) -> dict:
         schema_json=schema_json,
         side_dirs=("_doc_stats", "_corpus_stats"),
         tombstones_id_col="doc_id",
+        # heal duplicated postings from a crashed-and-retried append
+        # (exact duplicates by construction — see text_index_append)
+        dedup_keys=("tok", "doc_id"),
     )
 
 
