@@ -486,3 +486,115 @@ class TestReviewHardenings:
             for r in embedding_dedup_incremental(shard, path, threshold=0.9).collect()
         }
         assert not any(d == 1 for _, d in got)
+
+
+class TestMassDeleteMask:
+    """VERDICT r9 #4: the tombstone mask is size-conditional. Takedown-
+    request-sized sets broadcast (the round-9 plan, unchanged and
+    plan-asserted); a TTL/retention sweep past the broadcast budget
+    routes through the Bloom membership split so the tombstone set is
+    never shipped to every executor — definitely-live rows skip the
+    shuffle and only the Bloom-possible sliver pays the exact
+    shuffle-hash join. Both paths must be row-identical."""
+
+    def _frames(self, spark, tmp_path):
+        import pandas as pd
+
+        base = pd.DataFrame(
+            {"doc_id": range(10_000), "val": [i % 97 for i in range(10_000)]}
+        )
+        df_path = str(tmp_path / "rows")
+        ts_path = str(tmp_path / "ts")
+        spark.createDataFrame(base).write.parquet(df_path)
+        # a 15% retention sweep — mass-deletion regime, NOT request-sized
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [i for i in range(10_000) if i % 7 == 0]})
+        ).write.parquet(ts_path)
+        return spark.read.parquet(df_path), spark.read.parquet(ts_path)
+
+    def _plan(self, df):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def test_bloom_path_equals_broadcast_path(self, spark, tmp_path):
+        from tia_data_pipeline_spark.operators.scale import tombstone_mask_join
+
+        df, ts = self._frames(spark, tmp_path)
+        small = tombstone_mask_join(df, ts, "doc_id", keep="live")
+        big = tombstone_mask_join(
+            df, ts, "doc_id", keep="live", broadcast_max_bytes=0
+        )
+        expect = {r["doc_id"] for r in small.collect()}
+        assert expect == {i for i in range(10_000) if i % 7 != 0}
+        assert {r["doc_id"] for r in big.collect()} == expect
+        # keep="dead" (the text index's scalar-correction leg) too
+        dead = tombstone_mask_join(
+            df, ts, "doc_id", keep="dead", broadcast_max_bytes=0
+        )
+        assert {r["doc_id"] for r in dead.collect()} == {
+            i for i in range(10_000) if i % 7 == 0
+        }
+
+    def test_request_sized_path_stays_broadcast(self, spark, tmp_path):
+        from tia_data_pipeline_spark.operators.scale import tombstone_mask_join
+
+        df, ts = self._frames(spark, tmp_path)
+        p = self._plan(tombstone_mask_join(df, ts, "doc_id", keep="live"))
+        assert "BroadcastHashJoin" in p and "LeftAnti" in p
+        assert "ShuffledHashJoin" not in p and "SortMergeJoin" not in p
+
+    def test_mass_delete_never_shuffles_the_full_relation_as_broadcast(
+        self, spark, tmp_path
+    ):
+        """Past the budget the exact leg is a shuffle-hash join of the
+        Bloom-possible sliver — the tombstone SET itself never appears
+        under a BroadcastExchange (the word table that does broadcast
+        is bounded by the filter bits, not the tombstone count)."""
+        from tia_data_pipeline_spark.operators.scale import tombstone_mask_join
+
+        df, ts = self._frames(spark, tmp_path)
+        p = self._plan(
+            tombstone_mask_join(
+                df, ts, "doc_id", keep="live", broadcast_max_bytes=0
+            )
+        )
+        assert "ShuffledHashJoin" in p  # the exact sliver leg
+        assert "LeftAnti" not in p  # mask is a marked filter, not an anti-join
+
+    def test_index_probe_routes_through_the_switch(self, spark, tmp_path):
+        """End-to-end: anti_join_index_tombstones over a real index dir
+        gives identical results through both regimes."""
+        from tia_data_pipeline_spark.operators.scale import (
+            anti_join_index_tombstones,
+            append_index_tombstones,
+        )
+
+        df, _ = self._frames(spark, tmp_path)
+        idx_path = str(tmp_path / "idx")
+        df.write.parquet(idx_path)
+        schema_json = df.schema.json()
+        append_index_tombstones(
+            df.filter("doc_id % 7 = 0").select("doc_id"),
+            idx_path,
+            index_schema_json=schema_json,
+            id_col="doc_id",
+        )
+        read_back = spark.read.schema(df.schema).parquet(idx_path)
+        small = anti_join_index_tombstones(
+            read_back, idx_path, index_schema_json=schema_json, id_col="doc_id"
+        )
+        big = anti_join_index_tombstones(
+            read_back,
+            idx_path,
+            index_schema_json=schema_json,
+            id_col="doc_id",
+            broadcast_max_bytes=0,
+        )
+        expect = {i for i in range(10_000) if i % 7 != 0}
+        assert {r["doc_id"] for r in small.collect()} == expect
+        assert {r["doc_id"] for r in big.collect()} == expect

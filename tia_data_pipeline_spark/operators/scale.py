@@ -359,6 +359,7 @@ def compact_partitioned_index(
     schema_json: str | None = None,
     side_dirs: Sequence[str] = (),
     tombstones_id_col: str | None = None,
+    dedup_keys: Sequence[str] | None = None,
 ) -> dict:
     """Rewrite an append-accumulated partitioned index to one file per
     partition dir — the maintenance op every incremental index needs:
@@ -370,8 +371,16 @@ def compact_partitioned_index(
     APPLY pending deletions: tombstoned rows are anti-joined out of
     the rewrite and the now-applied ``_tombstones/`` table is dropped
     (it is deliberately NOT a carried side dir) — the physical-removal
-    leg of the deletion lifecycle. Without it, content is IDENTICAL
-    before and after and compaction is layout-only.
+    leg of the deletion lifecycle. Without it (and without
+    ``dedup_keys``), content is IDENTICAL before and after and
+    compaction is layout-only.
+
+    ``dedup_keys`` makes the rewrite drop physically duplicated rows
+    (one survivor per key tuple) — the healing leg for indexes whose
+    append can duplicate rows under a crashed-and-retried at-least-once
+    writer (the text index's postings; ADVICE r9 #2). Only valid where
+    duplicates are exact by construction (identical non-key values), so
+    which survivor wins is immaterial.
 
     The rewrite is one keyed shuffle (`repartition(partition_cols)` —
     each task owns whole partition dirs, same rule as the index
@@ -412,6 +421,8 @@ def compact_partitioned_index(
         df = anti_join_index_tombstones(
             df, path, index_schema_json=schema_json, id_col=tombstones_id_col
         )
+    if dedup_keys is not None:
+        df = df.dropDuplicates(list(dedup_keys))
 
     staging = path.rstrip("/") + ".compacting"
     shutil.rmtree(staging, ignore_errors=True)
@@ -546,7 +557,13 @@ def partitioned_index_stats(
 # 100 TB posture: the tombstone set is sized by deletion REQUESTS, not
 # by the corpus — orders of magnitude smaller than the index — so the
 # probe-side anti-join broadcasts it, and the append is a driver-tiny
-# idempotent delta write.
+# idempotent delta write. A TTL/retention sweep breaks that sizing
+# assumption (tombstones can reach a corpus fraction before the next
+# compaction), so the mask is SIZE-CONDITIONAL (VERDICT r9 #4): past
+# the broadcast budget it routes through the Bloom membership split
+# (`operators.membership.membership_mark`, the same switch that
+# already gates decontamination) — definitely-live rows never touch a
+# shuffle; only the Bloom-possible sliver pays the exact join.
 
 _TOMBSTONE_DIR = "_tombstones"
 
@@ -635,18 +652,89 @@ def append_index_tombstones(
         delta.unpersist()
 
 
+def tombstone_mask_join(
+    df: DataFrame,
+    ts: DataFrame,
+    id_col: str,
+    *,
+    keep: str = "live",
+    broadcast_max_bytes: int | None = None,
+) -> DataFrame:
+    """Size-conditional tombstone membership join: ``keep="live"``
+    drops tombstoned ids from ``df`` (the probe-side mask),
+    ``keep="dead"`` keeps ONLY them (the dead-contribution legs, e.g.
+    the text index's N/avgdl corrections).
+
+    Tombstone sets are request-sized in the takedown regime, so the
+    default plan is a broadcast semi/anti join — byte-identical to the
+    round-9 plan (plan-pinned). A TTL/retention sweep can grow the set
+    to a corpus fraction before the next compaction; broadcasting that
+    would ship it to every executor or OOM the driver, so past the
+    source-byte budget (``operators.membership.BROADCAST_MAX_SOURCE_
+    BYTES``, the switch decontamination already uses) the mask routes
+    through the Bloom membership split: every ``df`` row is tested
+    against k broadcast word-table probes (bounded by the filter size,
+    never the tombstone count), definitely-absent rows pass with no
+    shuffle, and only the Bloom-possible sliver pays the exact
+    shuffle-hash join. Both paths are row-identical (the Bloom layer
+    has no false negatives; false positives die in the exact join) —
+    parity-tested in tests/test_index_delete.py.
+
+    The estimate reads driver file metadata behind ``ts`` (parquet
+    tombstone tables); in-memory/unestimatable frames take the
+    broadcast path (test-scale default). The Bloom build persists its
+    word table for the k probe references (tiny — m/64 rows) with the
+    same session-lifetime caveat as ``membership_mark``; the regime is
+    transient by design — compaction applies the sweep and returns the
+    index to the no-tombstone fast path."""
+    if keep not in ("live", "dead"):
+        raise ValueError(f"keep must be 'live' or 'dead', got {keep!r}")
+    from tia_data_pipeline_spark.operators.membership import (
+        BROADCAST_MAX_SOURCE_BYTES,
+        membership_mark,
+    )
+
+    limit = (
+        BROADCAST_MAX_SOURCE_BYTES
+        if broadcast_max_bytes is None
+        else broadcast_max_bytes
+    )
+    est = estimated_relation_bytes(ts)
+    if est is None or est <= limit:
+        how = "left_anti" if keep == "live" else "left_semi"
+        return df.join(F.broadcast(ts), id_col, how)
+    import uuid as _uuid
+
+    flag = f"_ts_hit_{_uuid.uuid4().hex[:8]}"  # collision-proof temp name
+    # tombstone tables are distinct by construction (append_index_
+    # tombstones dedups before writing) — skip the redundant exchange
+    marked = membership_mark(
+        df, id_col, ts, id_col, hit_col=flag, strategy="bloom", members_distinct=True
+    )
+    cond = F.col(flag).isNull() if keep == "live" else F.col(flag).isNotNull()
+    return marked.filter(cond).drop(flag)
+
+
 def anti_join_index_tombstones(
-    df: DataFrame, path: str, *, index_schema_json: str, id_col: str
+    df: DataFrame,
+    path: str,
+    *,
+    index_schema_json: str,
+    id_col: str,
+    broadcast_max_bytes: int | None = None,
 ) -> DataFrame:
     """Mask tombstoned ids out of an index-side frame — the probe-side
     leg every `*_dedup_incremental` / IVF search applies after its
-    pruned scan. Tombstone tables are request-sized, so the anti-join
-    broadcasts; an index that has NEVER seen a delete (no ``_tombstones``
-    dir) skips the join node entirely — the common case costs
-    nothing."""
+    pruned scan. Request-sized tombstone tables broadcast; a mass-
+    deletion sweep past the broadcast budget routes through the Bloom
+    membership split instead (see :func:`tombstone_mask_join`); an
+    index that has NEVER seen a delete (no ``_tombstones`` dir) skips
+    the join node entirely — the common case costs nothing."""
     ts = try_read_index_tombstones(
         df.sparkSession, path, index_schema_json=index_schema_json, id_col=id_col
     )
     if ts is None:
         return df
-    return df.join(F.broadcast(ts), id_col, "left_anti")
+    return tombstone_mask_join(
+        df, ts, id_col, keep="live", broadcast_max_bytes=broadcast_max_bytes
+    )
