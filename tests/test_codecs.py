@@ -6,6 +6,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pytest
 
 from tia_data_pipeline_spark.functions.codecs import (
     decode_bmp,
@@ -226,7 +227,7 @@ def test_ppm_comment_at_eof_clamps_offset():
     toks, off = _ppm_tokens(payload, 3)
     assert toks == [6, 4, 255]
     assert off <= len(payload)
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         decode_ppm(payload)  # header fine, raster truncated
 
 
@@ -352,9 +353,11 @@ def test_png_encode_decode_roundtrip_and_resize():
 
 
 def test_png_unsupported_and_corrupt_fall_back_to_stub():
-    """Palette/16-bit/interlaced/damaged PNGs must degrade to the
-    deterministic stub (same posture as every other corrupt payload),
-    never raise out of decode_media."""
+    """Interlaced/damaged/geometry-inconsistent PNGs must degrade to
+    the deterministic stub (same posture as every other corrupt
+    payload), never raise out of decode_media. (The 16-bit flip below
+    stays a stub case because the 8-bit raster is then TRUNCATED for
+    the doubled stride — real 16-bit images decode since round 10.)"""
     import zlib
 
     from tia_data_pipeline_spark.functions.codecs import encode_png
@@ -445,4 +448,111 @@ def test_png_decompression_bomb_degrades_to_stub():
     bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)
     payload = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
     assert len(payload) < 1024 * 1024  # the payload itself is small
+    assert decode_media(payload) == fake_decode(payload)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def test_png_palette_decode():
+    """8-bit paletted PNG (color type 3): indexes look up PLTE RGB
+    triples — round-10 coverage for the palette shape stock encoders
+    emit for screenshots/logos."""
+    import zlib
+
+    from tia_data_pipeline_spark.functions.codecs import decode_png
+
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idxs = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idxs)
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0)
+    payload = (
+        sig
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    d = decode_png(payload)
+    assert (d["width"], d["height"]) == (4, 2)
+    assert np.array_equal(d["pixels"], pal[idxs])
+    # out-of-range index or missing PLTE -> ValueError (stub fallback)
+    bad_idx = np.array([[0, 9]], dtype=np.uint8)
+    bad_raw = b"\x00" + bad_idx.tobytes()
+    bad = (
+        sig
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(bad_raw))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    no_plte = (
+        sig
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x01"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(no_plte)
+
+
+def test_png_16bit_reduces_to_high_byte():
+    """16-bit RGB decodes via the spec's depth reduction: each
+    big-endian sample keeps its most-significant byte."""
+    import zlib
+
+    from tia_data_pipeline_spark.functions.codecs import decode_png
+
+    want = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    lo = np.full_like(want, 0xAB)  # low bytes are discarded
+    samples = np.stack([want, lo], axis=-1).reshape(2, -1)  # (h, w*3*2)
+    raw = b"".join(b"\x00" + row.tobytes() for row in samples)
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    payload = (
+        sig
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    d = decode_png(payload)
+    assert d["maxval"] == 255
+    assert np.array_equal(d["pixels"], want)
+
+
+def test_png_claimed_huge_geometry_is_rejected_before_inflate():
+    """ADVICE r9 #1: the inflate cap derives from IHDR width/height,
+    which the attacker controls — a payload CLAIMING huge dimensions
+    must be rejected against the FIXED budget before any allocation,
+    not re-enable the bomb through a big `expected`."""
+    import zlib
+
+    from tia_data_pipeline_spark.functions.codecs import decode_png
+    from tia_data_pipeline_spark.operators.multimodal import fake_decode
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # claims 40000x40000 RGB (~4.8 GB raster) with a small bomb IDAT
+    ihdr = struct.pack(">IIBBBBB", 40_000, 40_000, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (8 << 20), 9)
+    payload = (
+        sig + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_png(payload)
     assert decode_media(payload) == fake_decode(payload)
