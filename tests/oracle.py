@@ -57,6 +57,27 @@ def family_queries(family: str) -> list[str]:
     ]
 
 
+def pair_family_queries(fam_a: str, fam_b: str) -> list[str]:
+    """Registry queries whose oracle touches EXACTLY the two given
+    tables — the multi-family composites (q_takedown spans documents +
+    embeddings) that the single-family sweeps exclude by construction.
+    Same identifier-boundary matching and same single-implementation
+    rule as :func:`family_queries`: the guard in tests/test_plans.py
+    and the combined hostile sweep both read THIS selection."""
+    from tia_data_pipeline_spark import plans
+    from tia_data_pipeline_spark.catalog import TABLES
+
+    others = set(TABLES) - {fam_a, fam_b}
+    return [
+        name
+        for name, q in plans.REGISTRY.items()
+        if q.oracle is not None
+        and sql_mentions_table(fam_a, q.oracle)
+        and sql_mentions_table(fam_b, q.oracle)
+        and not any(sql_mentions_table(t, q.oracle) for t in others)
+    ]
+
+
 def sql_mentions_table(table: str, sql: str) -> bool:
     """True when the SQL references the table name as a standalone
     identifier (shared by family_queries and the relational sweeps)."""

@@ -510,3 +510,53 @@ def empty_duck(empty_sf):
 def test_query_parity_on_empty_tables(spark, empty_sf, empty_duck, name):
     q = plans.REGISTRY[name]
     assert_parity(q.build(spark, empty_sf), empty_duck.sql(q.oracle), name)
+
+
+# ---------------------------------------------------------------------------
+# Combined documents + embeddings hostile corpus (the multi-family
+# composites — q_takedown — that every single-family sweep excludes by
+# construction; round 10)
+# ---------------------------------------------------------------------------
+
+
+def _doc_embedding_queries():
+    from tests.oracle import pair_family_queries
+
+    return pair_family_queries("documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def null_doc_emb_sf(null_sf, null_emb_sf, tmp_path_factory):
+    """One sf dir carrying BOTH hostile tables: the null-document
+    corpus (NULL/empty text, NULL n_chars) and the hostile embeddings
+    (NULL / empty / NaN-component / NULL-element / zero vectors)."""
+    import os
+
+    sf = str(tmp_path_factory.mktemp("null_doc_emb") / "sf")
+    os.makedirs(sf)
+    os.symlink(f"{null_sf}/documents.parquet", f"{sf}/documents.parquet")
+    os.symlink(f"{null_emb_sf}/embeddings.parquet", f"{sf}/embeddings.parquet")
+    return sf
+
+
+@pytest.fixture(scope="module")
+def null_doc_emb_duck(null_doc_emb_sf):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{null_doc_emb_sf}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", _doc_embedding_queries())
+def test_doc_embedding_query_parity_on_null_corpus(
+    spark, null_doc_emb_sf, null_doc_emb_duck, name
+):
+    """Both families' hazard rows at once: the document legs see
+    NULL/empty text among real docs, the embedding legs see the
+    valid_vector hazard shapes — every leg of a composite lifecycle
+    query must state its preconditions on both engines."""
+    q = plans.REGISTRY[name]
+    assert_parity(q.build(spark, null_doc_emb_sf), null_doc_emb_duck.sql(q.oracle), name)

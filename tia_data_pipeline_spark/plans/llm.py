@@ -1067,6 +1067,139 @@ def q_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _takedown_oracle_sql() -> str:
+    """The q_takedown oracle: each family's incremental-probe oracle
+    with history SHRUNK by the takedown set (the deletion semantics —
+    tombstoned docs behave exactly as if already compacted away), and
+    every pair emitted under BOTH phase labels: a masked probe and a
+    probe of the physically-compacted index MUST return identical
+    pairs, which the cross-joined phase axis states directly."""
+    sh = DD.simhash_incremental_oracle_sql(
+        "documents",
+        _DOC_TOKENS_SQL,
+        "doc_id",
+        history_pred="doc_id % 5 <> 0 AND doc_id % 3 <> 0",
+        shard_pred="doc_id % 5 = 0",
+        max_hamming=_SHI_HAMMING,
+        max_bucket=_SHI_CAP,
+    )
+    em = (
+        f"WITH {_emb_incr_side_sql('o', 'vec_id % 5 <> 0 AND vec_id % 3 <> 0')}, "
+        f"{_emb_incr_side_sql('n', 'vec_id % 5 = 0')} "
+        "SELECT new_id, dup_id FROM ("
+        "  SELECT n.vec_id AS new_id, o.vec_id AS dup_id, "
+        f"  {TX.portable_round_sql(cosine_sql('n.embedding', 'o.embedding'), 6)} AS score "
+        "  FROM ok_n n JOIN ok_o o ON n.bucket = o.bucket AND n.vec_id <> o.vec_id) "
+        f"WHERE score >= {_EMBED_DEDUP_TAU}"
+    )
+    return (
+        f"WITH sh AS ({sh}), em AS ({em}), "
+        "ph(phase) AS (VALUES ('masked'), ('compacted')) "
+        "SELECT phase, family, new_id, dup_id FROM ("
+        "  SELECT ph.phase, 'simhash' AS family, new_id, dup_id "
+        "  FROM sh CROSS JOIN ph "
+        "  UNION ALL "
+        "  SELECT ph.phase, 'embedding' AS family, new_id, dup_id "
+        "  FROM em CROSS JOIN ph)"
+    )
+
+
+@contract_query(
+    "q_takedown",
+    oracle=_takedown_oracle_sql(),
+    covers=(
+        "ext-fuzzy-dedup deletion lifecycle END-TO-END across two index "
+        "families (SimHash + embedding): takedown request -> idempotent "
+        "delete -> masked probe -> physical compact -> probe again, the "
+        "PK-keyed idempotent-mutation surface of comments_pipeline.py:102 "
+        "inverted into removal"
+    ),
+)
+def q_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown / right-to-be-forgotten workflow driven end-to-end
+    through TWO index families at once (VERDICT r9 next #6 — the
+    lifecycle q_index_delete proved for MinHash alone): write the
+    history index, tombstone the takedown set by ID ALONE (twice — the
+    delete is idempotent by contract), probe today's shard against the
+    MASKED index, then run the same history through delete + physical
+    COMPACT in a sibling dir and probe that too. The output carries
+    every pair under its (phase, family) label and the oracle states
+    the same shrunken-history pair set for both phases — so the hash
+    check proves masking ≡ physical removal, per family, in one row
+    set. Index builds are deterministic, so the sibling dirs are
+    semantically the same index at two lifecycle stages (a lazily-built
+    probe plan must never read an index dir that a LATER eager step
+    rewrote — the staleness rule that makes the two-dir form
+    load-bearing, not a convenience)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="graft_takedown_")
+    register_temp_dir(tmp)
+    atexit.register(shutil.rmtree, tmp, True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    doomed_docs = docs.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 3 == 0)
+    ).select("doc_id")
+    shard_docs = docs.filter(F.col("doc_id") % 5 == 0)
+
+    emb = valid_embeddings(spark, sf_dir).filter(F.col("vec_id").isNotNull())
+    hist_emb = emb.filter(F.col("vec_id") % 5 != 0)
+    doomed_emb = emb.filter(
+        (F.col("vec_id") % 5 != 0) & (F.col("vec_id") % 3 == 0)
+    ).select("vec_id")
+    shard_emb = emb.filter(F.col("vec_id") % 5 == 0)
+
+    frames = []
+    for phase, compact in (("masked", False), ("compacted", True)):
+        p = f"{tmp}/sh_{phase}"
+        DD.simhash_write_index(hist_docs, "text", "doc_id", p, n_shards=16)
+        DD.simhash_index_delete(doomed_docs, p)
+        if compact:
+            DD.simhash_index_compact(spark, p)
+        else:
+            DD.simhash_index_delete(doomed_docs, p)  # idempotent by contract
+        pairs = DD.simhash_dedup_incremental(
+            shard_docs, p,
+            text_col="text", id_col="doc_id",
+            max_hamming=_SHI_HAMMING, max_bucket=_SHI_CAP,
+        )
+        frames.append(
+            pairs.select(
+                F.lit(phase).alias("phase"),
+                F.lit("simhash").alias("family"),
+                F.col("new_id").cast("bigint").alias("new_id"),
+                F.col("dup_id").cast("bigint").alias("dup_id"),
+            )
+        )
+    for phase, compact in (("masked", False), ("compacted", True)):
+        p = f"{tmp}/em_{phase}"
+        SIM.embedding_write_index(hist_emb, p, proj=_PROJ4)
+        SIM.embedding_index_delete(doomed_emb, p)
+        if compact:
+            SIM.embedding_index_compact(spark, p)
+        else:
+            SIM.embedding_index_delete(doomed_emb, p)  # idempotent
+        pairs = SIM.embedding_dedup_incremental(
+            shard_emb, p, threshold=_EMBED_DEDUP_TAU, max_bucket=2000
+        )
+        frames.append(
+            pairs.select(
+                F.lit(phase).alias("phase"),
+                F.lit("embedding").alias("family"),
+                F.col("new_id").cast("bigint").alias("new_id"),
+                F.col("dup_id").cast("bigint").alias("dup_id"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 # -- q_ivf_append: squared distances saturate at this cap before the
 #    nano-unit integerization — an outlier guard only (real corpus d²
 #    is O(1); a hostile 1e12-component vector reads d² ≈ 1e24, whose
