@@ -1,0 +1,100 @@
+"""Streaming text-index lifecycle: stream append ≡ fresh rebuild,
+foreachBatch replay idempotency, and the family="text" takedown
+stream — the fifth index family's streaming club membership (round
+10). The oracle for every leg is the family's strongest: serving from
+the incrementally-maintained index must EQUAL serving from a fresh
+full build of the same live membership (df, N, avgdl all track)."""
+
+from __future__ import annotations
+
+from tests.conftest import SMOKE_SF
+from tia_data_pipeline_spark.catalog import load_table
+from tia_data_pipeline_spark.operators.text_index import (
+    bm25_search_indexed,
+    build_text_index,
+)
+from tia_data_pipeline_spark.streaming.text_serve import (
+    stream_text_index_append,
+    text_index_append_batch,
+)
+
+DOC_SCHEMA = "doc_id bigint, text string"
+
+
+def _serve(spark, path, k=20):
+    from tia_data_pipeline_spark.plans.llm import _BM25_TERMS
+
+    return [
+        tuple(r)
+        for r in bm25_search_indexed(spark, path, list(_BM25_TERMS), k=k).collect()
+    ]
+
+
+def _fresh(spark, docs, tmp_path, tag):
+    p = str(tmp_path / f"fresh_{tag}")
+    build_text_index(docs, p, n_buckets=8)
+    return _serve(spark, p)
+
+
+def test_stream_append_equals_fresh_rebuild(spark, tmp_path):
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    hist = docs.filter("doc_id % 4 = 0")
+    path = str(tmp_path / "idx")
+    build_text_index(hist, path, n_buckets=8)
+    stream_dir = tmp_path / "docs_in"
+    docs.filter("doc_id % 4 = 1").coalesce(1).write.parquet(str(stream_dir / "a"))
+    docs.filter("doc_id % 4 >= 2").coalesce(1).write.parquet(str(stream_dir / "b"))
+    doc_stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    q = stream_text_index_append(
+        doc_stream, index_path=path, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    # two micro-batches of appends serve exactly like one fresh build
+    # of the whole corpus — serve-time df needs no repair step
+    assert _serve(spark, path) == _fresh(spark, docs, tmp_path, "all")
+
+
+def test_replayed_batch_appends_nothing(spark, tmp_path):
+    """A foreachBatch replay (crash after append, before checkpoint
+    commit) re-delivers the same shard: the membership anti-join makes
+    it a no-op — no new rows, identical serve."""
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    hist = docs.filter("doc_id % 4 <> 3")
+    shard = docs.filter("doc_id % 4 = 3")
+    path = str(tmp_path / "idx")
+    build_text_index(hist, path, n_buckets=8)
+    text_index_append_batch(shard, path)
+    n = spark.read.parquet(path).count()
+    first = _serve(spark, path)
+    text_index_append_batch(shard, path)  # the replay
+    assert spark.read.parquet(path).count() == n
+    assert _serve(spark, path) == first
+
+
+def test_takedown_stream_family_text(spark, tmp_path):
+    """stream_index_deletes(family="text"): a streamed takedown request
+    masks the docs from BM25 serving exactly like a shrunken rebuild
+    (candidates, df, AND the N/avgdl scalars all exclude them)."""
+    from tia_data_pipeline_spark.streaming.dedup_serve import stream_index_deletes
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    build_text_index(docs, path, n_buckets=8)
+    req = tmp_path / "requests"
+    docs.filter("doc_id % 3 = 0").select("doc_id").coalesce(1).write.parquet(
+        str(req / "a")
+    )
+    id_stream = spark.readStream.schema("doc_id bigint").parquet(f"{req}/*")
+    q = stream_index_deletes(
+        id_stream,
+        index_path=path,
+        checkpoint=str(tmp_path / "ckpt"),
+        family="text",
+    )
+    q.awaitTermination()
+    live = docs.filter("doc_id % 3 <> 0")
+    assert _serve(spark, path) == _fresh(spark, live, tmp_path, "live")

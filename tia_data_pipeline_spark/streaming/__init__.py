@@ -20,6 +20,10 @@ from tia_data_pipeline_spark.streaming.joins import (
     stream_interval_join,
 )
 from tia_data_pipeline_spark.streaming.sinks import stream_upsert_jdbc
+from tia_data_pipeline_spark.streaming.text_serve import (
+    stream_text_index_append,
+    text_index_append_batch,
+)
 from tia_data_pipeline_spark.streaming.windows import (
     stream_daily_counts,
     stream_dedup_events,
@@ -33,6 +37,8 @@ __all__ = [
     "stream_session_windows",
     "run_available_now",
     "stream_upsert_jdbc",
+    "text_index_append_batch",
+    "stream_text_index_append",
     "interval_join_batch",
     "stream_interval_join",
     "dedup_increment_batch",

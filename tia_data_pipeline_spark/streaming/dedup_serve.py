@@ -328,9 +328,10 @@ def stream_index_deletes(
     `*_index_compact` maintenance op; probes mask immediately.
 
     ``id_col=None`` keeps each family's OWN default ("doc_id" for the
-    text-hash families, "vec_id" for embedding, the meta-recorded
-    column for IVF — review r9: forwarding one hardcoded name broke
-    every non-document family); pass it only to override."""
+    text-hash families and the BM25 text index, "vec_id" for
+    embedding, the meta-recorded column for IVF — review r9:
+    forwarding one hardcoded name broke every non-document family);
+    pass it only to override."""
     from tia_data_pipeline_spark.operators.dedup import (
         minhash_index_delete,
         simhash_index_delete,
@@ -339,12 +340,14 @@ def stream_index_deletes(
         embedding_index_delete,
         ivf_index_delete,
     )
+    from tia_data_pipeline_spark.operators.text_index import text_index_delete
 
     deleters = {
         "minhash": minhash_index_delete,
         "simhash": simhash_index_delete,
         "embedding": embedding_index_delete,
         "ivf": ivf_index_delete,
+        "text": text_index_delete,
     }
     try:
         delete = deleters[family]
