@@ -556,3 +556,415 @@ def test_png_claimed_huge_geometry_is_rejected_before_inflate():
     with pytest.raises(ValueError, match="decode budget"):
         decode_png(payload)
     assert decode_media(payload) == fake_decode(payload)
+
+
+# ---------------------------------------------------------------- JPEG ----
+# Independent baseline encoder (forward direction, per the public
+# spec): direct O(n^4) cosine-sum FDCT (deliberately NOT the decoder's
+# matrix form), its own diagonal-walk zigzag derivation, simple
+# custom canonical Huffman tables (the decoder must honor whatever DHT
+# carries, not just the Annex-K defaults), byte stuffing, optional
+# 4:2:0 subsampling and restart markers.
+
+
+def _jz_zigzag():
+    """Diagonal-walk zigzag order, derived independently: within an
+    odd diagonal the walk descends (row increasing, the down-left
+    leg), within an even diagonal it ascends — the spec's Figure A.6
+    serpentine starting right from DC."""
+    order = sorted(
+        ((x, y) for x in range(8) for y in range(8)),
+        key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else -p[0]),
+    )
+    return [x * 8 + y for x, y in order]
+
+
+def _jz_fdct(block):
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        block[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[u, v] = cu * cv * s / 4.0
+    return out
+
+
+class _JzBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+# custom canonical tables: DC symbols 0..11 at code length 4; AC
+# symbols {EOB, ZRL} ∪ {run<<4|size} at code length 8 (prefix-free,
+# all-ones code unused)
+_JZ_DC_SYMS = list(range(12))
+_JZ_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _jz_canonical(symbols, length):
+    return {sym: (length, code) for code, sym in enumerate(symbols)}
+
+
+_JZ_DC_CODES = _jz_canonical(_JZ_DC_SYMS, 4)
+_JZ_AC_CODES = _jz_canonical(_JZ_AC_SYMS, 8)
+
+
+def _jz_dht(tc, th, symbols, length):
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return bytes([(tc << 4) | th]) + bytes(bits) + bytes(symbols)
+
+
+def _jz_category(v):
+    t = 0
+    a = abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    return t
+
+
+def _jz_emit_block(w, fq, pred, zz):
+    """Huffman-encode one quantized block (zigzag order)."""
+    seq = [int(fq.flat[i]) for i in zz]
+    diff = seq[0] - pred
+    t = _jz_category(diff)
+    ln, code = _JZ_DC_CODES[t]
+    w.put(code, ln)
+    if t:
+        w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if seq[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = seq[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = _JZ_AC_CODES[0xF0]
+            w.put(code, ln)
+            run -= 16
+        s = _jz_category(v)
+        ln, code = _JZ_AC_CODES[(run << 4) | s]
+        w.put(code, ln)
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        ln, code = _JZ_AC_CODES[0x00]  # EOB
+        w.put(code, ln)
+    return seq[0]
+
+
+def _jz_seg(marker, data):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+
+def _jz_encode(px, *, gray=False, subsample=False, q_luma=8, q_chroma=8,
+               restart_interval=0):
+    """Baseline JPEG bytes for (h, w, 3) uint8 RGB (or (h, w) gray).
+    4:4:4 by default; subsample=True emits 4:2:0 with box-averaged
+    chroma."""
+    zz = _jz_zigzag()
+    if gray:
+        h, w_ = px.shape
+        y_pl = px.astype(np.float64)
+        planes = [("Y", y_pl, 0)]
+    else:
+        h, w_ = px.shape[:2]
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y_pl = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [("Y", y_pl, 0), ("Cb", cb, 1), ("Cr", cr, 1)]
+    qt = {0: np.full(64, q_luma, dtype=np.uint8),
+          1: np.full(64, q_chroma, dtype=np.uint8)}
+
+    hv = {"Y": (2, 2) if subsample else (1, 1), "Cb": (1, 1), "Cr": (1, 1)}
+    hmax = max(v[0] for k, v in hv.items() if any(p[0] == k for p in planes))
+    vmax = max(v[1] for k, v in hv.items() if any(p[0] == k for p in planes))
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x, mcus_y = -(-w_ // mcu_w), -(-h // mcu_h)
+
+    # pad + (for chroma under 4:2:0) box-downsample each plane
+    prepared = []
+    for name, pl, tq in planes:
+        ch, cv = hv[name]
+        tw, th = mcus_x * ch * 8, mcus_y * cv * 8
+        if subsample and name != "Y":
+            # box 2x2 mean over the padded full-res plane
+            fw, fh = mcus_x * mcu_w, mcus_y * mcu_h
+            pad = np.pad(pl, ((0, fh - h), (0, fw - w_)), mode="edge")
+            pl2 = pad.reshape(fh // 2, 2, fw // 2, 2).mean(axis=(1, 3))
+        else:
+            pl2 = np.pad(pl, ((0, th - h), (0, tw - w_)), mode="edge")
+        prepared.append((name, pl2 - 128.0, tq, ch, cv))
+
+    wtr = _JzBitWriter()
+    preds = {name: 0 for name, *_ in prepared}
+    chunks = []
+    mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                chunks.append(wtr.flush())
+                chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                wtr = _JzBitWriter()
+                preds = {k: 0 for k in preds}
+            for name, pl2, tq, ch, cv in prepared:
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        block = pl2[y0 : y0 + 8, x0 : x0 + 8]
+                        fq = np.round(_jz_fdct(block).flatten() / qt[tq])
+                        preds[name] = _jz_emit_block(wtr, fq, preds[name], zz)
+            mcu += 1
+    chunks.append(wtr.flush())
+    scan = b"".join(chunks)
+
+    out = bytearray(b"\xff\xd8")
+    # quant tables in ZIGZAG order per spec
+    for tq, tbl in qt.items():
+        zz_tbl = bytes(int(tbl[0]) for _ in range(64))  # uniform: zigzag = identity
+        out += _jz_seg(0xDB, bytes([tq]) + zz_tbl)
+    ncomp = len(prepared)
+    sof = bytes([8]) + struct.pack(">HH", h, w_) + bytes([ncomp])
+    for i, (name, _, tq, ch, cv) in enumerate(prepared):
+        sof += bytes([i + 1, (ch << 4) | cv, tq])
+    out += _jz_seg(0xC0, sof)
+    out += _jz_seg(0xC4, _jz_dht(0, 0, _JZ_DC_SYMS, 4))
+    out += _jz_seg(0xC4, _jz_dht(1, 0, _JZ_AC_SYMS, 8))
+    if restart_interval:
+        out += _jz_seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])  # every component: DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += _jz_seg(0xDA, sos)
+    out += scan + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_solid_color_near_exact():
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    px = np.zeros((16, 24, 3), dtype=np.uint8)
+    px[:] = (180, 90, 40)
+    payload = _jz_encode(px)
+    d = decode_jpeg(payload)
+    assert (d["width"], d["height"]) == (24, 16)
+    assert d["format"] == "image/jpeg;nc=3"
+    err = np.abs(d["pixels"].astype(int) - px.astype(int))
+    assert err.max() <= 2, f"solid-color max error {err.max()}"
+
+
+def _jz_reference_decode(px, *, gray=False, q_luma=8, q_chroma=8):
+    """The TEST's own inverse of the encoder's quantized coefficients
+    (direct cosine-sum inverse — independent of the decoder's matrix
+    IDCT): what a spec-correct decoder must reproduce up to rounding.
+    4:4:4 only (the reference exists to isolate decoder bugs from
+    quantization loss, not to re-model subsampling)."""
+    zz = _jz_zigzag()
+    if gray:
+        planes = [px.astype(np.float64)]
+        qts = [np.full(64, q_luma, dtype=np.float64)]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        qts = [np.full(64, q_luma, np.float64)] + [
+            np.full(64, q_chroma, np.float64)
+        ] * 2
+    h, w_ = planes[0].shape
+    th, tw = -(-h // 8) * 8, -(-w_ // 8) * 8
+    outs = []
+    for pl, qt in zip(planes, qts):
+        pad = np.pad(pl, ((0, th - h), (0, tw - w_)), mode="edge") - 128.0
+        rec = np.zeros_like(pad)
+        for y0 in range(0, th, 8):
+            for x0 in range(0, tw, 8):
+                f = _jz_fdct(pad[y0 : y0 + 8, x0 : x0 + 8])
+                fq = np.round(f.flatten() / qt) * qt  # quantize+dequantize
+                dq = fq.reshape(8, 8)
+                blk = np.zeros((8, 8))
+                for x in range(8):
+                    for y in range(8):
+                        sacc = 0.0
+                        for u in range(8):
+                            for v in range(8):
+                                cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                                cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                                sacc += (
+                                    cu * cv * dq[u, v]
+                                    * np.cos((2 * x + 1) * u * np.pi / 16)
+                                    * np.cos((2 * y + 1) * v * np.pi / 16)
+                                )
+                        blk[x, y] = sacc / 4.0
+                rec[y0 : y0 + 8, x0 : x0 + 8] = blk
+        outs.append(rec[:h, :w_] + 128.0)
+    if gray:
+        gch = np.clip(np.round(outs[0]), 0, 255)
+        return np.repeat(gch[:, :, None], 3, axis=2)
+    y, cb, cr = outs[0], outs[1] - 128.0, outs[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255)
+
+
+def test_jpeg_gradient_matches_reference_inverse_exactly():
+    """The decoder must reproduce the test's own direct-cosine-sum
+    inverse of the quantized coefficients within rounding (±1): this
+    isolates decoder defects (zigzag order, Huffman walk, predictor
+    chain, IDCT convention) from ordinary quantization loss, and the
+    non-square shape makes a row/col swap impossible to hide."""
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [
+            (xx * 5) % 200 + 20,
+            (yy * 7) % 180 + 30,
+            ((xx + yy) * 3) % 160 + 40,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    d = decode_jpeg(_jz_encode(px))
+    ref = _jz_reference_decode(px)
+    err = np.abs(d["pixels"].astype(int) - ref.astype(int))
+    assert err.max() <= 1, f"decoder deviates from reference inverse by {err.max()}"
+
+
+def test_jpeg_grayscale_matches_reference():
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    h, w = 16, 16
+    g = (np.add.outer(np.arange(h) * 3, np.arange(w) * 5) % 200 + 20).astype(
+        np.uint8
+    )
+    d = decode_jpeg(_jz_encode(g, gray=True))
+    assert d["format"] == "image/jpeg;nc=1"
+    ref = _jz_reference_decode(g, gray=True)
+    err = np.abs(d["pixels"].astype(int) - ref.astype(int))
+    assert err.max() <= 1
+    # gray widens to identical RGB channels
+    assert np.array_equal(d["pixels"][..., 0], d["pixels"][..., 1])
+
+
+def test_jpeg_420_subsampling():
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    # smooth luma gradient + slowly-varying chroma (subsampling-friendly)
+    px = np.stack(
+        [
+            40 + xx * 2 + yy,
+            60 + xx + yy * 2,
+            80 + xx + yy,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    d = decode_jpeg(_jz_encode(px, subsample=True))
+    assert (d["width"], d["height"]) == (w, h)
+    err = np.abs(d["pixels"].astype(int) - px.astype(int))
+    assert err.mean() < 5.0 and err.max() < 45, (err.mean(), err.max())
+
+
+def test_jpeg_restart_markers_equal_unrestarted():
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack([(xx * 9) % 230, (yy * 11) % 230, ((xx * yy) % 230)], axis=2).astype(
+        np.uint8
+    )
+    plain = decode_jpeg(_jz_encode(px))
+    rst = decode_jpeg(_jz_encode(px, restart_interval=3))
+    assert np.array_equal(plain["pixels"], rst["pixels"])
+
+
+def test_jpeg_unsupported_and_bomb_degrade_to_stub():
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+    from tia_data_pipeline_spark.operators.multimodal import fake_decode
+
+    px = np.full((8, 8, 3), 128, dtype=np.uint8)
+    good = _jz_encode(px)
+    # progressive: flip SOF0 -> SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_media(prog) == fake_decode(prog)
+    # truncated entropy stream
+    trunc = good[:-12]
+    assert decode_media(trunc) == fake_decode(trunc)
+    # claimed-huge geometry is rejected before any block decodes
+    import re as _re
+
+    huge = bytearray(good)
+    sof_at = bytes(huge).find(b"\xff\xc0")
+    struct.pack_into(">HH", huge, sof_at + 5, 30_000, 30_000)
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_jpeg(bytes(huge))
+
+
+def test_jpeg_through_decode_media_and_features(spark):
+    from tia_data_pipeline_spark.functions.codecs import image_features
+    from tia_data_pipeline_spark.operators.multimodal import extract_media_features
+
+    solid = _jz_encode(np.full((16, 16, 3), 200, dtype=np.uint8))
+    d = decode_media(solid)
+    assert d["format"] == "image/jpeg;nc=3" and (d["width"], d["height"]) == (16, 16)
+    f = image_features(solid)
+    assert abs(f["brightness"] - 200.0) < 3.0 and f["contrast"] < 3.0
+    broken = bytearray(solid)
+    broken[-20] ^= 0x55
+    df = spark.createDataFrame(
+        [(1, bytes(solid)), (2, bytes(broken))], "id bigint, payload binary"
+    )
+    rows = {r["id"]: r for r in extract_media_features(df).collect()}
+    assert rows[1]["kind"] == "jpeg" and abs(rows[1]["brightness"] - 200.0) < 3.0
+    assert rows[2]["kind"] == "jpeg"

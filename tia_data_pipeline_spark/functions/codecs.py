@@ -14,12 +14,18 @@ need none — their layouts are public byte structures:
   five scanline filters, 8-bit gray/gray-alpha/RGB/RGBA and paletted
   images, 16-bit depth reduction — plus a deflate re-encoder. See the
   PNG section below for supported shapes and the fixed decode budget.
+- **JPEG** (round 10): REAL baseline decode — marker/table parse,
+  canonical Huffman, dequantize + dezigzag, matrix IDCT, generic MCU
+  layout (4:4:4 / 4:2:2 / 4:2:0), restart markers, grayscale and
+  YCbCr→RGB. Decoder-only (no encoder); progressive/arithmetic/12-bit
+  raise → the stub seam. Verified against an independent test-side
+  encoder AND a direct cosine-sum reference inverse (±1).
 
-Remaining compressed formats (JPEG/MP3/H.264, interlaced PNG) still
-require a real codec library; :func:`decode_media` falls back to the
-deterministic stub for those, preserving the documented injection seam
-(``operators/multimodal.py``): a deployment swaps in Pillow/ffmpeg
-callables with the same signatures.
+Remaining compressed formats (MP3/H.264, progressive JPEG, interlaced
+PNG) still require a real codec library; :func:`decode_media` falls
+back to the deterministic stub for those, preserving the documented
+injection seam (``operators/multimodal.py``): a deployment swaps in
+Pillow/ffmpeg callables with the same signatures.
 
 Everything here runs INSIDE the Arrow ``mapInPandas`` batches — plain
 bytes-in/dict-out functions, no Spark imports, trivially testable.
@@ -384,11 +390,331 @@ def decode_wav(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------- dispatch ----
+# --------------------------------------------------------------- JPEG ----
+#
+# Baseline sequential JPEG (SOF0/SOF1, Huffman-coded, 8-bit) is — like
+# PNG — a public byte structure needing no codec library: marker
+# segments carry the quantization and Huffman tables, the scan is an
+# entropy-coded stream of 8×8 DCT blocks, and the inverse DCT is one
+# 8×8 matrix product. Supported: grayscale and YCbCr with any
+# sampling factors ≤ 4 (4:4:4 / 4:2:2 / 4:2:0 all fall out of the
+# generic MCU layout), restart markers, 8/16-bit quant precision.
+# Progressive (SOF2) / arithmetic coding / 12-bit raise → the stub
+# seam, same posture as interlaced PNG. The entropy loop is
+# plain-Python per block — feature-extraction batch sizes, with the
+# documented real-codec injection seam for bulk decode.
+
+# zigzag scan order: index k in the stream -> linear position in the
+# row-major 8x8 block (the spec's Figure A.6 walk, generated by the
+# standard diagonal traversal)
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT-II basis: A[u, x] = c(u)/2 · cos((2x+1)uπ/16)
+# — spatial = Aᵀ·F·A is the inverse transform
+_JPEG_IDCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _JpegBits:
+    """MSB-first bit reader over an UNSTUFFED entropy segment."""
+
+    __slots__ = ("data", "pos", "buf", "n")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.buf, self.n = data, 0, 0, 0
+
+    def receive(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy segment")
+            self.buf = (self.buf << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= nbits
+        out = (self.buf >> self.n) & ((1 << nbits) - 1)
+        self.buf &= (1 << self.n) - 1
+        return out
+
+
+def _jpeg_huff_table(bits: bytes, vals: bytes) -> dict:
+    """Canonical Huffman table per the spec's C.2 code assignment:
+    {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(br: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.receive(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude per the spec's EXTEND procedure."""
+    return v - ((1 << t) - 1) if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_decode_block(
+    br: _JpegBits, dc_tbl: dict, ac_tbl: dict, pred: int, quant: np.ndarray
+) -> tuple[np.ndarray, int]:
+    """One 8×8 block: DC diff + run-length AC, dequantize, dezigzag,
+    inverse DCT. Returns (spatial block BEFORE level shift, new DC
+    predictor)."""
+    coef = np.zeros(64, dtype=np.float64)
+    t = _jpeg_huff_decode(br, dc_tbl)
+    pred += _jpeg_extend(br.receive(t), t) if t else 0
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_huff_decode(br, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overflows the block")
+        coef[k] = _jpeg_extend(br.receive(s), s)
+        k += 1
+    dq = coef * quant
+    block = np.zeros(64, dtype=np.float64)
+    block[_JPEG_ZIGZAG] = dq
+    f = block.reshape(8, 8)
+    return _JPEG_IDCT_A.T @ f @ _JPEG_IDCT_A, pred
+
+
+def _jpeg_segments(payload: bytes):
+    """(marker, data) pairs of the header segments, then a final
+    ("SCAN", entropy_bytes) after the first SOS. Markers without a
+    length field (SOI/EOI/RST/TEM) are skipped per spec."""
+    i = 2  # past SOI
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[i + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any scan
+            return
+        (size,) = struct.unpack_from(">H", payload, i + 2)
+        data = payload[i + 4 : i + 2 + size]
+        yield marker, data
+        i += 2 + size
+        if marker == 0xDA:  # scan data runs from here to EOI
+            yield "SCAN", payload[i:]
+            return
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline JPEG → metadata + (h, w, 3) uint8 RGB pixels — the
+    same contract as decode_ppm/decode_png so the feature extractor
+    stays format-blind."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    scan_comps = None
+    entropy = None
+    restart_interval = 0
+    for marker, data in _jpeg_segments(payload):
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(data):
+                pq, tq = data[j] >> 4, data[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(data, dtype=np.uint8, count=64, offset=j)
+                    j += 64
+                else:
+                    tbl = np.frombuffer(data, dtype=">u2", count=64, offset=j)
+                    j += 128
+                quant[tq] = tbl.astype(np.float64)
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            j = 0
+            while j < len(data):
+                tc, th = data[j] >> 4, data[j] & 0x0F
+                bits = data[j + 1 : j + 17]
+                nvals = sum(bits)
+                vals = data[j + 17 : j + 17 + nvals]
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_table(bits, vals)
+                j += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
+            depth, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
+            if depth != 8:
+                raise ValueError(f"unsupported JPEG sample precision {depth}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tt = data[1 + 2 * c : 3 + 2 * c]
+                scan_comps.append({"id": cid, "dc": tt >> 4, "ac": tt & 0x0F})
+        elif marker == "SCAN":
+            entropy = data
+    if frame is None or scan_comps is None or entropy is None:
+        raise ValueError("JPEG without SOF/SOS/scan data")
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w < 1 or h < 1:
+        raise ValueError("non-positive JPEG dimensions")
+    if len(comps) not in (1, 3) or len(scan_comps) != len(comps):
+        raise ValueError("unsupported JPEG component layout")
+    # fixed decode budget: SOF geometry is attacker-controlled, same
+    # rule as the PNG raster cap
+    if h * w * 3 > _PNG_MAX_RASTER_BYTES:
+        raise ValueError(
+            f"JPEG raster {w}x{h} exceeds the "
+            f"{_PNG_MAX_RASTER_BYTES >> 20} MB decode budget"
+        )
+    by_id = {c["id"]: c for c in comps}
+    order = []  # interleave order = SOS order, per spec
+    for sc in scan_comps:
+        c = by_id.get(sc["id"])
+        if c is None:
+            raise ValueError("JPEG scan names an unknown component")
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError("JPEG sampling factors out of range")
+        order.append(
+            {
+                **c,
+                "dc": huff_dc[sc["dc"]],
+                "ac": huff_ac[sc["ac"]],
+                "q": quant[c["tq"]],
+            }
+        )
+    hmax = max(c["h"] for c in order)
+    vmax = max(c["v"] for c in order)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in order
+    }
+    # restart markers split the entropy stream into independently
+    # decodable segments (fresh bit alignment + DC predictors); byte
+    # unstuffing (FF 00 -> FF) happens per segment
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = 0
+    while j < len(entropy):
+        b = entropy[j]
+        if b == 0xFF and j + 1 < len(entropy):
+            nxt = entropy[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or the next real marker ends the scan
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+    # DRI drives segment switching deterministically: a new entropy
+    # segment (fresh bit alignment, zeroed DC predictors) starts every
+    # `restart_interval` MCUs — never inferred from decode failures,
+    # which padding bits can mask
+    if restart_interval == 0 and len(segments) > 1:
+        raise ValueError("JPEG restart markers without a DRI interval")
+    seg_iter = iter(segments)
+    br = _JpegBits(next(seg_iter))
+    preds = {c["id"]: 0 for c in order}
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                nxt_seg = next(seg_iter, None)
+                if nxt_seg is None:
+                    raise ValueError("JPEG scan ended before its last MCU")
+                br = _JpegBits(nxt_seg)
+                preds = {k: 0 for k in preds}
+            for c in order:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block, preds[c["id"]] = _jpeg_decode_block(
+                            br, c["dc"], c["ac"], preds[c["id"]], c["q"]
+                        )
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu += 1
+    # level shift, upsample to full geometry, crop
+    full = []
+    for c in order:
+        p = planes[c["id"]] + 128.0
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        pixels = np.repeat(g[:, :, None], 3, axis=2)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        # JFIF full-range BT.601
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        pixels = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+            np.uint8
+        )
+    return {
+        "format": f"image/jpeg;nc={len(full)}",
+        "width": int(w),
+        "height": int(h),
+        "maxval": 255,
+        "pixels": pixels,
+        "checksum": int(pixels.astype(np.int64).sum()) % 2_147_483_647,
+    }
+
+
 def sniff_format(payload: bytes) -> str:
     if payload[:2] == b"P6":
         return "ppm"
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -414,6 +740,9 @@ def decode_media(payload: bytes) -> dict:
         if kind == "png":
             d = decode_png(payload)
             return {k: d[k] for k in ("format", "width", "height", "checksum")}
+        if kind == "jpeg":
+            d = decode_jpeg(payload)
+            return {k: d[k] for k in ("format", "width", "height", "checksum")}
         if kind == "bmp":
             return decode_bmp(payload)
         if kind == "wav":
@@ -434,8 +763,9 @@ def decode_media(payload: bytes) -> dict:
 
 def resize_media(payload: bytes, target_w: int, target_h: int) -> bytes:
     """Real resize for PPM and PNG (decode → nearest-neighbor →
-    re-encode in the same format); other formats fall back to the
-    stub's size-law resample."""
+    re-encode in the same format); other formats — including JPEG,
+    which decodes for real but has no re-encoder here — fall back to
+    the stub's size-law resample."""
     import zlib
 
     kind = sniff_format(payload)
@@ -495,12 +825,18 @@ def audio_features(payload: bytes) -> dict:
 
 
 def image_features(payload: bytes) -> dict:
-    """Shape/intensity features over REAL decoded pixels (PPM or PNG —
-    both decoders share the (h, w, 3) RGB contract): per-channel
-    means, luma brightness, RMS contrast — the cheap screens an image
-    curation pipeline gates on (black/blank frames, washed-out
-    captures)."""
-    d = decode_png(payload) if sniff_format(payload) == "png" else decode_ppm(payload)
+    """Shape/intensity features over REAL decoded pixels (PPM, PNG or
+    baseline JPEG — the decoders share the (h, w, 3) RGB contract):
+    per-channel means, luma brightness, RMS contrast — the cheap
+    screens an image curation pipeline gates on (black/blank frames,
+    washed-out captures)."""
+    kind = sniff_format(payload)
+    if kind == "png":
+        d = decode_png(payload)
+    elif kind == "jpeg":
+        d = decode_jpeg(payload)
+    else:
+        d = decode_ppm(payload)
     px = d["pixels"].astype(np.float64)  # (h, w, 3) in [0, maxval]
     px = px * (255.0 / max(1, d["maxval"]))
     means = px.reshape(-1, 3).mean(axis=0)

@@ -212,7 +212,7 @@ def extract_media_features(
                 kind = codecs.sniff_format(payload)
                 row = {"id": rid, "kind": kind, **base}
                 try:
-                    if kind in ("ppm", "png"):
+                    if kind in ("ppm", "png", "jpeg"):
                         row.update(codecs.image_features(payload))
                     elif kind == "wav":
                         f = codecs.audio_features(payload)
