@@ -143,8 +143,9 @@ TAIL_COVERED_BY = {
     "q_approx_quantiles": "q_quantiles",
     "q_asof_join": "q_range_join",
     "q_autocorr": "q_seasonality",
-    "q_bm25": "q_bm25_indexed",
+    "q_bm25": "q_bm25_batch",
     "q_boilerplate": "q_gopher_quality",
+    "q_bpe_train": "q_vocab_coverage",
     "q_burstiness": "q_interarrival",
     "q_canonicalize": "q_pii_redact",
     "q_changepoint": "q_seasonality",

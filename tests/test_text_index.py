@@ -253,3 +253,87 @@ class TestTextIndexLifecycle:
         assert after["rows"] == before["rows"]
         assert after["files"] < before["files"]
         assert self._serve(spark, path) == self._fresh(spark, docs, tmp_path, "all")
+
+
+class TestBm25Batch:
+    """bm25_search_batch: each query's rows must EQUAL the single-probe
+    serve of the same terms (the strongest oracle — the batch form is
+    an execution strategy, not a semantics change)."""
+
+    def test_batch_equals_per_query_single_serves(self, spark, index_path):
+        from tia_data_pipeline_spark.operators.text_index import bm25_search_batch
+
+        qsets = {1: ["spark", "join", "stream"], 2: ["data", "table"], 3: ["spark"]}
+        queries = spark.createDataFrame(
+            list(qsets.items()), "query_id bigint, terms array<string>"
+        )
+        got = {}
+        for r in bm25_search_batch(queries, index_path, k=7).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rnk"], r["doc_id"], r["n_terms"], r["score"])
+            )
+        for qid, terms in qsets.items():
+            single = [
+                (i + 1, r["doc_id"], r["n_terms"], r["score"])
+                for i, r in enumerate(
+                    bm25_search_indexed(spark, index_path, terms, k=7).collect()
+                )
+            ]
+            assert sorted(got.get(qid, [])) == single, f"query {qid} diverged"
+
+    def test_duplicate_terms_count_once_and_hostile_rows_excluded(
+        self, spark, index_path
+    ):
+        from tia_data_pipeline_spark.operators.text_index import bm25_search_batch
+
+        queries = spark.createDataFrame(
+            [
+                (1, ["spark", "spark", "spark"]),  # set semantics
+                (None, ["spark"]),  # NULL id: no rankable identity
+                (2, None),  # NULL terms
+                (3, []),  # empty terms
+                (4, [None, "spark"]),  # NULL element counts for nothing
+            ],
+            "query_id bigint, terms array<string>",
+        )
+        rows = bm25_search_batch(queries, index_path, k=5).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {1, 4}
+        single = [
+            (r["doc_id"], r["n_terms"], r["score"])
+            for r in bm25_search_indexed(spark, index_path, ["spark"], k=5).collect()
+        ]
+        for qid in (1, 4):
+            got = [
+                (r["doc_id"], r["n_terms"], r["score"])
+                for r in sorted(by_q[qid], key=lambda r: r["rnk"])
+            ]
+            assert got == single
+
+    def test_batch_plan_prunes_and_rank_limits(self, spark, index_path):
+        import contextlib
+        import io
+
+        from tia_data_pipeline_spark.operators.text_index import bm25_search_batch
+
+        queries = spark.createDataFrame(
+            [(1, ["spark"]), (2, ["data", "join"])],
+            "query_id bigint, terms array<string>",
+        )
+        df = bm25_search_batch(queries, index_path, k=3)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "PartitionFilters" in p and "_bucket" in p  # pruned scan
+        assert "WindowGroupLimit" in p  # map-side per-query top-k
+        assert p.count("HashAggregate") >= 2  # two-phase df intact
+
+    def test_empty_batch_raises(self, spark, index_path):
+        from tia_data_pipeline_spark.operators.text_index import bm25_search_batch
+
+        queries = spark.createDataFrame([], "query_id bigint, terms array<string>")
+        with pytest.raises(ValueError, match="no non-empty queries"):
+            bm25_search_batch(queries, index_path)

@@ -135,6 +135,31 @@ def bm25_search_indexed(
     ``_bucket IN`` partition filter and the ``tok IN`` row filter, and
     only candidate docs join the length table. Scores are the q_bm25
     integer arithmetic, so the result equals the full-scan query."""
+    sc = _bm25_term_doc_scores(spark, path, terms)
+    agg = sc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("sc_n").cast("bigint").alias("score_n"),
+    )
+    # Projection/order mirror q_bm25 exactly (bit-for-bit equivalence
+    # is test-pinned): the raw nano-nat score_n stays OFF the output —
+    # ln() is 1-ulp divergent cross-engine — and the top-k orders on
+    # the 6-dp rounded score with doc_id tiebreak.
+    out = agg.select(
+        "doc_id",
+        "n_terms",
+        portable_round(F.col("score_n") / F.lit(1_000_000_000.0), 6).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def _bm25_term_doc_scores(
+    spark: SparkSession, path: str, terms: list[str]
+) -> DataFrame:
+    """The query-independent BM25 scoring core shared by the single-
+    probe and batch serves: per-(term, doc) nano-integer scores over
+    the LIVE index membership — pruned scan, tombstone masks, crash-
+    retry dedup, two-phase df. Returns (tok, doc_id, sc_n); callers
+    select the terms a query needs and sum."""
     if not terms:
         raise ValueError("terms must be non-empty")
     # the bucket modulus and postings schema come from the index
@@ -212,11 +237,12 @@ def bm25_search_indexed(
     # straggler at 100×); the partial+final hash aggregate computes the
     # same exact count and the ≤|terms|-row map broadcasts back.
     dfm = cand.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
-    sc = (
+    return (
         cand.join(F.broadcast(dfm), "tok")
         .join(dl, "doc_id")
         .crossJoin(scal)
         .select(
+            "tok",
             "doc_id",
             TX.nano_int(
                 (
@@ -234,20 +260,83 @@ def bm25_search_indexed(
             ).alias("sc_n"),
         )
     )
-    agg = sc.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_terms"),
-        F.sum("sc_n").cast("bigint").alias("score_n"),
+
+
+def bm25_search_batch(
+    queries: DataFrame,
+    path: str,
+    *,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+) -> DataFrame:
+    """Serve a BATCH of BM25 queries from the written index — the
+    many-query form of :func:`bm25_search_indexed` (the text twin of
+    ``ivf_search_batch``): ``queries`` carries (query_id,
+    array<string> terms) rows. BM25's per-(term, doc) score is
+    query-independent given the corpus scalars, so the batch computes
+    the scoring core ONCE over the UNION of all queries' terms (one
+    pruned scan — the touched-bucket set is the union of every query's
+    buckets) and each query then just selects its terms and sums:
+    the (query_id, tok) map broadcasts onto the shared candidate
+    scores, per-query totals aggregate, and a rank-limited window
+    (map-side WindowGroupLimit) keeps each query's top k with the
+    fixed (score desc, doc_id asc) tiebreak.
+
+    The term universe collects driver-side (a deletion-request-sized
+    batch of queries × a handful of terms each — control plane, the
+    same scale class as the IVF probe's touched-cell collect). NULL
+    query ids and NULL/empty term arrays are excluded at the source
+    (no rankable identity / nothing to match); duplicate terms within
+    one query count once (set semantics, matching the single form
+    where ``terms`` is a set).
+
+    Returns ``(query_id, doc_id, n_terms, score, rnk)``."""
+    spark = queries.sparkSession
+    qmap = (
+        queries.filter(
+            F.col(query_id_col).isNotNull()
+            & F.col(terms_col).isNotNull()
+            & (F.size(F.col(terms_col)) > 0)
+        )
+        .select(
+            F.col(query_id_col).alias("_qid"),
+            F.explode(F.array_distinct(F.col(terms_col))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
     )
-    # Projection/order mirror q_bm25 exactly (bit-for-bit equivalence
-    # is test-pinned): the raw nano-nat score_n stays OFF the output —
-    # ln() is 1-ulp divergent cross-engine — and the top-k orders on
-    # the 6-dp rounded score with doc_id tiebreak.
-    out = agg.select(
-        "doc_id",
-        "n_terms",
-        portable_round(F.col("score_n") / F.lit(1_000_000_000.0), 6).alias("score"),
+    all_terms = sorted({r["tok"] for r in qmap.select("tok").distinct().collect()})
+    if not all_terms:
+        raise ValueError("no non-empty queries to serve")
+    sc = _bm25_term_doc_scores(spark, path, all_terms)
+    per_q = (
+        sc.join(F.broadcast(qmap), "tok")
+        .groupBy("_qid", "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("sc_n").cast("bigint").alias("score_n"),
+        )
+        .select(
+            "_qid",
+            "doc_id",
+            "n_terms",
+            portable_round(
+                F.col("score_n") / F.lit(1_000_000_000.0), 6
+            ).alias("score"),
+        )
     )
-    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_q.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col), "doc_id", "n_terms", "score", "rnk"
+        )
+    )
 
 
 def text_index_append(

@@ -1867,11 +1867,16 @@ _BM25_K = 20  # result size
 # 0.9·dl·N/T) == 22·tf·T / (10·tf·T + 3·T + 9·dl·N) after clearing
 # denominators — every operand a bigint.
 
-# ONE oracle text for both BM25 forms (full-scan q_bm25 and the
-# persisted-index q_bm25_indexed): the index is an execution strategy,
-# not a semantics change, so the two hash-checked forms share the SQL
-# and can never drift apart (the _minhash_sql_fragments rule).
-_BM25_ORACLE = (
+# ONE oracle text for every BM25 form (full-scan q_bm25, the
+# persisted-index q_bm25_indexed, and — per query — the batch serve
+# q_bm25_batch): the index/batching are execution strategies, not
+# semantics changes, so every hash-checked form instantiates the same
+# template and they can never drift apart (the _minhash_sql_fragments
+# rule).
+
+
+def _bm25_oracle_select(terms: tuple[str, ...], k: int) -> str:
+    return (
         "WITH toks AS (SELECT doc_id, unnest({tk}) AS tok FROM documents), "
         "dl AS (SELECT doc_id, {wc} AS dl FROM documents), "
         "scal AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS t FROM dl), "
@@ -1889,13 +1894,17 @@ _BM25_ORACLE = (
         "agg AS (SELECT doc_id, count(*)::BIGINT AS n_terms, SUM(sc_n)::BIGINT AS score_n "
         "  FROM sc GROUP BY doc_id) "
         "SELECT doc_id, n_terms, "
-        f"  {{rnd}} AS score FROM agg ORDER BY score DESC, doc_id ASC LIMIT {_BM25_K}"
-).format(
-    tk=_DOC_TOKENS_SQL,
-    wc=TX.word_count_sql("text"),
-    terms=", ".join(f"'{t}'" for t in _BM25_TERMS),
-    rnd=TX.portable_round_sql("score_n / 1000000000.0", 6),
-)
+        "  {rnd} AS score FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    ).format(
+        tk=_DOC_TOKENS_SQL,
+        wc=TX.word_count_sql("text"),
+        terms=", ".join(f"'{t}'" for t in terms),
+        rnd=TX.portable_round_sql("score_n / 1000000000.0", 6),
+        k=k,
+    )
+
+
+_BM25_ORACLE = _bm25_oracle_select(_BM25_TERMS, _BM25_K)
 
 
 @contract_query(
@@ -1987,13 +1996,14 @@ _BM25_INDEX_CACHE: dict[str, str] = {}
 def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_bm25 served from the persisted inverted index
     (operators/text_index.py): postings partitioned by term-hash
-    bucket, df pre-joined onto the postings at WRITE time, doc-length
+    bucket, df a SERVE-TIME two-phase aggregate over the pruned scan
+    (round 10 — never a stored column, never a window), doc-length
     and corpus-stats side tables — the query-time scan carries a
     ``_bucket IN`` partition filter from a driver-side hash of the
     terms plus the ``tok IN`` row filter, so serving reads
     |query buckets| / n_buckets of the index and never re-tokenizes
     the corpus. The oracle is BYTE-IDENTICAL to q_bm25's (shared
-    constant): this row hash-checks that index-time precomputation +
+    template): this row hash-checks that the persisted layout +
     pruned serving reproduces the full-scan scores exactly.
 
     The built index is memoized per (process, sf_dir): the hostile
@@ -2025,6 +2035,57 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_text_index(load_table(spark, sf_dir, "documents"), f"{tmp}/tidx")
         _BM25_INDEX_CACHE[sf_dir] = tmp
     return bm25_search_indexed(spark, f"{tmp}/tidx", list(_BM25_TERMS), k=_BM25_K)
+
+
+# the batch serve's fixed query set: the q_bm25 terms plus two more
+# shapes (multi-term disjoint, single-term) so the shared scoring core
+# is exercised across overlapping bucket/term universes in ONE scan
+_BM25_BATCH_QUERIES: dict[int, tuple[str, ...]] = {
+    1: _BM25_TERMS,
+    2: ("data", "table"),
+    3: ("spark",),
+}
+
+_BM25_BATCH_ORACLE = " UNION ALL ".join(
+    f"SELECT {qid}::BIGINT AS query_id, doc_id, n_terms, score, "
+    "(row_number() OVER (ORDER BY score DESC, doc_id ASC))::INT AS rnk "
+    f"FROM ({_bm25_oracle_select(terms, _BM25_K)})"
+    for qid, terms in _BM25_BATCH_QUERIES.items()
+)
+
+
+@contract_query(
+    "q_bm25_batch",
+    oracle=_BM25_BATCH_ORACLE,
+    covers=(
+        "ext-sim-topk / ext-text-analysis (BATCH BM25 serving from the "
+        "persisted inverted index — many queries, one pruned scan; each "
+        "query's oracle is the same shared q_bm25 template, so the batch "
+        "form is pinned as an execution strategy, not a semantics change)"
+    ),
+)
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A BATCH of BM25 queries served from the persisted inverted
+    index in one pass (operators/text_index.py::bm25_search_batch):
+    BM25's per-(term, doc) score is query-independent given the corpus
+    scalars, so the scoring core runs ONCE over the union of all
+    queries' terms (one pruned scan over the union of touched buckets)
+    and each query selects its terms via a broadcast (query_id, tok)
+    map, aggregates, and rank-limits — a map-side WindowGroupLimit per
+    query, the serving shape a retrieval endpoint actually runs at
+    scale (queries arrive in batches, not one driver call each). The
+    oracle states each query's result with the SAME template as
+    q_bm25/q_bm25_indexed, unioned under its query_id."""
+    from tia_data_pipeline_spark.operators.text_index import bm25_search_batch
+
+    # reuse q_bm25_indexed's memoized index — same corpus, same layout
+    q_bm25_indexed(spark, sf_dir)  # ensures the index exists for sf_dir
+    tmp = _BM25_INDEX_CACHE[sf_dir]
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in _BM25_BATCH_QUERIES.items()],
+        "query_id bigint, terms array<string>",
+    )
+    return bm25_search_batch(queries, f"{tmp}/tidx", k=_BM25_K)
 
 
 # ---------------------------------------------------------------------------
