@@ -98,3 +98,51 @@ def test_takedown_stream_family_text(spark, tmp_path):
     q.awaitTermination()
     live = docs.filter("doc_id % 3 <> 0")
     assert _serve(spark, path) == _fresh(spark, live, tmp_path, "live")
+
+
+def test_stream_bm25_topk_equals_batch_and_skips_hostile(spark, tmp_path):
+    """The BM25 serving loop: each micro-batch equals the direct batch
+    serve of its servable queries; an all-hostile batch writes an
+    EMPTY batch dir (schema-stable) instead of killing the stream;
+    replay (same checkpoint, new identical file delivery) is
+    idempotent because each batch overwrites its own dir."""
+    from tia_data_pipeline_spark.operators.text_index import bm25_search_batch
+    from tia_data_pipeline_spark.streaming.text_serve import stream_bm25_topk
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    build_text_index(docs, path, n_buckets=8)
+    qdir = tmp_path / "queries_in"
+    good = spark.createDataFrame(
+        [(1, ["spark", "join"]), (2, ["data"])],
+        "query_id bigint, terms array<string>",
+    )
+    hostile = spark.createDataFrame(
+        [(None, ["spark"]), (3, None), (4, [])],
+        "query_id bigint, terms array<string>",
+    )
+    good.coalesce(1).write.parquet(str(qdir / "a"))
+    hostile.coalesce(1).write.parquet(str(qdir / "b"))
+    stream = (
+        spark.readStream.schema("query_id bigint, terms array<string>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{qdir}/*")
+    )
+    out = str(tmp_path / "topk_out")
+    q = stream_bm25_topk(
+        stream,
+        index_path=path,
+        topk_out=out,
+        checkpoint=str(tmp_path / "ckpt"),
+        k=5,
+    )
+    q.awaitTermination()
+    got = {
+        (r["query_id"], r["doc_id"], r["n_terms"], r["score"], r["rnk"])
+        for r in spark.read.parquet(f"{out}/batch_id=*").collect()
+    }
+    expect = {
+        (r["query_id"], r["doc_id"], r["n_terms"], r["score"], r["rnk"])
+        for r in bm25_search_batch(good, path, k=5).collect()
+    }
+    assert got == expect and got  # hostile rows contributed nothing

@@ -21,6 +21,8 @@ from tia_data_pipeline_spark.streaming.joins import (
 )
 from tia_data_pipeline_spark.streaming.sinks import stream_upsert_jdbc
 from tia_data_pipeline_spark.streaming.text_serve import (
+    bm25_topk_batch,
+    stream_bm25_topk,
     stream_text_index_append,
     text_index_append_batch,
 )
@@ -39,6 +41,8 @@ __all__ = [
     "stream_upsert_jdbc",
     "text_index_append_batch",
     "stream_text_index_append",
+    "bm25_topk_batch",
+    "stream_bm25_topk",
     "interval_join_batch",
     "stream_interval_join",
     "dedup_increment_batch",

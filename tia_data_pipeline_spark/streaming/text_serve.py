@@ -40,6 +40,90 @@ def text_index_append_batch(
     text_index_append(batch_docs, index_path, id_col=id_col, text_col=text_col)
 
 
+def bm25_topk_batch(
+    batch_queries: DataFrame,
+    index_path: str,
+    topk_out: str,
+    batch_id: int,
+    *,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+) -> None:
+    """One micro-batch of the BM25 serving loop: per-query top-k →
+    ``topk_out/batch_id=N`` (overwrite — a foreachBatch replay
+    rewrites identical rows, the dedup_serve output discipline).
+    A batch with no servable queries (all NULL ids / NULL or empty
+    term arrays) writes an EMPTY batch dir with the output schema
+    rather than killing the stream — hostile rows degrade, never
+    abort."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tia_data_pipeline_spark.operators.text_index import bm25_search_batch
+
+    servable = batch_queries.filter(
+        F.col(query_id_col).isNotNull()
+        & F.col(terms_col).isNotNull()
+        & (F.size(F.col(terms_col)) > 0)
+    )
+    if servable.limit(1).count():
+        out = bm25_search_batch(
+            servable, index_path, query_id_col=query_id_col,
+            terms_col=terms_col, k=k,
+        )
+    else:
+        qid_type = batch_queries.schema[query_id_col].dataType
+        out = batch_queries.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(query_id_col, qid_type),
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("n_terms", T.LongType()),
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("rnk", T.IntegerType()),
+                ]
+            ),
+        )
+    out.write.mode("overwrite").parquet(f"{topk_out}/batch_id={batch_id}")
+
+
+def stream_bm25_topk(
+    query_stream: DataFrame,
+    *,
+    index_path: str,
+    topk_out: str,
+    checkpoint: str,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run a query stream (query_id, array<string> terms) through the
+    BM25 top-k serving loop — the text twin of ``stream_ann_topk``
+    (same trigger discipline and per-batch overwrite output). Each
+    micro-batch is one :func:`…operators.text_index.bm25_search_batch`
+    pass: one pruned scan over the union of the batch's terms, exact
+    serve-time df, per-query rank-limited top-k. The index must
+    already exist; appends/deletes landing between triggers are
+    visible to the next batch automatically (df is computed at serve
+    time — nothing cached across triggers to go stale)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bm25_topk_batch(
+            batch_df, index_path, topk_out, batch_id,
+            query_id_col=query_id_col, terms_col=terms_col, k=k,
+        )
+
+    writer = query_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_text_index_append(
     doc_stream: DataFrame,
     *,
