@@ -968,3 +968,62 @@ def test_jpeg_through_decode_media_and_features(spark):
     rows = {r["id"]: r for r in extract_media_features(df).collect()}
     assert rows[1]["kind"] == "jpeg" and abs(rows[1]["brightness"] - 200.0) < 3.0
     assert rows[2]["kind"] == "jpeg"
+
+
+def test_jpeg_structurally_lying_payloads_degrade_to_stub():
+    """Review r10: corrupt-but-sniffable JPEG structures (undefined
+    table references, truncated SOF/SOS/DHT segments) must degrade to
+    the stub via ValueError — a KeyError/IndexError escaping
+    decode_media kills the whole Arrow batch."""
+    from tia_data_pipeline_spark.operators.multimodal import fake_decode
+
+    sig = b"\xff\xd8\xff"
+    # SOS references Huffman table 3 that no DHT defined
+    px = np.full((8, 8, 3), 100, dtype=np.uint8)
+    good = _jz_encode(px)
+    sos_at = good.find(b"\xff\xda")
+    bad_tables = bytearray(good)
+    # component 1's Td/Ta byte sits 2 bytes after the component id
+    bad_tables[sos_at + 6] = 0x33
+    for payload in (
+        bytes(bad_tables),
+        sig[:2] + b"\xff" + _chunkless(b"\xc0", b"\x08\x00\x10"),  # short SOF
+        sig[:2] + b"\xff" + _chunkless(b"\xda", b""),  # empty SOS
+        sig[:2] + b"\xff" + _chunkless(b"\xc4", b"\x00\x01"),  # short DHT
+    ):
+        out = decode_media(payload)
+        assert out == fake_decode(payload), payload[:8]
+
+
+def _chunkless(marker: bytes, data: bytes) -> bytes:
+    """A bare marker segment (no CRC — JPEG segments are just
+    length-prefixed): FF <marker> <len+2> <data>."""
+    return marker + struct.pack(">H", len(data) + 2) + data
+
+
+def test_jpeg_budget_counts_the_float64_working_set():
+    """Review r10: the budget must bound the decoder's REAL working
+    set (float64 planes + upsample/color copies ≈ 72 B/pixel), not the
+    nominal uint8 raster — a ~22 MP claim fits 64 MB nominally but
+    would allocate >1 GB of float64."""
+    import zlib
+
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    sig = b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+    ihdr = struct.pack(">IIBBBBB", 0, 0, 0, 0, 0, 0, 0)  # unused, PNG-style
+    # 4300 x 4300 RGB = 18.5 MP: under 64 MB as uint8*3, far over as
+    # the real working set
+    sof = struct.pack(">BHHB", 8, 4300, 4300, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xda" + struct.pack(">H", 10)
+        + bytes([3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0])
+        + zlib.compress(b"\x00" * 100)
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_jpeg(payload)

@@ -146,3 +146,30 @@ def test_stream_bm25_topk_equals_batch_and_skips_hostile(spark, tmp_path):
         for r in bm25_search_batch(good, path, k=5).collect()
     }
     assert got == expect and got  # hostile rows contributed nothing
+
+
+def test_empty_batch_schema_tracks_index_doc_id_type(spark, tmp_path):
+    """Review r10: the empty-batch fallback must take doc_id's type
+    from the INDEX (a string-id index otherwise gets one batch dir
+    with string doc_id and another with bigint, breaking the
+    batch_id=* read)."""
+    from tia_data_pipeline_spark.streaming.text_serve import bm25_topk_batch
+
+    docs = spark.createDataFrame(
+        [("a1", "spark joins streams"), ("b2", "tables hold data")],
+        "doc_id string, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_text_index(docs, path, n_buckets=4)
+    out = str(tmp_path / "topk")
+    good = spark.createDataFrame(
+        [(1, ["spark"])], "query_id bigint, terms array<string>"
+    )
+    hostile = spark.createDataFrame(
+        [(None, ["spark"])], "query_id bigint, terms array<string>"
+    )
+    bm25_topk_batch(good, path, out, 0, k=5)
+    bm25_topk_batch(hostile, path, out, 1, k=5)
+    rows = spark.read.parquet(f"{out}/batch_id=*")
+    assert dict(rows.dtypes)["doc_id"] == "string"
+    assert {r["doc_id"] for r in rows.collect()} == {"a1"}

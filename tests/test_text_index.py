@@ -337,3 +337,30 @@ class TestBm25Batch:
         queries = spark.createDataFrame([], "query_id bigint, terms array<string>")
         with pytest.raises(ValueError, match="no non-empty queries"):
             bm25_search_batch(queries, index_path)
+
+
+    def test_same_query_id_across_rows_keeps_set_semantics(self, spark, index_path):
+        """Review r10: a query_id arriving on SEVERAL input rows must
+        still count each term once for the whole batch — array_distinct
+        alone only dedups within one row, and the shared term would
+        otherwise score once per row."""
+        from tia_data_pipeline_spark.operators.text_index import bm25_search_batch
+
+        split = spark.createDataFrame(
+            [(1, ["spark"]), (1, ["spark", "data"])],
+            "query_id bigint, terms array<string>",
+        )
+        got = [
+            (r["doc_id"], r["n_terms"], r["score"])
+            for r in sorted(
+                bm25_search_batch(split, index_path, k=7).collect(),
+                key=lambda r: r["rnk"],
+            )
+        ]
+        single = [
+            (r["doc_id"], r["n_terms"], r["score"])
+            for r in bm25_search_indexed(
+                spark, index_path, ["spark", "data"], k=7
+            ).collect()
+        ]
+        assert got == single

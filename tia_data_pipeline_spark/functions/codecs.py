@@ -565,14 +565,25 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             j = 0
             while j < len(data):
+                # short/lying segment lengths must surface as the
+                # ValueError the stub fallback catches, never as an
+                # IndexError escaping the corpus boundary (review r10)
+                if len(data) < j + 17:
+                    raise ValueError("truncated JPEG DHT segment")
                 tc, th = data[j] >> 4, data[j] & 0x0F
                 bits = data[j + 1 : j + 17]
                 nvals = sum(bits)
                 vals = data[j + 17 : j + 17 + nvals]
+                if len(vals) < nvals:
+                    raise ValueError("truncated JPEG DHT values")
                 (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_table(bits, vals)
                 j += 17 + nvals
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
+            if len(data) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             depth, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF components")
             if depth != 8:
                 raise ValueError(f"unsupported JPEG sample precision {depth}")
             comps = []
@@ -585,7 +596,11 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS
+            if not data:
+                raise ValueError("empty JPEG SOS segment")
             ns = data[0]
+            if len(data) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS components")
             scan_comps = []
             for c in range(ns):
                 cid, tt = data[1 + 2 * c : 3 + 2 * c]
@@ -600,8 +615,14 @@ def decode_jpeg(payload: bytes) -> dict:
     if len(comps) not in (1, 3) or len(scan_comps) != len(comps):
         raise ValueError("unsupported JPEG component layout")
     # fixed decode budget: SOF geometry is attacker-controlled, same
-    # rule as the PNG raster cap
-    if h * w * 3 > _PNG_MAX_RASTER_BYTES:
+    # rule as the PNG raster cap — but budgeted against the decoder's
+    # REAL working set, not the nominal uint8 raster (review r10): the
+    # planes are float64 and the upsample/color steps hold ~3
+    # full-geometry copies, ≈ 3ch × 8B × 3 ≈ 72 bytes/pixel, and the
+    # per-block Python entropy loop must stay bounded too. The shared
+    # 64 MB constant therefore caps JPEG at ~0.9 MP of working set
+    # parity with PNG's worst case (~14k blocks of Python loop).
+    if h * w * 72 > _PNG_MAX_RASTER_BYTES:
         raise ValueError(
             f"JPEG raster {w}x{h} exceeds the "
             f"{_PNG_MAX_RASTER_BYTES >> 20} MB decode budget"
@@ -614,6 +635,13 @@ def decode_jpeg(payload: bytes) -> dict:
             raise ValueError("JPEG scan names an unknown component")
         if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
             raise ValueError("JPEG sampling factors out of range")
+        # a scan referencing a table no DHT/DQT defined is corrupt —
+        # surface it as the ValueError the stub fallback catches,
+        # never a KeyError escaping the batch (review r10)
+        if sc["dc"] not in huff_dc or sc["ac"] not in huff_ac:
+            raise ValueError("JPEG scan references an undefined Huffman table")
+        if c["tq"] not in quant:
+            raise ValueError("JPEG component references an undefined quant table")
         order.append(
             {
                 **c,
@@ -754,9 +782,12 @@ def decode_media(payload: bytes) -> dict:
                 "height": d["channels"],
                 "checksum": d["n_samples"] % 2_147_483_647,
             }
-    except (ValueError, struct.error, zlib.error):
+    except (ValueError, struct.error, zlib.error, KeyError, IndexError):
         # corrupt/unsupported payload (incl. a damaged IDAT stream):
-        # degrade to the stub, never fail the batch
+        # degrade to the stub, never fail the batch. KeyError/IndexError
+        # are the defense-in-depth net for structurally-lying headers a
+        # parser guard missed (review r10: decode_payloads has no outer
+        # catch, so anything escaping here kills the whole Arrow batch).
         pass
     return fake_decode(payload)
 

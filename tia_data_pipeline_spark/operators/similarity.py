@@ -1048,10 +1048,12 @@ def ivf_retrain(
     data, per-cell baselines, meta — written to a STAGING dir, then the
     compaction two-rename swap with rollback
     (``operators.scale.compact_partitioned_index``'s discipline): a
-    crash between the renames restores the previous generation, so
-    probes never see an empty index. Like compaction it is NOT
-    transactional — a probe listing files exactly between the renames
-    should retry; run in the maintenance window.
+    FAILED publish rename rolls the move-aside back in-process, so an
+    error never leaves the path empty. Like compaction it is NOT
+    crash-transactional: a hard kill exactly between the two renames
+    leaves the previous generation intact at ``<path>.pre-retrain`` —
+    rename it back to recover — and a probe listing files inside the
+    swap window should retry; run in the maintenance window.
 
     Search results over unchanged data are preserved up to cell
     geometry: every probe re-ranks with EXACT cosine inside its probed

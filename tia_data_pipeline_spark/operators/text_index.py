@@ -304,6 +304,11 @@ def bm25_search_batch(
             F.explode(F.array_distinct(F.col(terms_col))).alias("tok"),
         )
         .filter(F.col("tok").isNotNull())
+        # distinct across ROWS too (review r10): array_distinct only
+        # dedups within one row, so a query_id arriving on several
+        # input rows would score its shared terms once PER ROW —
+        # set semantics must hold for the whole batch
+        .distinct()
     )
     all_terms = sorted({r["tok"] for r in qmap.select("tok").distinct().collect()})
     if not all_terms:

@@ -73,13 +73,27 @@ def bm25_topk_batch(
             terms_col=terms_col, k=k,
         )
     else:
+        import json as _json
+
+        spark = batch_queries.sparkSession
         qid_type = batch_queries.schema[query_id_col].dataType
-        out = batch_queries.sparkSession.createDataFrame(
+        # doc_id's type comes from the INDEX, not a hardcoded bigint
+        # (review r10: an index over string doc ids would otherwise
+        # write this batch dir with a conflicting parquet schema and
+        # break a batch_id=* read downstream)
+        postings = T.StructType.fromJson(
+            _json.loads(
+                spark.read.parquet(f"{index_path}/_corpus_stats").collect()[0][
+                    "postings_schema"
+                ]
+            )
+        )
+        out = spark.createDataFrame(
             [],
             T.StructType(
                 [
                     T.StructField(query_id_col, qid_type),
-                    T.StructField("doc_id", T.LongType()),
+                    postings["doc_id"],
                     T.StructField("n_terms", T.LongType()),
                     T.StructField("score", T.DoubleType()),
                     T.StructField("rnk", T.IntegerType()),
