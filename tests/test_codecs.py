@@ -353,11 +353,12 @@ def test_png_encode_decode_roundtrip_and_resize():
 
 
 def test_png_unsupported_and_corrupt_fall_back_to_stub():
-    """Interlaced/damaged/geometry-inconsistent PNGs must degrade to
-    the deterministic stub (same posture as every other corrupt
-    payload), never raise out of decode_media. (The 16-bit flip below
-    stays a stub case because the 8-bit raster is then TRUNCATED for
-    the doubled stride — real 16-bit images decode since round 10.)"""
+    """Damaged/geometry-inconsistent PNGs must degrade to the
+    deterministic stub (same posture as every other corrupt payload),
+    never raise out of decode_media. (The 16-bit flip below stays a
+    stub case because the 8-bit raster is then TRUNCATED for the
+    doubled stride — real 16-bit and Adam7 images decode since
+    round 10.)"""
     import zlib
 
     from tia_data_pipeline_spark.functions.codecs import encode_png
@@ -1027,3 +1028,45 @@ def test_jpeg_budget_counts_the_float64_working_set():
     )
     with pytest.raises(ValueError, match="decode budget"):
         decode_jpeg(payload)
+
+
+def test_png_adam7_interlaced_decode_exact():
+    """Adam7 interlaced PNG (round 10): the test builds the interlaced
+    byte stream with its own independent pass extraction + forward
+    filters, and the decoder must reconstruct the original pixels
+    EXACTLY — odd dimensions exercise the partial passes."""
+    import zlib
+
+    from tia_data_pipeline_spark.functions.codecs import decode_png
+
+    rng = np.random.default_rng(77)
+    for h, w, color, ch in ((13, 7, 2, 3), (9, 11, 0, 1), (8, 8, 6, 4)):
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        # independent Adam7 forward: spec pass grid, per-pass filtering
+        grid = [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+        raster = bytearray()
+        filters = [0, 1, 2, 3, 4]
+        for x0, y0, dx, dy in grid:
+            sub = px[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raster += _png_forward_filter(sub, filters, ch)
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)  # interlace=1
+        payload = (
+            sig
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raster)))
+            + _chunk(b"IEND", b"")
+        )
+        d = decode_png(payload)
+        assert (d["width"], d["height"]) == (w, h)
+        if color == 2:
+            assert np.array_equal(d["pixels"], px)
+        elif color == 0:
+            assert np.array_equal(d["pixels"][:, :, 0], px[:, :, 0])
+        else:  # RGBA -> alpha dropped
+            assert np.array_equal(d["pixels"], px[:, :, :3])

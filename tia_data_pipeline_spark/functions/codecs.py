@@ -21,8 +21,8 @@ need none — their layouts are public byte structures:
   raise → the stub seam. Verified against an independent test-side
   encoder AND a direct cosine-sum reference inverse (±1).
 
-Remaining compressed formats (MP3/H.264, progressive JPEG, interlaced
-PNG) still require a real codec library; :func:`decode_media` falls
+Remaining compressed formats (MP3/H.264, progressive JPEG) still
+require a real codec library; :func:`decode_media` falls
 back to the deterministic stub for those, preserving the documented
 injection seam (``operators/multimodal.py``): a deployment swaps in
 Pillow/ffmpeg callables with the same signatures.
@@ -129,8 +129,9 @@ def resize_nearest(pixels: np.ndarray, target_w: int, target_h: int) -> np.ndarr
 # none — so the most common real-corpus image format gets REAL pixels
 # (VERDICT r8 #5). Supported: 8- and 16-bit truecolor RGB/RGBA,
 # grayscale and gray+alpha (widened to RGB; 16-bit reduces to the high
-# byte per spec), and 8-bit paletted (PLTE lookup) — the shapes stock
-# encoders emit. Sub-byte palettes and interlaced images still raise →
+# byte per spec), 8-bit paletted (PLTE lookup), and Adam7 interlaced
+# (each pass unfiltered independently, scattered onto the full raster)
+# — the shapes stock encoders emit. Sub-byte palettes still raise →
 # the deterministic stub fallback, preserving the injection seam. All
 # decodes are bounded by a FIXED raster budget (geometry is attacker-
 # controlled; see _PNG_MAX_RASTER_BYTES).
@@ -158,6 +159,31 @@ def _png_chunks(payload: bytes):
         if ctype == b"IEND":
             return
         i += 12 + size  # len + type + data + CRC
+
+
+# Adam7 pass grid per the spec: (x_origin, y_origin, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pass_w, pass_h) —
+    each pass is serialized as an independent reduced image (its own
+    filter byte per reduced scanline), in this fixed order."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp > 0 and hp > 0:
+            out.append((x0, y0, dx, dy, wp, hp))
+    return out
 
 
 def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
@@ -229,8 +255,8 @@ def decode_png(payload: bytes) -> dict:
             # (1/2/4-bit packed palettes stay on the stub fallback)
             if depth not in (8, 16) or (color == 3 and depth != 8):
                 raise ValueError(f"unsupported PNG bit depth {depth}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
             if comp or filt:
                 raise ValueError("nonstandard PNG compression/filter method")
             if width < 1 or height < 1:
@@ -251,7 +277,12 @@ def decode_png(payload: bytes) -> dict:
     # (review r9); this path runs inside the corpus-facing pandas UDF,
     # where "corrupt payload degrades, never kills the batch" is the
     # contract
-    expected = height * (width * bpp + 1)
+    passes = (
+        _adam7_passes(width, height)
+        if interlace
+        else [(0, 0, 1, 1, width, height)]
+    )
+    expected = sum(hp * (wp * bpp + 1) for *_xy, wp, hp in passes)
     # …and the cap itself must not trust IHDR (ADVICE r9 #1: a payload
     # CLAIMING huge dimensions re-derives a huge cap — a 306 KB bomb
     # reached a 631 MB allocation through `expected`): reject
@@ -266,7 +297,21 @@ def decode_png(payload: bytes) -> dict:
     raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
     if len(raw) > expected:
         raise ValueError("PNG raster larger than IHDR geometry")
-    mat = _png_unfilter(raw, width, height, bpp)
+    if interlace:
+        # Adam7 (round 10): each pass is an independent reduced image —
+        # own scanline filters over its own reduced stride — unfiltered
+        # with the SAME engine as the sequential path, then scattered
+        # onto the full raster at the pass's (x0, y0, dx, dy) grid
+        mat = np.zeros((height, width * bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, wp, hp in passes:
+            seg_len = hp * (wp * bpp + 1)
+            sub = _png_unfilter(raw[off : off + seg_len], wp, hp, bpp)
+            off += seg_len
+            full = mat.reshape(height, width, bpp)
+            full[y0::dy, x0::dx, :] = sub.reshape(hp, wp, bpp)
+    else:
+        mat = _png_unfilter(raw, width, height, bpp)
     if depth == 16:
         # big-endian 16-bit samples → most-significant byte (the
         # spec-sanctioned reduction to 8 bits)
