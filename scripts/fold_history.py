@@ -38,8 +38,14 @@ def main() -> None:
     hist = {q: sorted(rs) for q, rs in plans.DRIVER_GREEN_HISTORY.items()}
     bad = []
     for q, row in record.items():
-        green = bool(row.get("rows_match")) and not row.get("err") and (
-            row.get("hash_match") is not False
+        # a row is green only when NOTHING mismatched: rows, schema,
+        # and hash (hash/schema may be absent on rows-only checks —
+        # only an explicit False is a failure)
+        green = (
+            bool(row.get("rows_match"))
+            and not row.get("err")
+            and row.get("schema_match") is not False
+            and row.get("hash_match") is not False
         )
         if not green:
             bad.append((q, row))

@@ -449,6 +449,18 @@ def decode_wav(payload: bytes) -> dict:
 # plain-Python per block — feature-extraction batch sizes, with the
 # documented real-codec injection seam for bulk decode.
 
+# JPEG decode budget: geometry is attacker-controlled (the PNG rule),
+# and the binding resource here is the float64 WORKING SET (~72 B/px:
+# 3 channels × 8 bytes × ~3 full-geometry copies through upsample +
+# color conversion) plus the per-block Python entropy loop. 256 MB of
+# working set caps decode at ~3.7 MP (≈2300×1600 — web/photo sizes
+# decode for real; a poster-size claim degrades to the stub) and the
+# block loop at ~58k blocks. Deliberately a SEPARATE constant from the
+# PNG raster budget: the two bound different resources, and retuning
+# one must not silently move the other.
+_JPEG_WORKING_BYTES_PER_PIXEL = 72
+_JPEG_MAX_WORKING_BYTES = 256 << 20
+
 # zigzag scan order: index k in the stream -> linear position in the
 # row-major 8x8 block (the spec's Figure A.6 walk, generated by the
 # standard diagonal traversal)
@@ -663,14 +675,14 @@ def decode_jpeg(payload: bytes) -> dict:
     # rule as the PNG raster cap — but budgeted against the decoder's
     # REAL working set, not the nominal uint8 raster (review r10): the
     # planes are float64 and the upsample/color steps hold ~3
-    # full-geometry copies, ≈ 3ch × 8B × 3 ≈ 72 bytes/pixel, and the
-    # per-block Python entropy loop must stay bounded too. The shared
-    # 64 MB constant therefore caps JPEG at ~0.9 MP of working set
-    # parity with PNG's worst case (~14k blocks of Python loop).
-    if h * w * 72 > _PNG_MAX_RASTER_BYTES:
+    # full-geometry copies, ≈ 3ch × 8B × 3 ≈ 72 bytes/pixel. JPEG gets
+    # its OWN constant (second review pass: reusing the PNG raster
+    # constant both capped real decode at ~0.9 MP — silently stubbing
+    # ordinary photos — and made one number mean two different things).
+    if h * w * _JPEG_WORKING_BYTES_PER_PIXEL > _JPEG_MAX_WORKING_BYTES:
         raise ValueError(
             f"JPEG raster {w}x{h} exceeds the "
-            f"{_PNG_MAX_RASTER_BYTES >> 20} MB decode budget"
+            f"{_JPEG_MAX_WORKING_BYTES >> 20} MB decode budget"
         )
     by_id = {c["id"]: c for c in comps}
     order = []  # interleave order = SOS order, per spec

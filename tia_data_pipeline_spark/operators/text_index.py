@@ -122,6 +122,26 @@ def _write_corpus_stats(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
 
 
+def read_corpus_stats(spark: SparkSession, path: str):
+    """The one-row ``_corpus_stats`` read every lifecycle verb starts
+    from — single-sources the side-table contract (column names, the
+    bucket modulus, the postings-schema JSON) so no consumer, inside
+    this module or out (the streaming empty-batch schema), can drift
+    from it (review r10)."""
+    return spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+
+
+def read_postings_schema(spark: SparkSession, path: str):
+    """The index's postings StructType, parsed from the persisted
+    ``schema_json`` (the explicit-schema read that keeps an EMPTY
+    index servable)."""
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(
+        json.loads(read_corpus_stats(spark, path)["postings_schema"])
+    )
+
+
 def bm25_search_indexed(
     spark: SparkSession,
     path: str,
@@ -164,7 +184,7 @@ def _bm25_term_doc_scores(
         raise ValueError("terms must be non-empty")
     # the bucket modulus and postings schema come from the index
     # itself (one 1-row read)
-    stats_row = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    stats_row = read_corpus_stats(spark, path)
     n_buckets = int(stats_row["n_buckets"])
     bucket_rows = (
         spark.range(1)
@@ -381,7 +401,7 @@ def text_index_append(
     (``dedup_keys``). Between a crashed retry and the next compaction
     the index is correct to serve and merely carries redundant rows."""
     spark = docs.sparkSession
-    stats_row = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    stats_row = read_corpus_stats(spark, path)
     n_buckets = int(stats_row["n_buckets"])
     existing = spark.read.parquet(f"{path}/_doc_stats").select("doc_id")
     base = docs.filter(F.col(id_col).isNotNull()).select(
@@ -409,7 +429,7 @@ def text_index_delete(ids: DataFrame, path: str, *, id_col: str = "doc_id") -> N
     from tia_data_pipeline_spark.operators.scale import append_index_tombstones
 
     spark = ids.sparkSession
-    stats_row = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    stats_row = read_corpus_stats(spark, path)
     append_index_tombstones(
         ids.select(F.col(id_col).alias("doc_id")),
         path,
@@ -432,7 +452,7 @@ def text_index_compact(spark: SparkSession, path: str) -> dict:
     )
 
     _require_local_path(path)  # fail BEFORE any rewrite, not inside a rename
-    stats_row = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    stats_row = read_corpus_stats(spark, path)
     schema_json = stats_row["postings_schema"]
     ts = read_index_tombstones(
         spark, path, index_schema_json=schema_json, id_col="doc_id"
@@ -482,7 +502,7 @@ def text_index_stats(spark: SparkSession, path: str) -> dict:
     pending-tombstone fraction, the `*_index_stats` family member."""
     from tia_data_pipeline_spark.operators.scale import partitioned_index_stats
 
-    stats_row = spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    stats_row = read_corpus_stats(spark, path)
     return partitioned_index_stats(
         spark,
         path,

@@ -73,21 +73,19 @@ def bm25_topk_batch(
             terms_col=terms_col, k=k,
         )
     else:
-        import json as _json
+        from tia_data_pipeline_spark.operators.text_index import (
+            read_postings_schema,
+        )
 
         spark = batch_queries.sparkSession
         qid_type = batch_queries.schema[query_id_col].dataType
         # doc_id's type comes from the INDEX, not a hardcoded bigint
         # (review r10: an index over string doc ids would otherwise
         # write this batch dir with a conflicting parquet schema and
-        # break a batch_id=* read downstream)
-        postings = T.StructType.fromJson(
-            _json.loads(
-                spark.read.parquet(f"{index_path}/_corpus_stats").collect()[0][
-                    "postings_schema"
-                ]
-            )
-        )
+        # break a batch_id=* read downstream); the schema parse is the
+        # index module's own accessor so the side-table contract stays
+        # single-sourced
+        postings = read_postings_schema(spark, index_path)
         out = spark.createDataFrame(
             [],
             T.StructType(
