@@ -131,96 +131,96 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
-    # round-10 rotation: the head is now the stale backlog (r3-r8), so
-    # most round-9 greens sit in the tail covered by a same-family
-    # head anchor:
-    "q_agg_count": "q_children_rollup",
-    "q_ann_lsh": "q_ann_recall",
-    "q_ann_multiprobe": "q_ann_recall",
-    "q_anomaly": "q_quantiles",
-    "q_antijoin_incr": "q_scd2",
-    "q_approx_distinct": "q_rolling_actives",
-    "q_approx_quantiles": "q_quantiles",
-    "q_asof_join": "q_range_join",
-    "q_autocorr": "q_seasonality",
+    # round-11 rotation: head = r6-r8 stale backlog + eight r9 family
+    # anchors + the two plan-changed re-verifications; round-9/10 greens
+    # sit in the tail covered by a same-family head anchor:
+    "q_ann_lsh": "q_ann_multiprobe",
+    "q_ann_recall": "q_ann_multiprobe",
+    "q_antijoin_incr": "q_merge_upsert",
+    "q_asof_join": "q_self_join",
+    "q_benford": "q_profile",
     "q_bm25": "q_bm25_batch",
-    "q_boilerplate": "q_gopher_quality",
-    "q_bpe_train": "q_vocab_coverage",
-    "q_burstiness": "q_interarrival",
-    "q_canonicalize": "q_pii_redact",
-    "q_changepoint": "q_seasonality",
-    "q_chunking": "q_pack_sequences",
-    "q_collocations": "q_cooccur_lift",
-    "q_const_probe": "q_scan_project",
-    "q_containment": "q_ngram_jaccard",
-    "q_count_distinct": "q_rolling_actives",
-    "q_cube": "q_children_rollup",
-    "q_daily_window": "q_gap_fill",
-    "q_data_quality": "q_benford",
-    "q_dedup_batch": "q_fuzzy_dedup",
-    "q_dedup_incremental": "q_index_delete",
-    "q_dedup_latest": "q_topk_latest",
-    "q_doc_fingerprint": "q_fuzzy_dedup",
-    "q_dup_graph_degree": "q_dedup_components",
-    "q_dup_spans": "q_span_cut",
-    "q_embed_dedup": "q_embed_quantize",
-    "q_embed_incremental": "q_index_delete",
-    "q_embed_stats": "q_embed_quantize",
-    "q_ewma": "q_seasonality",
-    "q_exact_dedup": "q_fuzzy_dedup",
-    "q_exists_guard": "q_decontaminate",
-    "q_feature_hash": "q_fuzzy_dedup",
-    "q_filter_range": "q_scan_project",
-    "q_hash_sample": "q_group_sample",
-    "q_heavy_hitters": "q_gini",
-    "q_join_enrich": "q_star_join",
-    "q_jsd_mix": "q_ks_drift",
-    "q_json_ser": "q_pii_redact",
-    "q_knn_bucketed": "q_knn_join",
-    "q_lang_id": "q_gopher_quality",
-    "q_mad_outliers": "q_quantiles",
-    "q_markov": "q_funnel",
-    "q_merge_upsert": "q_scd2",
-    "q_multimodal_meta": "q_resize_meta",
-    "q_mutual_info": "q_cooccur_lift",
-    "q_new_users": "q_cohort_retention",
-    "q_ntile": "q_topk_latest",
-    "q_ols_trend": "q_spearman",
-    "q_pagerank": "q_dedup_components",
-    "q_pareto_abc": "q_gini",
-    "q_profile": "q_benford",
-    "q_proj_alias": "q_scan_project",
-    "q_quality_linear": "q_gopher_quality",
-    "q_quality_score": "q_gopher_quality",
-    "q_repetition": "q_gopher_quality",
-    "q_revenue_by_segment": "q_star_join",
-    "q_rfm": "q_cohort_retention",
-    "q_rollup": "q_children_rollup",
-    "q_self_join": "q_triangles",
-    "q_semantic_dedup": "q_embed_quantize",
-    "q_semi_join": "q_decontaminate",
-    "q_session_window": "q_gap_fill",
-    "q_sim_topk": "q_knn_join",
-    "q_simhash": "q_fuzzy_dedup",
-    "q_simhash_incremental": "q_index_delete",
-    "q_skew_keys": "q_gini",
-    "q_sliding_window": "q_gap_fill",
-    "q_source_overlap": "q_source_mix",
-    "q_split_assign": "q_group_sample",
-    "q_stickiness": "q_cohort_retention",
-    "q_streaks": "q_funnel",
-    "q_substring_dedup": "q_span_cut",
-    "q_tfidf": "q_bm25_indexed",
-    "q_thread_closure": "q_triangles",
-    "q_tok_fertility": "q_text_tokens",
-    "q_token_bpe": "q_vocab_coverage",
-    "q_topk_per_group": "q_topk_latest",
-    "q_ts_normalize": "q_pii_redact",
-    "q_window_frames": "q_rolling_actives",
-    "q_winsorize": "q_quantiles",
-    "q_word_count": "q_text_tokens",
-    "q_word_freq": "q_text_tokens",
-    "q_zipf_fit": "q_spearman",
+    "q_bm25_indexed": "q_tfidf",
+    "q_boilerplate": "q_quality_linear",
+    "q_children_rollup": "q_rollup",
+    "q_cluster_sizes": "q_skew_keys",
+    "q_cohort_retention": "q_new_users",
+    "q_containment": "q_doc_fingerprint",
+    "q_cooccur_lift": "q_collocations",
+    "q_count_distinct": "q_approx_distinct",
+    "q_cube": "q_rollup",
+    "q_daily_window": "q_sliding_window",
+    "q_data_quality": "q_profile",
+    "q_decontaminate": "q_exists_guard",
+    "q_dedup_batch": "q_dedup_latest",
+    "q_dedup_components": "q_dup_graph_degree",
+    "q_dedup_incremental": "q_takedown",
+    "q_dsir_weights": "q_feature_hash",
+    "q_dup_spans": "q_substring_dedup",
+    "q_edit_distance": "q_substring_dedup",
+    "q_embed_dedup": "q_embed_stats",
+    "q_embed_incremental": "q_takedown",
+    "q_embed_quantize": "q_embed_stats",
+    "q_exact_dedup": "q_dedup_latest",
+    "q_filter_range": "q_const_probe",
+    "q_funnel": "q_streaks",
+    "q_fuzzy_dedup": "q_simhash",
+    "q_gap_fill": "q_sliding_window",
+    "q_gini": "q_heavy_hitters",
+    "q_gopher_quality": "q_quality_linear",
+    "q_group_sample": "q_split_assign",
+    "q_hash_sample": "q_split_assign",
+    "q_histogram": "q_approx_quantiles",
+    "q_index_delete": "q_takedown",
+    "q_interarrival": "q_burstiness",
+    "q_ivf_append": "q_takedown",
+    "q_join_enrich": "q_revenue_by_segment",
+    "q_jsd_mix": "q_changepoint",
+    "q_json_ser": "q_canonicalize",
+    "q_knn_bucketed": "q_sim_topk",
+    "q_knn_join": "q_sim_topk",
+    "q_ks_drift": "q_changepoint",
+    "q_lm_perplexity": "q_zipf_fit",
+    "q_markov": "q_streaks",
+    "q_mix_temperature": "q_source_overlap",
+    "q_ngram_jaccard": "q_doc_fingerprint",
+    "q_ols_trend": "q_autocorr",
+    "q_pack_sequences": "q_chunking",
+    "q_pareto_abc": "q_heavy_hitters",
+    "q_pii_redact": "q_canonicalize",
+    "q_pivot_status": "q_agg_count",
+    "q_proj_alias": "q_const_probe",
+    "q_quality_score": "q_quality_linear",
+    "q_quantiles": "q_approx_quantiles",
+    "q_range_join": "q_self_join",
+    "q_repetition": "q_quality_linear",
+    "q_resize_meta": "q_multimodal_meta",
+    "q_rolling_actives": "q_sliding_window",
+    "q_scan_project": "q_const_probe",
+    "q_scd2": "q_merge_upsert",
+    "q_seasonality": "q_autocorr",
+    "q_semantic_dedup": "q_embed_stats",
+    "q_semi_join": "q_exists_guard",
+    "q_session_window": "q_sliding_window",
+    "q_set_ops": "q_source_overlap",
+    "q_simhash_incremental": "q_takedown",
+    "q_source_mix": "q_source_overlap",
+    "q_span_cut": "q_substring_dedup",
+    "q_spearman": "q_autocorr",
+    "q_star_join": "q_revenue_by_segment",
+    "q_stickiness": "q_new_users",
+    "q_text_tokens": "q_word_count",
+    "q_thread_closure": "q_self_join",
+    "q_tok_fertility": "q_word_count",
+    "q_token_entropy": "q_zipf_fit",
+    "q_topk_latest": "q_dedup_latest",
+    "q_topk_per_group": "q_ntile",
+    "q_triangles": "q_self_join",
+    "q_vocab_coverage": "q_bpe_train",
+    "q_window_frames": "q_sliding_window",
+    "q_winsorize": "q_mad_outliers",
+    "q_word_freq": "q_word_count",
+    "q_zscore": "q_anomaly",
 }
 
 
