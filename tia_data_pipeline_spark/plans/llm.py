@@ -1126,8 +1126,13 @@ def q_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     every pair under its (phase, family) label and the oracle states
     the same shrunken-history pair set for both phases — so the hash
     check proves masking ≡ physical removal, per family, in one row
-    set. Index builds are deterministic, so the sibling dirs are
-    semantically the same index at two lifecycle stages (a lazily-built
+    set. Each family's history index is built ONCE (VERDICT r10 #3 —
+    builds are deterministic, so the former second build was pure
+    redundancy): tombstone it twice in place (the delete is idempotent
+    by contract), ``copytree`` the masked dir to the sibling phase dir,
+    then physically COMPACT the copy — the copy carries the tombstones,
+    so compaction applies exactly the masked dir's delete set. All file
+    mutations land BEFORE either probe plan exists (a lazily-built
     probe plan must never read an index dir that a LATER eager step
     rewrote — the staleness rule that makes the two-dir form
     load-bearing, not a convenience)."""
@@ -1153,17 +1158,27 @@ def q_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
     shard_emb = emb.filter(F.col("vec_id") % 5 == 0)
 
+    # Build once, tombstone twice (idempotence proof), copy, compact the
+    # copy. Eager file work for BOTH phase dirs completes here, before
+    # any probe plan is constructed below.
+    DD.simhash_write_index(
+        hist_docs, "text", "doc_id", f"{tmp}/sh_masked", n_shards=16
+    )
+    DD.simhash_index_delete(doomed_docs, f"{tmp}/sh_masked")
+    DD.simhash_index_delete(doomed_docs, f"{tmp}/sh_masked")  # idempotent
+    shutil.copytree(f"{tmp}/sh_masked", f"{tmp}/sh_compacted")
+    DD.simhash_index_compact(spark, f"{tmp}/sh_compacted")
+
+    SIM.embedding_write_index(hist_emb, f"{tmp}/em_masked", proj=_PROJ4)
+    SIM.embedding_index_delete(doomed_emb, f"{tmp}/em_masked")
+    SIM.embedding_index_delete(doomed_emb, f"{tmp}/em_masked")  # idempotent
+    shutil.copytree(f"{tmp}/em_masked", f"{tmp}/em_compacted")
+    SIM.embedding_index_compact(spark, f"{tmp}/em_compacted")
+
     frames = []
-    for phase, compact in (("masked", False), ("compacted", True)):
-        p = f"{tmp}/sh_{phase}"
-        DD.simhash_write_index(hist_docs, "text", "doc_id", p, n_shards=16)
-        DD.simhash_index_delete(doomed_docs, p)
-        if compact:
-            DD.simhash_index_compact(spark, p)
-        else:
-            DD.simhash_index_delete(doomed_docs, p)  # idempotent by contract
+    for phase in ("masked", "compacted"):
         pairs = DD.simhash_dedup_incremental(
-            shard_docs, p,
+            shard_docs, f"{tmp}/sh_{phase}",
             text_col="text", id_col="doc_id",
             max_hamming=_SHI_HAMMING, max_bucket=_SHI_CAP,
         )
@@ -1175,16 +1190,10 @@ def q_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dup_id").cast("bigint").alias("dup_id"),
             )
         )
-    for phase, compact in (("masked", False), ("compacted", True)):
-        p = f"{tmp}/em_{phase}"
-        SIM.embedding_write_index(hist_emb, p, proj=_PROJ4)
-        SIM.embedding_index_delete(doomed_emb, p)
-        if compact:
-            SIM.embedding_index_compact(spark, p)
-        else:
-            SIM.embedding_index_delete(doomed_emb, p)  # idempotent
+    for phase in ("masked", "compacted"):
         pairs = SIM.embedding_dedup_incremental(
-            shard_emb, p, threshold=_EMBED_DEDUP_TAU, max_bucket=2000
+            shard_emb, f"{tmp}/em_{phase}",
+            threshold=_EMBED_DEDUP_TAU, max_bucket=2000,
         )
         frames.append(
             pairs.select(
