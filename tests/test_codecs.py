@@ -881,6 +881,25 @@ def test_jpeg_gradient_matches_reference_inverse_exactly():
     assert err.max() <= 1, f"decoder deviates from reference inverse by {err.max()}"
 
 
+def test_jpeg_fill_bytes_before_markers_decode_identically():
+    """ADVICE r10 #2: JPEG spec B.1.1.2 allows any number of 0xFF fill
+    bytes before a marker; encoders that emit fill padding produce
+    spec-valid baseline files. The segment walker must skip the run
+    instead of reading a garbage length / raising marker desync (which
+    silently degraded the file to the stub despite being decodable)."""
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    px = np.zeros((16, 24, 3), dtype=np.uint8)
+    px[:] = (180, 90, 40)
+    payload = _jz_encode(px)
+    base = decode_jpeg(payload)["pixels"]
+    # fill run right after SOI (before the first header marker)
+    padded = payload[:2] + b"\xff" * 3 + payload[2:]
+    d = decode_jpeg(padded)
+    assert d["format"] == "image/jpeg;nc=3"
+    assert np.array_equal(d["pixels"], base)
+
+
 def test_jpeg_grayscale_matches_reference():
     from tia_data_pipeline_spark.functions.codecs import decode_jpeg
 

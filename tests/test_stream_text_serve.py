@@ -118,7 +118,7 @@ def test_stream_bm25_topk_equals_batch_and_skips_hostile(spark, tmp_path):
         "query_id bigint, terms array<string>",
     )
     hostile = spark.createDataFrame(
-        [(None, ["spark"]), (3, None), (4, [])],
+        [(None, ["spark"]), (3, None), (4, []), (5, [None, None])],
         "query_id bigint, terms array<string>",
     )
     good.coalesce(1).write.parquet(str(qdir / "a"))
@@ -146,6 +146,38 @@ def test_stream_bm25_topk_equals_batch_and_skips_hostile(spark, tmp_path):
         for r in bm25_search_batch(good, path, k=5).collect()
     }
     assert got == expect and got  # hostile rows contributed nothing
+
+
+def test_all_null_element_terms_batch_degrades_not_aborts(spark, tmp_path):
+    """ADVICE r10 #1: a batch whose ONLY servable-looking query carries
+    all-NULL term elements (terms=[NULL]) passed the old size>0 guard,
+    then bm25_search_batch collected zero tokens and raised
+    ValueError('no non-empty queries to serve') — killing the stream in
+    violation of the 'hostile rows degrade, never abort' contract. The
+    strengthened predicate (F.exists element non-NULL, mirroring the
+    qmap's post-explode tok filter) routes it to the empty-batch dir;
+    a mixed batch still serves the real query and drops the [NULL] row."""
+    from tia_data_pipeline_spark.streaming.text_serve import bm25_topk_batch
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    build_text_index(docs, path, n_buckets=8)
+    out = str(tmp_path / "topk")
+    all_null_elems = spark.createDataFrame(
+        [(7, [None]), (8, [None, None])],
+        "query_id bigint, terms array<string>",
+    )
+    bm25_topk_batch(all_null_elems, path, out, 0, k=5)  # must not raise
+    b0 = spark.read.parquet(f"{out}/batch_id=0")
+    assert b0.count() == 0
+    assert set(b0.columns) == {"query_id", "doc_id", "n_terms", "score", "rnk"}
+    mixed = spark.createDataFrame(
+        [(7, [None]), (9, ["spark", None])],
+        "query_id bigint, terms array<string>",
+    )
+    bm25_topk_batch(mixed, path, out, 1, k=5)
+    got = spark.read.parquet(f"{out}/batch_id=1")
+    assert {r["query_id"] for r in got.collect()} == {9}
 
 
 def test_empty_batch_schema_tracks_index_doc_id_type(spark, tmp_path):

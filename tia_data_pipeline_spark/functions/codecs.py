@@ -578,6 +578,13 @@ def _jpeg_segments(payload: bytes):
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # spec B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip the run so fill-padded (spec-valid) files
+        # decode for real instead of desyncing to the stub (ADVICE r10)
+        while i + 4 <= n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = payload[i + 1]
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             i += 2

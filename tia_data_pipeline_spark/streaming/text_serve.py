@@ -54,9 +54,13 @@ def bm25_topk_batch(
     ``topk_out/batch_id=N`` (overwrite — a foreachBatch replay
     rewrites identical rows, the dedup_serve output discipline).
     A batch with no servable queries (all NULL ids / NULL or empty
-    term arrays) writes an EMPTY batch dir with the output schema
-    rather than killing the stream — hostile rows degrade, never
-    abort."""
+    term arrays / arrays whose every element is NULL) writes an EMPTY
+    batch dir with the output schema rather than killing the stream —
+    hostile rows degrade, never abort. The servable predicate must be
+    at least as strong as ``bm25_search_batch``'s own qmap filter
+    (which also drops NULL array ELEMENTS post-explode): a terms=[NULL]
+    row passing here would make the search collect zero tokens and
+    raise, contradicting this contract (ADVICE r10 #1)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -66,6 +70,7 @@ def bm25_topk_batch(
         F.col(query_id_col).isNotNull()
         & F.col(terms_col).isNotNull()
         & (F.size(F.col(terms_col)) > 0)
+        & F.exists(F.col(terms_col), lambda x: x.isNotNull())
     )
     if servable.limit(1).count():
         out = bm25_search_batch(
