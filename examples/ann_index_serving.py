@@ -101,6 +101,22 @@ def main() -> None:
     print("per-cell drift census (train baseline vs current population):")
     ivf_drift_stats(spark, index_dir).show(4)
 
+    # 4a'. closing the drift loop automatically: the streaming write
+    # side takes a retrain policy — when a batch of at least
+    # retrain_min_batch_n vectors reads drift_ratio ≥ retrain_above,
+    # the loop fires ivf_retrain inline (availableNow backfill form),
+    # or hands the batch report to on_maintenance so a continuously-
+    # serving deployment can retrain in its own window instead:
+    #
+    #   stream_ivf_append(
+    #       vec_stream, index_path=index_dir, drift_out=..., checkpoint=...,
+    #       retrain_above=1.5, retrain_min_batch_n=100_000,
+    #       on_maintenance=None,           # None -> retrain inline
+    #   )
+    #
+    # (tests/test_ann_serve.py drives both forms end-to-end on a
+    # shifted corpus and shows the ratio returning under threshold.)
+
     # 4b. deletion: tombstone by id (takedown semantics — masked from
     # every probe NOW), then compact to remove physically
     doomed = spark.createDataFrame([(int(exact_ids[0]),)], "vec_id bigint")

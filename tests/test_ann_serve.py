@@ -244,3 +244,101 @@ def test_stream_ivf_append_updates_index_and_records_drift(spark, index, tmp_pat
     assert spark.read.parquet(index).count() == n
     again = sorted(map(tuple, spark.read.parquet(f"{drift_out}/batch_id=0").collect()))
     assert again == first
+
+def test_stream_ivf_append_auto_retrain_policy(spark, index, tmp_path):
+    """VERDICT r10 #4: the drift signal must gate something. A shifted
+    shard crossing ``retrain_above`` fires ivf_retrain inline (default
+    policy): membership is preserved, the `.pre-retrain` dir is gone,
+    and a FURTHER shifted batch reads drift < threshold against the new
+    generation — the ratio actually reset. A shard under
+    ``retrain_min_batch_n`` never fires even when its ratio crosses."""
+    from tia_data_pipeline_spark.operators.similarity import ivf_index_append
+    from tia_data_pipeline_spark.streaming.ann_serve import stream_ivf_append
+
+    vec_schema = "vec_id bigint, embedding array<float>"
+    # far from the build corpus's axis-0 neighborhood -> huge d2
+    shifted = spark.createDataFrame(
+        [(200 + i, [0.0, 0.0, 1.0, i * 0.1]) for i in range(6)], vec_schema
+    )
+    stream_dir = tmp_path / "vecs_shift"
+    shifted.coalesce(1).write.parquet(str(stream_dir / "a"))
+    vec_stream = (
+        spark.readStream.schema(vec_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    # sanity: the shard would read far above threshold on the OLD
+    # generation (checked via a throwaway copy so the stream sees the
+    # pristine index)
+    import shutil
+
+    probe_copy = str(tmp_path / "ivf_probe_copy")
+    shutil.copytree(index, probe_copy)
+    pre = ivf_index_append(shifted, probe_copy)
+    assert pre["drift_ratio"] is not None and pre["drift_ratio"] > 1.5
+
+    q = stream_ivf_append(
+        vec_stream,
+        index_path=index,
+        drift_out=str(tmp_path / "drift"),
+        checkpoint=str(tmp_path / "ckpt"),
+        retrain_above=1.5,
+        retrain_min_batch_n=4,
+    )
+    q.awaitTermination()
+    import os
+
+    assert not os.path.exists(index + ".pre-retrain")
+    assert not os.path.exists(index + ".retraining")
+    assert spark.read.parquet(index).count() == 18  # 12 build + 6 streamed
+    # drift has reset: ANOTHER shifted batch reads ~1 on the new
+    # generation (it covers the shifted region now)
+    more = spark.createDataFrame(
+        [(300 + i, [0.0, 0.0, 1.0, 0.05 + i * 0.1]) for i in range(4)], vec_schema
+    )
+    post = ivf_index_append(more, index)
+    assert post["drift_ratio"] is not None and post["drift_ratio"] < 1.5
+
+
+def test_stream_ivf_append_maintenance_callback_and_min_batch_guard(
+    spark, index, tmp_path
+):
+    """on_maintenance overrides the inline retrain: the event carries
+    the batch report + batch_id and the quantizer is left alone (a
+    continuous serving deployment retrains in its own window). A
+    crossing batch SMALLER than retrain_min_batch_n surfaces nothing."""
+    from tia_data_pipeline_spark.operators.similarity import ivf_index_meta
+    from tia_data_pipeline_spark.streaming.ann_serve import stream_ivf_append
+
+    vec_schema = "vec_id bigint, embedding array<float>"
+    stream_dir = tmp_path / "vecs"
+    tiny = spark.createDataFrame([(400, [0.0, 0.0, 0.0, 1.0])], vec_schema)
+    big = spark.createDataFrame(
+        [(500 + i, [0.0, 0.0, 1.0, i * 0.1]) for i in range(5)], vec_schema
+    )
+    tiny.coalesce(1).write.parquet(str(stream_dir / "a"))
+    big.coalesce(1).write.parquet(str(stream_dir / "b"))
+    vec_stream = (
+        spark.readStream.schema(vec_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*")
+    )
+    meta_before = ivf_index_meta(spark, index)
+    events = []
+    q = stream_ivf_append(
+        vec_stream,
+        index_path=index,
+        drift_out=str(tmp_path / "drift"),
+        checkpoint=str(tmp_path / "ckpt"),
+        retrain_above=1.5,
+        retrain_min_batch_n=3,
+        on_maintenance=events.append,
+    )
+    q.awaitTermination()
+    # only the 5-vector batch fires; the 1-vector crossing batch is
+    # under the guard
+    assert len(events) == 1
+    ev = events[0]
+    assert ev["batch_n"] == 5 and ev["drift_ratio"] >= 1.5 and "batch_id" in ev
+    # callback form: no retrain happened (same pinned generation)
+    assert ivf_index_meta(spark, index) == meta_before

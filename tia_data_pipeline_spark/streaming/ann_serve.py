@@ -142,16 +142,58 @@ def stream_ivf_append(
     drift_out: str,
     checkpoint: str,
     available_now: bool = True,
+    retrain_above: float | None = None,
+    retrain_min_batch_n: int = 1000,
+    on_maintenance=None,
 ) -> StreamingQuery:
     """Run a vector stream through the IVF index-append loop — the
     write-side twin of :func:`stream_ann_topk` (same trigger
-    discipline). Monitoring ``drift_out``'s drift_ratio series is the
-    re-train trigger: when incoming batches consistently read ≫1, the
-    pinned quantizer is stale and a full
-    :func:`…operators.similarity.ivf_build_index` rebuild is due."""
+    discipline). ``drift_out``'s drift_ratio series is the re-train
+    signal: batches consistently reading ≫1 mean the pinned quantizer
+    is stale.
+
+    ``retrain_above`` closes that loop automatically (VERDICT r10 #4 —
+    previously runbook-ware): when a batch's drift_ratio reaches the
+    threshold AND the batch carries at least ``retrain_min_batch_n``
+    vectors (a tiny batch's mean is statistically noisy, and a retrain
+    must amortize over real volume), the loop fires
+    :func:`…operators.similarity.ivf_retrain` inline AFTER the append —
+    the triggering batch is therefore part of the new generation's fit.
+    Pass ``on_maintenance`` (a callable receiving the batch report dict,
+    ``batch_id`` included) to emit a maintenance event INSTEAD of
+    retraining inline: the inline default suits the ``availableNow``
+    backfill form, where the drained stream is its own maintenance
+    window; a continuous deployment serving probes concurrently should
+    enqueue the event and retrain in its own window (the two-rename
+    swap is atomic per rename but a probe listing files inside the swap
+    window should retry — ``ivf_retrain``'s documented discipline).
+
+    Replay note: the persisted drift record stays a pure function of
+    (batch, index generation), but the retrain side effect is
+    deliberately NOT replay-idempotent in its trigger — a batch
+    replayed after its own retrain reads drift ≈1 against the new
+    generation and does not re-fire. That is the benign direction: the
+    generation already includes the batch, and consecutive
+    threshold-crossing batches self-quiet the same way."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ivf_append_batch(batch_df, index_path, drift_out, batch_id)
+        out = ivf_append_batch(batch_df, index_path, drift_out, batch_id)
+        if retrain_above is None:
+            return
+        ratio = out.get("drift_ratio")
+        due = (
+            ratio is not None
+            and ratio >= retrain_above
+            and out["batch_n"] >= retrain_min_batch_n
+        )
+        if not due:
+            return
+        if on_maintenance is not None:
+            on_maintenance(dict(out, batch_id=int(batch_id)))
+        else:
+            from tia_data_pipeline_spark.operators.similarity import ivf_retrain
+
+            ivf_retrain(batch_df.sparkSession, index_path)
 
     writer = vec_stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
