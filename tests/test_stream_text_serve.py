@@ -205,3 +205,77 @@ def test_empty_batch_schema_tracks_index_doc_id_type(spark, tmp_path):
     rows = spark.read.parquet(f"{out}/batch_id=*")
     assert dict(rows.dtypes)["doc_id"] == "string"
     assert {r["doc_id"] for r in rows.collect()} == {"a1"}
+
+
+def test_hard_kill_between_jobs_retries_without_duplicate_postings(
+    spark, tmp_path
+):
+    """VERDICT r10 #6 (the dedup_serve hard-replay pattern): simulate a
+    kill exactly between the postings append and the _doc_stats commit
+    — marker held, postings fully landed, no membership. The retried
+    append must detect the marker, reconcile, and finish with ZERO
+    duplicate (tok, doc_id) rows on disk (twice ≡ once now holds
+    physically, not just through serve-side healing), membership
+    complete, marker cleared, and serving equal to a fresh build."""
+    from tia_data_pipeline_spark.operators.scale import (
+        pending_marker_exists,
+        pending_marker_set,
+    )
+    from tia_data_pipeline_spark.operators.text_index import _postings_frame
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    hist = docs.filter("doc_id % 4 <> 3")
+    shard = docs.filter("doc_id % 4 = 3")
+    path = str(tmp_path / "idx")
+    build_text_index(hist, path, n_buckets=8)
+    # the crashed attempt: marker set, postings committed, killed
+    # before the membership append
+    pending_marker_set(spark, f"{path}/_append_pending")
+    _postings_frame(shard, "doc_id", "text", 8).repartition(
+        "_bucket"
+    ).write.partitionBy("_bucket").mode("append").parquet(path)
+    # the retry (a foreachBatch replay delivers the same shard)
+    text_index_append_batch(shard, path)
+    assert not pending_marker_exists(spark, f"{path}/_append_pending")
+    p = spark.read.parquet(path)
+    assert p.count() == p.select("tok", "doc_id").distinct().count(), (
+        "duplicate postings survived the reconciled retry"
+    )
+    stats = spark.read.parquet(f"{path}/_doc_stats")
+    assert stats.count() == stats.select("doc_id").distinct().count()
+    assert _serve(spark, path) == _fresh(spark, docs, tmp_path, "all")
+
+
+def test_kill_inside_postings_job_commit_retries_missing_rows_only(
+    spark, tmp_path
+):
+    """Harder window: the kill lands INSIDE the postings job commit —
+    some bucket files moved, some not (possible under a hard kill of
+    the v1 committer's rename sequence). Reconciliation is row-level,
+    so the retry appends exactly the missing (tok, doc_id) rows: the
+    landed half is not duplicated, the lost half is restored."""
+    from tia_data_pipeline_spark.operators.scale import pending_marker_set
+    from tia_data_pipeline_spark.operators.text_index import _postings_frame
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    hist = docs.filter("doc_id % 4 <> 3")
+    shard = docs.filter("doc_id % 4 = 3")
+    path = str(tmp_path / "idx")
+    build_text_index(hist, path, n_buckets=8)
+    pending_marker_set(spark, f"{path}/_append_pending")
+    full = _postings_frame(shard, "doc_id", "text", 8)
+    half = full.filter(F.pmod(F.xxhash64("tok", "doc_id"), F.lit(2)) == 0)
+    half.repartition("_bucket").write.partitionBy("_bucket").mode(
+        "append"
+    ).parquet(path)
+    text_index_append_batch(shard, path)
+    p = spark.read.parquet(path)
+    assert p.count() == p.select("tok", "doc_id").distinct().count()
+    # every posting of the shard is present exactly once
+    want = full.count()
+    got = (
+        p.join(shard.select("doc_id").distinct(), "doc_id", "leftsemi").count()
+    )
+    assert got == want
+    assert _serve(spark, path) == _fresh(spark, docs, tmp_path, "all")

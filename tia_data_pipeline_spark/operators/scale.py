@@ -652,6 +652,31 @@ def append_index_tombstones(
         delta.unpersist()
 
 
+def pending_marker_set(spark, marker_path: str) -> None:
+    """Create (or truncate) a tiny marker file — the crash-detection
+    primitive for multi-job index mutations (VERDICT r10 #6): an append
+    sets the marker BEFORE its first data write and clears it only
+    after its LAST commit, so the next append finding the marker knows
+    a predecessor died mid-protocol and runs its reconciliation pass.
+    Goes through the Hadoop FileSystem API so the marker works on any
+    scheme the index itself lives on, not just local paths."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(marker_path)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).create(p, True).close()
+
+
+def pending_marker_exists(spark, marker_path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(marker_path)
+    return bool(p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p))
+
+
+def pending_marker_clear(spark, marker_path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(marker_path)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, False)
+
+
 def tombstone_mask_join(
     df: DataFrame,
     ts: DataFrame,

@@ -19,6 +19,11 @@ Layout under ``path``:
 - ``_tombstones`` (after a delete): doc ids masked from every serve
   until :func:`text_index_compact` removes them physically — the same
   deletion semantics as the MinHash/SimHash/embedding/IVF indexes.
+- ``_append_pending`` (transient): the crash-detection marker an
+  append holds between its first data write and its last commit; a
+  successor finding it runs the reconciliation pass (see
+  :func:`text_index_append`). Underscore-prefixed, so Spark scans
+  never see it.
 
 Per-term document frequency is computed AT SERVE TIME with a
 partial+final hash aggregate over the pruned scan — a term's bucket
@@ -387,37 +392,76 @@ def text_index_append(
     the tombstone-wins-until-compact semantics shared by all four
     sibling indexes.
 
-    Crash atomicity (ADVICE r9 #2): the postings append commits before
-    the ``_doc_stats`` membership append, so a crash between the two
-    jobs leaves postings for docs with no membership row, and the
-    RETRIED append (whose idempotency anti-join keys on ``_doc_stats``)
-    re-derives those docs' postings — duplicate (tok, doc_id) rows on
-    disk. This is deliberately healed downstream instead of prevented
-    with a staging protocol (the inverse ordering would lose postings
-    silently, which is worse than duplicating them): the serve path
-    collapses duplicates exactly (same doc content → identical tf →
-    ``max(tf)`` in the candidate pre-aggregate, df counts deduplicated
-    rows), and :func:`text_index_compact` removes them physically
-    (``dedup_keys``). Between a crashed retry and the next compaction
-    the index is correct to serve and merely carries redundant rows."""
+    Crash atomicity (ADVICE r9 #2, closed for real per VERDICT r10 #6):
+    the postings append still commits before the ``_doc_stats``
+    membership append (the inverse ordering would lose postings
+    silently, which is worse than duplicating them), but the window is
+    now CRASH-DETECTED instead of serve-healed. A ``_append_pending``
+    marker is set before the first data write and cleared only after
+    the last commit; an append that finds the marker knows a
+    predecessor died mid-protocol and runs a reconciliation pass:
+    anti-join the delta's postings against the (tok, doc_id) pairs
+    already on disk in the delta's touched buckets, restricted to the
+    delta's own doc ids. Row-level (not doc-level) so even a hard kill
+    inside the postings JOB COMMIT — some bucket files moved, some not
+    — retries to exactly the missing rows. Twice ≡ once therefore holds
+    under hard kills with no duplicate postings ever visible; the serve
+    path's ``max(tf)`` pre-aggregate and compaction's ``dedup_keys``
+    stay as defense in depth, no longer load-bearing. The fast path
+    (no marker — every append that didn't crash) pays only the two
+    driver-side marker round-trips; the reconciliation scan prices in
+    only after a detected crash. Content mutation across a crashed
+    retry is outside the contract (ids are immutable once indexed —
+    the IVF rule): reconciliation assumes the retry re-derives the
+    same postings the crashed attempt wrote."""
+    from tia_data_pipeline_spark.operators.scale import (
+        pending_marker_clear,
+        pending_marker_exists,
+        pending_marker_set,
+    )
+
     spark = docs.sparkSession
     stats_row = read_corpus_stats(spark, path)
     n_buckets = int(stats_row["n_buckets"])
+    marker = f"{path}/_append_pending"
+    reconcile = pending_marker_exists(spark, marker)
     existing = spark.read.parquet(f"{path}/_doc_stats").select("doc_id")
     base = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     delta = base.join(existing, "doc_id", "left_anti").persist()
+    cached = None
     try:
-        _postings_frame(delta, "doc_id", "text", n_buckets).repartition(
-            "_bucket"
-        ).write.partitionBy("_bucket").mode("append").parquet(path)
+        pending_marker_set(spark, marker)
+        postings = _postings_frame(delta, "doc_id", "text", n_buckets)
+        if reconcile:
+            cached = postings.persist()  # touched collect + write
+            postings = cached
+            touched = sorted(
+                int(r["_bucket"])
+                for r in postings.select("_bucket").distinct().collect()
+            )
+            landed = (
+                spark.read.parquet(path)
+                .filter(
+                    F.col("_bucket").isin(touched) if touched else F.lit(False)
+                )
+                .join(delta.select("doc_id"), "doc_id", "leftsemi")
+                .select("tok", "doc_id")
+            )
+            postings = postings.join(landed, ["tok", "doc_id"], "left_anti")
+        postings.repartition("_bucket").write.partitionBy("_bucket").mode(
+            "append"
+        ).parquet(path)
         delta.select("doc_id", TX.word_count(F.col("text")).alias("dl")).write.mode(
             "append"
         ).parquet(f"{path}/_doc_stats")
         _write_corpus_stats(spark, path, n_buckets, stats_row["postings_schema"])
+        pending_marker_clear(spark, marker)
     finally:
         delta.unpersist()
+        if cached is not None:
+            cached.unpersist()
 
 
 def text_index_delete(ids: DataFrame, path: str, *, id_col: str = "doc_id") -> None:

@@ -8,10 +8,11 @@ The loop is a `foreachBatch` over
 :func:`…operators.text_index.text_index_append`, which is already the
 idempotent unit the at-least-once trigger needs: membership anchors on
 ``_doc_stats`` (a replayed batch's docs anti-join away — twice ≡
-once), and the one non-atomic window (postings committed, membership
-not yet) is healed downstream — the serve's (tok, doc_id) pre-
-aggregate collapses the duplicates exactly and compaction removes
-them physically (ADVICE r9 #2, `operators/text_index.py`).
+once), and the postings-committed-membership-not window is
+crash-detected via the ``_append_pending`` marker — the retry
+reconciles to exactly the missing rows, so no duplicate postings are
+ever visible (VERDICT r10 #6; the serve's (tok, doc_id) pre-aggregate
+stays as defense in depth).
 
 Cite: reference `comments_pipeline.py:22-104` (the daily-increment
 ingest DAG) — here as a continuous document stream feeding a
