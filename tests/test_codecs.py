@@ -1089,3 +1089,132 @@ def test_png_adam7_interlaced_decode_exact():
             assert np.array_equal(d["pixels"][:, :, 0], px[:, :, 0])
         else:  # RGBA -> alpha dropped
             assert np.array_equal(d["pixels"], px[:, :, :3])
+
+
+# ----------------------------------------------------- JPEG encoder ----
+def test_encode_jpeg_round_trip_within_quantization_error():
+    """VERDICT r10 #8: the production encoder closes the JPEG
+    decode→transform→re-encode loop. Round-trip error through the
+    production decoder must be bounded by the quantization step: per
+    coefficient the reconstruction error is ≤ qt/2, and the sharp
+    wrap-around edges in this gradient land on the LARGE high-frequency
+    chroma entries (10 at q95) amplified ×1.77 by the color transform —
+    measured max 14, pinned at ≤20 with a tight mean (the codec is
+    near-exact away from the discontinuities)."""
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [
+            (xx * 5) % 200 + 20,
+            (yy * 7) % 180 + 30,
+            ((xx + yy) * 3) % 160 + 40,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    payload = encode_jpeg(px, quality=95)
+    d = decode_jpeg(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["format"] == "image/jpeg;nc=3"
+    err = np.abs(d["pixels"].astype(int) - px.astype(int))
+    assert err.max() <= 20, f"round-trip error {err.max()} exceeds quantization bound"
+    assert err.mean() <= 1.5, f"mean round-trip error {err.mean():.2f} too high"
+    # solid color must survive near-exactly at any quality (DC-only)
+    solid = np.full((16, 16, 3), (90, 180, 40), dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(solid, quality=75))["pixels"]
+    assert np.abs(back.astype(int) - solid.astype(int)).max() <= 2
+
+
+def test_encode_jpeg_grayscale_and_quality_monotonicity():
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    g = (np.add.outer(np.arange(24) * 3, np.arange(16) * 5) % 200 + 20).astype(
+        np.uint8
+    )
+    payload = encode_jpeg(g, quality=95)
+    d = decode_jpeg(payload)
+    assert d["format"] == "image/jpeg;nc=1"
+    assert np.array_equal(d["pixels"][..., 0], d["pixels"][..., 1])
+    err95 = np.abs(d["pixels"][..., 0].astype(int) - g.astype(int)).max()
+    assert err95 <= 6
+    # lower quality -> smaller payload (coarser quantization compresses)
+    lo = encode_jpeg(np.repeat(g[:, :, None], 3, axis=2), quality=30)
+    hi = encode_jpeg(np.repeat(g[:, :, None], 3, axis=2), quality=95)
+    assert len(lo) < len(hi)
+
+
+def test_encode_jpeg_extreme_blocks_stay_in_baseline_range():
+    """The basis-matched checkerboard drives coefficients to the ±1024
+    theoretical bound at quality 100 (qt=1) — one past the K.3 tables'
+    size-10 categories. The encoder clamps; the stream must stay
+    decodable and near-exact everywhere else."""
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    checker = ((xx + yy) % 2 * 255).astype(np.uint8)
+    px = np.repeat(checker[:, :, None], 3, axis=2)
+    d = decode_jpeg(encode_jpeg(px, quality=100))
+    assert (d["width"], d["height"]) == (16, 16)
+    # the checkerboard itself survives (it IS a single basis function)
+    err = np.abs(d["pixels"].astype(int) - px.astype(int))
+    assert err.max() <= 16
+
+
+def test_encode_jpeg_rejects_bad_inputs():
+    from tia_data_pipeline_spark.functions.codecs import encode_jpeg
+
+    with np.testing.assert_raises(ValueError):
+        encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+    with np.testing.assert_raises(ValueError):
+        encode_jpeg(np.zeros((0, 4, 3), dtype=np.uint8))
+    with np.testing.assert_raises(ValueError):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), quality=0)
+
+
+def test_std_huffman_tables_cover_every_symbol():
+    """A transcription slip in the Annex K.3 tables would surface as a
+    KeyError on a rare (run, size) pair deep in production: pin the
+    complete symbol sets here instead."""
+    from tia_data_pipeline_spark.functions.codecs import (
+        _JPEG_STD_AC_CHROMA,
+        _JPEG_STD_AC_LUMA,
+        _JPEG_STD_DC_CHROMA,
+        _JPEG_STD_DC_LUMA,
+        _jpeg_enc_table,
+    )
+
+    want_ac = {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    for bits, vals in (_JPEG_STD_AC_LUMA, _JPEG_STD_AC_CHROMA):
+        assert sum(bits) == len(vals) == 162
+        assert set(vals) == want_ac
+        assert len(_jpeg_enc_table(bits, vals)) == 162
+    for bits, vals in (_JPEG_STD_DC_LUMA, _JPEG_STD_DC_CHROMA):
+        assert set(vals) == set(range(12))
+        assert len(_jpeg_enc_table(bits, vals)) == 12
+
+
+def test_resize_media_round_trips_jpeg_for_real():
+    """resize_media on a baseline JPEG now decodes, nearest-neighbor
+    resizes, and re-encodes AS JPEG (previously the stub size-law);
+    the output must itself decode to the target geometry with content
+    that tracks the source."""
+    from tia_data_pipeline_spark.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        resize_media,
+        sniff_format,
+    )
+
+    px = np.zeros((16, 24, 3), dtype=np.uint8)
+    px[:8] = (200, 40, 40)
+    px[8:] = (40, 40, 200)
+    payload = encode_jpeg(px, quality=95)
+    out = resize_media(payload, 48, 32)
+    assert sniff_format(out) == "jpeg"
+    d = decode_jpeg(out)
+    assert (d["width"], d["height"]) == (48, 32)
+    # the halves keep their hue through resize + requantization
+    top = d["pixels"][:14, :, 0].astype(int).mean()
+    bot = d["pixels"][18:, :, 2].astype(int).mean()
+    assert top > 150 and bot > 150

@@ -800,6 +800,297 @@ def decode_jpeg(payload: bytes) -> dict:
     }
 
 
+# ------------------------------------------------------- JPEG encoder ----
+# Quantization base tables from the public spec (ITU T.81 Annex K.1 /
+# K.2), row-major spatial order; scaled by the libjpeg-convention
+# quality factor at encode time. Independent of the test suite's
+# flat-table encoder (tests/test_codecs.py::_jz_encode) — the decoder
+# is verified against THAT encoder, and this encoder is verified by
+# round-trip through the decoder, so neither check is circular.
+_JPEG_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+_JPEG_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+# "Typical" Huffman tables from Annex K.3 — (BITS, HUFFVAL) pairs. The
+# encoder derives its code map from these THROUGH the decoder's own
+# canonical-assignment routine, so the emitted DHT segments and the
+# entropy stream can never disagree about a code.
+_JPEG_STD_DC_LUMA = (
+    bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_JPEG_STD_DC_CHROMA = (
+    bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_JPEG_STD_AC_LUMA = (
+    bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]),
+    bytes(
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+            0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+            0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+            0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+            0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+            0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+            0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+            0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+            0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+            0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+            0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+            0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+            0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+            0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+            0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+            0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+            0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+            0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ]
+    ),
+)
+_JPEG_STD_AC_CHROMA = (
+    bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]),
+    bytes(
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+            0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+            0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+            0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+            0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+            0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+            0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+            0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+            0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+            0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+            0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+            0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+            0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+            0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+            0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+            0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ]
+    ),
+)
+
+
+def _jpeg_quality_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """Scale an Annex K base table by the libjpeg quality convention:
+    q<50 scales up (coarser), q>50 scales down, q=50 is the base, and
+    every entry stays in [1, 255] (baseline 8-bit DQT range)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("JPEG quality must be in 1..100")
+    scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
+    return np.clip(np.floor((base * scale + 50.0) / 100.0), 1.0, 255.0)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer producing a STUFFED entropy segment
+    (0xFF data bytes are followed by 0x00 per spec B.1.1.5)."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if not nbits:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.acc &= (1 << self.n) - 1
+
+    def finish(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-fill pad
+        return bytes(self.out)
+
+
+def _jpeg_enc_table(bits: bytes, vals: bytes) -> dict:
+    """symbol -> (code, length): the encoder orientation of the
+    canonical code assignment — derived THROUGH the decoder's
+    :func:`_jpeg_huff_table` so both sides of the codec share one
+    assignment routine by construction."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _jpeg_huff_table(bits, vals).items()
+    }
+
+
+def _jpeg_fdct_quantized(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Level-shift, forward-DCT, and quantize every 8×8 block of a
+    padded plane at once — (by, bx, 64) int32 of ZIGZAG-ordered
+    coefficient runs. The forward transform is the exact adjoint of the
+    decoder's ``Aᵀ·F·A`` (A is orthonormal, so F = A·f·Aᵀ)."""
+    th, tw = plane.shape
+    blk = (plane - 128.0).reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3)
+    f = np.einsum("ux,byxz,vz->byuv", _JPEG_IDCT_A, blk, _JPEG_IDCT_A)
+    q = np.round(f.reshape(th // 8, tw // 8, 64) / qt.reshape(1, 1, 64))
+    # baseline categories top out at size 10 (|AC| ≤ 1023) / DC diff
+    # size 11: the theoretical coefficient bound is ±1024 (the basis-
+    # matched checkerboard at qt=1), one past the encodable range —
+    # clamp rather than emit a symbol the K.3 tables don't carry.
+    return np.clip(q[:, :, _JPEG_ZIGZAG], -1023, 1023).astype(np.int32)
+
+
+def _jpeg_encode_block(
+    w: _JpegBitWriter, zz: np.ndarray, pred: int, dc_tbl: dict, ac_tbl: dict
+) -> int:
+    """Emit one zigzag-ordered quantized block: DC difference category
+    + magnitude bits, then run-length/size AC pairs with ZRL for 16+
+    zero runs and EOB when the tail is all zero. Negative magnitudes
+    use the spec's v + 2^s - 1 encoding (the inverse of EXTEND)."""
+    dc = int(zz[0])
+    diff = dc - pred
+    s = int(abs(diff)).bit_length()
+    code, ln = dc_tbl[s]
+    w.put(code, ln)
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    run = 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tbl[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_tbl[(run << 4) | s]
+        w.put(code, ln)
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tbl[0x00]  # EOB
+        w.put(code, ln)
+    return dc
+
+
+def _jpeg_marker_segment(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(pixels: np.ndarray, *, quality: int = 85) -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w) grayscale → baseline JFIF-style
+    JPEG bytes: BT.601 full-range color transform, 4:4:4 (no chroma
+    subsampling — resolution is preserved exactly; the decode side
+    handles subsampled inputs, but re-encoding never discards detail
+    the pipeline might re-extract), Annex K quant tables at the given
+    quality, Annex K.3 typical Huffman tables. Closes the JPEG
+    decode→transform→re-encode loop the way PNG already has its
+    deflate re-encoder (VERDICT r10 #8); round-trip error is bounded
+    by quantization, test-pinned."""
+    px = np.asarray(pixels)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("encode_jpeg needs (h, w, 3) RGB or (h, w) gray")
+    h, w_ = px.shape[:2]
+    if h < 1 or w_ < 1 or h > 0xFFFF or w_ > 0xFFFF:
+        raise ValueError("JPEG dimensions out of range")
+    qt_l = _jpeg_quality_table(_JPEG_QT_LUMA, quality)
+    if gray:
+        planes = [(px.astype(np.float64), qt_l, 0)]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        qt_c = _jpeg_quality_table(_JPEG_QT_CHROMA, quality)
+        planes = [(y, qt_l, 0), (cb, qt_c, 1), (cr, qt_c, 1)]
+    th, tw = -(-h // 8) * 8, -(-w_ // 8) * 8
+    quantized = [
+        _jpeg_fdct_quantized(
+            np.pad(pl, ((0, th - h), (0, tw - w_)), mode="edge"), qt
+        )
+        for pl, qt, _ in planes
+    ]
+
+    dc_tables = [_JPEG_STD_DC_LUMA, _JPEG_STD_DC_CHROMA]
+    ac_tables = [_JPEG_STD_AC_LUMA, _JPEG_STD_AC_CHROMA]
+    enc_dc = [_jpeg_enc_table(*t) for t in dc_tables]
+    enc_ac = [_jpeg_enc_table(*t) for t in ac_tables]
+    wtr = _JpegBitWriter()
+    preds = [0] * len(planes)
+    for by in range(th // 8):
+        for bx in range(tw // 8):
+            for ci in range(len(planes)):
+                t = 0 if ci == 0 else 1
+                preds[ci] = _jpeg_encode_block(
+                    wtr, quantized[ci][by, bx], preds[ci], enc_dc[t], enc_ac[t]
+                )
+    entropy = wtr.finish()
+
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_marker_segment(
+        0xDB, bytes([0x00]) + bytes(qt_l[_JPEG_ZIGZAG].astype(np.uint8))
+    )
+    if not gray:
+        out += _jpeg_marker_segment(
+            0xDB, bytes([0x01]) + bytes(qt_c[_JPEG_ZIGZAG].astype(np.uint8))
+        )
+    nc = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w_) + bytes([nc])
+    for ci, (_, _, tq) in enumerate(planes):
+        sof += bytes([ci + 1, 0x11, tq])  # h=v=1: 4:4:4
+    out += _jpeg_marker_segment(0xC0, sof)
+    n_tables = 1 if gray else 2
+    for t in range(n_tables):
+        bits, vals = dc_tables[t]
+        out += _jpeg_marker_segment(0xC4, bytes([t]) + bits + vals)
+        bits, vals = ac_tables[t]
+        out += _jpeg_marker_segment(0xC4, bytes([0x10 | t]) + bits + vals)
+    sos = bytes([nc])
+    for ci in range(nc):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += _jpeg_marker_segment(0xDA, sos)
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
 def sniff_format(payload: bytes) -> str:
     if payload[:2] == b"P6":
         return "ppm"
@@ -857,10 +1148,9 @@ def decode_media(payload: bytes) -> dict:
 
 
 def resize_media(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """Real resize for PPM and PNG (decode → nearest-neighbor →
-    re-encode in the same format); other formats — including JPEG,
-    which decodes for real but has no re-encoder here — fall back to
-    the stub's size-law resample."""
+    """Real resize for PPM, PNG, and baseline JPEG (decode →
+    nearest-neighbor → re-encode in the same format); other formats
+    fall back to the stub's size-law resample."""
     import zlib
 
     kind = sniff_format(payload)
@@ -875,6 +1165,15 @@ def resize_media(payload: bytes, target_w: int, target_h: int) -> bytes:
                 resize_nearest(decode_png(payload)["pixels"], target_w, target_h)
             )
         except (ValueError, zlib.error):
+            pass
+    elif kind == "jpeg":
+        try:
+            return encode_jpeg(
+                resize_nearest(decode_jpeg(payload)["pixels"], target_w, target_h)
+            )
+        except (ValueError, struct.error, KeyError, IndexError):
+            # progressive/arithmetic or corrupt input: the decoder
+            # refuses, and the stub size-law keeps the pipeline alive
             pass
     from tia_data_pipeline_spark.operators.multimodal import _fake_resize
 
