@@ -1040,7 +1040,10 @@ def test_jpeg_budget_counts_the_float64_working_set():
     payload = (
         b"\xff\xd8"
         + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-        + b"\xff\xda" + struct.pack(">H", 10)
+        # spec-valid SOS: ns=3 components + the mandatory Ss/Se/Ah/Al
+        # trailer (the decoder now parses the trailer, so a truncated
+        # SOS would fail earlier than the budget check under test)
+        + b"\xff\xda" + struct.pack(">H", 12)
         + bytes([3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0])
         + zlib.compress(b"\x00" * 100)
         + b"\xff\xd9"
@@ -1218,3 +1221,362 @@ def test_resize_media_round_trips_jpeg_for_real():
     top = d["pixels"][:14, :, 0].astype(int).mean()
     bot = d["pixels"][18:, :, 2].astype(int).mean()
     assert top > 150 and bot > 150
+
+
+# ------------------------------------------------ progressive JPEG ----
+# Test-side progressive encoder (spectral selection + successive
+# approximation, spec G.1.2 / the libjpeg emission discipline),
+# independent of the production decoder: flat quant tables, custom
+# single-length Huffman tables extended with the EOBn symbols.
+_JZP_AC_SYMS = (
+    [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JZP_AC_CODES = _jz_canonical(_JZP_AC_SYMS, 8)
+
+
+class _JzpScanWriter:
+    """Bit writer + EOB-run bookkeeping for one progressive scan.
+    Supports restart markers: flush() hard-flushes pending state and
+    the caller splices the RST byte pair between chunks."""
+
+    def __init__(self):
+        self.chunks = []
+        self.w = _JzBitWriter()
+        self.eobrun = 0
+        self.be_bits = []  # correction bits attached to the EOB run
+        self.br_bits = []  # current block's bits since the last symbol
+
+    def put_sym(self, codes, sym):
+        ln, code = codes[sym]
+        self.w.put(code, ln)
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.put_sym(_JZP_AC_CODES, nbits << 4)
+            if nbits:
+                self.w.put(self.eobrun, nbits)
+            self.eobrun = 0
+            for b in self.be_bits:
+                self.w.put(b, 1)
+            self.be_bits = []
+
+    def flush_br(self):
+        for b in self.br_bits:
+            self.w.put(b, 1)
+        self.br_bits = []
+
+    def restart(self, rst_idx):
+        self.emit_eobrun()
+        self.chunks.append(self.w.flush())
+        self.chunks.append(bytes([0xFF, 0xD0 + (rst_idx % 8)]))
+        self.w = _JzBitWriter()
+
+    def finish(self):
+        self.emit_eobrun()
+        self.chunks.append(self.w.flush())
+        return b"".join(self.chunks)
+
+
+def _jzp_dc_scan(sw, dcs, preds, ah, al, ri=0):
+    """Interleaved DC scan over all components' shared 4:4:4 block
+    raster. dcs: list of (nby, nbx, 64) zigzag coefficient arrays —
+    only index 0 (DC) is read here."""
+    nby, nbx = dcs[0].shape[:2]
+    unit = 0
+    rst = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if ri and unit and unit % ri == 0:
+                sw.restart(rst)
+                rst += 1
+                for i in range(len(preds)):
+                    preds[i] = 0
+            for ci, dc in enumerate(dcs):
+                v = int(dc[by, bx, 0]) >> al  # arithmetic point transform
+                if ah == 0:
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = _jz_category(diff)
+                    ln, code = _JZ_DC_CODES[t]
+                    sw.w.put(code, ln)
+                    if t:
+                        sw.w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                else:
+                    sw.w.put(v & 1, 1)
+            unit += 1
+
+
+def _jzp_ac_first_scan(sw, blocks, ss, se, al, ri=0):
+    nby, nbx = blocks.shape[:2]
+    unit = 0
+    rst = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if ri and unit and unit % ri == 0:
+                sw.restart(rst)
+                rst += 1
+            blk = blocks[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al  # magnitude point transform (AC)
+                if t == 0:
+                    r += 1
+                    continue
+                if v < 0:
+                    t = -t
+                sw.emit_eobrun()
+                while r > 15:
+                    sw.put_sym(_JZP_AC_CODES, 0xF0)
+                    r -= 16
+                s = abs(t).bit_length()
+                sw.put_sym(_JZP_AC_CODES, (r << 4) | s)
+                sw.w.put(t if t >= 0 else t + (1 << s) - 1, s)
+                r = 0
+            if r > 0:
+                sw.eobrun += 1
+                if sw.eobrun == 0x7FFF:
+                    sw.emit_eobrun()
+            unit += 1
+
+
+def _jzp_ac_refine_scan(sw, blocks, ss, se, al, ri=0):
+    nby, nbx = blocks.shape[:2]
+    unit = 0
+    rst = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if ri and unit and unit % ri == 0:
+                sw.restart(rst)
+                rst += 1
+            blk = blocks[by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(se + 1)]
+            eob_k = ss - 1  # last newly-nonzero position
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eob_k = k
+            r = 0
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_k:
+                    sw.emit_eobrun()
+                    sw.put_sym(_JZP_AC_CODES, 0xF0)
+                    r -= 16
+                    sw.flush_br()
+                if t > 1:  # history coefficient: one correction bit
+                    sw.br_bits.append(t & 1)
+                    continue
+                sw.emit_eobrun()
+                sw.put_sym(_JZP_AC_CODES, (r << 4) | 1)
+                sw.w.put(1 if int(blk[k]) >= 0 else 0, 1)
+                sw.flush_br()
+                r = 0
+            if r > 0 or sw.br_bits:
+                sw.eobrun += 1
+                sw.be_bits.extend(sw.br_bits)
+                sw.br_bits = []
+                if sw.eobrun == 0x7FFF:
+                    sw.emit_eobrun()
+            unit += 1
+
+
+def _jzp_quantized_components(px, gray, q_luma, q_chroma):
+    """(name, tq, blocks) per component — blocks (nby, nbx, 64) int in
+    ZIGZAG order, the shared coefficient source for every scan."""
+    zz = _jz_zigzag()
+    if gray:
+        h, w_ = px.shape
+        planes = [(px.astype(np.float64), 0)]
+    else:
+        h, w_ = px.shape[:2]
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            (0.299 * r + 0.587 * g + 0.114 * b, 0),
+            (128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b, 1),
+            (128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b, 1),
+        ]
+    qt = {0: float(q_luma), 1: float(q_chroma)}
+    nby, nbx = -(-h // 8), -(-w_ // 8)
+    out = []
+    for pl, tq in planes:
+        pad = np.pad(pl, ((0, nby * 8 - h), (0, nbx * 8 - w_)), mode="edge") - 128.0
+        blocks = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                f = _jz_fdct(pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
+                fq = np.round(f.flatten() / qt[tq]).astype(np.int64)
+                blocks[by, bx] = fq[zz]  # store zigzag order
+        out.append((tq, blocks))
+    return out, (h, w_)
+
+
+_JZP_COLOR_SCRIPT = [
+    ("dc", None, 0, 0, 0, 1),
+    ("ac", 0, 1, 5, 0, 2),
+    ("ac", 1, 1, 63, 0, 1),
+    ("ac", 2, 1, 63, 0, 1),
+    ("ac", 0, 6, 63, 0, 2),
+    ("ac", 0, 1, 63, 2, 1),
+    ("dc", None, 0, 0, 1, 0),
+    ("ac", 1, 1, 63, 1, 0),
+    ("ac", 2, 1, 63, 1, 0),
+    ("ac", 0, 1, 63, 1, 0),
+]
+_JZP_GRAY_SCRIPT = [
+    ("dc", None, 0, 0, 0, 1),
+    ("ac", 0, 1, 63, 0, 1),
+    ("dc", None, 0, 0, 1, 0),
+    ("ac", 0, 1, 63, 1, 0),
+]
+
+
+def _jzp_encode_progressive(
+    px, *, gray=False, q_luma=8, q_chroma=8, script=None, restart_interval=0
+):
+    """Progressive JPEG bytes (SOF2) for the same pixel contract as
+    _jz_encode — the default script mirrors libjpeg's standard
+    progression (DC Al=1 → AC bands → AC refine → DC refine →
+    final AC refinements)."""
+    comps, (h, w_) = _jzp_quantized_components(px, gray, q_luma, q_chroma)
+    if script is None:
+        script = _JZP_GRAY_SCRIPT if gray else _JZP_COLOR_SCRIPT
+    out = bytearray(b"\xff\xd8")
+    for tq in sorted({tq for tq, _ in comps}):
+        q = q_luma if tq == 0 else q_chroma
+        out += _jz_seg(0xDB, bytes([tq]) + bytes([int(q)] * 64))
+    sof = struct.pack(">BHHB", 8, h, w_, len(comps))
+    for i, (tq, _) in enumerate(comps):
+        sof += bytes([i + 1, 0x11, tq])
+    out += _jz_seg(0xC2, sof)
+    out += _jz_seg(0xC4, _jz_dht(0, 0, _JZ_DC_SYMS, 4))
+    out += _jz_seg(0xC4, _jz_dht(1, 0, _JZP_AC_SYMS, 8))
+    if restart_interval:
+        out += _jz_seg(0xDD, struct.pack(">H", restart_interval))
+    preds = None
+    for kind, ci, ss, se, ah, al in script:
+        sw = _JzpScanWriter()
+        if kind == "dc":
+            sos = bytes([len(comps)])
+            for i in range(len(comps)):
+                sos += bytes([i + 1, 0x00])
+            sos += bytes([ss, se, (ah << 4) | al])
+            preds = [0] * len(comps)
+            _jzp_dc_scan(
+                sw, [b for _, b in comps], preds, ah, al,
+                ri=restart_interval,
+            )
+        else:
+            sos = bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al])
+            blocks = comps[ci][1]
+            if ah == 0:
+                _jzp_ac_first_scan(sw, blocks, ss, se, al, ri=restart_interval)
+            else:
+                _jzp_ac_refine_scan(sw, blocks, ss, se, al, ri=restart_interval)
+        out += _jz_seg(0xDA, sos)
+        out += sw.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_jpeg_equals_baseline_of_same_coefficients():
+    """The strongest oracle: a progressive stream carrying the SAME
+    quantized coefficients as a baseline stream must reconstruct the
+    same pixels (spectral selection + successive approximation merely
+    reorder the bits). Both encoders share the quantization front end;
+    the decode paths (per-block Huffman walk vs multi-scan coefficient
+    accumulation + vectorized IDCT) share only the reconstruction
+    tail — agreement to the last rounding step is the check."""
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [
+            (xx * 5) % 200 + 20,
+            (yy * 7) % 180 + 30,
+            ((xx + yy) * 3) % 160 + 40,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    base = decode_jpeg(_jz_encode(px))
+    prog = decode_jpeg(_jzp_encode_progressive(px))
+    assert prog["format"] == "image/jpeg;nc=3"
+    assert (prog["width"], prog["height"]) == (w, h)
+    diff = np.abs(prog["pixels"].astype(int) - base["pixels"].astype(int))
+    assert diff.max() <= 1, f"progressive deviates from baseline by {diff.max()}"
+    assert (diff > 0).mean() < 0.01
+
+
+def test_progressive_jpeg_grayscale_and_odd_size():
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    g = (np.add.outer(np.arange(19) * 3, np.arange(13) * 5) % 200 + 20).astype(
+        np.uint8
+    )
+    base = decode_jpeg(_jz_encode(g, gray=True))
+    prog = decode_jpeg(_jzp_encode_progressive(g, gray=True))
+    assert prog["format"] == "image/jpeg;nc=1"
+    diff = np.abs(prog["pixels"].astype(int) - base["pixels"].astype(int))
+    assert diff.max() <= 1
+
+
+def test_progressive_jpeg_spectral_selection_only():
+    """A script with NO successive approximation (Ah=Al=0 everywhere)
+    exercises pure spectral selection + cross-block EOB runs."""
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    px = np.zeros((16, 24, 3), dtype=np.uint8)
+    px[:8] = (200, 40, 40)
+    px[8:] = (40, 40, 200)
+    script = [
+        ("dc", None, 0, 0, 0, 0),
+        ("ac", 0, 1, 9, 0, 0),
+        ("ac", 0, 10, 63, 0, 0),
+        ("ac", 1, 1, 63, 0, 0),
+        ("ac", 2, 1, 63, 0, 0),
+    ]
+    base = decode_jpeg(_jz_encode(px))
+    prog = decode_jpeg(_jzp_encode_progressive(px, script=script))
+    diff = np.abs(prog["pixels"].astype(int) - base["pixels"].astype(int))
+    assert diff.max() <= 1
+
+
+def test_progressive_jpeg_with_restart_markers():
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [(xx * 7) % 220 + 10, (yy * 5) % 190 + 25, ((xx * yy) % 170) + 35],
+        axis=2,
+    ).astype(np.uint8)
+    plain = decode_jpeg(_jzp_encode_progressive(px))
+    rst = decode_jpeg(_jzp_encode_progressive(px, restart_interval=3))
+    assert np.array_equal(plain["pixels"], rst["pixels"])
+
+
+def test_progressive_jpeg_through_decode_media():
+    """decode_media now really decodes progressive JPEG instead of
+    stubbing (the round-10 'remaining tail' item); corrupt progressive
+    structures still degrade."""
+    from tia_data_pipeline_spark.operators.multimodal import fake_decode
+
+    px = np.full((16, 16, 3), 180, dtype=np.uint8)
+    payload = _jzp_encode_progressive(px)
+    d = decode_media(payload)
+    assert d["format"] == "image/jpeg;nc=3"
+    assert (d["width"], d["height"]) == (16, 16)
+    # interleaved AC scan is spec-invalid -> ValueError -> stub
+    bad = bytearray(_jz_encode(px))
+    bad[bad.index(b"\xff\xc0") + 1] = 0xC2  # claim progressive, keep
+    # the baseline interleaved full-band scan: mixes DC and AC
+    assert decode_media(bytes(bad)) == fake_decode(bytes(bad))
+    # truncated mid-scan
+    trunc = payload[: len(payload) // 2]
+    assert decode_media(trunc) == fake_decode(trunc)

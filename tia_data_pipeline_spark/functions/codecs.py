@@ -570,9 +570,11 @@ def _jpeg_decode_block(
 
 
 def _jpeg_segments(payload: bytes):
-    """(marker, data) pairs of the header segments, then a final
-    ("SCAN", entropy_bytes) after the first SOS. Markers without a
-    length field (SOI/EOI/RST/TEM) are skipped per spec."""
+    """(marker, data) pairs of the header segments; after each SOS a
+    ("SCAN", entropy_bytes) item follows (still stuffed, RSTs inline)
+    and the walk CONTINUES — progressive streams carry many scans,
+    with DHT updates allowed between them. Markers without a length
+    field (SOI/EOI/RST/TEM) are skipped per spec."""
     i = 2  # past SOI
     n = len(payload)
     while i + 4 <= n:
@@ -595,23 +597,39 @@ def _jpeg_segments(payload: bytes):
         data = payload[i + 4 : i + 2 + size]
         yield marker, data
         i += 2 + size
-        if marker == 0xDA:  # scan data runs from here to EOI
-            yield "SCAN", payload[i:]
-            return
+        if marker == 0xDA:
+            # entropy runs to the next real marker (stuffed 0x00 and
+            # RST0-7 stay inside; a 0xFF fill run before the ending
+            # marker terminates the scan and the outer walk skips it)
+            j = i
+            while j < n:
+                if payload[j] == 0xFF and j + 1 < n:
+                    nxt = payload[j + 1]
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            yield "SCAN", payload[i:j]
+            i = j
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Baseline JPEG → metadata + (h, w, 3) uint8 RGB pixels — the
-    same contract as decode_ppm/decode_png so the feature extractor
-    stays format-blind."""
+    """Baseline AND progressive (SOF2, Huffman) JPEG → metadata +
+    (h, w, 3) uint8 RGB pixels — the same contract as
+    decode_ppm/decode_png so the feature extractor stays format-blind.
+    Progressive scans accumulate into per-component coefficient arrays
+    (spectral selection + successive approximation per spec G.1.2);
+    arithmetic coding stays at the stub seam."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG")
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
-    scan_comps = None
-    entropy = None
+    progressive = False
+    scans: list[dict] = []
+    pending_sos = None
     restart_interval = 0
     for marker, data in _jpeg_segments(payload):
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -642,7 +660,7 @@ def decode_jpeg(payload: bytes) -> dict:
                     raise ValueError("truncated JPEG DHT values")
                 (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_table(bits, vals)
                 j += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             if len(data) < 6:
                 raise ValueError("truncated JPEG SOF segment")
             depth, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
@@ -655,28 +673,52 @@ def decode_jpeg(payload: bytes) -> dict:
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (lossless/arithmetic) unsupported")
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS
             if not data:
                 raise ValueError("empty JPEG SOS segment")
             ns = data[0]
-            if len(data) < 1 + 2 * ns:
+            if len(data) < 1 + 2 * ns + 3:
                 raise ValueError("truncated JPEG SOS components")
             scan_comps = []
             for c in range(ns):
                 cid, tt = data[1 + 2 * c : 3 + 2 * c]
                 scan_comps.append({"id": cid, "dc": tt >> 4, "ac": tt & 0x0F})
+            ss, se, a = data[1 + 2 * ns : 4 + 2 * ns]
+            pending_sos = {
+                "comps": scan_comps,
+                "ss": int(ss),
+                "se": int(se),
+                "ah": a >> 4,
+                "al": a & 0x0F,
+                # snapshot: progressive streams may redefine DHT
+                # between scans, so each scan pins the tables that
+                # were live at ITS header
+                "dc": dict(huff_dc),
+                "ac": dict(huff_ac),
+                "ri": restart_interval,
+            }
         elif marker == "SCAN":
-            entropy = data
-    if frame is None or scan_comps is None or entropy is None:
+            if pending_sos is None:
+                raise ValueError("JPEG scan data without a SOS header")
+            pending_sos["entropy"] = data
+            scans.append(pending_sos)
+            pending_sos = None
+    if frame is None or not scans:
         raise ValueError("JPEG without SOF/SOS/scan data")
+    scan_comps = scans[0]["comps"]
+    entropy = scans[0]["entropy"]
+    huff_dc = scans[0]["dc"]
+    huff_ac = scans[0]["ac"]
+    restart_interval = scans[0]["ri"]
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     if w < 1 or h < 1:
         raise ValueError("non-positive JPEG dimensions")
-    if len(comps) not in (1, 3) or len(scan_comps) != len(comps):
+    if len(comps) not in (1, 3):
         raise ValueError("unsupported JPEG component layout")
     # fixed decode budget: SOF geometry is attacker-controlled, same
     # rule as the PNG raster cap — but budgeted against the decoder's
@@ -691,6 +733,10 @@ def decode_jpeg(payload: bytes) -> dict:
             f"JPEG raster {w}x{h} exceeds the "
             f"{_JPEG_MAX_WORKING_BYTES >> 20} MB decode budget"
         )
+    if progressive:
+        return _jpeg_decode_progressive(frame, scans, quant)
+    if len(scan_comps) != len(comps):
+        raise ValueError("unsupported JPEG component layout")
     by_id = {c["id"]: c for c in comps}
     order = []  # interleave order = SOS order, per spec
     for sc in scan_comps:
@@ -721,29 +767,7 @@ def decode_jpeg(payload: bytes) -> dict:
     planes = {
         c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in order
     }
-    # restart markers split the entropy stream into independently
-    # decodable segments (fresh bit alignment + DC predictors); byte
-    # unstuffing (FF 00 -> FF) happens per segment
-    segments: list[bytes] = []
-    cur = bytearray()
-    j = 0
-    while j < len(entropy):
-        b = entropy[j]
-        if b == 0xFF and j + 1 < len(entropy):
-            nxt = entropy[j + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-            break  # EOI or the next real marker ends the scan
-        cur.append(b)
-        j += 1
-    segments.append(bytes(cur))
+    segments = _jpeg_entropy_segments(entropy)
     # DRI drives segment switching deterministically: a new entropy
     # segment (fresh bit alignment, zeroed DC predictors) starts every
     # `restart_interval` MCUs — never inferred from decode failures,
@@ -772,7 +796,43 @@ def decode_jpeg(payload: bytes) -> dict:
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
-    # level shift, upsample to full geometry, crop
+    return _jpeg_reconstruct(order, planes, w, h, hmax, vmax)
+
+
+def _jpeg_entropy_segments(entropy: bytes) -> list[bytes]:
+    """Unstuffed entropy segments split at restart markers: byte
+    unstuffing (FF 00 -> FF) happens per segment; each RST0-7 starts a
+    fresh segment (fresh bit alignment + zeroed DC predictors /
+    EOB run at the consumer)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = 0
+    while j < len(entropy):
+        b = entropy[j]
+        if b == 0xFF and j + 1 < len(entropy):
+            nxt = entropy[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or the next real marker ends the scan
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+    return segments
+
+
+def _jpeg_reconstruct(
+    order: list[dict], planes: dict, w: int, h: int, hmax: int, vmax: int
+) -> dict:
+    """Shared tail of both decode paths: level shift, upsample each
+    plane to full geometry, crop, color-convert (JFIF full-range
+    BT.601), and package the contract dict."""
     full = []
     for c in order:
         p = planes[c["id"]] + 128.0
@@ -783,7 +843,6 @@ def decode_jpeg(payload: bytes) -> dict:
         pixels = np.repeat(g[:, :, None], 3, axis=2)
     else:
         y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-        # JFIF full-range BT.601
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb
@@ -798,6 +857,242 @@ def decode_jpeg(payload: bytes) -> dict:
         "pixels": pixels,
         "checksum": int(pixels.astype(np.int64).sum()) % 2_147_483_647,
     }
+
+
+def _jpeg_dc_unit(br, blk, dc_tbl, preds, cid, ah, al):
+    """One block's DC contribution in a progressive DC scan: first pass
+    (Ah=0) decodes the point-transformed difference chain and stores
+    pred << Al; a refinement pass reads one raw bit and ORs it in at
+    bit Al (two's-complement OR matches the encoder's arithmetic-shift
+    point transform for negative DC values)."""
+    if ah == 0:
+        t = _jpeg_huff_decode(br, dc_tbl)
+        if t:
+            preds[cid] += _jpeg_extend(br.receive(t), t)
+        blk[0] = preds[cid] << al
+    elif br.receive(1):
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _jpeg_ac_first(br, ac_tbl, blk, ss, se, al, eobrun):
+    """One block of a first AC scan (Ah=0) over the band [Ss, Se]:
+    run/size pairs with ZRL, magnitudes point-transformed by << Al,
+    and EOBn symbols starting a run of end-of-band blocks (spec
+    G.1.2.2). Returns the updated EOB run (current block consumed)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_huff_decode(br, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run overflows the band")
+        blk[k] = _jpeg_extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(br, ac_tbl, blk, ss, se, al, eobrun):
+    """One block of an AC refinement scan (Ah = Al+1) — spec G.1.2.3:
+    every coefficient with nonzero history reads a correction bit
+    (applied toward larger magnitude when bit Al is not yet set);
+    newly-nonzero coefficients arrive as (zero-history-run, size=1)
+    symbols with a raw sign bit; EOBn covers whole blocks whose
+    remaining band carries only correction bits. The interleaving of
+    correction bits with run counting follows the reference algorithm
+    structure exactly — zero-HISTORY positions consume the run,
+    nonzero-history positions do not."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_huff_decode(br, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise ValueError("invalid progressive refinement magnitude")
+                val = p1 if br.receive(1) else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.receive(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("progressive refinement overflows the band")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if br.receive(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_scan(sc, by_id, coef, nblocks, mcus_x, mcus_y):
+    """Apply one progressive scan to the coefficient arrays. DC scans
+    may interleave all frame components (MCU walk); AC scans are
+    single-component by spec, walking that component's true block
+    raster. Restart markers reset bit alignment, DC predictors, and
+    the EOB run every `ri` MCUs (interleaved) or blocks."""
+    ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+    if not (0 <= ss <= se <= 63) or ah > 13 or al > 13:
+        raise ValueError("invalid progressive spectral band")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC")
+    if ss != 0 and len(sc["comps"]) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ah != 0 and ah != al + 1:
+        raise ValueError("successive approximation must refine one bit")
+    for p in sc["comps"]:
+        if p["id"] not in by_id:
+            raise ValueError("JPEG scan names an unknown component")
+    segments = _jpeg_entropy_segments(sc["entropy"])
+    ri = sc["ri"]
+    if ri == 0 and len(segments) > 1:
+        raise ValueError("JPEG restart markers without a DRI interval")
+    seg_iter = iter(segments)
+    br = _JpegBits(next(seg_iter))
+    preds = {p["id"]: 0 for p in sc["comps"]}
+    state = {"eobrun": 0}
+
+    def restart():
+        nonlocal br
+        nxt = next(seg_iter, None)
+        if nxt is None:
+            raise ValueError("JPEG scan ended before its last MCU")
+        br = _JpegBits(nxt)
+        state["eobrun"] = 0
+        for key in preds:
+            preds[key] = 0
+
+    if ss == 0:
+        dc_tbls = {}
+        if ah == 0:
+            for p in sc["comps"]:
+                tbl = sc["dc"].get(p["dc"])
+                if tbl is None:
+                    raise ValueError(
+                        "JPEG scan references an undefined Huffman table"
+                    )
+                dc_tbls[p["id"]] = tbl
+        if len(sc["comps"]) == 1:
+            cid = sc["comps"][0]["id"]
+            nby, nbx = nblocks[cid]
+            unit = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if ri and unit and unit % ri == 0:
+                        restart()
+                    _jpeg_dc_unit(
+                        br, coef[cid][by, bx], dc_tbls.get(cid), preds, cid, ah, al
+                    )
+                    unit += 1
+        else:
+            mcu = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if ri and mcu and mcu % ri == 0:
+                        restart()
+                    for p in sc["comps"]:
+                        c = by_id[p["id"]]
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                blk = coef[c["id"]][
+                                    my * c["v"] + byy, mx * c["h"] + bxx
+                                ]
+                                _jpeg_dc_unit(
+                                    br, blk, dc_tbls.get(p["id"]), preds,
+                                    p["id"], ah, al,
+                                )
+                    mcu += 1
+    else:
+        p = sc["comps"][0]
+        ac_tbl = sc["ac"].get(p["ac"])
+        if ac_tbl is None:
+            raise ValueError("JPEG scan references an undefined Huffman table")
+        cid = p["id"]
+        nby, nbx = nblocks[cid]
+        unit = 0
+        step = _jpeg_ac_first if ah == 0 else _jpeg_ac_refine
+        for by in range(nby):
+            for bx in range(nbx):
+                if ri and unit and unit % ri == 0:
+                    restart()
+                state["eobrun"] = step(
+                    br, ac_tbl, coef[cid][by, bx], ss, se, al, state["eobrun"]
+                )
+                unit += 1
+
+
+def _jpeg_decode_progressive(frame, scans, quant):
+    """Progressive (SOF2, Huffman) reconstruction: every scan
+    accumulates into per-component ZIGZAG-ordered coefficient arrays;
+    after the last scan each component dequantizes and inverse-DCTs
+    in one vectorized pass and the shared baseline tail reassembles
+    pixels. Non-interleaved scans walk each component's TRUE block
+    raster (ceil of its scaled geometry), while the arrays stay
+    MCU-padded so interleaved DC scans index the same storage."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError("JPEG sampling factors out of range")
+        if c["tq"] not in quant:
+            raise ValueError("JPEG component references an undefined quant table")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coef = {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        for c in comps
+    }
+    nblocks = {}
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch_ = -(-h * c["v"] // vmax)
+        nblocks[c["id"]] = (-(-ch_ // 8), -(-cw // 8))
+    by_id = {c["id"]: c for c in comps}
+    for sc in scans:
+        _jpeg_progressive_scan(sc, by_id, coef, nblocks, mcus_x, mcus_y)
+    planes = {}
+    for c in comps:
+        arr = coef[c["id"]].astype(np.float64) * quant[c["tq"]]  # zigzag · zigzag
+        blocks = np.zeros_like(arr)
+        blocks[..., _JPEG_ZIGZAG] = arr  # dezigzag to row-major (u, v)
+        f8 = blocks.reshape(arr.shape[0], arr.shape[1], 8, 8)
+        spatial = np.einsum("ui,abuv,vj->abij", _JPEG_IDCT_A, f8, _JPEG_IDCT_A)
+        planes[c["id"]] = spatial.transpose(0, 2, 1, 3).reshape(
+            arr.shape[0] * 8, arr.shape[1] * 8
+        )
+    return _jpeg_reconstruct(list(comps), planes, w, h, hmax, vmax)
 
 
 # ------------------------------------------------------- JPEG encoder ----
