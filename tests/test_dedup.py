@@ -279,6 +279,63 @@ class TestMinhashIncrementalIndex:
         }
         assert got == {(10, 1), (11, 1)}
 
+    def test_partial_commit_retry_repairs_missing_band_rows(self, spark, index):
+        """Round 11 (the text-index partial-commit lesson applied to the
+        banded families): a write job hard-killed INSIDE its commit can
+        land a subset of a doc's band rows — the anti-join must key on
+        (_id, band), not _id, or the retry skips the whole doc and the
+        index stays permanently short of band rows (silent recall
+        loss). Simulate the torn write by landing only the low bands,
+        then retry the real append: every shard doc must end with
+        exactly one row per band, and the probe must behave as if the
+        append had been clean."""
+        from pyspark.sql import functions as F
+
+        from tia_data_pipeline_spark.operators.dedup import (
+            _band_shard,
+            _read_index,
+            minhash_band_frame,
+            minhash_dedup_incremental,
+            minhash_index_append,
+            minhash_index_meta,
+        )
+
+        path, base, _ = index
+        shard = self._shard(spark, base)
+        meta = minhash_index_meta(spark, path)
+        banded = minhash_band_frame(
+            shard, "text", "doc_id",
+            k=meta["k"], bands=meta["bands"], seed=meta["seed"],
+            shingle_n=meta["shingle_n"], portable=meta["portable"],
+        ).withColumn("bshard", _band_shard(meta["n_shards"]))
+        torn = banded.filter(F.col("band") < meta["bands"] // 2)
+        assert 0 < torn.count() < banded.count()
+        torn.repartition("band", "bshard").write.partitionBy(
+            "band", "bshard"
+        ).mode("append").parquet(path)
+        minhash_index_append(shard, path)  # the retry
+        per_doc = (
+            _read_index(spark, path, meta)
+            .join(
+                shard.select(F.col("doc_id").alias("_id")), "_id", "leftsemi"
+            )
+            .groupBy("_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("band").alias("nb"),
+            )
+            .collect()
+        )
+        assert per_doc and all(
+            r["n"] == meta["bands"] and r["nb"] == meta["bands"] for r in per_doc
+        ), per_doc
+        got = {
+            (r["new_id"], r["dup_id"])
+            for r in minhash_dedup_incremental(shard, path, threshold=0.5).collect()
+        }
+        assert got == {(10, 1), (11, 1)}
+
+
     def test_empty_index_and_empty_shard(self, spark, tmp_path):
         from tia_data_pipeline_spark.operators.dedup import (
             minhash_dedup_incremental,
@@ -406,6 +463,58 @@ class TestSimhashIncrementalIndex:
         got = {
             (r["new_id"], r["dup_id"])
             for r in simhash_dedup_incremental(shard, path, max_hamming=2).collect()
+        }
+        assert got == {(10, 1)}
+
+
+    def test_partial_commit_retry_repairs_missing_band_rows(self, spark, index):
+        """SimHash twin of the MinHash torn-write repair (shared
+        _append_delta core): retry after a partial commit restores
+        exactly one row per (doc, band)."""
+        from pyspark.sql import functions as F
+
+        from tia_data_pipeline_spark.operators.dedup import (
+            _band_shard,
+            _read_index,
+            simhash_band_frame,
+            simhash_dedup_incremental,
+            simhash_index_append,
+            simhash_index_meta,
+        )
+
+        path, base = index
+        shard = self._shard(spark, base)
+        meta = simhash_index_meta(spark, path)
+        banded = simhash_band_frame(
+            shard, "text", "doc_id",
+            bits=meta["bits"], bands=meta["bands"], n_shards=meta["n_shards"],
+        )
+        torn = banded.filter(F.col("band") < meta["bands"] // 2)
+        assert 0 < torn.count() < banded.count()
+        torn.repartition("band", "bshard").write.partitionBy(
+            "band", "bshard"
+        ).mode("append").parquet(path)
+        simhash_index_append(shard, path)
+        per_doc = (
+            _read_index(spark, path, meta)
+            .join(
+                shard.select(F.col("doc_id").alias("_id")), "_id", "leftsemi"
+            )
+            .groupBy("_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("band").alias("nb"),
+            )
+            .collect()
+        )
+        assert per_doc and all(
+            r["n"] == meta["bands"] and r["nb"] == meta["bands"] for r in per_doc
+        ), per_doc
+        got = {
+            (r["new_id"], r["dup_id"])
+            for r in simhash_dedup_incremental(
+                shard, path, max_hamming=2
+            ).collect()
         }
         assert got == {(10, 1)}
 

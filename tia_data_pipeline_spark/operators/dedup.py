@@ -806,14 +806,28 @@ def _intra_pairs(
 
 
 def _append_delta(new_banded: DataFrame, spark, index_path: str, meta: dict) -> None:
-    """Append core shared by :func:`minhash_index_append` and the
-    streaming loop: anti-join already-indexed ids over the pruned scan
-    (idempotent), write delta partitions."""
+    """Append core shared by the MinHash/SimHash appends and their
+    streaming loops: anti-join already-indexed rows over the pruned
+    scan (idempotent), write delta partitions.
+
+    The anti-join keys on ``(_id, band)`` — the banded row key — not
+    ``_id`` alone (round 11, the text-index partial-commit lesson): a
+    doc's band rows span many ``(band, bshard)`` partitions, and a
+    write job hard-killed INSIDE its commit can land a subset of them.
+    An id-level anti-join would then skip the whole doc on retry,
+    leaving it permanently short of band rows (silent recall loss at
+    probe time); the row-level key makes the retry append exactly the
+    missing rows. ``band`` is a partition column, so the wider key
+    reads from directory metadata — the existing pruned scan, no extra
+    I/O."""
     pred = _touched_partition_filter(new_banded, meta["n_shards"])
-    existing_ids = (
-        _read_index(spark, index_path, meta).filter(pred).select("_id").distinct()
+    existing = (
+        _read_index(spark, index_path, meta)
+        .filter(pred)
+        .select("_id", "band")
+        .distinct()
     )
-    delta = new_banded.join(existing_ids, on="_id", how="left_anti")
+    delta = new_banded.join(existing, on=["_id", "band"], how="left_anti")
     delta.repartition("band", "bshard").write.partitionBy("band", "bshard").mode(
         "append"
     ).parquet(index_path)
@@ -827,10 +841,12 @@ def minhash_index_append(
     id_col: str = "doc_id",
 ) -> None:
     """Append a shard's signature rows to the index — idempotent
-    (twice ≡ once): a document already indexed is skipped via an
-    anti-join on ``_id`` against the touched partitions only (a doc's
-    rows can live nowhere else — its (band, bshard) keys are a pure
+    (twice ≡ once): already-present ``(_id, band)`` rows are skipped
+    via an anti-join against the touched partitions only (a doc's rows
+    can live nowhere else — its (band, bshard) keys are a pure
     function of its text), so the retry cost is sized by the shard.
+    Row-level, so a retry after a hard kill inside the write commit
+    appends exactly the missing band rows (see :func:`_append_delta`).
     ``_id`` is non-null by the signature frame's own precondition, so
     plain-equality anti-join semantics are exact here."""
     spark = new_docs.sparkSession
@@ -1491,11 +1507,13 @@ def simhash_index_append(
     id_col: str = "doc_id",
 ) -> None:
     """Append a shard's fingerprint rows — idempotent (twice ≡ once):
-    already-indexed ids are skipped via an anti-join against the
-    touched partitions only (a doc's rows live nowhere else — its
-    (band, bshard) keys are a pure function of its text). ``_id`` is
-    non-null by the fingerprint frame's precondition, so plain-equality
-    anti-join semantics are exact."""
+    already-present ``(_id, band)`` rows are skipped via an anti-join
+    against the touched partitions only (a doc's rows live nowhere
+    else — its (band, bshard) keys are a pure function of its text);
+    row-level, so a retry after a hard kill inside the write commit
+    appends exactly the missing band rows (see :func:`_append_delta`).
+    ``_id`` is non-null by the fingerprint frame's precondition, so
+    plain-equality anti-join semantics are exact."""
     spark = new_docs.sparkSession
     meta = simhash_index_meta(spark, index_path)
     new_banded = simhash_band_frame(
