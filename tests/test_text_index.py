@@ -364,3 +364,35 @@ class TestBm25Batch:
             ).collect()
         ]
         assert got == single
+
+
+def test_corpus_stats_swap_window_heals_on_read(spark, tmp_path):
+    """Round 11: _corpus_stats is the only copy of the bucket modulus —
+    a crash between the swap's two renames (live moved aside, staging
+    not yet moved in) must NOT brick the index. read_corpus_stats heals
+    by renaming the __old generation back; its scalars are at most one
+    append stale and the retried append rewrites them."""
+    import shutil
+
+    from tests.conftest import SMOKE_SF
+    from tia_data_pipeline_spark.catalog import load_table
+    from tia_data_pipeline_spark.operators.text_index import (
+        bm25_search_indexed,
+        build_text_index,
+        read_corpus_stats,
+    )
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    build_text_index(docs, path, n_buckets=8)
+    before = read_corpus_stats(spark, path)
+    # simulate the torn swap: live moved aside, staging lost with the crash
+    shutil.move(f"{path}/_corpus_stats", f"{path}/_corpus_stats__old")
+    healed = read_corpus_stats(spark, path)
+    assert tuple(healed) == tuple(before)
+    import os
+
+    assert os.path.exists(f"{path}/_corpus_stats")
+    assert not os.path.exists(f"{path}/_corpus_stats__old")
+    # the healed index serves
+    assert bm25_search_indexed(spark, path, ["data", "spark"], k=3).count() > 0

@@ -118,13 +118,37 @@ def _write_corpus_stats(
     same way. n_buckets persists WITH the index — a serve called with
     a different modulus would hash terms into the wrong partitions and
     silently return a partial top-k; the postings schema persists so
-    an EMPTY index (zero postings files) stays servable."""
+    an EMPTY index (zero postings files) stays servable.
+
+    Staged swap, not a bare overwrite (round 11): ``_corpus_stats`` is
+    the ONLY copy of the bucket modulus — a crash inside an overwrite's
+    delete-then-write window would brick the index (n_buckets is not
+    reliably inferable from partition dirs). The fresh row writes to a
+    staging dir, then two Hadoop-FS renames swap it live; a crash
+    between them leaves ``_corpus_stats__old``, which
+    :func:`read_corpus_stats` heals by renaming back."""
+    staging = f"{path}/_corpus_stats__new"
+    live = f"{path}/_corpus_stats"
+    old = f"{path}/_corpus_stats__old"
     spark.read.parquet(f"{path}/_doc_stats").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tokens"),
         F.lit(n_buckets).cast("int").alias("n_buckets"),
         F.lit(postings_schema_json).alias("postings_schema"),
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_corpus_stats")
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p_live = jvm.org.apache.hadoop.fs.Path(live)
+    fs = p_live.getFileSystem(hconf)
+    p_old = jvm.org.apache.hadoop.fs.Path(old)
+    p_new = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(p_old, True)
+    if fs.exists(p_live):
+        fs.rename(p_live, p_old)
+    if not fs.rename(p_new, p_live):
+        fs.rename(p_old, p_live)  # roll back — never leave the path empty
+        raise ValueError("corpus-stats swap failed; previous stats restored")
+    fs.delete(p_old, True)
 
 
 def read_corpus_stats(spark: SparkSession, path: str):
@@ -132,8 +156,20 @@ def read_corpus_stats(spark: SparkSession, path: str):
     from — single-sources the side-table contract (column names, the
     bucket modulus, the postings-schema JSON) so no consumer, inside
     this module or out (the streaming empty-batch schema), can drift
-    from it (review r10)."""
-    return spark.read.parquet(f"{path}/_corpus_stats").collect()[0]
+    from it (review r10). Heals the swap window: live dir missing but
+    ``_corpus_stats__old`` present means a crash landed between the
+    two swap renames — the previous generation renames back (the
+    scalars it carries are at most one append stale, and the retried
+    append rewrites them)."""
+    live = f"{path}/_corpus_stats"
+    jvm = spark._jvm
+    p_live = jvm.org.apache.hadoop.fs.Path(live)
+    fs = p_live.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p_live):
+        p_old = jvm.org.apache.hadoop.fs.Path(f"{path}/_corpus_stats__old")
+        if fs.exists(p_old):
+            fs.rename(p_old, p_live)
+    return spark.read.parquet(live).collect()[0]
 
 
 def read_postings_schema(spark: SparkSession, path: str):
