@@ -342,3 +342,48 @@ def test_stream_ivf_append_maintenance_callback_and_min_batch_guard(
     assert ev["batch_n"] == 5 and ev["drift_ratio"] >= 1.5 and "batch_id" in ev
     # callback form: no retrain happened (same pinned generation)
     assert ivf_index_meta(spark, index) == meta_before
+
+
+def test_retrain_spike_survives_replay_in_maintenance_log(spark, index, tmp_path):
+    """Review r11: the inline retrain changes the quantizer generation
+    inside the triggering batch, so a foreachBatch replay recomputes
+    drift ~1 and overwrites the per-batch record — the spike that
+    fired must survive in the durable drift_out/_maintenance record,
+    which the replay never rewrites (under-threshold, never re-fires)."""
+    from tia_data_pipeline_spark.streaming.ann_serve import stream_ivf_append
+
+    vec_schema = "vec_id bigint, embedding array<float>"
+    shifted = spark.createDataFrame(
+        [(600 + i, [0.0, 0.0, 1.0, i * 0.1]) for i in range(6)], vec_schema
+    )
+    stream_dir = tmp_path / "vecs"
+    shifted.coalesce(1).write.parquet(str(stream_dir / "a"))
+    drift_out = str(tmp_path / "drift")
+
+    def run(ckpt):
+        q = stream_ivf_append(
+            spark.readStream.schema(vec_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/*"),
+            index_path=index,
+            drift_out=drift_out,
+            checkpoint=str(tmp_path / ckpt),
+            retrain_above=1.5,
+            retrain_min_batch_n=4,
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    maint = spark.read.parquet(f"{drift_out}/_maintenance/batch_id=0").collect()
+    assert len(maint) == 1
+    spike = maint[0]
+    assert spike["action"] == "retrain" and spike["drift_ratio"] >= 1.5
+    # simulate the replay: fresh checkpoint re-delivers the same file;
+    # the append is a no-op, drift recomputes ~1 against the NEW
+    # generation (per-batch record rewrites), the maintenance record
+    # is untouched
+    run("ckpt2")
+    again = spark.read.parquet(f"{drift_out}/_maintenance/batch_id=0").collect()
+    assert [tuple(r) for r in again] == [tuple(spike)]
+    replay_drift = spark.read.parquet(f"{drift_out}/batch_id=0").collect()[0]
+    assert replay_drift["drift_ratio"] < 1.5

@@ -279,3 +279,27 @@ def test_kill_inside_postings_job_commit_retries_missing_rows_only(
     )
     assert got == want
     assert _serve(spark, path) == _fresh(spark, docs, tmp_path, "all")
+
+
+def test_crashed_first_append_on_empty_index_not_wedged(spark, tmp_path):
+    """Review r11: the reconciliation read must use the persisted
+    postings schema — a bare parquet read raises UNABLE_TO_INFER_SCHEMA
+    on an index with zero postings files (only underscore side dirs),
+    wedging every retry of a crashed FIRST append behind the marker it
+    can never clear."""
+    from tia_data_pipeline_spark.operators.scale import (
+        pending_marker_exists,
+        pending_marker_set,
+    )
+
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    shard = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    build_text_index(empty, path, n_buckets=8)
+    # crashed first append: marker set, nothing landed
+    pending_marker_set(spark, f"{path}/_append_pending")
+    text_index_append_batch(shard, path)  # must not raise
+    assert not pending_marker_exists(spark, f"{path}/_append_pending")
+    p = spark.read.parquet(path)
+    assert p.count() == p.select("tok", "doc_id").distinct().count() > 0
+    assert _serve(spark, path) == _fresh(spark, shard, tmp_path, "all")

@@ -1070,8 +1070,13 @@ def _jpeg_decode_progressive(frame, scans, quant):
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    # int32, not int64 (review r11): reconstructed coefficients are
+    # bounded by |1023 << Al| ≤ 1023·2^13 ≈ 8.4M — comfortably int32 —
+    # and the budget check at the caller is calibrated to a ~72 B/px
+    # working set; int64 arrays for 3 components alone would add
+    # 48 B/px on attacker-controlled geometry
     coef = {
-        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
         for c in comps
     }
     nblocks = {}
@@ -1084,7 +1089,10 @@ def _jpeg_decode_progressive(frame, scans, quant):
         _jpeg_progressive_scan(sc, by_id, coef, nblocks, mcus_x, mcus_y)
     planes = {}
     for c in comps:
-        arr = coef[c["id"]].astype(np.float64) * quant[c["tq"]]  # zigzag · zigzag
+        # pop: release each component's coefficient array as soon as
+        # its plane is built — the peak working set holds ONE
+        # component's float64 temporaries, not all three (review r11)
+        arr = coef.pop(c["id"]).astype(np.float64) * quant[c["tq"]]  # zigzag·zigzag
         blocks = np.zeros_like(arr)
         blocks[..., _JPEG_ZIGZAG] = arr  # dezigzag to row-major (u, v)
         f8 = blocks.reshape(arr.shape[0], arr.shape[1], 8, 8)
@@ -1443,9 +1451,11 @@ def decode_media(payload: bytes) -> dict:
 
 
 def resize_media(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """Real resize for PPM, PNG, and baseline JPEG (decode →
-    nearest-neighbor → re-encode in the same format); other formats
-    fall back to the stub's size-law resample."""
+    """Real resize for PPM, PNG, and JPEG (decode → nearest-neighbor →
+    re-encode). JPEG input may be baseline OR progressive — both decode
+    for real — and re-encodes as BASELINE (a format-narrowing
+    transcode: the encoder emits SOF0 only). Other formats fall back
+    to the stub's size-law resample."""
     import zlib
 
     kind = sniff_format(payload)
@@ -1467,7 +1477,7 @@ def resize_media(payload: bytes, target_w: int, target_h: int) -> bytes:
                 resize_nearest(decode_jpeg(payload)["pixels"], target_w, target_h)
             )
         except (ValueError, struct.error, KeyError, IndexError):
-            # progressive/arithmetic or corrupt input: the decoder
+            # arithmetic-coded/lossless or corrupt input: the decoder
             # refuses, and the stub size-law keeps the pipeline alive
             pass
     from tia_data_pipeline_spark.operators.multimodal import _fake_resize

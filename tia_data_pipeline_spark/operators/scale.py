@@ -652,6 +652,15 @@ def append_index_tombstones(
         delta.unpersist()
 
 
+def hadoop_fs_path(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM gateway — the one
+    place the Hadoop boilerplate lives, so every index-side file
+    primitive (markers, staged swaps, heal-on-read) resolves scheme
+    and conf identically."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
 def pending_marker_set(spark, marker_path: str) -> None:
     """Create (or truncate) a tiny marker file — the crash-detection
     primitive for multi-job index mutations (VERDICT r10 #6): an append
@@ -660,21 +669,18 @@ def pending_marker_set(spark, marker_path: str) -> None:
     a predecessor died mid-protocol and runs its reconciliation pass.
     Goes through the Hadoop FileSystem API so the marker works on any
     scheme the index itself lives on, not just local paths."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(marker_path)
-    p.getFileSystem(spark._jsc.hadoopConfiguration()).create(p, True).close()
+    fs, p = hadoop_fs_path(spark, marker_path)
+    fs.create(p, True).close()
 
 
 def pending_marker_exists(spark, marker_path: str) -> bool:
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(marker_path)
-    return bool(p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p))
+    fs, p = hadoop_fs_path(spark, marker_path)
+    return bool(fs.exists(p))
 
 
 def pending_marker_clear(spark, marker_path: str) -> None:
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(marker_path)
-    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, False)
+    fs, p = hadoop_fs_path(spark, marker_path)
+    fs.delete(p, False)
 
 
 def tombstone_mask_join(

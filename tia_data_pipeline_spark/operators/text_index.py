@@ -136,12 +136,11 @@ def _write_corpus_stats(
         F.lit(n_buckets).cast("int").alias("n_buckets"),
         F.lit(postings_schema_json).alias("postings_schema"),
     ).coalesce(1).write.mode("overwrite").parquet(staging)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    p_live = jvm.org.apache.hadoop.fs.Path(live)
-    fs = p_live.getFileSystem(hconf)
-    p_old = jvm.org.apache.hadoop.fs.Path(old)
-    p_new = jvm.org.apache.hadoop.fs.Path(staging)
+    from tia_data_pipeline_spark.operators.scale import hadoop_fs_path
+
+    fs, p_live = hadoop_fs_path(spark, live)
+    _, p_old = hadoop_fs_path(spark, old)
+    _, p_new = hadoop_fs_path(spark, staging)
     fs.delete(p_old, True)
     if fs.exists(p_live):
         fs.rename(p_live, p_old)
@@ -161,12 +160,12 @@ def read_corpus_stats(spark: SparkSession, path: str):
     two swap renames — the previous generation renames back (the
     scalars it carries are at most one append stale, and the retried
     append rewrites them)."""
+    from tia_data_pipeline_spark.operators.scale import hadoop_fs_path
+
     live = f"{path}/_corpus_stats"
-    jvm = spark._jvm
-    p_live = jvm.org.apache.hadoop.fs.Path(live)
-    fs = p_live.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, p_live = hadoop_fs_path(spark, live)
     if not fs.exists(p_live):
-        p_old = jvm.org.apache.hadoop.fs.Path(f"{path}/_corpus_stats__old")
+        _, p_old = hadoop_fs_path(spark, f"{path}/_corpus_stats__old")
         if fs.exists(p_old):
             fs.rename(p_old, p_live)
     return spark.read.parquet(live).collect()[0]
@@ -477,8 +476,19 @@ def text_index_append(
                 int(r["_bucket"])
                 for r in postings.select("_bucket").distinct().collect()
             )
+            # explicit schema (CLAUDE.md persisted-index rule): a bare
+            # parquet read would raise UNABLE_TO_INFER_SCHEMA on an
+            # index with zero postings files, wedging every retry of a
+            # crashed first append behind the marker it cannot clear
+            from pyspark.sql.types import StructType
+
             landed = (
-                spark.read.parquet(path)
+                spark.read.schema(
+                    StructType.fromJson(
+                        json.loads(stats_row["postings_schema"])
+                    )
+                )
+                .parquet(path)
                 .filter(
                     F.col("_bucket").isin(touched) if touched else F.lit(False)
                 )

@@ -168,13 +168,20 @@ def stream_ivf_append(
     swap is atomic per rename but a probe listing files inside the swap
     window should retry — ``ivf_retrain``'s documented discipline).
 
-    Replay note: the persisted drift record stays a pure function of
-    (batch, index generation), but the retrain side effect is
-    deliberately NOT replay-idempotent in its trigger — a batch
-    replayed after its own retrain reads drift ≈1 against the new
-    generation and does not re-fire. That is the benign direction: the
-    generation already includes the batch, and consecutive
-    threshold-crossing batches self-quiet the same way."""
+    Replay note (review r11): the per-batch drift record is a pure
+    function of (batch, index GENERATION) — and an inline retrain
+    changes the generation inside the batch, so a replay of the
+    triggering batch (crash before its checkpoint commit) recomputes
+    drift ≈1 against the new quantizer and overwrites its own spike
+    record. The spike is therefore persisted DURABLY before the
+    policy fires: a one-row maintenance record lands at
+    ``drift_out/_maintenance/batch_id=N`` (carrying the triggering
+    reading and the action taken) and survives the replay untouched,
+    because the replayed batch reads under-threshold and never
+    re-fires. The retrain side effect itself is deliberately NOT
+    replay-idempotent in its trigger — the generation already includes
+    the batch, and consecutive threshold-crossing batches self-quiet
+    the same way."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = ivf_append_batch(batch_df, index_path, drift_out, batch_id)
@@ -188,12 +195,20 @@ def stream_ivf_append(
         )
         if not due:
             return
+        spark = batch_df.sparkSession
+        action = "event" if on_maintenance is not None else "retrain"
+        spark.createDataFrame(
+            [(int(batch_id), out["batch_n"], ratio, action)],
+            "batch_id int, batch_n bigint, drift_ratio double, action string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{drift_out}/_maintenance/batch_id={batch_id}"
+        )
         if on_maintenance is not None:
             on_maintenance(dict(out, batch_id=int(batch_id)))
         else:
             from tia_data_pipeline_spark.operators.similarity import ivf_retrain
 
-            ivf_retrain(batch_df.sparkSession, index_path)
+            ivf_retrain(spark, index_path)
 
     writer = vec_stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
