@@ -1580,3 +1580,84 @@ def test_progressive_jpeg_through_decode_media():
     # truncated mid-scan
     trunc = payload[: len(payload) // 2]
     assert decode_media(trunc) == fake_decode(trunc)
+
+
+# ------------------------------------- multi-scan sequential baseline ----
+def _jz_encode_multiscan(px, *, q_luma=8, q_chroma=8):
+    """Sequential baseline (SOF0) with each component in its OWN
+    non-interleaved scan — spec-legal output some encoders emit, which
+    previously degraded to the stub. Reuses the progressive front end's
+    quantizer and the baseline per-block emitter."""
+    zz = _jz_zigzag()
+    comps, (h, w_) = _jzp_quantized_components(px, False, q_luma, q_chroma)
+    out = bytearray(b"\xff\xd8")
+    for tq in (0, 1):
+        q = q_luma if tq == 0 else q_chroma
+        out += _jz_seg(0xDB, bytes([tq]) + bytes([int(q)] * 64))
+    sof = struct.pack(">BHHB", 8, h, w_, len(comps))
+    for i, (tq, _) in enumerate(comps):
+        sof += bytes([i + 1, 0x11, tq])
+    out += _jz_seg(0xC0, sof)
+    out += _jz_seg(0xC4, _jz_dht(0, 0, _JZ_DC_SYMS, 4))
+    out += _jz_seg(0xC4, _jz_dht(1, 0, _JZ_AC_SYMS, 8))
+    for ci, (_, blocks) in enumerate(comps):
+        sos = bytes([1, ci + 1, 0x00, 0, 63, 0])
+        out += _jz_seg(0xDA, sos)
+        wtr = _JzBitWriter()
+        pred = 0
+        nby, nbx = blocks.shape[:2]
+        for by in range(nby):
+            for bx in range(nbx):
+                # _jz_emit_block expects a row-major flat block; invert
+                # the stored zigzag order
+                fq = np.zeros(64, dtype=np.int64)
+                fq[zz] = blocks[by, bx]
+                pred = _jz_emit_block(wtr, fq, pred, zz)
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multiscan_sequential_baseline_equals_interleaved():
+    """A 3-scan non-interleaved SOF0 stream carrying the same
+    quantized coefficients as the single interleaved scan must decode
+    to the same pixels (previously it degraded to the stub via the
+    one-scan layout check)."""
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [
+            (xx * 5) % 200 + 20,
+            (yy * 7) % 180 + 30,
+            ((xx + yy) * 3) % 160 + 40,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    inter = decode_jpeg(_jz_encode(px))
+    multi = decode_jpeg(_jz_encode_multiscan(px))
+    assert multi["format"] == "image/jpeg;nc=3"
+    assert (multi["width"], multi["height"]) == (w, h)
+    diff = np.abs(multi["pixels"].astype(int) - inter["pixels"].astype(int))
+    assert diff.max() <= 1
+
+
+def test_multiscan_incomplete_coverage_degrades_to_stub():
+    """A sequential stream whose scans do not cover every frame
+    component (or cover one twice) is corrupt -> ValueError -> stub."""
+    from tia_data_pipeline_spark.operators.multimodal import fake_decode
+
+    px = np.full((16, 16, 3), 120, dtype=np.uint8)
+    payload = _jz_encode_multiscan(px)
+    # drop the LAST scan: find the third SOS and truncate to EOI
+    sos_positions = []
+    i = 0
+    while True:
+        i = payload.find(b"\xff\xda", i + 1)
+        if i < 0:
+            break
+        sos_positions.append(i)
+    assert len(sos_positions) == 3
+    truncated = payload[: sos_positions[2]] + b"\xff\xd9"
+    assert decode_media(truncated) == fake_decode(truncated)

@@ -710,11 +710,6 @@ def decode_jpeg(payload: bytes) -> dict:
             pending_sos = None
     if frame is None or not scans:
         raise ValueError("JPEG without SOF/SOS/scan data")
-    scan_comps = scans[0]["comps"]
-    entropy = scans[0]["entropy"]
-    huff_dc = scans[0]["dc"]
-    huff_ac = scans[0]["ac"]
-    restart_interval = scans[0]["ri"]
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     if w < 1 or h < 1:
         raise ValueError("non-positive JPEG dimensions")
@@ -735,68 +730,109 @@ def decode_jpeg(payload: bytes) -> dict:
         )
     if progressive:
         return _jpeg_decode_progressive(frame, scans, quant)
-    if len(scan_comps) != len(comps):
-        raise ValueError("unsupported JPEG component layout")
     by_id = {c["id"]: c for c in comps}
-    order = []  # interleave order = SOS order, per spec
-    for sc in scan_comps:
-        c = by_id.get(sc["id"])
-        if c is None:
-            raise ValueError("JPEG scan names an unknown component")
+    for c in comps:
         if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
             raise ValueError("JPEG sampling factors out of range")
-        # a scan referencing a table no DHT/DQT defined is corrupt —
-        # surface it as the ValueError the stub fallback catches,
-        # never a KeyError escaping the batch (review r10)
-        if sc["dc"] not in huff_dc or sc["ac"] not in huff_ac:
-            raise ValueError("JPEG scan references an undefined Huffman table")
         if c["tq"] not in quant:
             raise ValueError("JPEG component references an undefined quant table")
-        order.append(
-            {
-                **c,
-                "dc": huff_dc[sc["dc"]],
-                "ac": huff_ac[sc["ac"]],
-                "q": quant[c["tq"]],
-            }
-        )
-    hmax = max(c["h"] for c in order)
-    vmax = max(c["v"] for c in order)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     planes = {
-        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in order
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
     }
-    segments = _jpeg_entropy_segments(entropy)
-    # DRI drives segment switching deterministically: a new entropy
-    # segment (fresh bit alignment, zeroed DC predictors) starts every
-    # `restart_interval` MCUs — never inferred from decode failures,
-    # which padding bits can mask
-    if restart_interval == 0 and len(segments) > 1:
-        raise ValueError("JPEG restart markers without a DRI interval")
-    seg_iter = iter(segments)
-    br = _JpegBits(next(seg_iter))
-    preds = {c["id"]: 0 for c in order}
-    mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                nxt_seg = next(seg_iter, None)
-                if nxt_seg is None:
-                    raise ValueError("JPEG scan ended before its last MCU")
-                br = _JpegBits(nxt_seg)
-                preds = {k: 0 for k in preds}
-            for c in order:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        block, preds[c["id"]] = _jpeg_decode_block(
-                            br, c["dc"], c["ac"], preds[c["id"]], c["q"]
-                        )
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu += 1
-    return _jpeg_reconstruct(order, planes, w, h, hmax, vmax)
+    # Sequential baseline may split components across SEVERAL scans
+    # (round 11; previously only the single interleaved scan decoded):
+    # each scan is interleaved within itself (ns > 1, the MCU walk on
+    # the frame grid) or non-interleaved (ns = 1, one block per MCU
+    # over the component's TRUE ceil-scaled raster). Every frame
+    # component must be decoded by exactly one scan.
+    covered: set = set()
+    for scan in scans:
+        scomps = []
+        for p in scan["comps"]:
+            c = by_id.get(p["id"])
+            if c is None:
+                raise ValueError("JPEG scan names an unknown component")
+            if p["id"] in covered:
+                raise ValueError("JPEG component decoded by two sequential scans")
+            covered.add(p["id"])
+            # a scan referencing a table no DHT defined is corrupt —
+            # surface it as the ValueError the stub fallback catches,
+            # never a KeyError escaping the batch (review r10); tables
+            # resolve from the scan's own snapshot (DHT may be
+            # redefined between sequential scans, same as progressive)
+            if p["dc"] not in scan["dc"] or p["ac"] not in scan["ac"]:
+                raise ValueError("JPEG scan references an undefined Huffman table")
+            scomps.append(
+                {
+                    **c,
+                    "dc": scan["dc"][p["dc"]],
+                    "ac": scan["ac"][p["ac"]],
+                    "q": quant[c["tq"]],
+                }
+            )
+        segments = _jpeg_entropy_segments(scan["entropy"])
+        # DRI drives segment switching deterministically: a new entropy
+        # segment (fresh bit alignment, zeroed DC predictors) starts
+        # every `ri` MCUs — never inferred from decode failures, which
+        # padding bits can mask
+        ri = scan["ri"]
+        if ri == 0 and len(segments) > 1:
+            raise ValueError("JPEG restart markers without a DRI interval")
+        seg_iter = iter(segments)
+        br = _JpegBits(next(seg_iter))
+        preds = {c["id"]: 0 for c in scomps}
+
+        def _restart():
+            nxt_seg = next(seg_iter, None)
+            if nxt_seg is None:
+                raise ValueError("JPEG scan ended before its last MCU")
+            for key in preds:
+                preds[key] = 0
+            return _JpegBits(nxt_seg)
+
+        if len(scomps) == 1:
+            c = scomps[0]
+            cw = -(-w * c["h"] // hmax)  # ceil-scaled component geometry
+            ch_ = -(-h * c["v"] // vmax)
+            nbx = -(-cw // 8)
+            nby = -(-ch_ // 8)
+            unit = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if ri and unit and unit % ri == 0:
+                        br = _restart()
+                    block, preds[c["id"]] = _jpeg_decode_block(
+                        br, c["dc"], c["ac"], preds[c["id"]], c["q"]
+                    )
+                    planes[c["id"]][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = block
+                    unit += 1
+        else:
+            mcu = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if ri and mcu and mcu % ri == 0:
+                        br = _restart()
+                    for c in scomps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                block, preds[c["id"]] = _jpeg_decode_block(
+                                    br, c["dc"], c["ac"], preds[c["id"]], c["q"]
+                                )
+                                y0 = (my * c["v"] + by) * 8
+                                x0 = (mx * c["h"] + bx) * 8
+                                planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+                    mcu += 1
+    if covered != set(by_id):
+        raise ValueError("JPEG scans do not cover every component")
+    # reconstruction order = FRAME component order (the spec's Y-first
+    # contract; scan order is an interleave detail)
+    return _jpeg_reconstruct(list(comps), planes, w, h, hmax, vmax)
 
 
 def _jpeg_entropy_segments(entropy: bytes) -> list[bytes]:
