@@ -192,8 +192,9 @@ def test_null_probes_excluded_and_no_cache_leak(spark, index, tmp_path):
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getRDDStorageInfo()
     ann_search_batch(probes, index, out, 0, k=3, n_probe=N_LISTS)
-    after = jsc.getRDDStorageInfo()
-    assert len(after) == len(before), "per-batch cache leaked past the batch"
+    from tests.conftest import assert_cache_settles_to
+
+    assert_cache_settles_to(jsc, len(before), "per-batch cache")
     rows = spark.read.parquet(f"{out}/batch_id=0").collect()
     assert {r["probe_id"] for r in rows} == {100}
 

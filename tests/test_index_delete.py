@@ -346,7 +346,9 @@ class TestScopedProbeCacheRelease:
         with minhash_dedup_incremental_scoped(shard, path, threshold=0.5) as pairs:
             got = {(r["new_id"], r["dup_id"]) for r in pairs.collect()}
         assert (12, 1) in got
-        assert len(jsc.getRDDStorageInfo()) == before, "shard cache leaked"
+        from tests.conftest import assert_cache_settles_to
+
+        assert_cache_settles_to(jsc, before, "shard cache")
 
     def test_simhash_scoped_releases_cache(self, spark, docs, tmp_path):
         from tia_data_pipeline_spark.operators.dedup import (
@@ -362,7 +364,9 @@ class TestScopedProbeCacheRelease:
         before = len(jsc.getRDDStorageInfo())
         with simhash_dedup_incremental_scoped(shard, path) as pairs:
             assert pairs.count() >= 1
-        assert len(jsc.getRDDStorageInfo()) == before, "shard cache leaked"
+        from tests.conftest import assert_cache_settles_to
+
+        assert_cache_settles_to(jsc, before, "shard cache")
 
     def test_embedding_scoped_releases_cache(self, spark, tmp_path):
         from tia_data_pipeline_spark.operators.similarity import (
@@ -378,7 +382,9 @@ class TestScopedProbeCacheRelease:
         before = len(jsc.getRDDStorageInfo())
         with embedding_dedup_incremental_scoped(shard, path, threshold=0.9) as pairs:
             assert pairs.count() >= 1
-        assert len(jsc.getRDDStorageInfo()) == before, "shard cache leaked"
+        from tests.conftest import assert_cache_settles_to
+
+        assert_cache_settles_to(jsc, before, "shard cache")
 
 
 def test_stream_index_deletes_masks_and_replays_idempotently(spark, docs, tmp_path):

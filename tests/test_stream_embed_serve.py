@@ -126,5 +126,6 @@ def test_no_cache_leak_per_batch(spark, corpus, tmp_path):
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getRDDStorageInfo()
     embed_increment_batch(corpus["shard_a"], idx, out, 0, threshold=0.9)
-    after = jsc.getRDDStorageInfo()
-    assert len(after) == len(before), "per-batch cache leaked past the batch"
+    from tests.conftest import assert_cache_settles_to
+
+    assert_cache_settles_to(jsc, len(before), "per-batch cache")

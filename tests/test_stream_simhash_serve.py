@@ -135,8 +135,9 @@ def test_no_cache_leak_per_batch(spark, corpus, tmp_path):
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getRDDStorageInfo()
     simhash_increment_batch(corpus["shard_a"], idx, out, 0, max_hamming=1)
-    after = jsc.getRDDStorageInfo()
-    assert len(after) == len(before), "per-batch cache leaked past the batch"
+    from tests.conftest import assert_cache_settles_to
+
+    assert_cache_settles_to(jsc, len(before), "per-batch cache")
 
 
 def test_over_guarantee_max_hamming_fails_fast(spark, corpus, tmp_path):
