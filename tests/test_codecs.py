@@ -1661,3 +1661,53 @@ def test_multiscan_incomplete_coverage_degrades_to_stub():
     assert len(sos_positions) == 3
     truncated = payload[: sos_positions[2]] + b"\xff\xd9"
     assert decode_media(truncated) == fake_decode(truncated)
+
+
+def test_progressive_random_scripts_fuzz_equals_baseline():
+    """Script-space fuzz: random spectral-band splits, random
+    successive-approximation ladder depths, and random interleavings
+    of the components' scans must ALL reconstruct the baseline pixels
+    (the coefficient content is script-invariant). Catches ladder/band
+    bookkeeping bugs the fixed default script cannot reach."""
+    import random as _random
+
+    from tia_data_pipeline_spark.functions.codecs import decode_jpeg
+
+    rng = _random.Random(411)
+    nprng = np.random.default_rng(411)
+    for trial in range(6):
+        h = int(rng.choice([8, 13, 16, 24]))
+        w = int(rng.choice([8, 11, 24, 32]))
+        px = nprng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        script = []
+        # DC ladder: first pass at Al=d, then single-bit refines to 0
+        d = rng.randint(0, 2)
+        script.append(("dc", None, 0, 0, 0, d))
+        dc_refines = [("dc", None, 0, 0, al + 1, al) for al in range(d - 1, -1, -1)]
+        ac_scans = []
+        for ci in range(3):
+            # random band split of 1..63 into 1-3 segments
+            cuts = sorted(rng.sample(range(2, 63), rng.randint(0, 2)))
+            bounds = [1] + cuts + [64]
+            a = rng.randint(0, 2)  # ladder depth for this component
+            for lo, hi in zip(bounds, bounds[1:]):
+                ac_scans.append(("ac", ci, lo, hi - 1, 0, a))
+            for al in range(a - 1, -1, -1):
+                # refine the whole AC region at once (legal: every
+                # coefficient had its first pass at al+1)
+                ac_scans.append(("ac", ci, 1, 63, al + 1, al))
+        # shuffle AC scans but keep each component's own ORDER (first
+        # passes before refines, ladder descending) — merge the three
+        # per-component queues in random interleaving
+        queues = {ci: [s for s in ac_scans if s[1] == ci] for ci in range(3)}
+        merged = []
+        while any(queues.values()):
+            ci = rng.choice([c for c in queues if queues[c]])
+            merged.append(queues[ci].pop(0))
+        script += dc_refines + merged
+        base = decode_jpeg(_jz_encode(px))
+        prog = decode_jpeg(_jzp_encode_progressive(px, script=script))
+        diff = np.abs(prog["pixels"].astype(int) - base["pixels"].astype(int))
+        assert diff.max() <= 1, (
+            f"trial {trial} ({h}x{w}, script {script}) deviates by {diff.max()}"
+        )
