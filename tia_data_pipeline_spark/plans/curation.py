@@ -1610,7 +1610,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.select("doc_id", "lang", F.expr(_DSIR_BUCKET_SQL).alias("b"))
         .groupBy("doc_id", "lang", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        # persisted: cr/ct/per all consume dbc, and their differing
+        # persisted: crt/per both consume dbc, and their differing
         # pushed filters/prunings defeat AQE exchange reuse (verified 0
         # ReusedExchange) — without the cache the corpus tokenize+md5
         # leg executes once per consumer. dbc is the hashed-feature
@@ -1621,21 +1621,30 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         # long-lived services should clearCache between corpora.
         .persist()
     )
-    cr = dbc.groupBy("b").agg(F.sum("c").cast("bigint").alias("cr"))
-    ct = (
-        dbc.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.sum("c").cast("bigint").alias("ct"))
+    # raw and target feature totals in ONE pass over dbc (the target is
+    # a conditional sum, not a second filtered scan+join): halves the
+    # cached-feature-table consumers and drops the w-side join outright
+    # — same 256-row results, `coalesce(ct,0)` restated as the
+    # conditional sum's empty-group coalesce (guide §2.4: two
+    # aggregations keyed the same way share one pass).
+    crt = dbc.groupBy("b").agg(
+        F.sum("c").cast("bigint").alias("cr"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("ct"),
     )
-    w = cr.join(ct, "b", "left").select(
+    w = crt.select(
         "b",
         (
-            TX.nano_int(F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)))
+            TX.nano_int(F.log(F.col("ct") + F.lit(1)))
             - TX.nano_int(F.log(F.col("cr") + F.lit(1)))
         ).alias("wb"),
     )
-    tot = cr.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("bigint").alias("r_tot")).crossJoin(
-        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("t_tot"))
+    tot = crt.agg(
+        F.coalesce(F.sum("cr"), F.lit(0)).cast("bigint").alias("r_tot"),
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("t_tot"),
     )
     off = tot.select(
         (

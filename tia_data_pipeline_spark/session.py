@@ -52,6 +52,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Never use the bypass-merge shuffle writer: it opens one file
+        # PER REDUCE PARTITION per map task (M·R creates+deletes per
+        # shuffle — 1024 for a 32×32 shuffle), and thread dumps showed
+        # map tasks spending most of their runtime in
+        # FileOutputStream.open from DiskBlockObjectWriter (round-11
+        # profiling; a 32-partition groupBy wave dropped 0.58s → 0.28s
+        # with the sort writer's single spill file + index per task).
+        # At cluster scale reduce counts exceed the 200 default anyway,
+        # so this also makes local runs exercise the same writer the
+        # production path uses.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "0")
         # Arrow for every pandas-UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
