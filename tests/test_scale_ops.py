@@ -221,6 +221,37 @@ def test_fan_out_widens_in_memory_relation(spark):
     assert "RoundRobinPartitioning" in _explain(fan_out(df))
 
 
+def test_adaptive_index_shards_tracks_source_bytes(spark, tmp_path):
+    """Index shard counts derive from the SOURCE relation's bytes
+    (round-11 optimization: a fixed n_shards=16 gave a one-file sf0.1
+    corpus a 128-tiny-file probe scan): a small file sizes to 1 shard,
+    a many-split scan walks the count up, estimates cap at max_shards,
+    and an in-memory relation falls back to the caller default."""
+    from tia_data_pipeline_spark.operators.scale import adaptive_index_shards
+
+    small = str(tmp_path / "small.parquet")
+    spark.range(100).coalesce(1).write.parquet(small)
+    assert adaptive_index_shards(spark.read.parquet(small)) == 1
+
+    big = str(tmp_path / "big.parquet")
+    spark.range(200_000).selectExpr("id", "repeat('x', 64) AS pad").coalesce(
+        1
+    ).write.parquet(big)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try:
+        est = adaptive_index_shards(spark.read.parquet(big), bands=8)
+        assert est > 1  # ~32 splits / 8 bands
+        assert adaptive_index_shards(
+            spark.read.parquet(big), bands=1, max_shards=4
+        ) == 4  # cap binds
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    mem = spark.createDataFrame([(1,), (2,)], "x int")
+    assert adaptive_index_shards(mem, default=7) == 7
+
+
 def test_parse_bytes_spark_size_strings():
     from tia_data_pipeline_spark.operators.scale import _parse_bytes
 

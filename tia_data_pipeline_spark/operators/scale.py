@@ -114,6 +114,32 @@ def _parse_bytes(v: str) -> int:
     return int(s)
 
 
+def adaptive_index_shards(
+    df: DataFrame, *, bands: int = 8, max_shards: int = 256, default: int = 16
+) -> int:
+    """Size a persisted index's per-band shard count from its SOURCE
+    relation's bytes (guide §6: sensible output file sizing — the
+    shard count is frozen into the index layout at write time, so a
+    constant tuned for either local mode or the cluster is wrong at
+    the other end).
+
+    ``shards ≈ ceil(source_scan_splits / bands)`` keeps total partition
+    dirs (bands × shards) near the source's own split count: a one-file
+    sf0.1 corpus gets 1 shard (bands dirs, one healthy file each — not
+    a 128-tiny-file probe-scan storm), while a 100 TB corpus walks the
+    estimate up to ``max_shards`` (8 bands × 256 shards = 2048 dirs,
+    ~500 MB/dir per index-TB — within parquet's comfortable range, and
+    `_touched_partition_filter`'s flat-isin encoding stays thousands of
+    codes, far under the column-node stack bound). In-memory relations
+    (no input files) fall back to ``default`` — the prior fixed value."""
+    files = df.inputFiles()
+    if files:
+        est = _estimated_scan_splits(df, files)
+        if est is not None:
+            return max(1, min(max_shards, -(-est // bands)))
+    return default
+
+
 def fan_out(df: DataFrame, *, target: int | None = None) -> DataFrame:
     """Repartition a low-parallelism relation before CPU-heavy per-row
     compute (regex scoring, shingling, per-token hashing).

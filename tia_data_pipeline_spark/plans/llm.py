@@ -21,7 +21,7 @@ from tia_data_pipeline_spark.functions.vectors import (
 from tia_data_pipeline_spark.operators import dedup as DD
 from tia_data_pipeline_spark.operators import sampling as SMP
 from tia_data_pipeline_spark.operators import similarity as SIM
-from tia_data_pipeline_spark.operators.scale import fan_out
+from tia_data_pipeline_spark.operators.scale import adaptive_index_shards, fan_out
 from tia_data_pipeline_spark.plans.contract import contract_query, register_temp_dir
 
 _DOC_TOKENS_SQL = TX.tokens_sql("text")
@@ -934,7 +934,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         f"{tmp}/idx",
         portable=True,
-        n_shards=16,
+        # shard count sized from the history relation's bytes (guide
+        # §6): bands dirs with one healthy file each at sf0.1 instead
+        # of a 128-tiny-file probe-scan storm, walking up toward 256
+        # shards as the corpus grows
+        n_shards=adaptive_index_shards(docs),
     )
     return DD.minhash_dedup_incremental(
         docs.filter(F.col("doc_id") % 5 == 0),
@@ -994,7 +998,7 @@ def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, tmp, True)
     DD.simhash_write_index(
         docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id",
-        f"{tmp}/idx", n_shards=16,
+        f"{tmp}/idx", n_shards=adaptive_index_shards(docs),
     )
     return DD.simhash_dedup_incremental(
         docs.filter(F.col("doc_id") % 5 == 0),
@@ -1051,7 +1055,11 @@ def q_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         f"{tmp}/idx",
         portable=True,
-        n_shards=16,
+        # shard count sized from the history relation's bytes (guide
+        # §6): bands dirs with one healthy file each at sf0.1 instead
+        # of a 128-tiny-file probe-scan storm, walking up toward 256
+        # shards as the corpus grows
+        n_shards=adaptive_index_shards(docs),
     )
     doomed = docs.filter(
         (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 3 == 0)
@@ -1162,7 +1170,8 @@ def q_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copy. Eager file work for BOTH phase dirs completes here, before
     # any probe plan is constructed below.
     DD.simhash_write_index(
-        hist_docs, "text", "doc_id", f"{tmp}/sh_masked", n_shards=16
+        hist_docs, "text", "doc_id", f"{tmp}/sh_masked",
+        n_shards=adaptive_index_shards(docs),
     )
     DD.simhash_index_delete(doomed_docs, f"{tmp}/sh_masked")
     DD.simhash_index_delete(doomed_docs, f"{tmp}/sh_masked")  # idempotent
