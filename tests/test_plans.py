@@ -801,25 +801,26 @@ def test_rfm_pruned_scan_single_corpus_aggregate(spark):
 def test_triangles_edge_list_persisted_once(spark):
     """The corpus-sized inverted-index pair pipeline must materialize
     ONCE: all four edge-list consumers (three triangle-join scans + the
-    degree census) read the cached edges — exactly four
-    InMemoryTableScans (the shingle frame itself is deliberately NOT
-    persisted: recompute measured cheaper, see
-    _shingle_overlap_frames). The cached subtree's own parquet scans
-    print per internal consumer (doc_sizes twice + shared once, each
-    with the two-pass cap's count leg + pair leg = up to 6; AQE
-    ReusedExchange dedups at runtime); an UNCACHED edge consumer would
-    push the count past both bounds."""
+    degree census) read the cached edges, and inside the edge-cache
+    definition the capped shingle-incidence frame (`surv`, persisted
+    round 11 — the sort-shuffle-writer fix flipped the old
+    recompute-beats-persist measurement, see _shingle_overlap_frames)
+    feeds its three consumers (pair collect, doc_sizes, and the
+    pair-leg re-reference) from cache too: exactly 4 + 3
+    InMemoryTableScans. The corpus parquet itself appears at most
+    twice (the surv derivation's count + survivor legs); an uncached
+    edge consumer or a third corpus scan would push past the bounds."""
     p = plan_of(spark, "q_triangles")
     scans = [
         l
         for l in p.splitlines()
         if l.strip().startswith("(") and "InMemoryTableScan" in l
     ]
-    assert len(scans) == 4, f"expected 4 cached-edge scans, got {len(scans)}"
+    assert len(scans) == 7, f"expected 4 edge + 3 surv cached scans, got {len(scans)}"
     pq = [
         l for l in p.splitlines() if l.strip().startswith("(") and "Scan parquet" in l
     ]
-    assert len(pq) <= 6, f"corpus re-scanned outside the cache: {len(pq)} scans"
+    assert len(pq) <= 2, f"corpus re-scanned outside the cache: {len(pq)} scans"
 
 
 def test_cooccur_lift_single_user_partitioning(spark):

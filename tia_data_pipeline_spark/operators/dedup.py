@@ -1061,24 +1061,26 @@ def _shingle_overlap_frames(
     # min_size would drop): count document frequency over 8-byte keys
     # first — a corpus-stop shingle partial-aggregates map-side and is
     # dropped BEFORE any member list exists — then semi-join survivors
-    # back and collect. min_size stays 1 so `grouped` still carries the
-    # singleton shingles doc_sizes counts. Deliberately NOT persisted
-    # (unlike the substring md5 / minhash-signature frames): the
-    # shingle-zip + xxhash64 derivation is cheap enough that the cache
-    # round-trip LOSES to recompute — interleaved A/B at sf0.1,
-    # min-of-4: persist 1.94 s vs recompute 1.30 s (persist breaks the
-    # scan→explode→partial-agg codegen stage and pays materialization
-    # both ways). The persist rule is: cache the keyed frame only when
-    # key DERIVATION dominates (md5-per-position 3.0→0.79 s, simhash
-    # votes, minhash signatures), never for plain explode+hash.
+    # back. The CAPPED incidence frame (`surv`) persists: it feeds the
+    # pair-collect leg AND doc_sizes directly (no explode of member
+    # lists), so the corpus tokenize+shingle+hash runs once per query
+    # instead of once per consumer. Re-measured round 11 AFTER the
+    # sort-shuffle-writer fix, which flipped the round-8 verdict
+    # (recompute 1.30 s vs persist 1.94 s then; now persist 0.93-1.10 s
+    # vs recompute 1.38-1.58 s, interleaved at sf0.1 — the old number
+    # was dominated by the bypass writer's per-file-create cost on the
+    # extra materialization exchange). Footprint note for 100 TB: surv
+    # is the df-capped (id, 8-byte shingle) incidence table — a
+    # fraction of text bytes and spillable (MEMORY_AND_DISK), i.e. the
+    # same artifact both consumers would otherwise each re-derive by a
+    # full corpus scan; CacheManager holds it until unpersist/
+    # clearCache/session end, like the signature-table persists.
     dfreq = sh_ids.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     surv = sh_ids.join(
         dfreq.filter(F.col("_df") <= max_df).select("sh"), on="sh", how="left_semi"
-    )
+    ).persist()
     grouped = surv.groupBy("sh").agg(F.collect_list("_id").alias("mem"))
-    doc_sizes = (
-        grouped.select(F.explode("mem").alias("_id")).groupBy("_id").agg(F.count("*").alias("n_sh"))
-    )
+    doc_sizes = surv.groupBy("_id").agg(F.count("*").alias("n_sh"))
     pair_arr = bucket_pairs(F.col("mem"))
     shared = (
         grouped.filter(F.size("mem") >= 2)
