@@ -131,9 +131,13 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
-    # round-11 rotation: head = r6-r8 stale backlog + eight r9 family
-    # anchors + the two plan-changed re-verifications; round-9/10 greens
-    # sit in the tail covered by a same-family head anchor:
+    # round-11 rotation (rebuilt mid-round for the optimization pass):
+    # head = r6/r7 stale backlog + surviving r8 singles + eight r9
+    # family anchors + the plan-changed re-verifications (one promoted
+    # representative per changed operator family); remaining greens sit
+    # in the tail covered by a same-family head anchor — changed-family
+    # tail members anchor to the in-head representative of the SAME
+    # changed operator:
     "q_ann_lsh": "q_ann_multiprobe",
     "q_ann_recall": "q_ann_multiprobe",
     "q_antijoin_incr": "q_merge_upsert",
@@ -141,7 +145,6 @@ TAIL_COVERED_BY = {
     "q_benford": "q_profile",
     "q_bm25": "q_bm25_batch",
     "q_bm25_indexed": "q_tfidf",
-    "q_boilerplate": "q_quality_linear",
     "q_children_rollup": "q_rollup",
     "q_cluster_sizes": "q_skew_keys",
     "q_cohort_retention": "q_new_users",
@@ -154,13 +157,13 @@ TAIL_COVERED_BY = {
     "q_decontaminate": "q_exists_guard",
     "q_dedup_batch": "q_dedup_latest",
     "q_dedup_components": "q_dup_graph_degree",
-    "q_dedup_incremental": "q_takedown",
-    "q_dsir_weights": "q_feature_hash",
     "q_dup_spans": "q_substring_dedup",
     "q_edit_distance": "q_substring_dedup",
-    "q_embed_dedup": "q_embed_stats",
+    "q_embed_dedup": "q_semantic_dedup",
     "q_embed_incremental": "q_takedown",
-    "q_embed_quantize": "q_embed_stats",
+    "q_embed_quantize": "q_semantic_dedup",
+    "q_embed_stats": "q_semantic_dedup",
+    "q_ewma": "q_autocorr",
     "q_exact_dedup": "q_dedup_latest",
     "q_filter_range": "q_const_probe",
     "q_funnel": "q_streaks",
@@ -180,10 +183,11 @@ TAIL_COVERED_BY = {
     "q_knn_bucketed": "q_sim_topk",
     "q_knn_join": "q_sim_topk",
     "q_ks_drift": "q_changepoint",
-    "q_lm_perplexity": "q_zipf_fit",
+    "q_lang_id": "q_quality_linear",
+    "q_mad_outliers": "q_profile",
     "q_markov": "q_streaks",
     "q_mix_temperature": "q_source_overlap",
-    "q_ngram_jaccard": "q_doc_fingerprint",
+    "q_mutual_info": "q_collocations",
     "q_ols_trend": "q_autocorr",
     "q_pack_sequences": "q_chunking",
     "q_pareto_abc": "q_heavy_hitters",
@@ -199,7 +203,6 @@ TAIL_COVERED_BY = {
     "q_scan_project": "q_const_probe",
     "q_scd2": "q_merge_upsert",
     "q_seasonality": "q_autocorr",
-    "q_semantic_dedup": "q_embed_stats",
     "q_semi_join": "q_exists_guard",
     "q_session_window": "q_sliding_window",
     "q_set_ops": "q_source_overlap",
@@ -214,11 +217,12 @@ TAIL_COVERED_BY = {
     "q_tok_fertility": "q_word_count",
     "q_token_entropy": "q_zipf_fit",
     "q_topk_latest": "q_dedup_latest",
+    "q_ts_normalize": "q_canonicalize",
     "q_topk_per_group": "q_ntile",
     "q_triangles": "q_self_join",
     "q_vocab_coverage": "q_bpe_train",
     "q_window_frames": "q_sliding_window",
-    "q_winsorize": "q_mad_outliers",
+    "q_winsorize": "q_profile",
     "q_word_freq": "q_word_count",
     "q_zscore": "q_anomaly",
 }
@@ -650,13 +654,16 @@ def test_lm_perplexity_model_join_no_cartesian(spark):
     """Bigram LM scoring joins the corpus stream to the model frame on
     the bigram key — an equi-join, never a cartesian — and the
     continuation total is a window over the MODEL frame (vocabulary-
-    sized), not a second corpus aggregate: exactly two Generates (model
-    build + score stream), both from pruned (doc_id, text) scans."""
+    sized), not a second corpus aggregate. Round 11: the bigram stream
+    PERSISTS (see q_lm_perplexity), so exactly ONE Generate (the cached
+    zip assembly) feeds both the model build and the score stream via
+    two InMemoryTableScans, from a pruned (doc_id, text) scan."""
     import re
 
     p = plan_of(spark, "q_lm_perplexity")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert len(re.findall(r"\(\d+\) Generate", p)) == 2
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", p)) == 2
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
 
 

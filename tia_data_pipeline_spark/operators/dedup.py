@@ -494,7 +494,7 @@ def minhash_write_index(
     seed: int = 42,
     shingle_n: int = 3,
     portable: bool = False,
-    n_shards: int = 64,
+    n_shards: int | None = None,
 ) -> None:
     """Materialize the MinHash signature index: banded signature rows
     partitioned by ``band=…/bshard=…`` (the 100 TB serving shape — a
@@ -506,6 +506,12 @@ def minhash_write_index(
     signature per document per band — the same signature table the
     batch path materializes per run (minhash_near_duplicates persists
     it in-memory), made durable and reusable across runs."""
+    if n_shards is None:
+        # default: size the layout from the source relation's bytes
+        # (guide §6 — round 11); explicit callers keep full control
+        from tia_data_pipeline_spark.operators.scale import adaptive_index_shards
+
+        n_shards = adaptive_index_shards(df, bands=bands)
     banded = minhash_band_frame(
         df, text_col, id_col, k=k, bands=bands, seed=seed,
         shingle_n=shingle_n, portable=portable,
@@ -1288,7 +1294,7 @@ def simhash_write_index(
     *,
     bits: int = SIMHASH_INDEX_BITS,
     bands: int = SIMHASH_INDEX_BANDS,
-    n_shards: int = 64,
+    n_shards: int | None = None,
 ) -> None:
     """Materialize the SimHash fingerprint index, ``band=…/bshard=…``
     partitioned (the persisted-index serving pattern shared with
@@ -1298,6 +1304,12 @@ def simhash_write_index(
     MinHash index's k·8-byte signatures. The one-row meta side table
     carries the hash family and ``schema_json`` so probes can read an
     EMPTY index (day-zero bootstrap) with an explicit schema."""
+    if n_shards is None:
+        # default: size the layout from the source relation's bytes
+        # (guide §6 — round 11); explicit callers keep full control
+        from tia_data_pipeline_spark.operators.scale import adaptive_index_shards
+
+        n_shards = adaptive_index_shards(df, bands=bands)
     banded = simhash_band_frame(
         df, text_col, id_col, bits=bits, bands=bands, n_shards=n_shards
     )

@@ -173,21 +173,27 @@ def _cell_equi_cosine_pairs(
 
     Hot-bucket cap stays two-pass (count over the 8-byte key →
     semi-join BOTH sides), so a mass-duplicated cluster never reaches
-    the join at all; the stream side fans out because with few cells
-    the tiny build side broadcasts and the probe would otherwise
-    inherit a single-file scan's one split."""
+    the join at all. The assigned frame is widened (fan_out) and then
+    PERSISTED: the cell assignment (centroid argmin / sign projection —
+    up to |centers|·dim multiplies per row) otherwise re-executes three
+    times (the cap's count leg + both join sides); caching the
+    (id, vec, norm, cell) rows — the exact artifact an IVF index write
+    materializes durably — runs it once (round 11, re-measured after
+    the sort-shuffle-writer fix: q_semantic_dedup 0.90 → see
+    OPTIMIZATION_r11.md). Widening happens BEFORE the persist so the
+    cache itself is already wide and neither join side re-shuffles it;
+    lifecycle is CacheManager-held like the signature-table persists."""
+    bucketed = fan_out(bucketed).persist()
     sizes = bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bsz"))
     kept = sizes.filter(
         (F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)
     ).select("_bucket")
     b = bucketed.join(kept, "_bucket", "left_semi")
-    a_side = fan_out(
-        b.select(
-            F.col("_bucket"),
-            F.col("_id").alias("id_a"),
-            F.col("_vec").alias("_vec_a"),
-            F.col("_norm").alias("_norm_a"),
-        )
+    a_side = b.select(
+        F.col("_bucket"),
+        F.col("_id").alias("id_a"),
+        F.col("_vec").alias("_vec_a"),
+        F.col("_norm").alias("_norm_a"),
     )
     b_side = b.select(
         F.col("_bucket"),

@@ -28,14 +28,22 @@ from tia_data_pipeline_spark.plans.contract import REGISTRY, oracle_sql, queries
 DRIVER_ROW_CAP = 50
 
 CONTRACT_ORDER = [
-    # ---- round-11 head (50 slots). Rotation per VERDICT r10 #1: fold
-    #      CORRECTNESS_r10 (all 50 green), then promote stalest-first —
-    #      the six r6 singles, seventeen r7, seventeen r8, plus eight r9
-    #      family anchors the demoted tail needs (merge/multimodal/scan/
-    #      chunk/correlation/drift/graph/collocation). q_takedown stays
-    #      in-cap because its plan changes this round (single index build
-    #      + copytree, VERDICT r10 #3); q_bm25_batch re-verification was
-    #      ordered alongside it (VERDICT r10 #5).
+    # ---- round-11 head (50 slots), rebuilt mid-round for the
+    #      OPTIMIZATION pass: queries whose PHYSICAL PLAN changed this
+    #      round rotate in-cap for re-verification (the CLAUDE.md
+    #      rotation rule), at FAMILY granularity where the cap binds —
+    #      one promoted representative per changed operator family
+    #      (q_ngram_jaccard for the shingle-overlap skeleton persist,
+    #      q_semantic_dedup for the cell-equi cosine persist,
+    #      q_dedup_incremental for the adaptive-shards probe layout,
+    #      plus the individually-changed q_boilerplate, q_lm_perplexity,
+    #      q_dsir_weights), funded by demoting the six least-referenced
+    #      r8 singles (q_embed_stats, q_ewma, q_lang_id, q_mad_outliers,
+    #      q_mutual_info, q_ts_normalize — all re-rotate next round).
+    #      Plan-changed queries already in-head: q_pagerank,
+    #      q_dup_graph_degree, q_tfidf, q_collocations, q_takedown;
+    #      remaining changed family members sit in the tail covered by
+    #      an in-head representative of the SAME changed operator.
     # -- last green r6:
     "q_agg_count",
     "q_anomaly",
@@ -61,16 +69,12 @@ CONTRACT_ORDER = [
     "q_streaks",
     "q_substring_dedup",
     "q_token_bpe",
-    # -- last green r8:
+    # -- last green r8 (q_dup_graph_degree/q_tfidf also plan-changed
+    #    this round):
     "q_approx_quantiles",
     "q_dup_graph_degree",
-    "q_embed_stats",
-    "q_ewma",
     "q_exists_guard",
     "q_heavy_hitters",
-    "q_lang_id",
-    "q_mad_outliers",
-    "q_mutual_info",
     "q_quality_linear",
     "q_revenue_by_segment",
     "q_rollup",
@@ -78,8 +82,8 @@ CONTRACT_ORDER = [
     "q_sliding_window",
     "q_split_assign",
     "q_tfidf",
-    "q_ts_normalize",
-    # -- last green r9 (family anchors for the demoted tail):
+    # -- last green r9 (family anchors; q_collocations/q_pagerank also
+    #    plan-changed this round):
     "q_autocorr",
     "q_changepoint",
     "q_collocations",
@@ -91,10 +95,17 @@ CONTRACT_ORDER = [
     # -- round-10 green but plan-changing / re-verify ordered:
     "q_takedown",
     "q_bm25_batch",
+    # -- round-11 plan-changed promotions (optimization pass):
+    "q_boilerplate",
+    "q_dedup_incremental",
+    "q_dsir_weights",
+    "q_lm_perplexity",
+    "q_ngram_jaccard",
+    "q_semantic_dedup",
     # ---- DRIVER_ROW_CAP boundary: entries below are redundant variants
     #      whose operator family has a driver row above; every entry
-    #      has >=1 driver-green row in DRIVER_GREEN_HISTORY (most are
-    #      fresh round-10 greens demoted to fund the stale rotation).
+    #      has >=1 driver-green row in DRIVER_GREEN_HISTORY (the six
+    #      demoted r8 singles re-rotate next round).
     "q_ann_lsh",
     "q_ann_recall",
     "q_antijoin_incr",
@@ -102,7 +113,6 @@ CONTRACT_ORDER = [
     "q_benford",
     "q_bm25",
     "q_bm25_indexed",
-    "q_boilerplate",
     "q_children_rollup",
     "q_cluster_sizes",
     "q_cohort_retention",
@@ -115,13 +125,13 @@ CONTRACT_ORDER = [
     "q_decontaminate",
     "q_dedup_batch",
     "q_dedup_components",
-    "q_dedup_incremental",
-    "q_dsir_weights",
     "q_dup_spans",
     "q_edit_distance",
     "q_embed_dedup",
     "q_embed_incremental",
     "q_embed_quantize",
+    "q_embed_stats",
+    "q_ewma",
     "q_exact_dedup",
     "q_filter_range",
     "q_funnel",
@@ -141,10 +151,11 @@ CONTRACT_ORDER = [
     "q_knn_bucketed",
     "q_knn_join",
     "q_ks_drift",
-    "q_lm_perplexity",
+    "q_lang_id",
+    "q_mad_outliers",
     "q_markov",
     "q_mix_temperature",
-    "q_ngram_jaccard",
+    "q_mutual_info",
     "q_ols_trend",
     "q_pack_sequences",
     "q_pareto_abc",
@@ -160,7 +171,6 @@ CONTRACT_ORDER = [
     "q_scan_project",
     "q_scd2",
     "q_seasonality",
-    "q_semantic_dedup",
     "q_semi_join",
     "q_session_window",
     "q_set_ops",
@@ -177,6 +187,7 @@ CONTRACT_ORDER = [
     "q_topk_latest",
     "q_topk_per_group",
     "q_triangles",
+    "q_ts_normalize",
     "q_vocab_coverage",
     "q_window_frames",
     "q_winsorize",

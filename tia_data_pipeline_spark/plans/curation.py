@@ -460,9 +460,16 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 5-gram assembly — the heaviest zip construction in the tier
     (measured 3.48s -> 0.84s at sf0.1 single-file)."""
     docs = _docs(spark, sf_dir)
+    # the shingle stream feeds the df-aggregate AND the membership join
+    # — persist it so the fanned 5-gram zip assembly (the heaviest zip
+    # construction in the tier) runs once per run instead of per
+    # consumer (round 11; the sort-shuffle-writer fix flipped the
+    # round-4 recompute-vs-persist calculus — measured 0.75 → 0.45 s
+    # interleaved at sf0.1). Footprint: the distinct 5-gram incidence
+    # rows, spillable, CacheManager-held.
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), _BP_N)).alias("sh")
-    )
+    ).persist()
     common = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("df"))
@@ -1035,7 +1042,12 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 single-file)."""
     docs = _docs(spark, sf_dir)
     bigrams = word_ngrams(F.col("text"), 2)
-    bi = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    # the bigram stream feeds the model aggregate AND the score join —
+    # persist it so the fanned bigram zip assembly runs once per run
+    # instead of per consumer (round 11 persist calculus, see
+    # _shingle_overlap_frames; measured ≈0.53 → 0.44 s interleaved at
+    # sf0.1). Spillable, CacheManager-held.
+    bi = docs.select("doc_id", F.explode(bigrams).alias("bg")).persist()
     bc = bi.groupBy("bg").agg(F.count("*").alias("cb"))
     cuv = F.sum("cb").over(Window.partitionBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1))))
     u = TX.nano_int(-F.log(F.col("cb").cast("double") / F.col("cuv")))

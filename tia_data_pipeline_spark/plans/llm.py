@@ -614,7 +614,13 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     size joins in as a broadcast scalar, never a driver-side count."""
     docs = load_table(spark, sf_dir, "documents")
     tok = _docs(spark, sf_dir, fan=False).select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # the TF table is consumed twice (df aggregate + score join) —
+    # persist it so the corpus tokenize+explode+aggregate leg runs once
+    # (round 11; the sort-shuffle-writer fix flipped the old
+    # recompute-vs-persist calculus, see _shingle_overlap_frames). It
+    # is the classic materialized TF artifact: (doc, term, tf) rows,
+    # spillable, CacheManager-held like the signature-table persists.
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -1671,10 +1677,24 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = TX.tokens(F.col("text"))
     bigrams = DD.word_ngrams(F.col("text"), 2)
-    uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(F.count("*").alias("c"))
+    # unigram table: THREE consumers (corpus total + both join sides);
+    # bigram table: two (total + candidates). Persist both so each
+    # corpus explode+aggregate runs once per run instead of per
+    # consumer (round 11, post-shuffle-writer-fix persist calculus) —
+    # they are vocabulary-sized count tables, the artifacts a
+    # collocation pass materializes anyway.
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
     n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
     bcnt = (
-        docs.select(F.explode(bigrams).alias("bg")).groupBy("bg").agg(F.count("*").alias("cb"))
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("cb"))
+        .persist()
     )
     n_bi_tot = bcnt.agg(F.sum("cb").cast("double").alias("n_bi"))
     parts = F.split(F.col("bg"), " ", -1)
