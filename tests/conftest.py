@@ -30,18 +30,21 @@ def duck():
 
 
 def assert_cache_settles_to(jsc, want: int, what: str = "cache", timeout: float = 10.0):
-    """Assert the JVM's RDD storage count returns to ``want`` within a
-    short settle window. DataFrame.unpersist() is NON-blocking: under
-    host load the executor-side block drop can lag the driver-side
+    """Assert the JVM's RDD storage count settles to AT MOST ``want``
+    within a short settle window. DataFrame.unpersist() is NON-blocking:
+    under host load the executor-side block drop can lag the driver-side
     call, so an exact read immediately after a scoped release flakes
     (seen once in a full-suite run racing an 8x stress job on the same
-    host). A leak is a STABLE count above ``want`` — poll briefly
-    before declaring one."""
+    host). The bound is one-sided (round 11): the ``want`` baseline is
+    read right after a clearCache and can itself include stale entries
+    whose async drops land DURING the scoped work, so the count may
+    legitimately settle BELOW the baseline — a leak is a STABLE count
+    ABOVE ``want``; poll briefly before declaring one."""
     import time as _time
 
     deadline = _time.time() + timeout
     n = len(jsc.getRDDStorageInfo())
-    while n != want and _time.time() < deadline:
+    while n > want and _time.time() < deadline:
         _time.sleep(0.2)
         n = len(jsc.getRDDStorageInfo())
-    assert n == want, f"{what} leaked: {n} cached RDDs, expected {want}"
+    assert n <= want, f"{what} leaked: {n} cached RDDs, expected <= {want}"
