@@ -103,21 +103,50 @@ def test_stdout_payload_shape():
         "q_slow": {"min": 2.5, "warm": 9.0, "n": 3},
         "q_dead": {"min": -1.0, "warm": -1.0, "n": 0},
     }
-    stdout_payload, protocol_payload = bench.make_payloads(results, 0.1)
-    # compact grouped string: time-ascending sec:name groups, q_ prefix
-    # stripped, failures EXCLUDED from the groups (loud in "failed",
-    # never a silent zero), 0.05s quantization below 1s
-    assert stdout_payload["queries"] == ".1:fast 2.5:slow"
+    stdout_payload, protocol_payload = bench.make_payloads(results, 0.1, cpus=32)
+    # small result set: everything fits the line budget, so every
+    # surviving query lands in the EXACT driver-parseable map (full
+    # names, true seconds) and the compact fast-tail string is empty;
+    # failures EXCLUDED from both (loud in "failed", never a silent 0)
+    assert stdout_payload["queries"] == {"q_slow": 2.5, "q_fast": 0.123}
+    assert stdout_payload["queries_fast"] == ""
+    assert stdout_payload["cpus"] == 32
     # value last so it survives any tail clip
     assert list(stdout_payload)[-1] == "value"
     assert stdout_payload["failed"] == ["q_dead"]
     assert stdout_payload["n_failed"] == 1
     # failed queries excluded from the headline total (and flagged)
     assert stdout_payload["value"] == 2.623
-    # protocol artifact keeps FULL names and the warm-up audit column
+    # protocol artifact keeps FULL names, the warm-up audit column, and
+    # the core count (a non-32-core run must be distinguishable from
+    # the standing baseline — VERDICT r11 #2)
     assert set(protocol_payload["queries"]) == set(results)
     assert protocol_payload["queries"]["q_slow"]["warm"] == 9.0
     assert protocol_payload["value"] == stdout_payload["value"]
+    assert protocol_payload["cpus"] == 32
+
+
+def test_stdout_payload_overflows_to_compact_tail():
+    # more queries than the line budget allows: the SLOWEST rows keep
+    # exact entries, the fast cluster falls back to the r8 compact
+    # grouped string, and every name appears in exactly one field
+    results = {
+        f"q_pad_{i:03d}": {"min": 0.1 + i * 0.001, "warm": 0.1, "n": 3}
+        for i in range(200)
+    }
+    results["q_heavy"] = {"min": 5.0, "warm": 9.0, "n": 3}
+    stdout_payload, _ = bench.make_payloads(results, 0.1, cpus=32)
+    import json
+
+    line = json.dumps(stdout_payload, separators=(",", ":"))
+    assert len(line) <= bench.STDOUT_LINE_BUDGET
+    assert stdout_payload["queries"]["q_heavy"] == 5.0  # slowest is exact
+    assert 0 < len(stdout_payload["queries"]) < len(results)
+    fast = stdout_payload["queries_fast"]
+    for n in results:
+        in_exact = n in stdout_payload["queries"]
+        in_fast = bench.tail_key(n) in fast
+        assert in_exact != in_fast, f"{n} must be in exactly one field"
 
 
 def test_tail_val_labels():
@@ -133,10 +162,12 @@ def test_whole_line_fits_driver_window_and_parses():
     """The WHOLE stdout line must fit the driver's 2000-char tail
     window so its JSON parse succeeds and every registry name is
     recorded (VERDICT r8 #7: the per-name object form front-clipped ~30
-    entries and left parsed:null in every round's artifact). Simulated
-    with the REAL registry names at the COMMITTED protocol run's
-    timing distribution (the committed artifact is the realistic
-    shape: the fast cluster groups heavily), plus headroom queries."""
+    entries and left parsed:null in every round's artifact; VERDICT r11
+    #2: per-query data must be driver-parseable again — the slow rows
+    now carry exact name→sec entries). Simulated with the REAL registry
+    names at the COMMITTED protocol run's timing distribution (the
+    committed artifact is the realistic shape: the fast cluster groups
+    heavily), plus headroom queries."""
     import json
     import os
 
@@ -155,10 +186,25 @@ def test_whole_line_fits_driver_window_and_parses():
         n: {"min": committed.get(n, 0.31 + 0.01 * (i % 7)), "warm": 0.1, "n": 3}
         for i, n in enumerate(rng_names)
     }
-    stdout_payload, _ = bench.make_payloads(results, 0.1)
+    stdout_payload, _ = bench.make_payloads(results, 0.1, cpus=32)
     line = json.dumps(stdout_payload, separators=(",", ":"))
     assert len(line) <= 1998, f"stdout line {len(line)} chars outgrew the window"
     tail = line[-2000:]
     parsed = json.loads(tail)  # the driver's parse must succeed
     for n in rng_names:
-        assert bench.tail_key(n) in parsed["queries"], f"{n} missing from tail"
+        assert n in parsed["queries"] or bench.tail_key(n) in parsed[
+            "queries_fast"
+        ], f"{n} missing from tail"
+
+    # the slowest rows of the CURRENT registry — the round-over-round
+    # comparison surface — must be exact driver-parseable entries, not
+    # just compact labels (VERDICT r11 #2); the future-queries scenario
+    # above degrades exactness gracefully instead (names never drop)
+    now = {
+        n: {"min": committed.get(n, 0.31 + 0.01 * (i % 7)), "warm": 0.1, "n": 3}
+        for i, n in enumerate(plans.CONTRACT_ORDER)
+    }
+    now_payload, _ = bench.make_payloads(now, 0.1, cpus=32)
+    slowest = sorted(now, key=lambda n: -now[n]["min"])[:10]
+    for n in slowest:
+        assert now_payload["queries"][n] == now[n]["min"], f"{n} not exact"
