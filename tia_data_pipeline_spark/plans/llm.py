@@ -21,7 +21,7 @@ from tia_data_pipeline_spark.functions.vectors import (
 from tia_data_pipeline_spark.operators import dedup as DD
 from tia_data_pipeline_spark.operators import sampling as SMP
 from tia_data_pipeline_spark.operators import similarity as SIM
-from tia_data_pipeline_spark.operators.scale import adaptive_index_shards, fan_out
+from tia_data_pipeline_spark.operators.scale import fan_out
 from tia_data_pipeline_spark.plans.contract import contract_query, register_temp_dir
 
 _DOC_TOKENS_SQL = TX.tokens_sql("text")
@@ -940,11 +940,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         f"{tmp}/idx",
         portable=True,
-        # shard count sized from the history relation's bytes (guide
-        # §6): bands dirs with one healthy file each at sf0.1 instead
-        # of a 128-tiny-file probe-scan storm, walking up toward 256
-        # shards as the corpus grows
-        n_shards=adaptive_index_shards(docs),
+        # shard count sized adaptively by the writer itself (guide §6,
+        # ADVICE r12: the writer computes the default from its OWN
+        # input frame and band count — bands dirs with one healthy file
+        # each at sf0.1, walking up toward 256 shards as the corpus
+        # grows)
     )
     return DD.minhash_dedup_incremental(
         docs.filter(F.col("doc_id") % 5 == 0),
@@ -1003,8 +1003,10 @@ def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_dir(tmp)
     atexit.register(shutil.rmtree, tmp, True)
     DD.simhash_write_index(
-        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id",
-        f"{tmp}/idx", n_shards=adaptive_index_shards(docs),
+        # shard count sized adaptively by the writer itself (ADVICE
+        # r12: the explicit kwarg used the MinHash bands default — half
+        # the intended bands×shards target for the 4-band simhash index)
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", f"{tmp}/idx",
     )
     return DD.simhash_dedup_incremental(
         docs.filter(F.col("doc_id") % 5 == 0),
@@ -1061,11 +1063,8 @@ def q_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         f"{tmp}/idx",
         portable=True,
-        # shard count sized from the history relation's bytes (guide
-        # §6): bands dirs with one healthy file each at sf0.1 instead
-        # of a 128-tiny-file probe-scan storm, walking up toward 256
-        # shards as the corpus grows
-        n_shards=adaptive_index_shards(docs),
+        # shard count sized adaptively by the writer itself (guide §6,
+        # ADVICE r12)
     )
     doomed = docs.filter(
         (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 3 == 0)
@@ -1175,10 +1174,8 @@ def q_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Build once, tombstone twice (idempotence proof), copy, compact the
     # copy. Eager file work for BOTH phase dirs completes here, before
     # any probe plan is constructed below.
-    DD.simhash_write_index(
-        hist_docs, "text", "doc_id", f"{tmp}/sh_masked",
-        n_shards=adaptive_index_shards(docs),
-    )
+    # shard count sized adaptively by the writer itself (ADVICE r12)
+    DD.simhash_write_index(hist_docs, "text", "doc_id", f"{tmp}/sh_masked")
     DD.simhash_index_delete(doomed_docs, f"{tmp}/sh_masked")
     DD.simhash_index_delete(doomed_docs, f"{tmp}/sh_masked")  # idempotent
     shutil.copytree(f"{tmp}/sh_masked", f"{tmp}/sh_compacted")
@@ -1190,13 +1187,22 @@ def q_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copytree(f"{tmp}/em_masked", f"{tmp}/em_compacted")
     SIM.embedding_index_compact(spark, f"{tmp}/em_compacted")
 
+    # Both phase probes of a family share one shard-side scaffolding
+    # (fingerprint/projection frame, capped probe side, touched-
+    # partition collect) via the _multi probe forms — the masked and
+    # compacted probes differ ONLY in the index dir they scan (guide
+    # §2.4; round 12: the per-phase re-derivation was ~half the
+    # query's stage waves).
+    phases = ("masked", "compacted")
     frames = []
-    for phase in ("masked", "compacted"):
-        pairs = DD.simhash_dedup_incremental(
-            shard_docs, f"{tmp}/sh_{phase}",
+    for phase, pairs in zip(
+        phases,
+        DD.simhash_dedup_incremental_multi(
+            shard_docs, [f"{tmp}/sh_{p}" for p in phases],
             text_col="text", id_col="doc_id",
             max_hamming=_SHI_HAMMING, max_bucket=_SHI_CAP,
-        )
+        ),
+    ):
         frames.append(
             pairs.select(
                 F.lit(phase).alias("phase"),
@@ -1205,11 +1211,13 @@ def q_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dup_id").cast("bigint").alias("dup_id"),
             )
         )
-    for phase in ("masked", "compacted"):
-        pairs = SIM.embedding_dedup_incremental(
-            shard_emb, f"{tmp}/em_{phase}",
+    for phase, pairs in zip(
+        phases,
+        SIM.embedding_dedup_incremental_multi(
+            shard_emb, [f"{tmp}/em_{p}" for p in phases],
             threshold=_EMBED_DEDUP_TAU, max_bucket=2000,
-        )
+        ),
+    ):
         frames.append(
             pairs.select(
                 F.lit(phase).alias("phase"),
