@@ -550,6 +550,50 @@ class TestSimhashIncrementalIndex:
         rows = simhash_dedup_incremental(shard, path, max_hamming=0).collect()
         assert [(r["new_id"], r["dup_id"], r["hamming"]) for r in rows] == [(2, 1, 0)]
 
+    def test_multi_probe_equals_single_probes(self, spark, index, tmp_path):
+        """simhash_dedup_incremental_multi (one shared shard frame,
+        several index dirs — the takedown lifecycle's probe shape) must
+        emit exactly what per-dir single probes emit, and refuse
+        mismatched hash families (round 12: the shared scaffolding must
+        be an execution detail, never a semantics change)."""
+        import shutil
+
+        from tia_data_pipeline_spark.operators.dedup import (
+            simhash_dedup_incremental,
+            simhash_dedup_incremental_multi,
+            simhash_index_compact,
+            simhash_index_delete,
+            simhash_write_index,
+        )
+
+        path, base = index
+        shard = self._shard(spark, base)
+        # sibling dir: tombstone doc 2 then physically compact (the
+        # masked-vs-compacted pair the takedown query probes)
+        path2 = str(tmp_path / "shidx_compacted")
+        shutil.copytree(path, path2)
+        doomed = spark.createDataFrame([(2,)], "doc_id bigint")
+        simhash_index_delete(doomed, path2)
+        simhash_index_compact(spark, path2)
+
+        multi = simhash_dedup_incremental_multi(
+            shard, [path, path2], max_hamming=2
+        )
+        for p, got in zip([path, path2], multi):
+            want = {
+                (r["new_id"], r["dup_id"], r["hamming"])
+                for r in simhash_dedup_incremental(shard, p, max_hamming=2).collect()
+            }
+            assert {
+                (r["new_id"], r["dup_id"], r["hamming"]) for r in got.collect()
+            } == want
+        # family mismatch: a dir written with different bands must raise
+        path3 = str(tmp_path / "shidx_other_family")
+        hist = spark.createDataFrame([(1, base)], "doc_id bigint, text string")
+        simhash_write_index(hist, "text", "doc_id", path3, bits=32, bands=4, n_shards=8)
+        with pytest.raises(ValueError, match="hash family"):
+            simhash_dedup_incremental_multi(shard, [path, path3], max_hamming=2)
+
     def test_max_hamming_beyond_band_guarantee_raises(self, spark, tmp_path):
         """B bands only guarantee collision for hamming ≤ B-1; asking
         for more would silently miss pairs, so it must raise."""

@@ -256,6 +256,51 @@ class TestEmbeddingIncrementalIndex:
         assert set(got) == {(10, 1)}
         assert got[(10, 1)] >= 0.99
 
+    def test_multi_probe_equals_single_probes(self, spark, index, tmp_path):
+        """embedding_dedup_incremental_multi (one shared shard frame,
+        several index dirs — the takedown lifecycle's probe shape) must
+        emit exactly what per-dir single probes emit, and refuse
+        mismatched projections (round 12: shared scaffolding is an
+        execution detail, never a semantics change)."""
+        import shutil
+
+        from tia_data_pipeline_spark.operators.similarity import (
+            embedding_dedup_incremental,
+            embedding_dedup_incremental_multi,
+            embedding_index_compact,
+            embedding_index_delete,
+            embedding_write_index,
+            projection_matrix,
+        )
+
+        path, base, far = index
+        near = [v * 1.01 + 0.01 for v in base]
+        shard = self._vecs(spark, [(10, near), (11, [2.0, -1.0, 4.0, 0.25])])
+        path2 = str(tmp_path / "eidx_compacted")
+        shutil.copytree(path, path2)
+        doomed = spark.createDataFrame([(2,)], "vec_id bigint")
+        embedding_index_delete(doomed, path2)
+        embedding_index_compact(spark, path2)
+
+        multi = embedding_dedup_incremental_multi(shard, [path, path2], threshold=0.95)
+        for p, got in zip([path, path2], multi):
+            want = {
+                (r["new_id"], r["dup_id"], r["score"])
+                for r in embedding_dedup_incremental(
+                    shard, p, threshold=0.95
+                ).collect()
+            }
+            assert {
+                (r["new_id"], r["dup_id"], r["score"]) for r in got.collect()
+            } == want
+        # projection mismatch: a dir written with a different family
+        # must raise, never probe wrong cells
+        path3 = str(tmp_path / "eidx_other_proj")
+        hist = self._vecs(spark, [(1, base)])
+        embedding_write_index(hist, path3, proj=projection_matrix(bits=3, dim=4, seed=99))
+        with pytest.raises(ValueError, match="projection"):
+            embedding_dedup_incremental_multi(shard, [path, path3], threshold=0.95)
+
     def test_probe_prunes_index_partitions(self, spark, index):
         import contextlib
         import io

@@ -1441,6 +1441,23 @@ def simhash_dedup_incremental_scoped(
         new_banded.unpersist()
 
 
+def _simhash_probe_shared(
+    new_banded: DataFrame, meta: dict, *, max_bucket: int
+) -> tuple:
+    """Shard-side probe artifacts that depend ONLY on the shard and
+    the hash family — shareable across every same-family index dir the
+    shard probes (the takedown lifecycle probes two: masked and
+    compacted): the touched-partition predicate (one driver collect),
+    the shard's distinct ids, and the capped probe side."""
+    return (
+        _touched_partition_filter(new_banded, meta["n_shards"]),
+        new_banded.select("_id").distinct(),
+        _bucket_capped(new_banded, max_bucket).select(
+            "band", "bucket", F.col("_id").alias("new_id"), F.col("_fp").alias("fp_new")
+        ),
+    )
+
+
 def _simhash_probe_pairs(
     new_banded: DataFrame,
     spark,
@@ -1449,6 +1466,7 @@ def _simhash_probe_pairs(
     *,
     max_hamming: int,
     max_bucket: int,
+    shared: tuple | None = None,
 ) -> DataFrame:
     """Probe core shared by the batch operator and the streaming
     micro-batch loop (the SimHash twin of :func:`_probe_pairs`): banded
@@ -1459,22 +1477,23 @@ def _simhash_probe_pairs(
     and checkpoint commit — emits byte-identical pairs. Tombstoned ids
     (:func:`simhash_index_delete`) are masked off the index side
     BEFORE the caps, exactly as if compaction had already removed
-    their rows."""
+    their rows. ``shared`` carries precomputed shard-side artifacts
+    (:func:`_simhash_probe_shared`) when one shard probes several
+    same-family dirs."""
     from tia_data_pipeline_spark.operators.scale import anti_join_index_tombstones
 
-    pred = _touched_partition_filter(new_banded, meta["n_shards"])
+    pred, shard_ids, probe = shared or _simhash_probe_shared(
+        new_banded, meta, max_bucket=max_bucket
+    )
     idx = anti_join_index_tombstones(
         _read_index(spark, index_path, meta).filter(pred),
         index_path,
         index_schema_json=meta["schema_json"],
         id_col="_id",
-    ).join(new_banded.select("_id").distinct(), on="_id", how="left_anti")
+    ).join(shard_ids, on="_id", how="left_anti")
     # two-pass hot-bucket caps, each side against its own count (a hot
     # bucket is boilerplate — history's on the index side, today's on
     # the shard side; it never reaches the join)
-    probe = _bucket_capped(new_banded, max_bucket).select(
-        "band", "bucket", F.col("_id").alias("new_id"), F.col("_fp").alias("fp_new")
-    )
     hist = _bucket_capped(idx, max_bucket).select(
         "band", "bucket", F.col("_id").alias("dup_id"), F.col("_fp").alias("fp_old")
     )
@@ -1485,6 +1504,55 @@ def _simhash_probe_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["new_id", "dup_id"])
     )
+
+
+def simhash_dedup_incremental_multi(
+    new_docs: DataFrame,
+    index_paths: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> list[DataFrame]:
+    """One shard probed against SEVERAL same-family index dirs (the
+    takedown lifecycle: a masked dir and its physically-compacted
+    sibling must yield identical pairs) — the shard's fingerprint frame
+    (the CPU-heavy leg), its capped probe side, its distinct-id frame,
+    and the touched-partition driver collect are computed ONCE and
+    shared by every probe, instead of once per dir (guide §2.4: two
+    operations keyed the same way share one derivation). Returns one
+    pairs frame per path, same order. All dirs must share the hash
+    family — the banded frame is family-keyed, so a mismatch would
+    probe with wrong buckets; it raises instead.
+
+    Cache lifecycle matches :func:`simhash_dedup_incremental` (held by
+    the CacheManager until unpersist/clearCache/session end)."""
+    spark = new_docs.sparkSession
+    metas = [simhash_index_meta(spark, p) for p in index_paths]
+    fams = {(m["bits"], m["bands"], m["n_shards"]) for m in metas}
+    if len(fams) != 1:
+        raise ValueError(f"index dirs disagree on the hash family: {sorted(fams)}")
+    meta = metas[0]
+    _check_band_guarantee(meta, max_hamming)
+    new_banded = simhash_band_frame(
+        new_docs, text_col, id_col,
+        bits=meta["bits"], bands=meta["bands"], n_shards=meta["n_shards"],
+    ).persist()
+    pred, shard_ids, probe = _simhash_probe_shared(
+        new_banded, meta, max_bucket=max_bucket
+    )
+    # the capped probe side persists too: every probe leg consumes it,
+    # and caching it keeps the cap's count-exchange out of every run
+    probe = probe.persist()
+    return [
+        _simhash_probe_pairs(
+            new_banded, spark, p, m,
+            max_hamming=max_hamming, max_bucket=max_bucket,
+            shared=(pred, shard_ids, probe),
+        )
+        for p, m in zip(index_paths, metas)
+    ]
 
 
 def _simhash_intra_pairs(

@@ -14,6 +14,7 @@ tuned by the number of projection bits (fewer bits → bigger buckets).
 
 from __future__ import annotations
 
+import json
 from contextlib import contextmanager
 
 import numpy as np
@@ -1502,6 +1503,51 @@ def embedding_dedup_incremental_scoped(
         shard.unpersist()
 
 
+def embedding_dedup_incremental_multi(
+    new_vecs: DataFrame,
+    index_paths: list[str],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    max_bucket: int = 2000,
+) -> list[DataFrame]:
+    """One vector shard probed against SEVERAL same-projection index
+    dirs (the takedown lifecycle: a masked dir and its physically-
+    compacted sibling must yield identical pairs) — the shard's
+    projected frame, its capped+fanned probe side, its distinct-id
+    frame, and the touched-cell driver collect are computed ONCE and
+    shared by every probe (guide §2.4; the
+    :func:`…operators.dedup.simhash_dedup_incremental_multi` twin).
+    Returns one pairs frame per path, same order. All dirs must share
+    the projection — the cell assignment is projection-keyed, so a
+    mismatch would probe wrong cells; it raises instead.
+
+    Cache lifecycle matches :func:`embedding_dedup_incremental` (held
+    by the CacheManager until unpersist/clearCache/session end)."""
+    spark = new_vecs.sparkSession
+    metas = [embedding_index_meta(spark, p) for p in index_paths]
+    projs = {json.dumps(m["proj"]) for m in metas}
+    if len(projs) != 1:
+        raise ValueError(
+            f"index dirs disagree on the projection family: {len(projs)} distinct"
+        )
+    shard = _emb_banded(new_vecs, metas[0], vec_col, id_col).persist()
+    touched, shard_ids, probe = _emb_probe_shared(shard, max_bucket=max_bucket)
+    # the capped+fanned probe side persists too: every probe leg
+    # consumes it, and caching keeps the cap's count-exchange out of
+    # every run
+    probe = probe.persist()
+    return [
+        _emb_probe_pairs(
+            shard, spark, p, m,
+            threshold=threshold, max_bucket=max_bucket,
+            shared=(touched, shard_ids, probe),
+        )
+        for p, m in zip(index_paths, metas)
+    ]
+
+
 def _cell_capped(df: DataFrame, max_bucket: int) -> DataFrame:
     """Two-pass hot-cell cap: keep only rows whose ``bucket`` cell
     holds ≤ ``max_bucket`` rows (count → semi-join survivors) — the
@@ -1515,6 +1561,26 @@ def _cell_capped(df: DataFrame, max_bucket: int) -> DataFrame:
     return df.join(ok, "bucket", "left_semi")
 
 
+def _emb_probe_shared(shard: DataFrame, *, max_bucket: int) -> tuple:
+    """Shard-side probe artifacts that depend ONLY on the shard and
+    the index's projection — shareable across every same-family index
+    dir the shard probes (the takedown lifecycle probes two: masked
+    and compacted): the touched-cell list (one driver collect), the
+    shard's distinct ids, and the capped + fanned probe side."""
+    touched = sorted(
+        int(r["bucket"]) for r in shard.select("bucket").distinct().collect()
+    )
+    probe = fan_out(
+        _cell_capped(shard, max_bucket).select(
+            "bucket",
+            F.col("_id").alias("new_id"),
+            F.col("_vec").alias("_vec_n"),
+            F.col("_norm").alias("_norm_n"),
+        )
+    )
+    return touched, shard.select("_id").distinct(), probe
+
+
 def _emb_probe_pairs(
     shard: DataFrame,
     spark,
@@ -1523,6 +1589,7 @@ def _emb_probe_pairs(
     *,
     threshold: float,
     max_bucket: int,
+    shared: tuple | None = None,
 ) -> DataFrame:
     """Probe core shared by the batch operator and the streaming
     micro-batch loop: banded shard → pruned index scan → per-side
@@ -1533,11 +1600,13 @@ def _emb_probe_pairs(
     :func:`_emb_intra_pairs` leg. Tombstoned ids
     (:func:`embedding_index_delete`) are masked off the index side
     BEFORE the hot-cell caps, exactly as if compaction had already
-    removed their rows."""
+    removed their rows. ``shared`` carries precomputed shard-side
+    artifacts (:func:`_emb_probe_shared`) when one shard probes
+    several same-family dirs."""
     from tia_data_pipeline_spark.operators.scale import anti_join_index_tombstones
 
-    touched = sorted(
-        int(r["bucket"]) for r in shard.select("bucket").distinct().collect()
+    touched, shard_ids, probe = shared or _emb_probe_shared(
+        shard, max_bucket=max_bucket
     )
     idx = anti_join_index_tombstones(
         _read_emb_index(spark, index_path, meta).filter(
@@ -1546,15 +1615,7 @@ def _emb_probe_pairs(
         index_path,
         index_schema_json=meta["schema_json"],
         id_col="_id",
-    ).join(shard.select("_id").distinct(), on="_id", how="left_anti")
-    probe = fan_out(
-        _cell_capped(shard, max_bucket).select(
-            "bucket",
-            F.col("_id").alias("new_id"),
-            F.col("_vec").alias("_vec_n"),
-            F.col("_norm").alias("_norm_n"),
-        )
-    )
+    ).join(shard_ids, on="_id", how="left_anti")
     hist = _cell_capped(idx, max_bucket).select(
         "bucket",
         F.col("_id").alias("dup_id"),
