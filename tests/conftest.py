@@ -15,7 +15,28 @@ from __spark_entry__ import SMOKE_SF_DIR as SMOKE_SF  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    # local[16]/8 shuffle partitions, measured round 12 (3-file sample,
+    # same host, same data): local[4]/8 = 189 s, local[16]/8 = 128 s,
+    # local[16]/16 = 149 s, local[32]/32 = 159 s. The suite is stage-
+    # wave-bound, not CPU-bound: 16 task slots run every 8-partition
+    # exchange in ONE wave (4 slots needed two), while 32 slots only
+    # add scheduling overhead on test-sized data. default/leaf
+    # parallelism stay 4: createDataFrame-sourced frames and their
+    # write jobs keep 4 tasks (a 16-task tiny write is SLOWER — more
+    # task commits per micro-batch; measured +13% on the dedup serve
+    # suite), and fan_out's defaultParallelism-based decisions keep
+    # their local[4]-era semantics. Part of the VERDICT r11 #3 fix
+    # (the driver's pytest budget).
+    s = get_spark(
+        app_name="tests",
+        master="local[16]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.default.parallelism": "4",
+            "spark.sql.leafNodeDefaultParallelism": "4",
+            "spark.sql.codegen.wholeStage": "false",
+        },
+    )
     yield s
 
 

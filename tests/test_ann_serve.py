@@ -81,6 +81,7 @@ def test_probe_scan_prunes_index_partitions(spark, index):
     ), f"no non-empty _cell partition filter: {scans}"
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_union(spark, index, tmp_path):
     a = spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0])], PROBE_SCHEMA)
     b = spark.createDataFrame([(200, [0.0, 1.0, 0.0, 0.0])], PROBE_SCHEMA)
@@ -199,6 +200,7 @@ def test_null_probes_excluded_and_no_cache_leak(spark, index, tmp_path):
     assert {r["probe_id"] for r in rows} == {100}
 
 
+@pytest.mark.slow
 def test_stream_ivf_append_updates_index_and_records_drift(spark, index, tmp_path):
     """The IVF WRITE-side loop: streamed vector shards append to the
     index (idempotently — a rerun of the same files appends nothing),
@@ -246,6 +248,7 @@ def test_stream_ivf_append_updates_index_and_records_drift(spark, index, tmp_pat
     again = sorted(map(tuple, spark.read.parquet(f"{drift_out}/batch_id=0").collect()))
     assert again == first
 
+@pytest.mark.slow
 def test_stream_ivf_append_auto_retrain_policy(spark, index, tmp_path):
     """VERDICT r10 #4: the drift signal must gate something. A shifted
     shard crossing ``retrain_above`` fires ivf_retrain inline (default
@@ -345,6 +348,7 @@ def test_stream_ivf_append_maintenance_callback_and_min_batch_guard(
     assert ivf_index_meta(spark, index) == meta_before
 
 
+@pytest.mark.slow
 def test_retrain_spike_survives_replay_in_maintenance_log(spark, index, tmp_path):
     """Review r11: the inline retrain changes the quantizer generation
     inside the triggering batch, so a foreachBatch replay recomputes

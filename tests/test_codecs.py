@@ -1663,6 +1663,7 @@ def test_multiscan_incomplete_coverage_degrades_to_stub():
     assert decode_media(truncated) == fake_decode(truncated)
 
 
+@pytest.mark.slow
 def test_progressive_random_scripts_fuzz_equals_baseline():
     """Script-space fuzz: random spectral-band splits, random
     successive-approximation ladder depths, and random interleavings

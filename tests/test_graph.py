@@ -3,6 +3,8 @@ checkpoint path for deep hierarchies."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from tia_data_pipeline_spark.operators.graph import thread_closure
@@ -113,6 +115,7 @@ def test_twophase_components_match_label_propagation(spark):
     assert two == base
 
 
+@pytest.mark.slow
 def test_twophase_handles_deep_chain_in_log_rounds(spark):
     """A 120-hop chain: min-label propagation would need 120 rounds
     (raises under a 10-round budget), the two-phase form converges well

@@ -109,6 +109,7 @@ def test_embedding_compact_preserves_content(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before
 
 
+@pytest.mark.slow
 def test_index_stats_track_appends_and_compaction(spark, docs, tmp_path):
     from tia_data_pipeline_spark.operators.dedup import (
         minhash_index_append,
@@ -143,6 +144,7 @@ def test_index_stats_track_appends_and_compaction(spark, docs, tmp_path):
     assert s2["max_partition_rows"] >= 1
 
 
+@pytest.mark.slow
 def test_full_lifecycle_compact_mid_serving_loop(spark, docs, tmp_path):
     """The production sequence end-to-end: day-0 write → day-1 batch
     (probe + append) → COMPACT → day-2 batch. Compaction mid-loop must

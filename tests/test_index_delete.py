@@ -180,6 +180,7 @@ class TestMinhashDelete:
 
 
 class TestSimhashDelete:
+    @pytest.mark.slow
     def test_lifecycle(self, spark, docs, tmp_path):
         from tia_data_pipeline_spark.operators.dedup import (
             simhash_dedup_incremental,
@@ -236,6 +237,7 @@ class TestEmbeddingDelete:
         _ = rng
         return hist, shard
 
+    @pytest.mark.slow
     def test_lifecycle(self, spark, tmp_path):
         from tia_data_pipeline_spark.operators.similarity import (
             embedding_dedup_incremental,

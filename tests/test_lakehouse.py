@@ -8,6 +8,8 @@ identical either way — that is the module's contract.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tia_data_pipeline_spark.sources.lakehouse import (
@@ -236,6 +238,7 @@ def test_delete_keys_by_id_null_keys_excluded(spark, tmp_path):
     assert delete_keys(spark, doomed, path, ["id"]) == 0
 
 
+@pytest.mark.slow
 def test_delete_composes_with_index_tombstones(spark, tmp_path):
     """The full takedown flow: delete the documents from the STORE and
     tombstone them in the derived MinHash INDEX — after both, the doc

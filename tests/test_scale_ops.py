@@ -324,6 +324,7 @@ def test_zorder_bad_args(spark):
         zorder_value(orders, ["o_custkey", "o_totalprice"], bits=32)
 
 
+@pytest.mark.slow
 def test_fan_out_many_tiny_files_still_widens(spark, tmp_path):
     """The sampled byte estimate must keep widening a MANY-tiny-file
     relation (the old >=1024-file short-circuit skipped the estimate

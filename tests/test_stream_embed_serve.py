@@ -46,6 +46,7 @@ def _pairs(df):
     return {(r["new_id"], r["dup_id"]) for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_union(spark, corpus, tmp_path):
     idx = str(tmp_path / "eidx")
     embedding_write_index(corpus["hist"], idx)
@@ -91,6 +92,7 @@ def test_later_batch_sees_earlier_batch_vectors(spark, corpus, tmp_path):
     assert got1 == {(30, 1), (30, 10)}
 
 
+@pytest.mark.slow
 def test_batch_replay_is_idempotent(spark, corpus, tmp_path):
     idx = str(tmp_path / "eidx")
     embedding_write_index(corpus["hist"], idx)

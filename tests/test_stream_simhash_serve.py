@@ -48,6 +48,7 @@ def _pairs(df):
     return {(r["new_id"], r["dup_id"]) for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_union(spark, corpus, tmp_path):
     idx = str(tmp_path / "shidx")
     simhash_write_index(corpus["hist"], "text", "doc_id", idx, n_shards=8)
@@ -78,6 +79,7 @@ def test_stream_equals_batch_union(spark, corpus, tmp_path):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_later_batch_sees_earlier_batch_fingerprints(spark, corpus, tmp_path):
     idx = str(tmp_path / "shidx")
     simhash_write_index(corpus["hist"], "text", "doc_id", idx, n_shards=8)
@@ -93,6 +95,7 @@ def test_later_batch_sees_earlier_batch_fingerprints(spark, corpus, tmp_path):
     assert got1 == {(30, 1), (30, 10)}
 
 
+@pytest.mark.slow
 def test_batch_replay_is_idempotent(spark, corpus, tmp_path):
     idx = str(tmp_path / "shidx")
     simhash_write_index(corpus["hist"], "text", "doc_id", idx, n_shards=8)
@@ -123,6 +126,7 @@ def test_batch_replay_is_idempotent(spark, corpus, tmp_path):
     assert (40, 41) not in later and (41, 40) not in later
 
 
+@pytest.mark.slow
 def test_no_cache_leak_per_batch(spark, corpus, tmp_path):
     idx = str(tmp_path / "shidx")
     simhash_write_index(corpus["hist"], "text", "doc_id", idx, n_shards=8)

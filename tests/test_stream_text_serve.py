@@ -7,6 +7,8 @@ full build of the same live membership (df, N, avgdl all track)."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SMOKE_SF
 from tia_data_pipeline_spark.catalog import load_table
 from tia_data_pipeline_spark.operators.text_index import (
@@ -75,6 +77,7 @@ def test_replayed_batch_appends_nothing(spark, tmp_path):
     assert _serve(spark, path) == first
 
 
+@pytest.mark.slow
 def test_takedown_stream_family_text(spark, tmp_path):
     """stream_index_deletes(family="text"): a streamed takedown request
     masks the docs from BM25 serving exactly like a shrunken rebuild
@@ -100,6 +103,7 @@ def test_takedown_stream_family_text(spark, tmp_path):
     assert _serve(spark, path) == _fresh(spark, live, tmp_path, "live")
 
 
+@pytest.mark.slow
 def test_stream_bm25_topk_equals_batch_and_skips_hostile(spark, tmp_path):
     """The BM25 serving loop: each micro-batch equals the direct batch
     serve of its servable queries; an all-hostile batch writes an
@@ -148,6 +152,7 @@ def test_stream_bm25_topk_equals_batch_and_skips_hostile(spark, tmp_path):
     assert got == expect and got  # hostile rows contributed nothing
 
 
+@pytest.mark.slow
 def test_all_null_element_terms_batch_degrades_not_aborts(spark, tmp_path):
     """ADVICE r10 #1: a batch whose ONLY servable-looking query carries
     all-NULL term elements (terms=[NULL]) passed the old size>0 guard,
@@ -207,6 +212,7 @@ def test_empty_batch_schema_tracks_index_doc_id_type(spark, tmp_path):
     assert {r["doc_id"] for r in rows.collect()} == {"a1"}
 
 
+@pytest.mark.slow
 def test_hard_kill_between_jobs_retries_without_duplicate_postings(
     spark, tmp_path
 ):

@@ -205,6 +205,7 @@ class TestTextIndexLifecycle:
         )
         assert self._serve(spark, path) == expect
 
+    @pytest.mark.slow
     def test_delete_then_compact_equals_shrunken_rebuild(self, spark, tmp_path):
         from tia_data_pipeline_spark.operators.text_index import (
             text_index_compact,
@@ -235,6 +236,7 @@ class TestTextIndexLifecycle:
             "doc_id % 3 = 0"
         ).count() == 0
 
+    @pytest.mark.slow
     def test_append_after_compact_defragments(self, spark, tmp_path):
         from tia_data_pipeline_spark.operators.text_index import (
             text_index_append,
