@@ -156,7 +156,13 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     fans out first: the partial phase SORTS each input partition, so a
     few-split scan serializes the sort onto a few cores (measured
     1.23s -> 0.86s at sf0.1's 3-split lineitem; at cluster scale the
-    scan arrives pre-split and the widening no-ops)."""
+    scan arrives pre-split and the widening no-ops). RE-MEASURED r12
+    under the post-bypass-writer regime (VERDICT r11 #6 — the r4
+    number was stale): interleaved min-of-5, fan_out 0.925 vs plain
+    0.884 s (medians 1.009 vs 1.013) — a tie at sf0.1; fan_out stays
+    because it is free at cluster scale and the pinned decision
+    (tests/test_plans.py::test_fan_out_decision_pinned) keeps the
+    CPU-bound-projection rule uniform across the registry."""
     li = fan_out(
         load_table(spark, sf_dir, "lineitem").select(
             "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_extendedprice"

