@@ -131,100 +131,97 @@ def test_no_python_udfs_in_contract_plans(spark, name):
 # redundant variant of an operator already driver-verified by a named
 # earlier slot (see plans/__init__.py CONTRACT_ORDER).
 TAIL_COVERED_BY = {
-    # round-11 rotation (rebuilt mid-round for the optimization pass):
-    # head = r6/r7 stale backlog + surviving r8 singles + eight r9
-    # family anchors + the plan-changed re-verifications (one promoted
-    # representative per changed operator family); remaining greens sit
-    # in the tail covered by a same-family head anchor — changed-family
-    # tail members anchor to the in-head representative of the SAME
-    # changed operator:
-    "q_ann_lsh": "q_ann_multiprobe",
-    "q_ann_recall": "q_ann_multiprobe",
-    "q_antijoin_incr": "q_merge_upsert",
-    "q_asof_join": "q_self_join",
-    "q_benford": "q_profile",
-    "q_bm25": "q_bm25_batch",
-    "q_bm25_indexed": "q_tfidf",
-    "q_children_rollup": "q_rollup",
-    "q_cluster_sizes": "q_skew_keys",
-    "q_cohort_retention": "q_new_users",
-    "q_containment": "q_doc_fingerprint",
-    "q_cooccur_lift": "q_collocations",
-    "q_count_distinct": "q_approx_distinct",
-    "q_cube": "q_rollup",
-    "q_daily_window": "q_sliding_window",
-    "q_data_quality": "q_profile",
-    "q_decontaminate": "q_exists_guard",
-    "q_dedup_batch": "q_dedup_latest",
-    "q_dedup_components": "q_dup_graph_degree",
-    "q_dup_spans": "q_substring_dedup",
-    "q_edit_distance": "q_substring_dedup",
-    "q_embed_dedup": "q_semantic_dedup",
-    "q_embed_incremental": "q_takedown",
-    "q_embed_quantize": "q_semantic_dedup",
-    "q_embed_stats": "q_semantic_dedup",
-    "q_ewma": "q_autocorr",
-    "q_exact_dedup": "q_dedup_latest",
-    "q_filter_range": "q_const_probe",
-    "q_funnel": "q_streaks",
-    "q_fuzzy_dedup": "q_simhash",
-    "q_gap_fill": "q_sliding_window",
-    "q_gini": "q_heavy_hitters",
-    "q_gopher_quality": "q_quality_linear",
-    "q_group_sample": "q_split_assign",
-    "q_hash_sample": "q_split_assign",
-    "q_histogram": "q_approx_quantiles",
-    "q_index_delete": "q_takedown",
-    "q_interarrival": "q_burstiness",
+    # round-12 rotation: head = six re-promoted r8 singles + the full
+    # r9-stale backlog + the r12 plan-changed q_takedown and its
+    # ADVICE-touched family partner q_index_delete + r10-stale fills;
+    # every demoted r11-green anchors to a same-family head slot:
+    "q_agg_count": "q_count_distinct",
+    "q_ann_multiprobe": "q_ann_lsh",
+    "q_anomaly": "q_mad_outliers",
+    "q_approx_distinct": "q_count_distinct",
+    "q_approx_quantiles": "q_winsorize",
+    "q_autocorr": "q_ewma",
+    "q_bm25_batch": "q_bm25",
+    "q_boilerplate": "q_containment",
+    "q_bpe_train": "q_tok_fertility",
+    "q_burstiness": "q_session_window",
+    "q_canonicalize": "q_json_ser",
+    "q_changepoint": "q_jsd_mix",
+    "q_chunking": "q_tok_fertility",
+    "q_cohort_retention": "q_stickiness",
+    "q_collocations": "q_mutual_info",
+    "q_const_probe": "q_filter_range",
+    "q_cooccur_lift": "q_mutual_info",
+    "q_decontaminate": "q_semi_join",
+    "q_dedup_components": "q_containment",
+    "q_dedup_incremental": "q_index_delete",
+    "q_dedup_latest": "q_dedup_batch",
+    "q_doc_fingerprint": "q_containment",
+    "q_dsir_weights": "q_jsd_mix",
+    "q_dup_graph_degree": "q_containment",
+    "q_edit_distance": "q_dup_spans",
+    "q_embed_quantize": "q_embed_dedup",
+    "q_exists_guard": "q_semi_join",
+    "q_feature_hash": "q_hash_sample",
+    "q_funnel": "q_markov",
+    "q_fuzzy_dedup": "q_index_delete",
+    "q_gap_fill": "q_daily_window",
+    "q_gini": "q_pareto_abc",
+    "q_gopher_quality": "q_lang_id",
+    "q_group_sample": "q_hash_sample",
+    "q_heavy_hitters": "q_pareto_abc",
+    "q_histogram": "q_winsorize",
+    "q_interarrival": "q_session_window",
     "q_ivf_append": "q_takedown",
-    "q_join_enrich": "q_revenue_by_segment",
-    "q_jsd_mix": "q_changepoint",
-    "q_json_ser": "q_canonicalize",
-    "q_knn_bucketed": "q_sim_topk",
-    "q_knn_join": "q_sim_topk",
-    "q_ks_drift": "q_changepoint",
-    "q_lang_id": "q_quality_linear",
-    "q_mad_outliers": "q_profile",
-    "q_markov": "q_streaks",
-    "q_mix_temperature": "q_source_overlap",
-    "q_mutual_info": "q_collocations",
-    "q_ols_trend": "q_autocorr",
-    "q_pack_sequences": "q_chunking",
-    "q_pareto_abc": "q_heavy_hitters",
-    "q_pii_redact": "q_canonicalize",
-    "q_pivot_status": "q_agg_count",
-    "q_proj_alias": "q_const_probe",
-    "q_quality_score": "q_quality_linear",
-    "q_quantiles": "q_approx_quantiles",
-    "q_range_join": "q_self_join",
-    "q_repetition": "q_quality_linear",
-    "q_resize_meta": "q_multimodal_meta",
-    "q_rolling_actives": "q_sliding_window",
-    "q_scan_project": "q_const_probe",
-    "q_scd2": "q_merge_upsert",
-    "q_seasonality": "q_autocorr",
-    "q_semi_join": "q_exists_guard",
-    "q_session_window": "q_sliding_window",
-    "q_set_ops": "q_source_overlap",
-    "q_simhash_incremental": "q_takedown",
-    "q_source_mix": "q_source_overlap",
-    "q_span_cut": "q_substring_dedup",
-    "q_spearman": "q_autocorr",
-    "q_star_join": "q_revenue_by_segment",
-    "q_stickiness": "q_new_users",
-    "q_text_tokens": "q_word_count",
-    "q_thread_closure": "q_self_join",
-    "q_tok_fertility": "q_word_count",
-    "q_token_entropy": "q_zipf_fit",
-    "q_topk_latest": "q_dedup_latest",
-    "q_ts_normalize": "q_canonicalize",
-    "q_topk_per_group": "q_ntile",
-    "q_triangles": "q_self_join",
-    "q_vocab_coverage": "q_bpe_train",
-    "q_window_frames": "q_sliding_window",
-    "q_winsorize": "q_profile",
-    "q_word_freq": "q_word_count",
-    "q_zscore": "q_anomaly",
+    "q_knn_join": "q_knn_bucketed",
+    "q_ks_drift": "q_jsd_mix",
+    "q_lm_perplexity": "q_mutual_info",
+    "q_merge_upsert": "q_antijoin_incr",
+    "q_mix_temperature": "q_jsd_mix",
+    "q_multimodal_meta": "q_resize_meta",
+    "q_new_users": "q_stickiness",
+    "q_ngram_jaccard": "q_containment",
+    "q_ntile": "q_topk_per_group",
+    "q_pack_sequences": "q_tok_fertility",
+    "q_pagerank": "q_thread_closure",
+    "q_pii_redact": "q_json_ser",
+    "q_pivot_status": "q_cube",
+    "q_profile": "q_benford",
+    "q_quality_linear": "q_lang_id",
+    "q_quantiles": "q_winsorize",
+    "q_range_join": "q_asof_join",
+    "q_revenue_by_segment": "q_join_enrich",
+    "q_rfm": "q_stickiness",
+    "q_rolling_actives": "q_daily_window",
+    "q_rollup": "q_children_rollup",
+    "q_scan_project": "q_filter_range",
+    "q_scd2": "q_antijoin_incr",
+    "q_seasonality": "q_ewma",
+    "q_self_join": "q_asof_join",
+    "q_semantic_dedup": "q_embed_dedup",
+    "q_set_ops": "q_jsd_mix",
+    "q_sim_topk": "q_knn_bucketed",
+    "q_simhash": "q_simhash_incremental",
+    "q_skew_keys": "q_cluster_sizes",
+    "q_sliding_window": "q_daily_window",
+    "q_source_mix": "q_jsd_mix",
+    "q_source_overlap": "q_jsd_mix",
+    "q_span_cut": "q_dup_spans",
+    "q_spearman": "q_ewma",
+    "q_split_assign": "q_hash_sample",
+    "q_star_join": "q_join_enrich",
+    "q_streaks": "q_markov",
+    "q_substring_dedup": "q_dup_spans",
+    "q_text_tokens": "q_tok_fertility",
+    "q_tfidf": "q_bm25_indexed",
+    "q_token_bpe": "q_tok_fertility",
+    "q_token_entropy": "q_word_freq",
+    "q_topk_latest": "q_dedup_batch",
+    "q_triangles": "q_asof_join",
+    "q_vocab_coverage": "q_tok_fertility",
+    "q_word_count": "q_tok_fertility",
+    "q_zipf_fit": "q_word_freq",
+    "q_zscore": "q_mad_outliers",
 }
 
 
